@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Engine code lives in ``map_reduce_rpc_spark/``; this module only wires
+the query library to the driver contract.
 """
 
 from __future__ import annotations
@@ -13,26 +15,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from map_reduce_rpc_spark.plans import parity
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: wordcount over the documents corpus.
+
+    Exercises the reference's whole engine path (scan -> flatMap
+    tokenize -> shuffle -> agg -> sink), SURVEY.md §7 phase 0.
+    """
+    return parity.wordcount(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # —— reference parity (SURVEY.md §2.2) ——
+        "wordcount": parity.wordcount,
+        "inverted_index": parity.inverted_index,
+        "file_counts": parity.file_counts,
+        "file_meta_concat": parity.file_meta_concat,
+        "kv_pipeline": parity.kv_pipeline,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each query (ANSI, runs on the registered
+    views region nation customer supplier part orders lineitem events
+    documents embeddings)."""
+    o: dict[str, str] = {}
+    o.update(parity.PARITY_ORACLES)
+    return o

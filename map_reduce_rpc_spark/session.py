@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Local test mode runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+configs below are chosen so the same code scales to a multi-executor
+cluster at ~100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  join-strategy switch) — replaces the reference's fixed nReduce=10
+  (``/root/reference/mr_coordinator.go:17``) with runtime-sized shuffles.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is the AQE *initial* partition count and should be set
+  to ~2-3x total executor cores (AQE coalesces down, never up past it,
+  so err high at 100 TB: e.g. 8000 for a 1000-executor fleet).
+- Arrow enabled so any Pandas-UDF slow path is batch-vectorized.
+- UTC session timezone so timestamp results hash-match the DuckDB
+  oracle (DuckDB timestamps are TZ-naive UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "map_reduce_rpc_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
