@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_rpc_spark.plans import parity
+from map_reduce_rpc_spark.plans import events, parity, relational
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -38,6 +38,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_counts": parity.file_counts,
         "file_meta_concat": parity.file_meta_concat,
         "kv_pipeline": parity.kv_pipeline,
+        # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "order_priority_counts": relational.order_priority_counts,
+        "distinct_parts_per_flag": relational.distinct_parts_per_flag,
+        "rollup_sales": relational.rollup_sales,
+        "pivot_line_status": relational.pivot_line_status,
+        "top_customers_by_revenue": relational.top_customers_by_revenue,
+        "region_revenue": relational.region_revenue,
+        "customer_order_stats": relational.customer_order_stats,
+        "customers_without_orders": relational.customers_without_orders,
+        "segment_setops": relational.segment_setops,
+        "parts_top3_per_brand": relational.parts_top3_per_brand,
+        "orders_topk": relational.orders_topk,
+        "supplier_balance_rank": relational.supplier_balance_rank,
+        "scalar_kitchen_sink": relational.scalar_kitchen_sink,
+        # —— events / time-series ——
+        "events_hourly": events.events_hourly,
+        "events_json_extract": events.events_json_extract,
+        "user_sessions": events.user_sessions,
     }
     return q
 
@@ -48,4 +68,6 @@ def oracle_sql() -> dict[str, str]:
     documents embeddings)."""
     o: dict[str, str] = {}
     o.update(parity.PARITY_ORACLES)
+    o.update(relational.RELATIONAL_ORACLES)
+    o.update(events.EVENTS_ORACLES)
     return o

@@ -1,0 +1,138 @@
+"""Time-series / event queries over the ``events`` table.
+
+The reference has no streaming or event-time logic of any kind (its
+coordinator "watchers" are task timeouts, SURVEY.md §2.4); these
+queries define the batch semantics, and streaming/windows.py runs the
+same windowed aggregation under Structured Streaming with a watermark.
+
+Scale notes (100 TB of events): the hourly rollup shuffles one row per
+(hour, event_type) thanks to partial aggregation; sessionization
+shuffles once on user_id and then applies two window passes within the
+partition — at scale you'd range-partition by (user_id, ts) and the
+plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type (batch twin of the
+    streaming windowed agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column + group."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): sessions per user
+    with length stats. Window lag + conditional cumsum — the canonical
+    batch sessionize; the streaming twin uses session_window."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # event_id tie-break keeps the window order total (deterministic
+    # under exact-ts duplicates)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_sec").alias("max_session_sec"),
+    )
+
+
+EVENTS_ORACLES: dict[str, str] = {
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    "user_sessions": """
+        WITH evsec AS (
+            -- whole-second epoch, matching Spark's cast(ts AS long)
+            SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, sec,
+                   CASE WHEN sec - lag(sec) OVER w IS NULL
+                             OR sec - lag(sec) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM evsec
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, sec,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   max(sec) - min(sec) AS duration_sec
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(duration_sec) AS BIGINT) AS max_session_sec
+        FROM per_session GROUP BY user_id
+    """,
+}

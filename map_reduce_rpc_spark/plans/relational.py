@@ -1,0 +1,504 @@
+"""Relational query surface over the star schema.
+
+The reference implements none of these (SURVEY.md §2.4 — no joins,
+filters, windows, set ops, rollup, limits, or scalar function library
+exist anywhere in its Go code); in this engine they are first-class,
+declared with the DataFrame API so Catalyst provides predicate
+pushdown, column pruning, join selection and AQE for free.
+
+Numeric discipline for oracle hash-matching: money/discount doubles are
+cast to exact DECIMAL before aggregation in BOTH engines, so sums are
+order-independent and bit-identical; final results are cast back to
+DOUBLE (a deterministic rounding of the same exact decimal on both
+sides). Averages are computed as exact-sum / count in double, never via
+engine-native avg-over-decimal (Spark and DuckDB disagree on its type).
+
+Scale notes (100 TB):
+- dimension joins (region/nation/supplier/part/customer) are broadcast
+  — no shuffle of the fact table for them;
+- fact-fact joins (orders x lineitem) shuffle on the join key; both
+  sides partition on the same key so AQE can coalesce/skew-split;
+- every aggregation below is partial-agg friendly (sum/count/min/max),
+  so the shuffle carries one row per (partition, group), not per row;
+- filters are literal predicates on scan columns -> parquet
+  PushedFilters (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def _dec(col, prec: str = "12,2"):
+    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal({prec})")
+
+
+# ---------------------------------------------------------------------------
+# aggregation / filter
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with 8 aggregates, 2 group cols."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    charge = F.lit(1).cast("decimal(3,2)") + _dec("l_tax", "4,2")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_sq"),
+        F.sum(_dec("l_extendedprice")).alias("_sp"),
+        F.sum(_dec("l_extendedprice") * disc).alias("_sd"),
+        F.sum(_dec("l_extendedprice") * disc * charge).alias("_sc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective filter -> single global agg.
+    All predicates reach the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + group on orders (TPC-H Q4 shape, no subquery)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (reference has none, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus); grand totals included.
+    Group cols coalesced to 'ALL' so null markers hash identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n_rows",
+    )
+
+
+def pivot_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (oracle: conditional aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_fulfilled"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer x orders x lineitem revenue, top 10.
+
+    Join strategy at scale: orders x lineitem is the fact-fact shuffle
+    join on orderkey; customer is joined after the per-order rollup
+    (aggregate-before-join keeps the big join slim), broadcast-able at
+    dimension size. Ties broken by c_custkey so LIMIT is deterministic.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * disc).alias("_rev")
+    )
+    per_cust = (
+        orders.join(rev_per_order, orders.o_orderkey == rev_per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, dims broadcast, grouped by nation.
+
+    customer x orders (shuffle on custkey) x lineitem (shuffle on
+    orderkey) x supplier/nation/region (broadcast), with the Q5
+    co-location predicate c_nationkey = s_nationkey.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+    )
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + per-customer aggregates; customers with no
+    orders kept with zero counts (outer-join surface, SURVEY §2.4)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+    return per
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) -> count per nation: customers with no
+    order in 1995H1."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union / intersect / except — absent in the
+    reference, SURVEY §2.4): customer keys that bought in 1996 AND are
+    BUILDING-segment, minus those who ever placed a 'F' status order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    bought_96 = (
+        orders.where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    status_f = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return building.intersect(bought_96).exceptAll(status_f)
+
+
+# ---------------------------------------------------------------------------
+# windows / top-k
+# ---------------------------------------------------------------------------
+
+
+def parts_top3_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window; ties broken by p_partkey."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank")
+    )
+
+
+def orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 orders by totalprice (TakeOrderedAndProject —
+    no full sort at scale), deterministic tie-break on key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic windows: rank / dense_rank / lag / running sum
+    per nation over supplier account balances."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.col("s_acctbal"),
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.coalesce(F.lag("s_suppkey", 1).over(w), F.lit(-1)).alias("prev_suppkey"),
+        F.sum(_dec("s_acctbal")).over(run).cast("double").alias("running_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function library showcase
+# ---------------------------------------------------------------------------
+
+
+def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / array scalar functions (the reference has
+    no scalar library at all — only strconv/len inside UDFs, SURVEY
+    §2.4). Every function chosen has identical semantics in DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("o_month_start"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dist"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.split(F.col("o_orderpriority"), "-").getItem(1).alias("pri_word"),
+        F.concat_ws("|", F.lit("P"), "o_orderpriority").alias("pri_tagged"),
+    )
+
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY o_orderpriority
+    """,
+    "distinct_parts_per_flag": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rollup_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_line_status": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS qty_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS qty_fulfilled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "top_customers_by_revenue": """
+        WITH rev AS (
+            SELECT o_custkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS r
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, CAST(r AS DOUBLE) AS revenue
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+    "customer_order_stats": """
+        SELECT c_custkey, c_mktsegment,
+               count(o_orderkey) AS n_orders,
+               coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+                   AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    "customers_without_orders": """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+        )
+        GROUP BY n_name
+    """,
+    "segment_setops": """
+        SELECT custkey FROM (
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        )
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "parts_top3_per_brand": """
+        SELECT p_brand, p_partkey, p_name, p_retailprice, rank FROM (
+            SELECT p_brand, p_partkey, p_name, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey)
+                       AS rank
+            FROM part
+        ) WHERE rank <= 3
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "supplier_balance_rank": """
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               rank() OVER w AS bal_rank,
+               dense_rank() OVER w AS bal_dense_rank,
+               coalesce(lag(s_suppkey, 1) OVER w, -1) AS prev_suppkey,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(12,2)))
+                    OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_bal
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "scalar_kitchen_sink": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri_upper,
+               substring(o_orderpriority, 1, 1) AS pri_code,
+               length(o_orderpriority) AS pri_len,
+               replace(o_orderpriority, '-', '_') AS pri_snake,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(month(o_orderdate) AS INT) AS o_month,
+               CAST(day(o_orderdate) AS INT) AS o_day,
+               date_trunc('month', o_orderdate) AS o_month_start,
+               abs(o_totalprice - 1000.0) AS price_dist,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               sqrt(o_totalprice) AS price_sqrt,
+               string_split(o_orderpriority, '-')[2] AS pri_word,
+               concat_ws('|', 'P', o_orderpriority) AS pri_tagged
+        FROM orders
+    """,
+}

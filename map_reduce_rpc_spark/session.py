@@ -35,6 +35,9 @@ def get_spark(app_name: str = "map_reduce_rpc_spark", cpus: str | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp — read as long and convert in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -11,6 +11,8 @@ import pandas as pd
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # canonical row order: sort by every column's string form
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     return df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
