@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_rpc_spark.plans import events, parity, relational
+from map_reduce_rpc_spark.plans import events, parity, relational, textops, vectors
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -58,6 +58,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events.events_hourly,
         "events_json_extract": events.events_json_extract,
         "user_sessions": events.user_sessions,
+        # —— training-data pipeline: text ops (north-star extensions) ——
+        "dedup_exact": textops.dedup_exact,
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
+        "minhash_dups": textops.minhash_dups,
+        "simhash_dups": textops.simhash_dups,
+        "doc_quality": textops.doc_quality,
+        "lang_id": textops.lang_id,
+        "token_counts": textops.token_counts,
+        "doc_fingerprints": textops.doc_fingerprints,
+        # —— training-data pipeline: similarity search ——
+        "similarity_topk": vectors.similarity_topk,
+        "embedding_near_dups": vectors.embedding_near_dups,
+        "ann_ivf_topk": vectors.ann_ivf_topk,
     }
     return q
 
@@ -70,4 +83,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(parity.PARITY_ORACLES)
     o.update(relational.RELATIONAL_ORACLES)
     o.update(events.EVENTS_ORACLES)
+    o.update(textops.TEXTOPS_ORACLES)
+    o.update(vectors.VECTORS_ORACLES)
     return o

@@ -54,13 +54,17 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Array of word n-grams (space-joined) over the lowercased tokens."""
+    """Array of full word n-grams (space-joined) over the lowercased
+    tokens; empty array when the document has fewer than n tokens."""
     col = F.col(text) if isinstance(text, str) else text
     toks = tokens(F.lower(col))
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def doc_fingerprint(text: Column | str) -> Column:

@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, cheapest first — the standard cascade for a 100 TB
+training-data pipeline:
+
+1. exact        — hash-groupBy on normalized text (one shuffle of
+                  (hash, id), never the text itself)
+2. ngram-jaccard — exact set-similarity via inverted-index self-join
+                  (candidate pairs only where shingles are shared)
+3. MinHash+LSH  — probabilistic near-dup at scale: signature ->
+                  band -> bucket-join; verified with exact jaccard
+4. SimHash      — 64-bit fingerprint, hamming-ball candidates via
+                  band buckets, verified with bit_count(xor)
+
+The reference engine has no dedup of any kind; the closest shape is the
+indexer plugin's word->documents grouping
+(/root/reference/plugins/indexer.go:22-41), which is exactly the
+inverted-index candidate-generation pattern generalized here.
+
+Scale notes:
+- shingle/inverted-index joins explode one row per (doc, shingle);
+  frequency pruning (drop shingles in > max_df docs) bounds posting
+  lists — the hot-shingle skew killer. Exposed as ``max_df``.
+- MinHash bands shuffle one row per (doc, band) — constant fan-out
+  per doc regardless of doc length.
+- all verification joins carry only ids + small ints, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams
+
+# Deterministic MinHash permutation parameters: h_i(x) = (a_i*x + b_i) mod P.
+# P = 2^31-1 (Mersenne) keeps a*x + b < 2^62 — pure long arithmetic, no
+# decimal/overflow. a,b come from a fixed LCG so every run derives the
+# identical hash family without RNG state.
+_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    params = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % _P
+        params.append((a, b))
+    return params
+
+
+def normalize_text(col) -> Column:
+    """Shared normalization for all dedup paths: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (post-normalization) texts: one row per distinct
+    content with copy count + the keeper (min id) — the standard
+    keep-first exact dedup. Only (hash, id) pairs are shuffled."""
+    hashed = df.select(
+        F.md5(normalize_text(text_col)).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct normalized content."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with jaccard(word-ngram sets) >= threshold, exactly.
+
+    Inverted-index join: only doc pairs sharing at least one shingle
+    are ever materialized. ``max_df`` prunes shingles present in more
+    than that many docs (hot-key guard at scale; None = exact).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    shingles = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    ).where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+
+    if max_df is not None:
+        keep = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(keep, "shingle")
+
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding, verified
+    with exact jaccard (no false positives in the output; recall is
+    probabilistic in the banding stage).
+
+    Pipeline (all JVM-side):
+      shingle -> xxhash64 -> num_perm affine permutations mod 2^61-1
+      -> min per permutation (one aggregate) -> split into ``bands``
+      bands of r = num_perm/bands rows -> hash each band -> group by
+      (band_idx, band_hash) -> within-bucket pairs -> exact-jaccard
+      verify -> threshold.
+
+    Shuffle profile at scale: one row per (doc, band) into the bucket
+    join — independent of document size; the verify join touches only
+    candidate pairs.
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
+
+    shingles = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    ).where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+
+    # base hash folded into [0, P): all later affine steps stay in longs
+    h = (F.xxhash64("shingle") % F.lit(_P) + F.lit(_P)) % F.lit(_P)
+    hashed = shingles.select("doc", h.alias("h"))
+
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig = hashed.groupBy("doc").agg(*mins)
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(*[F.col(f"m{bi * r + j}") for j in range(r)]).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_lit(i: int) -> Column:
+    """Long literal with only bit i set (bit 63 = Long.MIN_VALUE —
+    1 << 63 overflows a JVM long literal)."""
+    return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, majority vote of token
+    hashes. Expressed as explode -> per-bit sums -> sign, all built-ins."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(F.array_distinct(word_ngrams(text_col, 1))).alias("tok"),
+    ).where(F.col("tok") != "")
+    th = toks.select("doc", F.xxhash64("tok").alias("h"))
+    # vote per bit: +1 if bit set else -1; sum > 0 -> bit set in simhash
+    bit_sums = th.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # distinct powers of two, so arithmetic sum == bitwise OR (bit 63
+    # contributes Long.MIN_VALUE, the correct two's-complement pattern)
+    fp = bit_sums.select(
+        "doc",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(F.lit(0)) for i in range(64)),
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into
+    (max_hamming+1) bands — any pair within the hamming ball shares at
+    least one exact band (pigeonhole), so the bucket join has full
+    recall. Verification: bit_count(xor) on candidates only.
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    fp = simhash(df, id_col, text_col)
+    bands = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "simhash", "band.band_idx", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, mirroring a production ANN stack:
+
+- brute-force cosine top-k  — the exact baseline (and the oracle for
+  recall tests). Query set broadcast; one pass over candidates; local
+  top-k per partition then global (TakeOrdered shape via window).
+- blocked exact near-dup    — exact cosine pairs within coarse blocks
+  (here: the label column; in production: a cluster assignment).
+- IVF top-k                 — inverted-file ANN: centroids per block,
+  probe the ``nprobe`` nearest blocks only.
+
+All dot products run JVM-side via zip_with + aggregate over
+array<double> (exact element order -> bit-reproducible doubles, which
+the DuckDB oracle matches). No Python in the hot path.
+
+Scale notes (1B+ vectors): the brute-force path is O(Q x N) and exists
+for correctness; IVF reduces the scanned fraction to nprobe/nlist.
+Block/centroid tables are tiny and always broadcast. The candidate
+scan is a single narrow projection of (id, block, vec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id over all other vectors.
+
+    Output: (query_id, neighbor_id, cos) — k rows per query, ties
+    broken by neighbor_id for determinism.
+    """
+    base = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    queries = base.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col("_v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def blocked_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Exact cosine >= threshold pairs within each block.
+
+    The block column bounds the quadratic term: cost sums over
+    block_size^2 instead of N^2. With a cluster assignment as the
+    block this is the verification stage of embedding dedup.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        _as_double(vec_col).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: per-block mean centroids; each query probes only
+    the ``nprobe`` blocks whose centroids score highest, then exact
+    cosine within those blocks.
+
+    Recall < 1 by design; tested against brute_force_topk. At scale the
+    block column comes from k-means (or any partitioner); the plan —
+    broadcast centroids, prune scan by block, window top-k — is
+    unchanged.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("blk"),
+        _as_double(vec_col).alias("_v"),
+    )
+    dim = len(base.select("_v").first()["_v"])
+    centroids = base.groupBy("blk").agg(
+        F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("cent")
+    )
+    queries = base.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("blk")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "_qv",
+            "blk",
+            cosine(F.col("_qv"), F.col("cent")).alias("cent_cos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("blk").alias("_pblk"))
+    )
+    scored = base.join(
+        F.broadcast(probed),
+        (F.col("blk") == F.col("_pblk")) & (F.col("_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        cosine(F.col("_qv"), F.col("_v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -1,0 +1,250 @@
+"""Training-data-pipeline text operators over the ``documents`` table:
+dedup (exact, jaccard, MinHash-LSH, SimHash), quality scoring,
+language-ID, token counting, fingerprinting.
+
+Oracle policy: exact/deterministic ops (exact dedup, ngram jaccard,
+quality, lang-id, token counts, md5 fingerprints) carry full DuckDB
+oracles. MinHash-LSH and SimHash use engine-specific hashing
+(xxhash64) that DuckDB cannot reproduce — they are registered
+rows-only and verified in tests/test_dedup.py against planted
+near-duplicates + the exact-jaccard oracle operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import NON_LETTER_RE, quality_signals, tokens
+from ..operators import dedup
+from ..tables import load_table
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+
+# language-ID marker stopwords (tiny, deterministic n-gram heuristic;
+# ASCII-safe so regex semantics match across engines)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+    "fr": ["le", "les", "des", "est", "une", "dans"],
+}
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) -> copy count + keeper."""
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard >= 0.5 pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates, exact-jaccard verified.
+    Rows-only check (xxhash64-based signatures are not SQL-portable);
+    recall/precision covered in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 pairs with hamming <= 3 (banded candidates + exact
+    bit_count verify). Rows-only check; planted-dup tests cover it."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document (length/punct/digit/stopword/upper
+    ratios) — the standard cheap corpus filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["n_chars"].alias("n_chars"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["mean_token_len"].alias("mean_token_len"),
+        sig["digit_ratio"].alias("digit_ratio"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["upper_ratio"].alias("upper_ratio"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic: per-language hit counts
+    over the token set, argmax with fixed precedence (en,de,es,fr),
+    'und' (undetermined) when nothing hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best <= 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("hits_en"),
+        scores["de"].alias("hits_de"),
+        scores["es"].alias("hits_es"),
+        scores["fr"].alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: letter-run words and a BPE-ish piece
+    count (letter runs, digit runs, and single punctuation marks each
+    count as one piece) — the cheap proxy for tokenizer budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("n_ws_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[\p{L}]+|[0-9]+|\s+", ""))
+            + F.size(
+                F.filter(F.split(F.col("text"), r"[^\p{L}0-9]+"), lambda t: t != "")
+            )
+        ).alias("n_bpe_pieces"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprints: md5 hex (portable) of the
+    normalized text + first-16-hex prefix used as a 64-bit shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = dedup.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.substring(F.md5(norm), 1, 16).alias("fp64_hex"),
+    )
+
+
+TEXTOPS_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+               count(*) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents
+        GROUP BY 1
+    """,
+    "ngram_jaccard_dups": f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        sh AS (
+            -- full n-grams only, matching word_ngrams()
+            SELECT DISTINCT doc,
+                   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+            FROM toks, unnest(range(1, len(ts) - {NGRAM_N} + 2)) AS u(i)
+            WHERE len(ts) >= {NGRAM_N}
+        ),
+        sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "doc_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               length(text)::INT AS n_chars,
+               len(toks)::INT AS n_tokens,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_token_len,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS digit_ratio,
+               CAST(len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','that','for','on',
+                    'with','as','was','at','by','be','this','are','from','but','not','they',
+                    'his','her','she','he','you','we','have','has','had','were','which'], t)))
+                   AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS upper_ratio
+        FROM base
+    """,
+    "lang_id": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                                   t -> t <> ''),
+                       t -> lower(t)) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> list_contains(['the','and','of','is','that','with'], t)))::INT AS hits_en,
+                   len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t)))::INT AS hits_de,
+                   len(list_filter(toks, t -> list_contains(['el','la','los','que','es','una'], t)))::INT AS hits_es,
+                   len(list_filter(toks, t -> list_contains(['le','les','des','est','une','dans'], t)))::INT AS hits_fr
+            FROM base
+        )
+        SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+               CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) <= 0 THEN 'und'
+                    WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                               t -> t <> ''))::INT AS n_words,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               t -> t <> ''))::INT AS n_ws_tokens,
+               (length(regexp_replace(text, '[\\p{{L}}]+|[0-9]+|\\s+', '', 'g'))
+                + len(list_filter(regexp_split_to_array(text, '[^\\p{{L}}0-9]+'),
+                                  t -> t <> '')))::INT AS n_bpe_pieces
+        FROM documents
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+               substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+                   AS fp64_hex
+        FROM documents
+    """,
+}

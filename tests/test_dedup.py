@@ -1,0 +1,111 @@
+"""Dedup operators on planted duplicates (what the synthetic corpus
+lacks) + sanity on the real documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """12 docs: 3 exact-dup group members, 2 near-dup pairs (small
+    edits), the rest distinct."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while birds sing morning songs"
+    )
+    edited = base.replace("lazy dog", "sleepy cat")  # near-dup of base
+    other = (
+        "completely different content about database engines columnar "
+        "storage vectorized execution and query optimizers at scale"
+    )
+    other_edit = other.replace("query optimizers", "cost models")
+    rows = [
+        (0, base),
+        (1, base.upper()),          # exact dup after normalization
+        (2, "  " + base + "  "),    # exact dup after normalization
+        (3, edited),                # near dup of 0
+        (4, other),
+        (5, other_edit),            # near dup of 4
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (7, "one two three four five six seven eight nine ten eleven"),
+        (8, "spark catalyst tungsten adaptive execution shuffle partition"),
+        (9, "tiny"),                # < n tokens: no shingles
+        (10, ""),                   # empty
+        (11, "unrelated words entirely here nothing shared with others"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(planted):
+    groups = dedup.exact_dup_groups(planted, "doc_id", "text")
+    dup = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["n_copies"] == 3
+    assert dup[0]["keeper_id"] == 0
+
+
+def test_drop_exact_dups(planted):
+    kept = dedup.drop_exact_dups(planted, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {0, 3, 4, 5, 6, 7, 8, 9, 10, 11}
+
+
+def test_ngram_jaccard_finds_near_dups(planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            planted, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    # exact dups -> jaccard 1.0
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert pairs[(1, 2)] == 1.0
+    # near dups present with high-but-not-1 similarity
+    assert 0.3 <= pairs[(0, 3)] < 1.0
+    assert 0.3 <= pairs[(4, 5)] < 1.0
+    # unrelated docs absent
+    assert (6, 7) not in pairs and (4, 6) not in pairs
+
+
+def test_minhash_lsh_recall_and_precision(planted):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            planted, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            planted, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    # verification step guarantees no false positives
+    assert got <= exact
+    # at these similarities (>=0.5) 16 bands x 4 rows recall is ~1
+    high = {(0, 1), (0, 2), (1, 2)}
+    assert high <= got
+
+
+def test_simhash_near_dups(planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(planted, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    # near-dup pair lands within the hamming ball; unrelated pair doesn't
+    assert (6, 7) not in pairs
+
+
+def test_minhash_on_real_corpus_runs(spark, sf_dir):
+    from map_reduce_rpc_spark.plans.textops import minhash_dups
+
+    df = minhash_dups(spark, sf_dir)
+    assert {c for c in df.columns} == {"id_a", "id_b", "jaccard"}
+    df.count()  # executes without error
