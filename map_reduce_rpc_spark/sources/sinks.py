@@ -1,0 +1,62 @@
+"""Output sinks.
+
+- :func:`write_kv_text` — the reference's final output format E9:
+  ``"key value"`` text lines, one file per reduce partition
+  (``/root/reference/mr/worker.go:60-74`` writes ``mr-out-{R}`` via
+  ``fmt.Fprintf("%v %v\\n")``; harness merges with ``sort mr-out*``,
+  test-mr.sh:106 = E13).
+- :func:`write_partitioned_parquet` — what a 100 TB pipeline writes
+  instead: columnar, partition-pruned, statistics-bearing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_kv_text(
+    df: DataFrame,
+    path: str,
+    num_partitions: int = 10,
+    global_sort: bool = False,
+    mode: str = "error",
+) -> None:
+    """Write ``(key, value)`` rows as ``"key value"`` text lines.
+
+    Default mirrors the distributed reference: hash-partition into
+    ``num_partitions`` buckets (nReduce=10, mr_coordinator.go:17), sort
+    within each (mr/worker.go:58) — so each output file is a sorted
+    ``mr-out-R`` analog. ``global_sort=True`` instead performs the
+    harness's E13 merge (``sort mr-out*``) inside the engine via a
+    range-partitioned total sort — still fully parallel, no
+    ``coalesce(1)`` bottleneck.
+    """
+    lines = df.select(F.concat_ws(" ", F.col("key"), F.col("value")).alias("value"))
+    if global_sort:
+        out = lines.orderBy("value")
+    else:
+        out = (
+            df.repartition(num_partitions, "key")
+            .sortWithinPartitions("key", "value")
+            .select(F.concat_ws(" ", F.col("key"), F.col("value")).alias("value"))
+        )
+    out.write.mode(mode).text(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "error",
+) -> None:
+    """Columnar sink with directory partitioning for partition pruning.
+
+    At 100 TB, choose ``partition_by`` columns of moderate cardinality
+    (date, region — not user_id): each distinct value is a directory,
+    and readers filtering on them skip whole subtrees before any IO.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

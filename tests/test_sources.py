@@ -1,0 +1,103 @@
+"""Source/sink round-trips (reference E1/E4/E5/E9 formats)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.sources import documents, jsonlines, sinks
+
+
+def _write_corpus(tmp_path):
+    files = {
+        "a.txt": "the quick brown fox\njumps over",
+        "b.txt": "the lazy dog",
+        "c.txt": "",
+    }
+    for name, text in files.items():
+        (tmp_path / name).write_text(text)
+    return files
+
+
+def test_read_whole_files(spark, tmp_path):
+    files = _write_corpus(tmp_path)
+    df = documents.read_whole_files(spark, str(tmp_path / "*.txt"))
+    rows = {os.path.basename(r.doc_id): r.text for r in df.collect()}
+    assert rows == files  # one file -> one row, byte-exact contents
+
+
+def test_read_text_lines_and_reassemble(spark, tmp_path):
+    _write_corpus(tmp_path)
+    lines = documents.read_text_lines(spark, str(tmp_path / "*.txt"))
+    per_doc = {
+        os.path.basename(r.doc_id): r.cnt
+        for r in lines.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # empty file yields no line rows; two-line file yields 2
+    assert per_doc == {"a.txt": 2, "b.txt": 1}
+
+    docs = documents.reassemble_documents(lines)
+    text = {
+        os.path.basename(r.doc_id): sorted(r.text.split("\n")) for r in docs.collect()
+    }
+    assert text["a.txt"] == sorted(["the quick brown fox", "jumps over"])
+
+
+def test_kv_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("apple", "1"), ("banana", "2"), ("apple", "3")], ["key", "value"]
+    )
+    out = str(tmp_path / "kv")
+    jsonlines.write_kv_jsonl(df, out, num_buckets=3)
+    back = jsonlines.read_kv_jsonl(spark, out)
+    assert sorted((r.key, r.value) for r in back.collect()) == [
+        ("apple", "1"),
+        ("apple", "3"),
+        ("banana", "2"),
+    ]
+    # on-disk format parity: {"Key":...,"Value":...} objects
+    raw = "".join(
+        open(p).read() for p in glob.glob(os.path.join(out, "part-*"))
+    )
+    assert '"Key":"apple"' in raw and '"Value":"2"' in raw
+
+
+def test_write_kv_text_bucketed_sorted(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("b", "2"), ("a", "1"), ("c", "3"), ("a", "0")], ["key", "value"]
+    )
+    out = str(tmp_path / "txt")
+    sinks.write_kv_text(df, out, num_partitions=2)
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    all_lines: list[str] = []
+    for p in parts:
+        lines = [ln for ln in open(p).read().splitlines() if ln]
+        assert lines == sorted(lines)  # sorted within each bucket (E6)
+        all_lines.extend(lines)
+    assert sorted(all_lines) == ["a 0", "a 1", "b 2", "c 3"]  # E13 merge
+
+
+def test_write_kv_text_global_sort(spark, tmp_path):
+    df = spark.createDataFrame([("b", "2"), ("a", "1")], ["key", "value"])
+    out = str(tmp_path / "gtxt")
+    sinks.write_kv_text(df, out, global_sort=True)
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*"))):
+        lines.extend(ln for ln in open(p).read().splitlines() if ln)
+    assert lines == ["a 1", "b 2"]
+
+
+def test_write_partitioned_parquet(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01", "x", 1), ("2024-01-02", "y", 2)], ["day", "k", "v"]
+    )
+    out = str(tmp_path / "pq")
+    sinks.write_partitioned_parquet(df, out, partition_by=("day",))
+    assert os.path.isdir(os.path.join(out, "day=2024-01-01"))
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    # partition pruning: filter on the partition col reads one subtree
+    plan = back.where(F.col("day") == "2024-01-01")._jdf.queryExecution().executedPlan().toString()
+    assert "2024-01-02" not in plan
