@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_rpc_spark.plans import events, parity, relational, textops, vectors
+from map_reduce_rpc_spark.plans import events, parity, relational, streams, textops, vectors
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "doc_fingerprints": textops.doc_fingerprints,
+        # —— structured streaming (stream/batch parity) ——
+        "stream_hourly_counts": streams.stream_hourly_counts,
+        "stream_session_stats": streams.stream_session_stats,
+        "stream_stateful_sessions": streams.stream_stateful_sessions,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,
@@ -83,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(parity.PARITY_ORACLES)
     o.update(relational.RELATIONAL_ORACLES)
     o.update(events.EVENTS_ORACLES)
+    o.update(streams.STREAMS_ORACLES)
     o.update(textops.TEXTOPS_ORACLES)
     o.update(vectors.VECTORS_ORACLES)
     return o

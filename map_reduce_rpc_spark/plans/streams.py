@@ -1,0 +1,88 @@
+"""Streaming queries for the driver contract.
+
+Each callable replays the events table through Structured Streaming
+(file source, one chunk per micro-batch, watermarked, append mode) to
+completion and returns the drained result — which must equal the batch
+SQL oracle over the same events. That equality IS the streaming
+correctness gate: windows close via real watermark movement (sentinel
+chunks advance it past every real window; see streaming/core.py),
+not via complete-mode shortcuts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import core, stateful, windows
+
+
+def _replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.read_events_stream(spark, core.build_replay_dir(spark, sf_dir))
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = core.run_available_now(windows.hourly_counts(_replay(spark, sf_dir)), spark)
+    return out.where(F.col("event_type") != "__sentinel__")
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = core.run_available_now(windows.session_stats(_replay(spark, sf_dir)), spark)
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = core.run_available_now(stateful.sessionize(_replay(spark, sf_dir)), spark)
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
+# Session boundary: Spark's session_window merges events while the gap
+# is strictly < 30 min (windows are half-open), so a new session starts
+# at diff >= 1800000000 us — the oracles use the same >= boundary.
+_SESSION_CTE = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us, cents,
+               CASE WHEN us - lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us, cents,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+"""
+
+STREAMS_ORACLES: dict[str, str] = {
+    "stream_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_session_stats": _SESSION_CTE + """
+        SELECT user_id,
+               min(us) AS session_start_us,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM sess GROUP BY user_id, sid
+    """,
+    "stream_stateful_sessions": _SESSION_CTE + """
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) AS session_end_us,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM sess GROUP BY user_id, sid
+    """,
+}

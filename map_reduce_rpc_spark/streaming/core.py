@@ -1,0 +1,127 @@
+"""Stream source + deterministic run harness.
+
+Test scaffolding vs production: in production the stream source is a
+Kafka topic or a landing directory that files *arrive* in, and queries
+run forever. Under test we must (a) replay a static table as a stream
+and (b) force append-mode results to flush deterministically. The
+standard trick for (b): after the real data, append sentinel chunks
+whose far-future event time pushes the watermark past every real
+window, so closed windows/timeouts emit before ``AvailableNow``
+drains. Sentinels use ``user_id = -1`` and are filtered from results.
+
+Why sentinels are needed at all: append-mode emission is driven by the
+watermark *of the previous micro-batch*, so a single-batch replay would
+emit nothing — windows only close when a later batch advances the
+watermark. Two sentinel chunks guarantee two extra watermark
+advances (real data -> sentinel1 closes all-but-last windows via
+watermark=max_real_ts, sentinel2 closes the rest via
+watermark=sentinel1_ts).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+SENTINEL_USER = -1
+# 10 days in microseconds between sentinel chunks — far past any
+# watermark delay or session gap used here.
+_SENTINEL_STEP_US = 10 * 86400 * 1_000_000
+
+# Chunk files carry event time as epoch micros (plain int64): explicit,
+# precision-exact, and immune to parquet timestamp-unit negotiation.
+STREAM_SCHEMA_DDL = (
+    "event_id long, ts_us long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_query_seq = itertools.count()
+
+
+def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> str:
+    """Materialize the events table as an ordered chunk directory:
+    chunk0 = all real events, chunk{1..n} = one sentinel event each.
+
+    File-source ordering is by modification time (oldest first), set
+    explicitly so replay order is deterministic.
+    """
+    out = f"/tmp/spark_graft_stream_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").cast("long"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("value").cast("double"),
+            "props",
+        )
+        .toPandas()
+    )
+    max_us = int(pdf["ts_us"].max())
+
+    chunks = [pa.Table.from_pandas(pdf, preserve_index=False)]
+    for i in range(1, n_sentinels + 1):
+        chunks.append(
+            pa.table(
+                {
+                    "event_id": pa.array([-i], pa.int64()),
+                    "ts_us": pa.array([max_us + i * _SENTINEL_STEP_US], pa.int64()),
+                    "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                    "event_type": pa.array(["__sentinel__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            )
+        )
+    base_mtime = os.stat(out).st_mtime - 3600
+    for i, tbl in enumerate(chunks):
+        path = os.path.join(out, f"chunk{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return out
+
+
+def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream over a replay dir, one chunk per micro-batch.
+
+    Explicit schema (streams cannot infer), ``maxFilesPerTrigger=1`` so
+    each chunk is its own batch and the watermark advances between
+    chunks, as it would with continuously arriving files.
+    """
+    return (
+        spark.readStream.schema(STREAM_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def run_available_now(sdf: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
+    """Run a streaming frame to completion into a memory sink; return
+    the drained result as a batch DataFrame.
+
+    Memory sink is test-only (collects to the driver); production
+    writes go to parquet/Kafka sinks via the same ``writeStream`` call.
+    """
+    name = f"stream_result_{next(_query_seq)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

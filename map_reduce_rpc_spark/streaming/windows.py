@@ -1,0 +1,56 @@
+"""Watermarked window aggregations (tumbling + session).
+
+Scale notes (100 TB/day of events): append mode + watermark bounds
+state — closed windows are evicted as the watermark passes, so state
+size is O(open windows), not O(history). Complete mode would retain
+every window forever; never use it beyond a demo. The aggregations are
+streaming-partial (per-batch partial aggs merge into state), so the
+shuffle per batch carries one row per (window, key), not per event.
+``countDistinct`` is unsupported in streaming — use
+``approx_count_distinct`` (HLL state merges) when user counts are
+needed and exactness isn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK_DELAY = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def hourly_counts(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Tumbling 1-hour counts + value sum per event type — the
+    streaming twin of plans/events.events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Gap-based sessions per user via the built-in ``session_window``:
+    windows merge while consecutive events are < gap apart; start is the
+    first event's ts. Value is summed in integer cents so the stream,
+    the batch plan, and the DuckDB oracle agree bit-for-bit."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "value_cents",
+        )
+    )
