@@ -15,7 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_rpc_spark.plans import events, parity, relational, streams, textops, vectors
+from map_reduce_rpc_spark.plans import (
+    events,
+    multimodal,
+    parity,
+    relational,
+    streams,
+    textops,
+    vectors,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -75,6 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,
         "ann_ivf_topk": vectors.ann_ivf_topk,
+        # —— training-data pipeline: multimodal columns ——
+        "media_catalog": multimodal.media_catalog,
+        "media_frame_plan": multimodal.media_frame_plan,
+        "image_features_mm": multimodal.image_features_mm,
+        "audio_features_mm": multimodal.audio_features_mm,
+        "frame_checksums_mm": multimodal.frame_checksums_mm,
     }
     return q
 
@@ -90,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(streams.STREAMS_ORACLES)
     o.update(textops.TEXTOPS_ORACLES)
     o.update(vectors.VECTORS_ORACLES)
+    o.update(multimodal.MULTIMODAL_ORACLES)
     return o

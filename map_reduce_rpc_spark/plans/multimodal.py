@@ -1,0 +1,84 @@
+"""Multimodal queries for the driver contract.
+
+The media table is synthesized deterministically from ``documents``
+(operators/multimodal.py), so catalog- and plan-level queries have full
+DuckDB oracles — including a blob round-trip digest
+(``sha2(hex(data))``) that proves the binary payloads are byte-equal
+across engines. The decode-side operators (pixel/PCM math inside
+mapInPandas) are not SQL-expressible; they get rows-only driver checks
+plus numpy cross-checks in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as mm
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind media inventory + blob digest parity check."""
+    media = mm.synthesize_media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("data")).alias("total_bytes"),
+        F.min("meta.width").alias("min_w"),
+        F.max("meta.height").alias("max_h"),
+        F.sum("meta.n_frames").alias("total_frames"),
+        F.min(F.sha2(F.hex("data"), 256)).alias("min_blob_sha"),
+    )
+
+
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side frame-sampling plan (every 2nd frame + byte offsets)."""
+    return mm.frame_index(mm.synthesize_media(spark, sf_dir), every_n=2)
+
+
+def image_features_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.image_features(mm.synthesize_media(spark, sf_dir))
+
+
+def audio_features_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.audio_features(mm.synthesize_media(spark, sf_dir))
+
+
+def frame_checksums_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.frame_checksums(mm.synthesize_media(spark, sf_dir), every_n=2)
+
+
+# Shared synthesis CTE — must mirror operators/multimodal.synthesize_media
+# expression-for-expression.
+_MEDIA_CTE = """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+               unhex(repeat(sha256(text), 8)) AS data,
+               ((doc_id % 7 + 2) * 8)::INT AS width,
+               ((doc_id % 5 + 2) * 8)::INT AS height,
+               (doc_id % 11 + 1)::INT AS n_frames
+        FROM documents
+    )
+"""
+
+MULTIMODAL_ORACLES: dict[str, str] = {
+    "media_catalog": _MEDIA_CTE + """
+        SELECT kind,
+               count(*) AS n,
+               CAST(sum(octet_length(data)) AS BIGINT) AS total_bytes,
+               min(width) AS min_w,
+               max(height) AS max_h,
+               CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               min(sha256(hex(data))) AS min_blob_sha
+        FROM media GROUP BY kind
+    """,
+    "media_frame_plan": _MEDIA_CTE + """
+        SELECT media_id,
+               CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+               CAST(unnest(range(0, n_frames, 2)) * width * height * 3 AS BIGINT)
+                   AS byte_offset
+        FROM media WHERE kind = 'video'
+    """,
+    # image_features_mm / audio_features_mm / frame_checksums_mm:
+    # decode-side math, rows-only (numpy cross-checked in tests).
+}
