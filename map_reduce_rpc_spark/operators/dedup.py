@@ -176,13 +176,23 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
 
-    shingles = df.select(
-        F.col(id_col).cast("long").alias("doc"),
-        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
-    ).where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+    # Hash each shingle to a long at the scan and never shuffle the
+    # strings: every downstream stage (signatures, shingle sets for the
+    # verify) works on 8-byte keys. Collisions (~1e-7 over millions of
+    # shingles) only perturb jaccard in the last decimal — this is the
+    # probabilistic path; the exact string-keyed op is
+    # ngram_jaccard_pairs.
+    shingles = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+        .select("doc", F.xxhash64("shingle").alias("sh_hash"))
+    )
 
     # base hash folded into [0, P): all later affine steps stay in longs
-    h = (F.xxhash64("shingle") % F.lit(_P) + F.lit(_P)) % F.lit(_P)
+    h = (F.col("sh_hash") % F.lit(_P) + F.lit(_P)) % F.lit(_P)
     hashed = shingles.select("doc", h.alias("h"))
 
     mins = [
@@ -215,12 +225,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
-    return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Exact-jaccard verify on the CANDIDATES ONLY — join each side to
+    # its shingle set and intersect/union in-row. The LSH stage exists
+    # precisely so the verify never touches the full pair space; the
+    # candidate side is tiny, so both joins broadcast it and the
+    # shingle-set table is scanned once without a pair-blowup shuffle.
+    doc_sets = shingles.groupBy("doc").agg(F.collect_set("sh_hash").alias("sh"))
+    verified = (
+        F.broadcast(candidates)
+        .join(doc_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(doc_sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
     )
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

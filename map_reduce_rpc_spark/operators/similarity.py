@@ -60,16 +60,21 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cos) — k rows per query, ties
     broken by neighbor_id for determinism.
     """
-    base = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    # norms computed once per row (not per pair); cos = dot/(nq*nn) is
+    # bit-identical to cosine() — same values, same final division.
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        _as_double(vec_col).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
     queries = base.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     scored = (
         base.join(F.broadcast(queries), F.col("_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            cosine(F.col("_qv"), F.col("_v")).alias("cos"),
+            (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -97,14 +102,23 @@ def blocked_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         _as_double(vec_col).alias("v"),
-    )
-    a, b = base.alias("a"), base.alias("b")
+    ).withColumn("n", l2_norm(F.col("v")))
+    # A shuffle join on blk would cap parallelism at the number of
+    # distinct blocks (10 here) — a classic skew shape. Broadcast the
+    # build side instead and spread the probe side over all cores; the
+    # per-pair dot products then parallelize with the scan, not with
+    # block cardinality. (At 1B+ vectors the block column must come
+    # from a high-cardinality clusterer and this becomes a shuffle
+    # join on blk again — by then there are enough blocks to fill the
+    # cluster.)
+    a = base.repartition(F.col("id")).alias("a")
+    b = F.broadcast(base).alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("cos"),
     )
     return pairs.where(F.col("cos") >= threshold)
 
@@ -131,13 +145,13 @@ def ivf_topk(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("blk"),
         _as_double(vec_col).alias("_v"),
-    )
+    ).withColumn("_n", l2_norm(F.col("_v")))
     dim = len(base.select("_v").first()["_v"])
     centroids = base.groupBy("blk").agg(
         F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("cent")
     )
     queries = base.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cent_cos").desc(), F.col("blk")
@@ -147,12 +161,13 @@ def ivf_topk(
         .select(
             "query_id",
             "_qv",
+            "_qn",
             "blk",
             cosine(F.col("_qv"), F.col("cent")).alias("cent_cos"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", F.col("blk").alias("_pblk"))
+        .select("query_id", "_qv", "_qn", F.col("blk").alias("_pblk"))
     )
     scored = base.join(
         F.broadcast(probed),
@@ -160,7 +175,7 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
-        cosine(F.col("_qv"), F.col("_v")).alias("cos"),
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

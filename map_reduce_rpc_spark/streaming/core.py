@@ -44,6 +44,7 @@ STREAM_SCHEMA_DDL = (
 )
 
 _query_seq = itertools.count()
+_replay_cache: dict[tuple[str, int], str] = {}
 
 
 def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> str:
@@ -53,6 +54,10 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     File-source ordering is by modification time (oldest first), set
     explicitly so replay order is deterministic.
     """
+    cache_key = (sf_dir, n_sentinels)
+    cached = _replay_cache.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     out = f"/tmp/spark_graft_stream_{abs(hash(sf_dir)) % 10**8}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
@@ -90,6 +95,7 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
         path = os.path.join(out, f"chunk{i}.parquet")
         pq.write_table(tbl, path)
         os.utime(path, (base_mtime + i, base_mtime + i))
+    _replay_cache[cache_key] = out
     return out
 
 
