@@ -62,10 +62,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topk": relational.orders_topk,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "scalar_kitchen_sink": relational.scalar_kitchen_sink,
+        "order_price_percentiles": relational.order_price_percentiles,
+        "daily_revenue_moving": relational.daily_revenue_moving,
+        "cube_sales": relational.cube_sales,
         # —— events / time-series ——
         "events_hourly": events.events_hourly,
         "events_json_extract": events.events_json_extract,
         "user_sessions": events.user_sessions,
+        "purchase_asof_click": events.purchase_asof_click,
         # —— training-data pipeline: text ops (north-star extensions) ——
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
@@ -75,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "doc_fingerprints": textops.doc_fingerprints,
+        "rolling_fingerprints": textops.rolling_fingerprints,
         # —— structured streaming (stream/batch parity) ——
         "stream_hourly_counts": streams.stream_hourly_counts,
         "stream_session_stats": streams.stream_session_stats,

@@ -1,0 +1,80 @@
+"""As-of (temporal) join — an operator Spark's built-in join set lacks.
+
+Semantics: for each left row, attach the payload of the latest right
+row with the same key and ``right_ts <= left_ts`` (backward as-of,
+DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics), optionally
+bounded by a tolerance. Ties on the right timestamp resolve to the
+greatest payload (deterministic total order).
+
+Implementation is the union-and-fill pattern, NOT a range join:
+tag both sides, union, and run one window pass per key carrying the
+last non-null payload forward. Cost at 100 TB: a single shuffle on the
+key + a sort within partitions — same shape as any groupBy, with no
+pair blowup and no per-key cross product; skewed keys are split by
+AQE like any other shuffle. A broadcast-range join would be the
+alternative only when the right side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join on long-microsecond timestamp columns.
+
+    Returns every left row + ``matched_ts_us`` + ``matched_<c>`` for
+    each payload column (nulls when no prior right row, or none within
+    ``tolerance_us``).
+    """
+    payload_t = F.struct(
+        F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        payload_t.alias("_payload"),
+        F.lit(1).alias("_is_r"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.lit(0).alias("_is_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # At equal timestamps the right row must sort BEFORE the left row
+    # (<= is inclusive); ascending struct order makes ``last`` pick the
+    # max-(ts, payload) among prior right rows — a total, deterministic
+    # tie-break.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_r").desc(), F.col("_payload"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).where(
+        F.col("_is_r") == 0
+    )
+
+    matched = F.col("_m")
+    if tolerance_us is not None:
+        matched = F.when(
+            F.col("_t") - F.col("_m._pt") <= F.lit(tolerance_us), F.col("_m")
+        )
+    out_cols = [F.col(c) for c in left_cols]
+    out_cols.append(matched.getField("_pt").alias("matched_ts_us"))
+    for c in payload_cols:
+        out_cols.append(matched.getField(c).alias(f"matched_{c}"))
+    return filled.select(*out_cols)

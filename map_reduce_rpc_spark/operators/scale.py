@@ -1,0 +1,92 @@
+"""Scale techniques as first-class helpers: bucketing for co-located
+joins, salting for skewed keys.
+
+Neither exists in the reference (its only partitioning is the fixed
+FNV-mod-10 bucket split, ``/root/reference/mr/worker.go:126-133``);
+both are table-stakes for the 100 TB deployment this engine targets.
+
+- Bucketing: pre-shuffle a table ONCE at write time
+  (``bucketBy(n, key)``); every subsequent equi-join/agg on the key
+  reads co-located buckets and skips its exchange entirely. This is
+  how a fact-fact join (orders x lineitem) avoids re-shuffling 100 TB
+  per query.
+- Salting: a hot key (power-law user, stopword shingle) overwhelms one
+  reducer. Deriving a salt from the VALUE splits the key's rows into n
+  sub-groups whose partials merge associatively; distinct-style aggs
+  stay exact because each distinct value maps to exactly one salt.
+  (AQE skew-join handles the join case automatically; explicit salting
+  remains necessary for aggregation skew.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by a key.
+
+    Reads of ``name`` expose the bucket spec to Catalyst: equi-joins
+    and aggs on ``bucket_col`` between same-bucketed tables plan with
+    NO Exchange. At 100 TB, pick num_buckets so one bucket ~ one
+    executor-core's worth of data (e.g. 8192 for a 10 TB fact table).
+    """
+    w = df.write.format("parquet").option("path", path).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.mode("overwrite").saveAsTable(name)
+
+
+def bucketed_join(spark: SparkSession, left_name: str, right_name: str, on: str) -> DataFrame:
+    """Join two same-bucketed saved tables on their bucket key."""
+    return spark.table(left_name).join(spark.table(right_name), on)
+
+
+def salted_distinct_count(
+    df: DataFrame, key_col: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact distinct-value count per key, skew-proof.
+
+    Salt = hash(value) mod n: every distinct value lands in exactly one
+    (key, salt) sub-group, so per-salt distinct counts sum to the exact
+    global distinct count — two ordinary aggregations, no single
+    reducer ever sees a whole hot key.
+    """
+    salted = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.pmod(F.xxhash64(value_col), F.lit(n_salts)).alias("_salt"),
+    )
+    partial = salted.groupBy("k", "_salt").agg(F.countDistinct("v").alias("_d"))
+    return partial.groupBy("k").agg(F.sum("_d").alias("n_distinct")).select(
+        F.col("k").alias(key_col), "n_distinct"
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_salt_src: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the (small) dim n_salts times,
+    salt each fact row deterministically from one of its own columns,
+    and join on (key, salt). The hot key's rows spread over n_salts
+    reducers instead of one. Prefer AQE's automatic skew-join split;
+    this explicit form is for engines/paths where AQE can't see the
+    skew (e.g. inside a window-feeding shuffle)."""
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    dim_rep = dim.withColumn("_salt", F.explode(salts))
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(fact_salt_src)), F.lit(n_salts))
+    )
+    return fact_s.join(dim_rep, [on, "_salt"]).drop("_salt")

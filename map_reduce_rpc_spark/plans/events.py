@@ -82,6 +82,35 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the same
+    user's latest click at-or-before the purchase (tie on ts -> max
+    value) — the attribution query shape. Oracle uses correlated
+    LIMIT-1 subqueries with the same total order, so the match is
+    deterministic in both engines."""
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("value"),
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts_us",
+        right_ts="click_ts_us",
+        payload_cols=["value"],
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -101,6 +130,20 @@ EVENTS_ORACLES: dict[str, str] = {
             FROM events
         )
         GROUP BY event_type
+    """,
+    "purchase_asof_click": """
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               (SELECT epoch_us(c.ts) FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.value DESC LIMIT 1) AS matched_ts_us,
+               (SELECT c.value FROM events c
+                WHERE c.event_type = 'click'
+                  AND c.user_id = p.user_id AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.value DESC LIMIT 1) AS matched_value
+        FROM events p
+        WHERE p.event_type = 'purchase'
     """,
     "user_sessions": """
         WITH evsec AS (

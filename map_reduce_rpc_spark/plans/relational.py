@@ -337,7 +337,93 @@ def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (p25/p50/p75/p90) of order value per
+    priority. ``percentile_disc`` returns an actual data value (no
+    interpolation), so Spark and DuckDB agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_ord_pct")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM _ord_pct
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def daily_revenue_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + analytics over the daily revenue series: 7-day
+    moving average (ROWS BETWEEN 6 PRECEDING) and day-over-day delta
+    (lag). Sums stay DECIMAL inside the frame (order-independent),
+    divided/diffed in double at the end.
+
+    The post-agg series is one row per day, so the single unpartitioned
+    window task holds ~years-of-days rows even at 100 TB of orders —
+    the agg, not the window, absorbs the scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev_dec")
+    )
+    w = Window.orderBy("day")
+    frame = w.rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.sum("rev_dec").over(frame).cast("double") / F.count("*").over(frame)).alias(
+            "ma7"
+        ),
+        (F.col("rev_dec") - F.lag("rev_dec", 1).over(w)).cast("double").alias("delta"),
+    )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping-set combinations in
+    one pass (the rollup twin, SURVEY.md §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
+    "order_price_percentiles": """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               quantile_disc(o_totalprice, 0.25) AS p25,
+               quantile_disc(o_totalprice, 0.50) AS p50,
+               quantile_disc(o_totalprice, 0.75) AS p75,
+               quantile_disc(o_totalprice, 0.90) AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "daily_revenue_moving": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(sum(rev_dec) OVER f AS DOUBLE)
+                   / count(*) OVER f AS ma7,
+               CAST(rev_dec - lag(rev_dec, 1) OVER (ORDER BY day) AS DOUBLE) AS delta
+        FROM daily
+        WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "cube_sales": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

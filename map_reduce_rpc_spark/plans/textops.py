@@ -146,7 +146,43 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (mod 2^31-1):
+    order-sensitive content fingerprint, computed as a single
+    whole-stage-codegen'd fold (``F.aggregate``) — no shuffle, no UDF.
+    Unlike md5 of the full text, the rolling form extends to windowed /
+    chunked fingerprints for shift-tolerant matching."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fold = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(131) + F.ascii(t) * F.lit(31) + F.length(t))
+        % F.lit(2147483647),
+    )
+    return docs.select(
+        "doc_id",
+        fold.alias("rolling_fp"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
 TEXTOPS_ORACLES: dict[str, str] = {
+    "rolling_fingerprints": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(0, list_transform(ts, t -> ascii(t)*31 + length(t))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647
+               ) AS BIGINT) AS rolling_fp,
+               len(ts)::INT AS n_tokens
+        FROM toks
+    """,
     "dedup_exact": """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
                count(*) AS n_copies,

@@ -1,0 +1,59 @@
+"""Extended operator coverage: as-of join, percentiles, window frames,
+cube, rolling hash — each vs its DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from tests.oracle import assert_matches
+
+KEYS = [
+    "purchase_asof_click",
+    "order_price_percentiles",
+    "daily_revenue_moving",
+    "cube_sales",
+    "rolling_fingerprints",
+]
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_extended_query_matches_oracle(spark, duck, sf_dir, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_matches(q(spark, sf_dir), duck.sql(sql))
+
+
+def test_asof_tolerance(spark, sf_dir):
+    """Tolerance bounds the match window: tightening it can only null
+    out matches, never change them."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.operators.asof import asof_join_backward
+    from map_reduce_rpc_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("pts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("cts"), "value"
+    )
+    loose = asof_join_backward(purchases, clicks, "user_id", "pts", "cts", ["value"])
+    hour_us = 3600 * 1_000_000
+    tight = asof_join_backward(
+        purchases, clicks, "user_id", "pts", "cts", ["value"], tolerance_us=hour_us
+    )
+    lm = {r.event_id: r.matched_ts_us for r in loose.collect()}
+    tm = {r.event_id: (r.matched_ts_us, r.pts) for r in tight.collect()}
+    n_matched = n_nulled = 0
+    for k, (mts, pts) in tm.items():
+        if mts is not None:
+            n_matched += 1
+            assert mts == lm[k]
+            assert pts - mts <= hour_us
+        elif lm[k] is not None:
+            n_nulled += 1
+            assert lm[k] < pts - hour_us  # nulled only when out of window
+    assert n_matched > 0 and n_nulled > 0
