@@ -80,10 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": textops.token_counts,
         "doc_fingerprints": textops.doc_fingerprints,
         "rolling_fingerprints": textops.rolling_fingerprints,
+        "dup_clusters": textops.dup_clusters,
         # —— structured streaming (stream/batch parity) ——
         "stream_hourly_counts": streams.stream_hourly_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        "stream_static_hourly": streams.stream_static_hourly,
+        "stream_dedup_events": streams.stream_dedup_events,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,

@@ -36,6 +36,33 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("user_id") != core.SENTINEL_USER)
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = core.run_available_now(windows.sliding_counts(_replay(spark, sf_dir)), spark)
+    return out.where(F.col("event_type") != "__sentinel__")
+
+
+def stream_static_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return core.run_available_now(
+        windows.static_enriched_hourly(_replay(spark, sf_dir), dim), spark
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event delivered twice (two identical stream scans
+    unioned); the dedup stage must emit each event_id exactly once."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    doubled = core.read_events_stream(spark, replay_dir).unionByName(
+        core.read_events_stream(spark, replay_dir)
+    )
+    out = core.run_available_now(windows.dedup_stream(doubled), spark)
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
 # Session boundary: Spark's session_window merges events while the gap
 # is strictly < 30 min (windows are half-open), so a new session starts
 # at diff >= 1800000000 us — the oracles use the same >= boundary.
@@ -63,6 +90,29 @@ _SESSION_CTE = """
 """
 
 STREAMS_ORACLES: dict[str, str] = {
+    "stream_sliding_counts": """
+        WITH wins AS (
+            SELECT event_type,
+                   unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS win_start
+            FROM events
+        )
+        SELECT win_start, event_type, count(*) AS n_events
+        FROM wins GROUP BY 1, 2
+    """,
+    "stream_static_hourly": """
+        SELECT date_trunc('hour', e.ts) AS hour,
+               c.c_mktsegment AS segment,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    "stream_dedup_events": """
+        SELECT event_id, ts, user_id, event_type FROM events
+    """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,

@@ -146,6 +146,26 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster labels: the
+    step that turns pairwise dedup output into keep/drop decisions.
+    Iterative min-label propagation (operators/graph.py); oracle is a
+    recursive-CTE transitive closure over the same exact-jaccard
+    edges."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (mod 2^31-1):
     order-sensitive content fingerprint, computed as a single
@@ -168,6 +188,7 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXTOPS_ORACLES: dict[str, str] = {
+    # filled in below (embeds the ngram_jaccard_dups SQL): dup_clusters
     "rolling_fingerprints": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -284,3 +305,24 @@ TEXTOPS_ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+# Transitive closure of the exact-jaccard dup graph: component = min
+# reachable doc id, the same fixpoint min-label propagation computes.
+TEXTOPS_ORACLES["dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        {TEXTOPS_ORACLES["ngram_jaccard_dups"]}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.a AS node, reach.r AS r
+        FROM reach JOIN edges e ON e.b = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS component
+    FROM reach GROUP BY node
+"""

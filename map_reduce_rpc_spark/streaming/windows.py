@@ -34,6 +34,50 @@ def hourly_counts(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFr
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in
+    exactly two overlapping windows. State carries one row per open
+    (window, type) — twice the tumbling footprint, still bounded by
+    the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def static_enriched_hourly(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the stream against a broadcast
+    static dimension (no state — the dim is re-broadcast per batch),
+    then a watermarked tumbling count per segment."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("hour"), "segment", "n_events", "value_cents")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Streaming exactly-once dedup on event_id: first arrival wins,
+    replays/duplicates are dropped; the watermark bounds the key state
+    (ids older than it are evicted — the at-least-once upstream
+    contract this guards is the same one the reference's re-executing
+    tasks rely on, SURVEY.md §2.3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_id", "ts", "user_id", "event_type")
+        .dropDuplicates(["event_id"])
+    )
+
+
 def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK_DELAY) -> DataFrame:
     """Gap-based sessions per user via the built-in ``session_window``:
     windows merge while consecutive events are < gap apart; start is the

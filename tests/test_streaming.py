@@ -8,7 +8,14 @@ import __spark_entry__ as entry_mod
 
 from tests.oracle import assert_matches
 
-STREAM_KEYS = ["stream_hourly_counts", "stream_session_stats", "stream_stateful_sessions"]
+STREAM_KEYS = [
+    "stream_hourly_counts",
+    "stream_session_stats",
+    "stream_stateful_sessions",
+    "stream_sliding_counts",
+    "stream_static_hourly",
+    "stream_dedup_events",
+]
 
 
 @pytest.mark.parametrize("name", STREAM_KEYS)
