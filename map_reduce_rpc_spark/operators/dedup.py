@@ -118,6 +118,14 @@ def ngram_jaccard_pairs(
         )
         shingles = shingles.join(keep, "shingle")
 
+    # Count-based inverted-index join: intersection sizes fall out of a
+    # partial-agg'd groupBy on the shared-shingle join; only (doc, doc)
+    # id pairs are shuffled into the count, never shingle sets. A
+    # PPJoin-style prefix filter was benchmarked here and lost — the
+    # candidate reduction didn't pay for shuffling full shingle arrays
+    # through the verify join. At 100 TB the lever for this operator is
+    # ``max_df`` (hot-shingle pruning bounds posting lists, which
+    # bounds the quadratic term).
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
 
     a = shingles.alias("a")
@@ -130,8 +138,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -337,6 +337,18 @@ def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding at least one order
+    over 400k — completes the join-type inventory next to the anti
+    join in customers_without_orders. Semi joins short-circuit on
+    first match and never duplicate the probe side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete percentiles (p25/p50/p75/p90) of order value per
     priority. ``percentile_disc`` returns an actual data value (no
@@ -393,6 +405,14 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RELATIONAL_ORACLES: dict[str, str] = {
+    "customers_with_big_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
     "order_price_percentiles": """
         SELECT o_orderpriority,
                count(*) AS n,
