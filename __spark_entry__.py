@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_stats": relational.customer_order_stats,
         "customers_without_orders": relational.customers_without_orders,
         "customers_with_big_orders": relational.customers_with_big_orders,
+        "order_line_arrays": relational.order_line_arrays,
         "segment_setops": relational.segment_setops,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
         "orders_topk": relational.orders_topk,

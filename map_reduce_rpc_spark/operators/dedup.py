@@ -274,21 +274,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.array_distinct(word_ngrams(text_col, 1))).alias("tok"),
     ).where(F.col("tok") != "")
     th = toks.select("doc", F.xxhash64("tok").alias("h"))
-    # vote per bit: +1 if bit set else -1; sum > 0 -> bit set in simhash
+    # per-bit vote: bit i is set in the fingerprint when more than half
+    # the token hashes have it set. Branch-free form: count set bits
+    # via shift-and (sum((h >>> i) & 1)) and compare 2*cnt > n —
+    # equivalent to the +1/-1 vote sum being positive, cheaper to
+    # codegen than 64 CASE branches.
     bit_sums = th.groupBy("doc").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
             for i in range(64)
-        ]
+        ],
     )
     # distinct powers of two, so arithmetic sum == bitwise OR (bit 63
     # contributes Long.MIN_VALUE, the correct two's-complement pattern)
     fp = bit_sums.select(
         "doc",
         sum(
-            (F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(F.lit(0)) for i in range(64)),
+            (
+                F.when(F.col(f"c{i}") * 2 > F.col("n"), _bit_lit(i)).otherwise(F.lit(0))
+                for i in range(64)
+            ),
             start=F.lit(0).cast("long"),
         ).alias("simhash"),
     )

@@ -337,6 +337,34 @@ def scalar_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order-function surface: per order, the sorted
+    line-number array, a csv projection of it, a fold (F.aggregate)
+    over the first two lines' quantities, and a membership test.
+    Deterministic element order (sort_array) keeps the double fold
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lq"),
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.concat_ws(",", F.transform("lines", lambda x: x.cast("string"))).alias(
+            "lines_csv"
+        ),
+        F.aggregate(
+            F.slice("lq", 1, 2),
+            F.lit(0.0),
+            lambda acc, s: acc + s["l_quantity"],
+        ).alias("qty_first2"),
+        F.array_contains("lines", 3).alias("has_line3"),
+    )
+
+
 def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers holding at least one order
     over 400k — completes the join-type inventory next to the anti
@@ -405,6 +433,21 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RELATIONAL_ORACLES: dict[str, str] = {
+    "order_line_arrays": """
+        WITH ranked AS (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_quantity) AS rn
+            FROM lineitem
+        )
+        SELECT l_orderkey,
+               count(*)::INT AS n_lines,
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines_csv,
+               coalesce(sum(l_quantity) FILTER (rn <= 2), 0.0) AS qty_first2,
+               bool_or(l_linenumber = 3) AS has_line3
+        FROM ranked
+        GROUP BY l_orderkey
+    """,
     "customers_with_big_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c

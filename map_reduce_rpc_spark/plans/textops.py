@@ -37,15 +37,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram jaccard >= 0.5 pairs via inverted-index join."""
-    return dedup.ngram_jaccard_pairs(
+# The exact-jaccard pair list is the shared intermediate of
+# ngram_jaccard_dups and dup_clusters; materialize it once per sf_dir
+# (persisted — it's a handful of id pairs) instead of re-running the
+# inverted-index join per consumer.
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _PAIRS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    pairs = dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
-    )
+    ).persist()
+    _PAIRS_CACHE[sf_dir] = pairs
+    return pairs
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard >= 0.5 pairs via inverted-index join."""
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,13 +170,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges."""
     from ..operators.graph import connected_components
 
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        n=NGRAM_N,
-        threshold=JACCARD_THRESHOLD,
-    )
+    pairs = _jaccard_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component")
     )
