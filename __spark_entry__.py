@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.customers_without_orders,
         "customers_with_big_orders": relational.customers_with_big_orders,
         "order_line_arrays": relational.order_line_arrays,
+        "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "segment_setops": relational.segment_setops,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
         "orders_topk": relational.orders_topk,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,
         "ann_ivf_topk": vectors.ann_ivf_topk,
+        "srp_near_dups": vectors.srp_near_dups,
         # —— training-data pipeline: multimodal columns ——
         "media_catalog": multimodal.media_catalog,
         "media_frame_plan": multimodal.media_frame_plan,

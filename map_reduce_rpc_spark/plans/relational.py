@@ -365,6 +365,20 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates to (flag, measure,
+    value) long form — the inverse of pivot_line_status."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "measure", "val"
+    )
+
+
 def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers holding at least one order
     over 400k — completes the join-type inventory next to the anti
@@ -447,6 +461,20 @@ RELATIONAL_ORACLES: dict[str, str] = {
                bool_or(l_linenumber = 3) AS has_line3
         FROM ranked
         GROUP BY l_orderkey
+    """,
+    "returnflag_measures_unpivot": """
+        WITH agg AS (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+                   CAST(count(*) AS DOUBLE) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM agg
     """,
     "customers_with_big_orders": """
         SELECT c_custkey, c_name, c_mktsegment

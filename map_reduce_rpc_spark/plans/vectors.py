@@ -62,6 +62,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH cosine near-dup pairs (>= 0.9), exact-verified.
+    Rows-only check (signature hashing is engine-specific); recall is
+    proven on planted near-duplicates in tests/test_similarity.py.
+    The natural table has no pairs above threshold (max pairwise cos
+    ~0.6), so agreement with embedding_near_dups is also asserted."""
+    return similarity.srp_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
 _QID_LIST = ", ".join(str(i) for i in QUERY_IDS)
 
 VECTORS_ORACLES: dict[str, str] = {

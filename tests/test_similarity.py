@@ -52,3 +52,36 @@ def test_blocked_near_dups_symmetric_and_thresholded(spark, emb):
     pairs = similarity.blocked_near_dup_pairs(emb, threshold=0.5).collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(r["cos"] >= 0.5 for r in pairs)
+
+
+def test_srp_lsh_finds_planted_near_dups(spark, emb):
+    """Plant perturbed copies of real vectors (cos > 0.99); SRP-LSH
+    must recover every planted pair, and the exact verify guarantees
+    no pair below threshold survives."""
+    from pyspark.sql import functions as F
+
+    sample = emb.orderBy("vec_id").limit(10).collect()
+    rng = np.random.default_rng(7)
+    planted = []
+    for r in sample:
+        v = np.array(r.embedding, dtype=np.float32)
+        noisy = v + rng.standard_normal(v.shape).astype(np.float32) * 0.02 * np.abs(v).mean()
+        planted.append((int(r.vec_id) + 1_000_000, [float(x) for x in noisy], int(r.label)))
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, ["vec_id", "embedding", "label"]).select(
+            "vec_id", F.col("embedding").cast("array<float>"), "label"
+        )
+    )
+    pairs = similarity.srp_near_dup_pairs(aug, threshold=0.95).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(int(r.vec_id), int(r.vec_id) + 1_000_000) for r in sample}
+    assert expected <= found, f"missed planted pairs: {expected - found}"
+    assert all(r.cos >= 0.95 for r in pairs)  # exact verify: no false positives
+
+
+def test_srp_agrees_with_exact_on_natural_data(spark, emb):
+    """No natural pair reaches the threshold, and SRP must not invent
+    any (precision is exact by construction)."""
+    exact = similarity.blocked_near_dup_pairs(emb, threshold=0.9).count()
+    srp = similarity.srp_near_dup_pairs(emb, threshold=0.9).count()
+    assert exact == 0 and srp == 0
