@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_counts": parity.file_counts,
         "file_meta_concat": parity.file_meta_concat,
         "kv_pipeline": parity.kv_pipeline,
+        "udtf_first_tokens": parity.udtf_first_tokens,
         # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_forecast_revenue": relational.q6_forecast_revenue,

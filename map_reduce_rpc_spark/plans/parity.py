@@ -143,7 +143,53 @@ def kv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mapreduce(docs, map_udf, reduce_udf)
 
 
+def udtf_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row in -> N rows out) via LATERAL join — the
+    modern API for the reference's Map contract (``mr/types.go:57``:
+    one file -> many KVs). Emits the first 5 tokens of each doc with
+    their positions; tokenization is the same ``str.isalpha`` run
+    logic as kv_pipeline, so the DuckDB regex oracle matches."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class FirstTokens:
+        def eval(self, text: str):
+            word: list[str] = []
+            pos = 0
+            for ch in text or "":
+                if ch.isalpha():
+                    word.append(ch)
+                elif word:
+                    pos += 1
+                    yield (pos, "".join(word))
+                    word.clear()
+                    if pos >= 5:
+                        return
+            if word and pos < 5:
+                yield (pos + 1, "".join(word))
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.word
+        FROM _docs_udtf d, LATERAL first_tokens(d.text) f
+        """
+    )
+
+
 PARITY_ORACLES: dict[str, str] = {
+    "udtf_first_tokens": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS INT) AS pos, ts[i] AS word
+        FROM toks, unnest(range(1, least(5, len(ts)) + 1)) AS u(i)
+        WHERE len(ts) > 0
+    """,
     # DuckDB regexp functions are RE2; \p{L} matches Java's \p{L} for
     # the Unicode letter class (Go unicode.IsLetter parity).
     "wordcount": f"""
