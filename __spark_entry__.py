@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events.events_json_extract,
         "user_sessions": events.user_sessions,
         "purchase_asof_click": events.purchase_asof_click,
+        "events_hourly_filled": events.events_hourly_filled,
+        "approx_distinct_users": events.approx_distinct_users,
         # —— training-data pipeline: text ops (north-star extensions) ——
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,

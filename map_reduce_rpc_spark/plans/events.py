@@ -111,7 +111,79 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + gap-fill: a dense per-user hourly grid (sequence +
+    explode between each user's first and last hour) left-joined to
+    the hourly rollup, empty hours as zero counts with the last
+    observed value carried forward (window last IGNORE NULLS).
+    At 100 TB the grid explode is one row per (user, hour) — generated,
+    never shuffled wide — and the fill is a single window pass over
+    the already-aggregated series."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("last_cents"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event type. Rows-only
+    driver check (HLL estimates are engine-specific); the relative
+    error bound vs the exact count is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
+    "events_hourly_filled": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT g.user_id, g.hour,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+               CAST(last_value(h.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS last_cents
+        FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,

@@ -76,3 +76,12 @@ def test_asof_tolerance(spark, sf_dir):
             n_nulled += 1
             assert lm[k] < pts - hour_us  # nulled only when out of window
     assert n_matched > 0 and n_nulled > 0
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
