@@ -20,6 +20,7 @@ from map_reduce_rpc_spark.plans import (
     multimodal,
     parity,
     relational,
+    sampling,
     streams,
     textops,
     vectors,
@@ -87,6 +88,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "rolling_fingerprints": textops.rolling_fingerprints,
         "dup_clusters": textops.dup_clusters,
+        # —— training-data pipeline: dataset management ——
+        "split_assign": sampling.split_assign,
+        "stratified_sample": sampling.stratified_sample,
+        "pack_sequences": sampling.pack_sequences,
+        "table_profile": sampling.table_profile,
         # —— structured streaming (stream/batch parity) ——
         "stream_hourly_counts": streams.stream_hourly_counts,
         "stream_session_stats": streams.stream_session_stats,
@@ -119,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(events.EVENTS_ORACLES)
     o.update(streams.STREAMS_ORACLES)
     o.update(textops.TEXTOPS_ORACLES)
+    o.update(sampling.SAMPLING_ORACLES)
     o.update(vectors.VECTORS_ORACLES)
     o.update(multimodal.MULTIMODAL_ORACLES)
     return o

@@ -1,0 +1,206 @@
+"""Training-data-pipeline dataset-management operators: deterministic
+splits, stratified sampling, sequence packing, and table profiling.
+
+These extend the reference's workload surface (its plugins stop at
+word/doc aggregation — /root/reference/plugins/wc.go:22-43,
+indexer.go:22-41) with the dataset-curation steps an LLM data pipeline
+runs before training. All four are hash-seeded and deterministic, so
+every one carries a full DuckDB oracle.
+
+Scale notes (100 TB):
+- Splits/sampling key on md5 of the row id — no shuffle at all for
+  split_assign (pure map), one shuffle on the stratum key for the
+  stratified cap.
+- pack_sequences needs a global running sum; a naive
+  ``Window.orderBy`` with no partition key collapses to ONE task. We
+  do the scalable two-phase form: per-chunk partial sums, a tiny
+  chunk-offset table (n_rows / CHUNK entries) cumulated and broadcast
+  back, then a per-chunk window. At 1e11 docs the offset table is
+  ~1e8 rows — recurse the same trick once more if that ever exceeds
+  driver-broadcast size.
+- table_profile is one full scan with map-side partial aggregation;
+  the exact count(distinct) per column is the only shuffle. At 100 TB
+  swap in approx_count_distinct (HLL) — same call shape, no exactness
+  oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# train < 0xcc (204/256 = 79.7%), val < 0xe6 (26/256 = 10.2%), rest test.
+_TRAIN_HEX = "cc"
+_VAL_HEX = "e6"
+STRATUM_CAP = 40
+PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_CHUNK = 1024  # docs per partial-sum chunk
+
+
+def _hash_key(col: str = "doc_id") -> F.Column:
+    """Portable deterministic sampling key: md5 hex of the id's string
+    form — identical bytes in any engine, uniform in its prefix."""
+    return F.md5(F.col(col).cast("string"))
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) from the
+    first two hex chars of md5(doc_id). Pure map — no shuffle; adding
+    data never reassigns existing rows (stable under appends)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(_hash_key(), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HEX, F.lit("train"))
+        .when(bucket < _VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum cap: keep at most STRATUM_CAP docs per language,
+    chosen by hash order (uniform within stratum, reproducible).
+    One shuffle on the stratum key; skewed strata stay bounded because
+    rank>cap rows are discarded at the window, not collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_hash_key(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= STRATUM_CAP)
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fill sequence packing: docs in doc_id order are
+    packed into PACK_BUDGET-token sequences; a doc belongs to the
+    sequence where its running token count starts. Computed as a
+    two-phase distributed cumulative sum (see module docstring) —
+    bit-identical to the oracle's single global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    t = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.col("doc_id") - F.col("doc_id") % PACK_CHUNK).alias("chunk"),
+    )
+    offsets = (
+        t.groupBy("chunk")
+        .agg(F.sum("n_tok").alias("chunk_tok"))
+        .withColumn(
+            "chunk_offset",
+            F.sum("chunk_tok").over(
+                Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("chunk", F.coalesce("chunk_offset", F.lit(0)).alias("chunk_offset"))
+    )
+    within = Window.partitionBy("chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        t.join(F.broadcast(offsets), "chunk")
+        .withColumn(
+            "cum_before",
+            F.col("chunk_offset") + F.coalesce(F.sum("n_tok").over(within), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"cum_before div {PACK_BUDGET}").alias("seq_id"),
+        )
+    )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``orders`` (row count, nulls, exact
+    distinct, min/max as strings) in ONE scan: all aggregates in a
+    single agg, then ``stack`` unpivots to a row per column."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in _PROFILE_COLS
+    )
+    return o.agg(*aggs).select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+SAMPLING_ORACLES: dict[str, str] = {
+    "split_assign": f"""
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HEX}'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HEX}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS sample_rank
+        FROM documents
+        QUALIFY sample_rank <= {STRATUM_CAP}
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> ''))::INT AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, n_tok, cum_before // {PACK_BUDGET} AS seq_id FROM c
+    """,
+    "table_profile": """
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+    """,
+}

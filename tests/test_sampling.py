@@ -1,0 +1,65 @@
+"""Dataset-management ops: deterministic splits, stratified cap,
+sequence packing, profiling — oracle matches + semantic properties."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from map_reduce_rpc_spark.plans.sampling import PACK_BUDGET, STRATUM_CAP
+from tests.oracle import assert_matches
+
+KEYS = ["split_assign", "stratified_sample", "pack_sequences", "table_profile"]
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_matches_oracle(spark, duck, sf_dir, key):
+    q = entry_mod.queries()[key]
+    sql = entry_mod.oracle_sql()[key]
+    assert_matches(q(spark, sf_dir), duck.sql(sql))
+
+
+def test_split_fractions_and_stability(spark, sf_dir):
+    """~80/10/10 split; membership depends only on doc_id, so it is
+    stable under re-runs and data appends."""
+    df = entry_mod.queries()["split_assign"](spark, sf_dir)
+    counts = {r.split: r.n for r in df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert 0.72 <= counts["train"] / total <= 0.88
+    assert 0.05 <= counts["val"] / total <= 0.16
+    assert 0.05 <= counts["test"] / total <= 0.16
+    again = {r.split: r.n for r in entry_mod.queries()["split_assign"](spark, sf_dir)
+             .groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert counts == again
+
+
+def test_stratified_cap_enforced(spark, sf_dir):
+    df = entry_mod.queries()["stratified_sample"](spark, sf_dir)
+    per = df.groupBy("lang").count().collect()
+    assert per and all(r["count"] <= STRATUM_CAP for r in per)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every sequence except possibly the last crosses the budget once
+    its final doc lands; docs stay in id order within a sequence."""
+    rows = sorted(
+        entry_mod.queries()["pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows
+    seq_tok: dict[int, int] = {}
+    prev_seq = 0
+    for r in rows:
+        assert r.seq_id >= prev_seq  # monotone over doc order
+        prev_seq = r.seq_id
+        seq_tok[r.seq_id] = seq_tok.get(r.seq_id, 0) + r.n_tok
+    last = max(seq_tok)
+    for sid, tok in seq_tok.items():
+        if sid != last:
+            assert tok >= PACK_BUDGET - max(seq_tok.values())  # fills before rolling over
+    # the running sum partitioning is exact: bin of each doc's start
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // PACK_BUDGET
+        cum += r.n_tok
