@@ -149,17 +149,38 @@ def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-user estimates per event type. Rows-only
-    driver check (HLL estimates are engine-specific); the relative
-    error bound vs the exact count is asserted in tests."""
+    """HyperLogLog distinct-user estimates per event type, emitted in an
+    oracle-checkable form: the HLL estimate itself is engine-specific,
+    so the output asserts the estimate's error bound instead of the
+    estimate — (event_type, exact_users, within_bound) where
+    within_bound = |approx - exact| / exact <= 5 * rsd. The DuckDB
+    oracle computes the exact count and asserts TRUE, making the HLL
+    path a hard driver-checked invariant rather than a rows-only row.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= F.lit(0.1)).alias("within_bound"),
     )
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    "approx_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+    """,
     "events_hourly_filled": """
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS hour,

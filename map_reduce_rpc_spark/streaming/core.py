@@ -20,6 +20,7 @@ watermark=sentinel1_ts).
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
 import shutil
@@ -58,27 +59,40 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     cached = _replay_cache.get(cache_key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    out = f"/tmp/spark_graft_stream_{abs(hash(sf_dir)) % 10**8}"
+    # Stable digest (not python hash(), which is PYTHONHASHSEED-random
+    # per process): reruns in other processes reuse/overwrite the same
+    # path instead of leaking stale /tmp dirs.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_stream_{tag}_s{n_sentinels}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
 
-    pdf = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.col("event_id").cast("long"),
-            F.unix_micros("ts").alias("ts_us"),
-            F.col("user_id").cast("long"),
-            "event_type",
-            F.col("value").cast("double"),
-            "props",
-        )
-        .toPandas()
+    # Spark-native write of the real-events chunk — the table never
+    # touches the driver. One part file so the whole real prefix is one
+    # micro-batch (the sentinels provide the watermark advances); at
+    # production scale the chunking would be the natural multi-file
+    # arrival order and this coalesce disappears.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+        "props",
     )
-    max_us = int(pdf["ts_us"].max())
+    tmp = out + "_write"
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), os.path.join(out, "chunk0.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    # single-row aggregate action (scalar), not a table materialization
+    max_us = int(ev.agg(F.max("ts_us")).first()[0])
 
-    chunks = [pa.Table.from_pandas(pdf, preserve_index=False)]
     for i in range(1, n_sentinels + 1):
-        chunks.append(
+        # sentinel chunks are driver-side constants (one row each)
+        pq.write_table(
             pa.table(
                 {
                     "event_id": pa.array([-i], pa.int64()),
@@ -88,12 +102,12 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
                     "value": pa.array([0.0], pa.float64()),
                     "props": pa.array(["{}"], pa.string()),
                 }
-            )
+            ),
+            os.path.join(out, f"chunk{i}.parquet"),
         )
     base_mtime = os.stat(out).st_mtime - 3600
-    for i, tbl in enumerate(chunks):
+    for i in range(n_sentinels + 1):
         path = os.path.join(out, f"chunk{i}.parquet")
-        pq.write_table(tbl, path)
         os.utime(path, (base_mtime + i, base_mtime + i))
     _replay_cache[cache_key] = out
     return out
