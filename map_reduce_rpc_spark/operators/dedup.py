@@ -59,6 +59,17 @@ def normalize_text(col) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix — reproducible in
+    ANSI SQL (DuckDB: ``('0x' || substring(md5(x), 1, 15))::BIGINT``),
+    so probabilistic dedup built on it gets a full cross-engine oracle.
+    15 hex chars = 60 bits, always positive in a signed 64-bit long in
+    both engines (no sign/overflow edge cases). md5 costs more than
+    xxhash64; at petabyte scale swap this one expression for
+    ``F.xxhash64`` and downgrade the oracle to rows-only."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
@@ -165,43 +176,50 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, verified
     with exact jaccard (no false positives in the output; recall is
     probabilistic in the banding stage).
 
     Pipeline (all JVM-side):
-      shingle -> xxhash64 -> num_perm affine permutations mod 2^61-1
-      -> min per permutation (one aggregate) -> split into ``bands``
-      bands of r = num_perm/bands rows -> hash each band -> group by
-      (band_idx, band_hash) -> within-bucket pairs -> exact-jaccard
+      shingle -> portable 60-bit hash -> num_perm affine permutations
+      mod 2^31-1 -> min per permutation (one aggregate) -> split into
+      ``bands`` bands of r = num_perm/bands rows -> group by
+      (band_idx, band_key) -> within-bucket pairs -> exact-jaccard
       verify -> threshold.
+
+    Every hash is md5-derived (:func:`portable_hash60`), so a SQL
+    oracle reproduces signatures, buckets, candidates, and jaccard
+    values bit-for-bit — the driver hash-checks this operator end to
+    end instead of counting rows.
 
     Shuffle profile at scale: one row per (doc, band) into the bucket
     join — independent of document size; the verify join touches only
-    candidate pairs.
+    candidate pairs. ``max_bucket`` drops degenerate buckets larger
+    than the given size (boilerplate-heavy corpora produce a few huge
+    buckets whose pair blowup is quadratic; dropping them loses recall
+    only on pairs that agree in no other band).
     """
     r = num_perm // bands
     assert bands * r == num_perm, "bands must divide num_perm"
 
     # Hash each shingle to a long at the scan and never shuffle the
     # strings: every downstream stage (signatures, shingle sets for the
-    # verify) works on 8-byte keys. Collisions (~1e-7 over millions of
-    # shingles) only perturb jaccard in the last decimal — this is the
-    # probabilistic path; the exact string-keyed op is
-    # ngram_jaccard_pairs.
+    # verify) works on 8-byte keys. Collisions (~1e-13 at 60 bits) only
+    # perturb jaccard in the last decimal — this is the probabilistic
+    # path; the exact string-keyed op is ngram_jaccard_pairs.
     shingles = (
         df.select(
             F.col(id_col).cast("long").alias("doc"),
             F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
         )
         .where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
-        .select("doc", F.xxhash64("shingle").alias("sh_hash"))
+        .select("doc", portable_hash60(F.col("shingle")).alias("sh_hash"))
     )
 
-    # base hash folded into [0, P): all later affine steps stay in longs
-    h = (F.col("sh_hash") % F.lit(_P) + F.lit(_P)) % F.lit(_P)
-    hashed = shingles.select("doc", h.alias("h"))
+    # fold the (always positive) 60-bit hash into [0, P)
+    hashed = shingles.select("doc", (F.col("sh_hash") % F.lit(_P)).alias("h"))
 
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
@@ -209,16 +227,29 @@ def minhash_lsh_pairs(
     ]
     sig = hashed.groupBy("doc").agg(*mins)
 
+    # Band key: the r signature values joined as text — portable across
+    # engines. ~40 bytes per (doc, band) row instead of an 8-byte hash;
+    # at petabyte scale wrap it in xxhash64 and drop the oracle to
+    # rows-only (same trade as portable_hash60).
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
-            F.xxhash64(*[F.col(f"m{bi * r + j}") for j in range(r)]).alias("band_hash"),
+            F.concat_ws(",", *[F.col(f"m{bi * r + j}") for j in range(r)]).alias(
+                "band_key"
+            ),
         )
         for bi in range(bands)
     ]
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+        "doc", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -226,7 +257,7 @@ def minhash_lsh_pairs(
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
@@ -268,22 +299,37 @@ def _bit_lit(i: int) -> Column:
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, majority vote of token
-    hashes. Expressed as explode -> per-bit sums -> sign, all built-ins."""
+    hashes. Expressed as explode -> per-bit sums -> sign, all built-ins.
+
+    The 64 token-hash bits come from two md5-derived 32-bit halves
+    (portable across engines, always positive — no sign edge cases):
+    bits 0-31 from hex chars 9-16, bits 32-63 from hex chars 1-8. A SQL
+    oracle reproduces the votes, fingerprints, and hamming distances
+    exactly."""
     toks = df.select(
         F.col(id_col).cast("long").alias("doc"),
         F.explode(F.array_distinct(word_ngrams(text_col, 1))).alias("tok"),
     ).where(F.col("tok") != "")
-    th = toks.select("doc", F.xxhash64("tok").alias("h"))
+    md5 = F.md5("tok")
+    th = toks.select(
+        "doc",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
     # per-bit vote: bit i is set in the fingerprint when more than half
     # the token hashes have it set. Branch-free form: count set bits
-    # via shift-and (sum((h >>> i) & 1)) and compare 2*cnt > n —
+    # via shift-and (sum((h >> i) & 1)) and compare 2*cnt > n —
     # equivalent to the +1/-1 vote sum being positive, cheaper to
     # codegen than 64 CASE branches.
     bit_sums = th.groupBy("doc").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-            for i in range(64)
+            F.sum(F.shiftrightunsigned("h_lo", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(F.shiftrightunsigned("h_hi", i - 32).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(32, 64)
         ],
     )
     # distinct powers of two, so arithmetic sum == bitwise OR (bit 63
@@ -302,7 +348,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming.
 
@@ -310,6 +360,13 @@ def simhash_pairs(
     (max_hamming+1) bands — any pair within the hamming ball shares at
     least one exact band (pigeonhole), so the bucket join has full
     recall. Verification: bit_count(xor) on candidates only.
+
+    ``max_bucket`` caps degenerate band buckets: a band value shared by
+    more than that many docs (templated/boilerplate corpora) is dropped
+    before the pair join, bounding the quadratic candidate term.
+    Trades recall only on pairs that agree in no surviving band; with
+    the cap the output is a subset of the exact hamming-ball pair set
+    (full recall requires max_bucket=None).
     """
     nb = max_hamming + 1
     width = 64 // nb
@@ -331,6 +388,13 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc", "simhash", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        bands = (
+            bands.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     a = bands.alias("a")
     b = bands.alias("b")

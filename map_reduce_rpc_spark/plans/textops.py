@@ -2,12 +2,12 @@
 dedup (exact, jaccard, MinHash-LSH, SimHash), quality scoring,
 language-ID, token counting, fingerprinting.
 
-Oracle policy: exact/deterministic ops (exact dedup, ngram jaccard,
-quality, lang-id, token counts, md5 fingerprints) carry full DuckDB
-oracles. MinHash-LSH and SimHash use engine-specific hashing
-(xxhash64) that DuckDB cannot reproduce — they are registered
-rows-only and verified in tests/test_dedup.py against planted
-near-duplicates + the exact-jaccard oracle operator.
+Oracle policy: every query here carries a full DuckDB oracle. The
+probabilistic paths (MinHash-LSH, SimHash) hash with md5-derived
+integers (operators/dedup.portable_hash60) specifically so the oracle
+reproduces signatures, buckets, candidate pairs, and verify scores
+bit-for-bit; tests/test_dedup.py additionally checks recall on planted
+near-duplicates.
 """
 
 from __future__ import annotations
@@ -21,6 +21,16 @@ from ..tables import load_table
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
+# Drop shingles appearing in more than this many docs before the
+# inverted-index join: posting-list length bounds the join's quadratic
+# term, which is THE scale lever for exact jaccard at 100 TB
+# (boilerplate shingles generate almost all pairs and almost no
+# signal). Jaccard is then computed over the pruned shingle sets —
+# the oracle prunes identically, so the driver still hash-checks it.
+MAX_SHINGLE_DF = 100
+# MinHash family shape: 64 permutations in 16 bands of 4 rows.
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16
 
 # language-ID marker stopwords (tiny, deterministic n-gram heuristic;
 # ASCII-safe so regex semantics match across engines)
@@ -54,32 +64,39 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=NGRAM_N,
         threshold=JACCARD_THRESHOLD,
+        max_df=MAX_SHINGLE_DF,
     ).persist()
     _PAIRS_CACHE[sf_dir] = pairs
     return pairs
 
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram jaccard >= 0.5 pairs via inverted-index join."""
+    """Exact word-3-gram jaccard >= 0.5 pairs via inverted-index join,
+    with hot shingles (df > MAX_SHINGLE_DF) pruned before the join —
+    bounded posting lists, oracle prunes identically."""
     return _jaccard_pairs(spark, sf_dir)
 
 
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidates, exact-jaccard verified.
-    Rows-only check (xxhash64-based signatures are not SQL-portable);
-    recall/precision covered in tests/test_dedup.py."""
+    Fully hash-checked against a DuckDB oracle that recomputes the
+    md5-derived signatures, buckets, and verify scores."""
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=NGRAM_N,
+        num_perm=MINHASH_PERMS,
+        bands=MINHASH_BANDS,
         threshold=JACCARD_THRESHOLD,
     )
 
 
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 pairs with hamming <= 3 (banded candidates + exact
-    bit_count verify). Rows-only check; planted-dup tests cover it."""
+    """SimHash-64 pairs with hamming <= 3 (pigeonhole-banded candidates
+    + exact bit_count verify). Banding has full recall at hamming <= 3,
+    so the DuckDB oracle is the all-pairs hamming ball over the same
+    md5-derived fingerprints — a complete hash check."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -228,12 +245,20 @@ TEXTOPS_ORACLES: dict[str, str] = {
                                t -> t <> '') AS ts
             FROM documents
         ),
-        sh AS (
+        sh_all AS (
             -- full n-grams only, matching word_ngrams()
             SELECT DISTINCT doc,
                    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
             FROM toks, unnest(range(1, len(ts) - {NGRAM_N} + 2)) AS u(i)
             WHERE len(ts) >= {NGRAM_N}
+        ),
+        sh AS (
+            -- hot-shingle prune, mirroring max_df={MAX_SHINGLE_DF}
+            SELECT s.doc, s.shingle
+            FROM sh_all s
+            JOIN (SELECT shingle FROM sh_all
+                  GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}) k
+              USING (shingle)
         ),
         sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
         inter AS (
@@ -315,6 +340,111 @@ TEXTOPS_ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+# MinHash oracle: recompute the md5-derived shingle hashes, the affine
+# permutation family (parameters inlined from the same deterministic
+# LCG the engine uses), the banded buckets, and the candidate-only
+# exact-jaccard verify — bit-for-bit the engine's pipeline in SQL.
+_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup._perm_params(MINHASH_PERMS))
+)
+_BAND_R = MINHASH_PERMS // MINHASH_BANDS
+
+TEXTOPS_ORACLES["minhash_dups"] = f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM toks, unnest(range(1, len(ts) - {NGRAM_N} + 2)) AS u(i)
+        WHERE len(ts) >= {NGRAM_N}
+    ),
+    hashed AS (
+        SELECT DISTINCT doc,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h60
+        FROM sh
+    ),
+    perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+    sig AS (
+        SELECT doc, p.i,
+               min((p.a * (h.h60 % 2147483647) + p.b) % 2147483647) AS m
+        FROM hashed h CROSS JOIN perms p
+        GROUP BY doc, p.i
+    ),
+    banded AS (
+        SELECT doc, i // {_BAND_R} AS band_idx,
+               string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc, i // {_BAND_R}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx
+                     AND a.band_key = b.band_key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM hashed GROUP BY doc),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN hashed ha ON ha.doc = c.id_a
+        JOIN hashed hb ON hb.doc = c.id_b AND hb.h60 = ha.h60
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.id_a
+    JOIN sizes sb ON sb.doc = i.id_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+          >= {JACCARD_THRESHOLD}
+"""
+
+# SimHash oracle: the engine's pigeonhole banding has FULL recall at
+# hamming <= 3 and its verify is exact, so its output equals the
+# all-pairs hamming ball — which SQL computes directly from the same
+# md5-derived per-bit votes (fingerprint kept as two positive 32-bit
+# halves; no 64-bit sign games).
+TEXTOPS_ORACLES["simhash_dups"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS doc, t.tok
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                                x -> x <> '')) AS t(tok)
+    ),
+    hashed AS (
+        SELECT doc,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h_hi,
+               ('0x' || substring(md5(tok), 9, 8))::BIGINT AS h_lo
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc, b.i,
+               sum(CASE WHEN b.i < 32 THEN (h_lo >> b.i) & 1
+                        ELSE (h_hi >> (b.i - 32)) & 1 END) AS c,
+               count(*) AS n
+        FROM hashed, unnest(range(64)) AS b(i)
+        GROUP BY doc, b.i
+    ),
+    fp AS (
+        SELECT doc,
+               CAST(sum(CASE WHEN i < 32 AND 2*c > n
+                             THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_lo,
+               CAST(sum(CASE WHEN i >= 32 AND 2*c > n
+                             THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
+        FROM votes GROUP BY doc
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc AS id_a, b.doc AS id_b,
+               (bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)))::INT AS hamming
+        FROM fp a JOIN fp b ON a.doc < b.doc
+    ) WHERE hamming <= 3
+"""
 
 # Transitive closure of the exact-jaccard dup graph: component = min
 # reachable doc id, the same fixpoint min-label propagation computes.
