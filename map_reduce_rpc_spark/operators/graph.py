@@ -41,6 +41,7 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -65,8 +66,22 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # Un-converged labels are WRONG component assignments (long
+        # paths propagate one hop per round); surface it rather than
+        # silently returning partial closures.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "labels may split true components (raise max_iter — rounds needed "
+            "= graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

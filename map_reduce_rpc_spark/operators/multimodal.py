@@ -218,8 +218,14 @@ def frame_index(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 def frame_checksums(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Sampled-frame extraction: join the frame plan back to the blobs
-    and checksum each (tiled) frame slice in Arrow batches — the
-    decode-side half of frame sampling."""
+    and checksum each (tiled) 64-byte frame slice in Arrow batches —
+    the decode-side half of frame sampling.
+
+    The digest is sha256 over the slice's lowercase-hex encoding, not
+    the raw bytes: ANSI SQL engines hash strings, not blobs (DuckDB
+    sha256 is VARCHAR-only), so hex-domain hashing is what makes this
+    decode-side operator fully oracle-checkable while remaining a real
+    per-frame content checksum."""
     plan = frame_index(media, every_n)
     joined = plan.join(media.select("media_id", "data"), "media_id").select(
         "media_id", "frame_idx", "byte_offset", "data"
@@ -232,7 +238,7 @@ def frame_checksums(media: DataFrame, every_n: int = 2) -> DataFrame:
                 pdf["media_id"], pdf["frame_idx"], pdf["byte_offset"], pdf["data"]
             ):
                 frame = _tile_bytes(bytes(data), int(off) + 64)[int(off) : int(off) + 64]
-                digest = hashlib.sha256(frame.tobytes()).hexdigest()
+                digest = hashlib.sha256(frame.tobytes().hex().encode()).hexdigest()
                 out.append((int(mid), int(idx), digest))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_sha"])
 

@@ -85,34 +85,64 @@ def brute_force_topk(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the optimized plan (the same
+    statistic the broadcast-join planner consults). None if the py4j
+    surface changes."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes().toString())
+    except Exception:
+        return None
+
+
 def blocked_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    strategy: str = "auto",
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Exact cosine >= threshold pairs within each block.
 
     The block column bounds the quadratic term: cost sums over
     block_size^2 instead of N^2. With a cluster assignment as the
     block this is the verification stage of embedding dedup.
+
+    Join strategy (the 100 TB question for this operator):
+
+    - ``broadcast`` — build side ships to every task; the probe side
+      parallelizes with the scan, not with block cardinality. Right
+      when blocks are few (a shuffle join on a 10-value blk column
+      caps parallelism at 10 tasks) AND the table fits the broadcast
+      budget. Dies past driver/executor broadcast size.
+    - ``shuffle`` — both sides shuffle on blk; scales to any table
+      size but needs block cardinality >= cluster parallelism to fill
+      the cluster (true for real k-means cells, false for a 10-label
+      toy column).
+    - ``auto`` (default) — broadcast iff Catalyst's size estimate for
+      the build side is under ``broadcast_max_bytes``.
     """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         _as_double(vec_col).alias("v"),
     ).withColumn("n", l2_norm(F.col("v")))
-    # A shuffle join on blk would cap parallelism at the number of
-    # distinct blocks (10 here) — a classic skew shape. Broadcast the
-    # build side instead and spread the probe side over all cores; the
-    # per-pair dot products then parallelize with the scan, not with
-    # block cardinality. (At 1B+ vectors the block column must come
-    # from a high-cardinality clusterer and this becomes a shuffle
-    # join on blk again — by then there are enough blocks to fill the
-    # cluster.)
-    a = base.repartition(F.col("id")).alias("a")
-    b = F.broadcast(base).alias("b")
+    if strategy == "auto":
+        est = _plan_size_bytes(base)
+        strategy = (
+            "broadcast" if est is not None and est <= broadcast_max_bytes else "shuffle"
+        )
+    if strategy == "broadcast":
+        a = base.repartition(F.col("id")).alias("a")
+        b = F.broadcast(base).alias("b")
+    else:
+        a = base.alias("a")
+        b = base.hint("merge").alias("b")
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
     ).select(
@@ -131,6 +161,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: per-block mean centroids; each query probes only
     the ``nprobe`` blocks whose centroids score highest, then exact
@@ -146,7 +177,9 @@ def ivf_topk(
         F.col(block_col).alias("blk"),
         _as_double(vec_col).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
-    dim = len(base.select("_v").first()["_v"])
+    if dim is None:
+        # driver round-trip — pass dim explicitly in query paths
+        dim = len(base.select("_v").first()["_v"])
     centroids = base.groupBy("blk").agg(
         F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("cent")
     )

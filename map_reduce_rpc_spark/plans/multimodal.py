@@ -4,9 +4,11 @@ The media table is synthesized deterministically from ``documents``
 (operators/multimodal.py), so catalog- and plan-level queries have full
 DuckDB oracles — including a blob round-trip digest
 (``sha2(hex(data))``) that proves the binary payloads are byte-equal
-across engines. The decode-side operators (pixel/PCM math inside
-mapInPandas) are not SQL-expressible; they get rows-only driver checks
-plus numpy cross-checks in tests/test_multimodal.py.
+across engines — and so does the frame-checksum decode stage (the
+slice digests run in hex space, which SQL can reproduce). The
+remaining decode-side operators (pixel/PCM math inside mapInPandas)
+are not SQL-expressible; they get rows-only driver checks plus numpy
+cross-checks in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -79,6 +81,34 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                    AS byte_offset
         FROM media WHERE kind = 'video'
     """,
-    # image_features_mm / audio_features_mm / frame_checksums_mm:
-    # decode-side math, rows-only (numpy cross-checked in tests).
+    # Frame checksums: the blob is deterministic (unhex of repeated
+    # sha256 hex), so the tiled 64-byte slice at byte offset
+    # frame_idx*w*h*3 is, in hex space, a 128-char substring of the
+    # doubled 512-char hex string starting at 2*(offset % 256) —
+    # wrap-around included. The engine digests the slice's lowercase
+    # hex, which DuckDB's VARCHAR sha256 reproduces exactly.
+    "frame_checksums_mm": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   repeat(sha256(text), 8) AS hexstr,
+                   ((doc_id % 7 + 2) * 8)::BIGINT AS width,
+                   ((doc_id % 5 + 2) * 8)::BIGINT AS height,
+                   (doc_id % 11 + 1)::INT AS n_frames
+            FROM documents
+            WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'video'
+        ),
+        frames AS (
+            SELECT media_id, hexstr,
+                   CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+                   width * height * 3 AS frame_bytes
+            FROM m
+        )
+        SELECT media_id, frame_idx,
+               sha256(substring(hexstr || hexstr,
+                                2 * ((frame_idx * frame_bytes) % 256) + 1,
+                                128)) AS frame_sha
+        FROM frames
+    """,
+    # image_features_mm / audio_features_mm: decode-side pixel/PCM
+    # math, rows-only (numpy cross-checked in tests).
 }

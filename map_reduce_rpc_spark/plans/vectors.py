@@ -58,7 +58,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned fraction; with real k-means cells the same plan gives
     recall >> scanned fraction.)"""
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=5
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=5, dim=64
     )
 
 

@@ -75,7 +75,7 @@ def test_frame_checksums_cross_check(spark, sf_dir):
     meta = metas[r.media_id]
     off = r.frame_idx * meta.width * meta.height * 3
     frame = mm._tile_bytes(blobs[r.media_id], off + 64)[off : off + 64]
-    assert r.frame_sha == hashlib.sha256(frame.tobytes()).hexdigest()
+    assert r.frame_sha == hashlib.sha256(frame.tobytes().hex().encode()).hexdigest()
     # plan side: sampled every 2nd frame of n_frames
     per_media = sum(1 for x in rows if x.media_id == r.media_id)
     assert per_media == (metas[r.media_id].n_frames + 1) // 2
