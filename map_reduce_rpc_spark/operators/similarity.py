@@ -90,8 +90,9 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     statistic the broadcast-join planner consults). None if the py4j
     surface changes."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString())
+        # py4j may hand back a python int or a java BigInt; str() of
+        # either is the decimal value
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         return None
 

@@ -109,3 +109,34 @@ def test_minhash_on_real_corpus_runs(spark, sf_dir):
     df = minhash_dups(spark, sf_dir)
     assert {c for c in df.columns} == {"id_a", "id_b", "jaccard"}
     df.count()  # executes without error
+
+
+def test_bucket_cap_bounds_candidates(spark, sf_dir):
+    """max_bucket drops degenerate band buckets: output is a subset of
+    the uncapped pair set, and a tight cap on the templated corpus
+    (huge shared-boilerplate buckets) strictly reduces pair count."""
+    from map_reduce_rpc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    capped = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, max_bucket=4)
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs <= full_pairs
+    assert len(capped_pairs) < len(full_pairs)
+
+
+def test_portable_hash_matches_duckdb(spark, duck):
+    """portable_hash60 must equal DuckDB's hex-prefix cast for the
+    same input — the primitive every probabilistic-dedup oracle
+    rests on."""
+    words = ["hello", "the quick brown fox", "ümlaut", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        F.col("w"), dedup.portable_hash60(F.col("w")).alias("h")
+    )
+    got = {r["w"]: r["h"] for r in df.collect()}
+    for w in words:
+        (expect,) = duck.execute(
+            "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == expect, w

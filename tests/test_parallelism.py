@@ -1,0 +1,65 @@
+"""Parallelism-observation tests — the mtiming/rtiming analog.
+
+The reference proves its workers actually run concurrently by having
+each task record a wall-clock interval and checking that at least two
+intervals overlap (/root/reference/test-mr.sh:150-201, plugin bodies
+plugins/mtiming.go:22-94 and plugins/rtiming.go:20-87). Same assertion
+here, for both a map (scan-side) stage and a reduce (post-shuffle)
+stage: tasks record (start, end) timestamps; the test asserts >= 2
+tasks were running at the same instant in each stage.
+
+Sleep inside the task makes the overlap deterministic on local[8]:
+8 tasks x 0.4 s cannot serialize within the window unless the
+scheduler runs them one at a time.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _max_concurrency(intervals: list[tuple[float, float]]) -> int:
+    events = sorted(
+        [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    )
+    cur = best = 0
+    for _, delta in events:
+        cur += delta
+        best = max(best, cur)
+    return best
+
+
+def _timed_partition(iterator):
+    start = time.time()
+    rows = list(iterator)
+    time.sleep(0.4)
+    end = time.time()
+    yield (len(rows), start, end)
+
+
+def test_map_stage_parallelism(spark):
+    """>= 2 concurrently-running tasks in a map-only stage."""
+    n_parts = 8
+    out = (
+        spark.sparkContext.parallelize(range(64), n_parts)
+        .mapPartitions(_timed_partition)
+        .collect()
+    )
+    assert len(out) == n_parts
+    assert _max_concurrency([(s, e) for _, s, e in out]) >= 2
+
+
+def test_reduce_stage_parallelism(spark):
+    """>= 2 concurrently-running tasks in the post-shuffle stage."""
+    n_reducers = 8
+    out = (
+        spark.sparkContext.parallelize(range(256), 8)
+        .map(lambda x: (x % 32, x))
+        .groupByKey(n_reducers)
+        .mapPartitions(_timed_partition)
+        .collect()
+    )
+    assert len(out) == n_reducers
+    # every reducer got keys, and at least two reducers overlapped
+    assert sum(n for n, _, _ in out) == 32
+    assert _max_concurrency([(s, e) for _, s, e in out]) >= 2

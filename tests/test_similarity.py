@@ -54,6 +54,28 @@ def test_blocked_near_dups_symmetric_and_thresholded(spark, emb):
     assert all(r["cos"] >= 0.5 for r in pairs)
 
 
+def test_blocked_near_dups_strategy_switch(spark, emb):
+    """The join strategy must actually switch with build-side size:
+    small build side -> broadcast hash join; past the broadcast budget
+    -> shuffle join (no BroadcastHashJoin on the pair join). Results
+    must be identical either way."""
+    bcast = similarity.blocked_near_dup_pairs(emb, threshold=0.5, strategy="broadcast")
+    shuf = similarity.blocked_near_dup_pairs(emb, threshold=0.5, strategy="shuffle")
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in shuf._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    # auto with a tiny budget must take the shuffle path; with a huge
+    # budget (table is small here) the broadcast path
+    tiny = similarity.blocked_near_dup_pairs(
+        emb, threshold=0.5, strategy="auto", broadcast_max_bytes=1
+    )
+    assert "BroadcastHashJoin" not in tiny._jdf.queryExecution().executedPlan().toString()
+    big = similarity.blocked_near_dup_pairs(
+        emb, threshold=0.5, strategy="auto", broadcast_max_bytes=1 << 40
+    )
+    assert "BroadcastHashJoin" in big._jdf.queryExecution().executedPlan().toString()
+
+
 def test_srp_lsh_finds_planted_near_dups(spark, emb):
     """Plant perturbed copies of real vectors (cos > 0.99); SRP-LSH
     must recover every planted pair, and the exact verify guarantees
