@@ -15,8 +15,6 @@ scheduler runs them one at a time.
 
 from __future__ import annotations
 
-import time
-
 
 def _max_concurrency(intervals: list[tuple[float, float]]) -> int:
     events = sorted(
@@ -29,12 +27,19 @@ def _max_concurrency(intervals: list[tuple[float, float]]) -> int:
     return best
 
 
-def _timed_partition(iterator):
-    start = time.time()
-    rows = list(iterator)
-    time.sleep(0.4)
-    end = time.time()
-    yield (len(rows), start, end)
+def _make_timed_partition():
+    # defined as a closure so cloudpickle ships it by value — the tests
+    # module itself is not importable on executor workers
+    def timed_partition(iterator):
+        import time as _t
+
+        start = _t.time()
+        rows = list(iterator)
+        _t.sleep(0.4)
+        end = _t.time()
+        yield (len(rows), start, end)
+
+    return timed_partition
 
 
 def test_map_stage_parallelism(spark):
@@ -42,7 +47,7 @@ def test_map_stage_parallelism(spark):
     n_parts = 8
     out = (
         spark.sparkContext.parallelize(range(64), n_parts)
-        .mapPartitions(_timed_partition)
+        .mapPartitions(_make_timed_partition())
         .collect()
     )
     assert len(out) == n_parts
@@ -56,7 +61,7 @@ def test_reduce_stage_parallelism(spark):
         spark.sparkContext.parallelize(range(256), 8)
         .map(lambda x: (x % 32, x))
         .groupByKey(n_reducers)
-        .mapPartitions(_timed_partition)
+        .mapPartitions(_make_timed_partition())
         .collect()
     )
     assert len(out) == n_reducers
