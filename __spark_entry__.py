@@ -58,7 +58,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_first_tokens": parity.udtf_first_tokens,
         # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "rollup_sales": relational.rollup_sales,
         "pivot_line_status": relational.pivot_line_status,
         "region_revenue": relational.region_revenue,
@@ -68,7 +67,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_setops": relational.segment_setops,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
         "orders_topk": relational.orders_topk,
-        "supplier_balance_rank": relational.supplier_balance_rank,
         "order_price_percentiles": relational.order_price_percentiles,
         # —— events / time-series ——
         "events_hourly": events.events_hourly,
@@ -77,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_click": events.purchase_asof_click,
         "events_hourly_filled": events.events_hourly_filled,
         "approx_distinct_users": events.approx_distinct_users,
+        "range_join_hot_windows": events.range_join_hot_windows,
+        "hypertable_rollup": events.hypertable_rollup,
         # —— training-data pipeline: text ops (north-star extensions) ——
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
@@ -85,9 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": textops.doc_quality,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
-        "doc_fingerprints": textops.doc_fingerprints,
         "rolling_fingerprints": textops.rolling_fingerprints,
         "dup_clusters": textops.dup_clusters,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "quality_filter": textops.quality_filter,
         # —— training-data pipeline: dataset management ——
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
@@ -97,7 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": streams.stream_hourly_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
-        "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_dedup_events": streams.stream_dedup_events,
         # —— training-data pipeline: similarity search ——
@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Oracled variants of families checked above (driver records no
         # row past 50; each is hash-checked by tests/test_relational.py
         # and was green in CORRECTNESS_r01):
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "supplier_balance_rank": relational.supplier_balance_rank,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        "domain_mix_sample": sampling.domain_mix_sample,
+        "global_shuffle": sampling.global_shuffle,
         "order_priority_counts": relational.order_priority_counts,
         "distinct_parts_per_flag": relational.distinct_parts_per_flag,
         "top_customers_by_revenue": relational.top_customers_by_revenue,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 
 SESSION_GAP_MIN = 30
+HOT_WINDOWS_K = 5
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +174,143 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join, expressed the way it scales: derive the top
+    HOT_WINDOWS_K busiest hours, widen each to an overlapping interval
+    [hour-30min, hour+90min), and join every event whose ts falls inside.
+
+    A naive range join is a broadcast-nested-loop with an O(n*k)
+    predicate; the scale pattern used here turns it into an equi-join:
+    explode each interval into the hour buckets it covers, bucket the
+    events by hour, broadcast-hash-join on the bucket key, then apply
+    the BETWEEN as a cheap residual filter. The probe side shuffles
+    nothing and each event is evaluated against only the intervals
+    overlapping its own bucket — at 100 TB that is a map-only pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), "hour")
+    top = (
+        hourly.orderBy(F.desc("n"), "hour")
+        .limit(HOT_WINDOWS_K)
+        .select(
+            F.row_number().over(w).alias("window_id"),
+            (F.col("hour") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("hour") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    # one row per (window, covered hour bucket); intervals are 2h wide
+    # so this is a constant fan-out of 3
+    buckets = top.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", "w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    probe = ev.select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = probe.join(F.broadcast(buckets), "bucket").where(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("window_id", "w_start", "w_end").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-style) multi-resolution rollup:
+    hour, day, and week buckets per event type in one result with a
+    ``resolution`` tag.
+
+    The coarser resolutions re-aggregate the next-finer rollup instead
+    of rescanning the raw events — the day pass reads |hours| rows, the
+    week pass |days| rows. At 100 TB the raw table is scanned exactly
+    once and each re-aggregation is a shuffle of pre-shrunk partials
+    (this is the materialized-rollup cascade TimescaleDB/Druid run;
+    here the cascade is a single lazy plan that AQE pipelines).
+    Money stays in integer cents until the end, so every engine sums
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_cents").alias("sum_cents"))
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "bucket").alias("bucket")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_cents").alias("sum_cents"))
+    return (
+        hourly.select(F.lit("hour").alias("resolution"), "*")
+        .unionByName(daily.select(F.lit("day").alias("resolution"), "*"))
+        .unionByName(weekly.select(F.lit("week").alias("resolution"), "*"))
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
+    "range_join_hot_windows": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        top AS (
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, hour) AS INT)
+                       AS window_id,
+                   hour - INTERVAL 30 MINUTE AS w_start,
+                   hour + INTERVAL 90 MINUTE AS w_end
+            FROM hourly ORDER BY n DESC, hour LIMIT {HOT_WINDOWS_K}
+        )
+        SELECT t.window_id, t.w_start, t.w_end,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM top t JOIN events e
+          ON e.ts >= t.w_start AND e.ts < t.w_end
+        GROUP BY 1, 2, 3
+    """,
+    "hypertable_rollup": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+            SELECT event_type, date_trunc('day', bucket) AS bucket,
+                   sum(n_events) AS n_events, sum(sum_cents) AS sum_cents
+            FROM hourly GROUP BY 1, 2
+        ),
+        weekly AS (
+            SELECT event_type, date_trunc('week', bucket) AS bucket,
+                   sum(n_events) AS n_events, sum(sum_cents) AS sum_cents
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT 'hour' AS resolution, event_type, bucket,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(sum_cents AS BIGINT) AS sum_cents FROM hourly
+        UNION ALL
+        SELECT 'day', event_type, bucket,
+               CAST(n_events AS BIGINT), CAST(sum_cents AS BIGINT) FROM daily
+        UNION ALL
+        SELECT 'week', event_type, bucket,
+               CAST(n_events AS BIGINT), CAST(sum_cents AS BIGINT) FROM weekly
+    """,
     "approx_distinct_users": """
         SELECT event_type,
                count(DISTINCT user_id) AS exact_users,

@@ -115,6 +115,90 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain rebalancing (the training-mixture
+    op): downsample each ``lang`` domain with keep probability
+    p_d = sqrt(n_min / n_d) — i.e. temperature alpha = 0.5 pulls domain
+    sizes toward each other without global normalization (n_min / n_d
+    is one IEEE division and sqrt is correctly rounded, so p_d is
+    bit-identical in any engine; no order-dependent float sums).
+
+    Selection is hash-gated, not rand(): keep doc when the 60-bit
+    md5-derived key < p_d * 2^60 — deterministic, stable under
+    re-execution (the at-least-once contract the reference's crash
+    tests enforce), and reproducible by the SQL oracle. Per-domain
+    counts broadcast back; the scan itself is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min"))
+    p = F.sqrt(F.col("n_min").cast("double") / F.col("n_d"))
+    probs = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang", "n_d", p.alias("p_keep")
+    )
+    # compare as double on BOTH sides (a bare long < double comparison
+    # could round differently per engine at the boundary)
+    key60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    return (
+        docs.join(F.broadcast(probs), "lang")
+        .where(key60 < F.col("p_keep") * F.lit(float(1 << 60)))
+        .select("doc_id", "lang", "n_d", "p_keep")
+    )
+
+
+# 256 hash-prefix buckets for the two-phase global rank: the bucket id
+# is the first byte of the sort key itself, so bucket order == key
+# order and per-bucket ranks + bucket offsets compose to the exact
+# global permutation.
+_SHUF_BUCKETS = 256
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    unique position 1..N ordered by (md5(doc_id), doc_id).
+
+    A bare ``row_number() OVER (ORDER BY key)`` collapses to ONE task;
+    this is the scalable two-phase form (same trick as pack_sequences):
+    rank within 256 hash-prefix buckets in parallel, cumulate the tiny
+    per-bucket counts into offsets, broadcast them back, add. Because
+    the bucket is the key's own first byte, bucket-major order equals
+    key order and the result is bit-identical to the single-window
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = _hash_key()
+    t = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    offsets = (
+        t.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("offset") + F.row_number().over(w)).alias("position"),
+        )
+    )
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
@@ -179,6 +263,30 @@ SAMPLING_ORACLES: dict[str, str] = {
             FROM t
         )
         SELECT doc_id, n_tok, cum_before // {PACK_BUDGET} AS seq_id FROM c
+    """,
+    "domain_mix_sample": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_d FROM documents GROUP BY 1
+        ),
+        probs AS (
+            SELECT lang, n_d,
+                   sqrt(CAST((SELECT min(n_d) FROM counts) AS DOUBLE) / n_d)
+                       AS p_keep
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, p.n_d, p.p_keep
+        FROM documents d JOIN probs p USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS DOUBLE)
+              < p.p_keep * 1152921504606846976.0
+    """,
+    "global_shuffle": """
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS position
+        FROM documents
     """,
     "table_profile": """
         SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,

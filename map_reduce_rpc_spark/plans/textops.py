@@ -12,7 +12,7 @@ near-duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import NON_LETTER_RE, quality_signals, tokens
@@ -31,6 +31,16 @@ MAX_SHINGLE_DF = 100
 # MinHash family shape: 64 permutations in 16 bands of 4 rows.
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16
+TFIDF_TOPK = 3
+# quality_filter thresholds (ratios are double divisions of exact ints,
+# so both engines compare bit-identical values)
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 5000
+QF_MAX_DIGIT_RATIO = 0.3
+QF_MAX_UPPER_RATIO = 0.3
+QF_MIN_STOPWORD_RATIO = 0.01
+QF_MIN_MEAN_TOKEN_LEN = 2.0
+QF_MAX_MEAN_TOKEN_LEN = 12.0
 
 # language-ID marker stopwords (tiny, deterministic n-gram heuristic;
 # ASCII-safe so regex semantics match across engines)
@@ -193,6 +203,73 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK terms per document.
+
+    tf = in-doc term count, df = number of docs containing the term,
+    score = tf * (N + 1) / (df + 1) — a rational idf surrogate chosen
+    deliberately: a single IEEE division of exact integers is
+    bit-identical across engines, whereas ln() is not guaranteed
+    correctly rounded, so the driver can hash-check scores.
+
+    Shape at scale: explode -> (doc, term) count (one shuffle on
+    (doc, term) with map-side partials) -> term-keyed df join (second
+    shuffle; AQE handles term skew) -> per-doc top-k window. The corpus
+    size N arrives via a broadcast 1-row cross join, not a collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * (F.col("n_docs") + F.lit(1))).cast("double")
+                / (F.col("df") + F.lit(1))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus keep/drop decision with a reason code: the
+    first failing rule (fixed precedence) or 'ok'. This is the decision
+    layer on top of doc_quality's raw signals — the shape every
+    training-data pipeline runs before tokenization. Pure map, no
+    shuffle; predicates push down to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(F.col("text"))
+    reason = (
+        F.when(sig["n_tokens"] < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(sig["n_tokens"] > QF_MAX_TOKENS, F.lit("too_long"))
+        .when(sig["digit_ratio"] > QF_MAX_DIGIT_RATIO, F.lit("digit_heavy"))
+        .when(sig["upper_ratio"] > QF_MAX_UPPER_RATIO, F.lit("upper_heavy"))
+        .when(sig["stopword_ratio"] < QF_MIN_STOPWORD_RATIO, F.lit("no_stopwords"))
+        .when(sig["mean_token_len"] < QF_MIN_MEAN_TOKEN_LEN, F.lit("short_tokens"))
+        .when(sig["mean_token_len"] > QF_MAX_MEAN_TOKEN_LEN, F.lit("long_tokens"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (mod 2^31-1):
     order-sensitive content fingerprint, computed as a single
@@ -331,6 +408,63 @@ TEXTOPS_ORACLES: dict[str, str] = {
                 + len(list_filter(regexp_split_to_array(text, '[^\\p{{L}}0-9]+'),
                                   t -> t <> '')))::INT AS n_bpe_pieces
         FROM documents
+    """,
+    "tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                                    x -> x <> '')) AS t(term)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df, score, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) DESC,
+                                tf.term
+                   ) AS INT) AS rank
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ) WHERE rank <= {TFIDF_TOPK}
+    """,
+    "quality_filter": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   len(toks)::INT AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                        AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS digit_ratio,
+                   CAST(len(list_filter(toks, t -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it','that','for','on',
+                        'with','as','was','at','by','be','this','are','from','but','not','they',
+                        'his','her','she','he','you','we','have','has','had','were','which'], t)))
+                       AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS upper_ratio
+            FROM base
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep FROM (
+            SELECT doc_id,
+                   CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+                        WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+                        WHEN digit_ratio > {QF_MAX_DIGIT_RATIO} THEN 'digit_heavy'
+                        WHEN upper_ratio > {QF_MAX_UPPER_RATIO} THEN 'upper_heavy'
+                        WHEN stopword_ratio < {QF_MIN_STOPWORD_RATIO} THEN 'no_stopwords'
+                        WHEN mean_token_len < {QF_MIN_MEAN_TOKEN_LEN} THEN 'short_tokens'
+                        WHEN mean_token_len > {QF_MAX_MEAN_TOKEN_LEN} THEN 'long_tokens'
+                        ELSE 'ok' END AS reason
+            FROM sig
+        )
     """,
     "doc_fingerprints": """
         SELECT doc_id,
