@@ -121,13 +121,17 @@ def ngram_jaccard_pairs(
     ).where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
 
     if max_df is not None:
-        keep = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # document frequency as a count window over the shingle key:
+        # ONE shuffle (vs the groupBy+join form's two), and because the
+        # window hash-partitions by shingle, the inverted-index
+        # self-join below reuses that partitioning on both sides — no
+        # further exchange before the pair count.
+        wdf = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("_df", F.count("*").over(wdf))
             .where(F.col("_df") <= max_df)
-            .select("shingle")
+            .drop("_df")
         )
-        shingles = shingles.join(keep, "shingle")
 
     # Count-based inverted-index join: intersection sizes fall out of a
     # partial-agg'd groupBy on the shared-shingle join; only (doc, doc)
@@ -218,14 +222,19 @@ def minhash_lsh_pairs(
         .select("doc", portable_hash60(F.col("shingle")).alias("sh_hash"))
     )
 
-    # fold the (always positive) 60-bit hash into [0, P)
-    hashed = shingles.select("doc", (F.col("sh_hash") % F.lit(_P)).alias("h"))
-
+    # Shuffle the hashed shingle stream by doc ONCE; the signature agg
+    # and the verify-stage shingle-set agg both consume this exchange
+    # (identical subtree -> ReusedExchange), so the scan -> tokenize ->
+    # md5 map side runs a single time. Keeping the two aggregations
+    # separate also keeps the 64-way min in fast hash aggregation
+    # instead of dragging it into collect_set's object-hash path.
+    shuffled = shingles.repartition("doc")
+    h = F.col("sh_hash") % F.lit(_P)
     mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
-    sig = hashed.groupBy("doc").agg(*mins)
+    sig = shuffled.groupBy("doc").agg(*mins)
 
     # Band key: the r signature values joined as text — portable across
     # engines. ~40 bytes per (doc, band) row instead of an 8-byte hash;
@@ -269,7 +278,7 @@ def minhash_lsh_pairs(
     # precisely so the verify never touches the full pair space; the
     # candidate side is tiny, so both joins broadcast it and the
     # shingle-set table is scanned once without a pair-blowup shuffle.
-    doc_sets = shingles.groupBy("doc").agg(F.collect_set("sh_hash").alias("sh"))
+    doc_sets = shuffled.groupBy("doc").agg(F.collect_set("sh_hash").alias("sh"))
     verified = (
         F.broadcast(candidates)
         .join(doc_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
