@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_fingerprints": textops.doc_fingerprints,
         "stream_sliding_counts": streams.stream_sliding_counts,
+        "stream_purchase_click_join": streams.stream_purchase_click_join,
         "domain_mix_sample": sampling.domain_mix_sample,
         "global_shuffle": sampling.global_shuffle,
         "order_priority_counts": relational.order_priority_counts,

@@ -52,6 +52,18 @@ def stream_static_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks in the preceding 30 minutes. Two independent stream
+    scans of the replay dir (as two topics would be in production)."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    clicks = core.read_events_stream(spark, replay_dir, chunked=False)
+    purchases = core.read_events_stream(spark, replay_dir, chunked=False)
+    return core.run_available_now(
+        windows.purchase_click_join(clicks, purchases), spark
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event delivered twice (two identical stream scans
     unioned); the dedup stage must emit each event_id exactly once."""
@@ -112,6 +124,18 @@ STREAMS_ORACLES: dict[str, str] = {
     """,
     "stream_dedup_events": """
         SELECT event_id, ts, user_id, event_type FROM events
+    """,
+    "stream_purchase_click_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL '30 minutes'
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

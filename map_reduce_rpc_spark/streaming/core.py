@@ -113,18 +113,26 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> 
     return out
 
 
-def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
-    """File-source stream over a replay dir, one chunk per micro-batch.
+def read_events_stream(
+    spark: SparkSession, replay_dir: str, chunked: bool = True
+) -> DataFrame:
+    """File-source stream over a replay dir.
 
-    Explicit schema (streams cannot infer), ``maxFilesPerTrigger=1`` so
-    each chunk is its own batch and the watermark advances between
-    chunks, as it would with continuously arriving files.
+    Explicit schema (streams cannot infer). With ``chunked=True`` (the
+    default), ``maxFilesPerTrigger=1`` makes each chunk its own
+    micro-batch so the watermark advances between chunks, as it would
+    with continuously arriving files — required for append-mode
+    *aggregations*, whose emission is watermark-driven. Stream-stream
+    INNER joins emit matches within the arriving batch (the watermark
+    only governs state eviction), so join queries pass
+    ``chunked=False`` and skip the per-batch state-store commit
+    overhead of single-file triggers.
     """
-    return (
-        spark.readStream.schema(STREAM_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay_dir)
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    reader = spark.readStream.schema(STREAM_SCHEMA_DDL)
+    if chunked:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(replay_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
     )
 
 

@@ -78,6 +78,61 @@ def dedup_stream(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFra
     )
 
 
+def purchase_click_join(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str = WATERMARK_DELAY,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to every
+    click by the same user in the preceding ``horizon``.
+
+    Both sides are watermarked and the join carries an event-time range
+    condition — the two things that let Spark bound join state: a click
+    can be evicted once the watermark passes ``click_ts + horizon``
+    (no future purchase can match it), so state is O(events per
+    horizon), not O(stream history). Without the range condition the
+    state grows forever and the query is rejected in append mode.
+    Inner-join results emit as soon as both sides arrive; the watermark
+    governs eviction, not emission.
+    """
+    clicks = (
+        clicks_src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts < click_ts + INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
 def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK_DELAY) -> DataFrame:
     """Gap-based sessions per user via the built-in ``session_window``:
     windows merge while consecutive events are < gap apart; start is the

@@ -15,6 +15,7 @@ STREAM_KEYS = [
     "stream_sliding_counts",
     "stream_static_hourly",
     "stream_dedup_events",
+    "stream_purchase_click_join",
 ]
 
 
