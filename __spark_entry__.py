@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_fingerprints": textops.doc_fingerprints,
+        "chunk_documents": textops.chunk_documents,
+        "doc_repetition": textops.doc_repetition,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_purchase_click_join": streams.stream_purchase_click_join,
         "domain_mix_sample": sampling.domain_mix_sample,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import NON_LETTER_RE, quality_signals, tokens
+from ..functions.text import NON_LETTER_RE, quality_signals, tokens, word_ngrams
 from ..operators import dedup
 from ..tables import load_table
 
@@ -303,8 +303,117 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Context-window chunking shape: 200-char windows starting every 150
+# chars (50-char overlap), the training-data "split documents into
+# model-context pieces" step.
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows per document.
+
+    ``sequence`` + ``explode`` generates window starts JVM-side (no
+    UDF, no shuffle — a pure narrow map), so each input split fans out
+    to its own chunks in place; at 100 TB the chunk rows never leave
+    the executor that scanned the document. Emits an md5 digest per
+    chunk rather than the text so the output stays narrow; the digest
+    also makes cross-engine equality exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_last = F.floor(
+        (F.greatest(F.length("text"), F.lit(1)) - 1) / F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * F.lit(CHUNK_STRIDE) + 1).cast("int"),
+        F.lit(CHUNK_SIZE),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * F.lit(CHUNK_STRIDE)).alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4-style
+    quality filter family): duplicate-bigram share and the top
+    bigram's share of each document.
+
+    Two hash aggregations — (doc, gram) then doc — both with map-side
+    partial aggregation; gram strings never leave the exchange needed
+    for the per-doc rollup. Ratios are double divisions of exact
+    integer counts, so the oracle compares bit-identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g")
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            (
+                (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+                / F.col("n_ngrams")
+            ).alias("dup_ratio"),
+            (F.col("top_freq").cast("double") / F.col("n_ngrams")).alias("top_share"),
+        )
+    )
+
+
 TEXTOPS_ORACLES: dict[str, str] = {
     # filled in below (embeds the ngram_jaccard_dups SQL): dup_clusters
+    "chunk_documents": f"""
+        SELECT doc_id,
+               i AS chunk_idx,
+               i * {CHUNK_STRIDE} AS chunk_start,
+               CAST(length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT),
+                                  {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT),
+                          {CHUNK_SIZE})) AS chunk_md5
+        FROM documents,
+             unnest(range(0, CAST(floor((greatest(length(text), 1) - 1)
+                                        / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS t(i)
+    """,
+    "doc_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2
+        ),
+        per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_ngrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                   AS dup_ratio,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share
+        FROM per GROUP BY doc_id
+    """,
     "rolling_fingerprints": f"""
         WITH toks AS (
             SELECT doc_id,

@@ -16,6 +16,8 @@ KEYS = [
     "cube_sales",
     "rolling_fingerprints",
     "dup_clusters",
+    "chunk_documents",
+    "doc_repetition",
 ]
 
 
