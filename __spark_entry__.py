@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": textops.doc_repetition,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_purchase_click_join": streams.stream_purchase_click_join,
+        "stream_click_attribution": streams.stream_click_attribution,
         "domain_mix_sample": sampling.domain_mix_sample,
         "global_shuffle": sampling.global_shuffle,
         "order_priority_counts": relational.order_priority_counts,

@@ -59,8 +59,31 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = core.build_replay_dir(spark, sf_dir)
     clicks = core.read_events_stream(spark, replay_dir, chunked=False)
     purchases = core.read_events_stream(spark, replay_dir, chunked=False)
-    return core.run_available_now(
+    out = core.run_available_now(
         windows.purchase_click_join(clicks, purchases), spark
+    )
+    # sentinel heartbeats join only each other (user_id -1); drop them
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click with its
+    in-horizon purchases, null-extended (encoded as -1) when none.
+    Chunked replay is required here — outer null-emission waits on
+    watermark movement, which the sentinel chunks provide."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    clicks = core.read_events_stream(spark, replay_dir)
+    purchases = core.read_events_stream(spark, replay_dir)
+    out = core.run_available_now(
+        windows.click_attribution_outer(clicks, purchases), spark
+    ).where(F.col("user_id") != core.SENTINEL_USER)
+    # -1 sentinels instead of nulls: keeps every column an exact long
+    # for the cross-engine hash (and the joined/unjoined split obvious)
+    return out.select(
+        "user_id",
+        "click_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("lag_us"), F.lit(-1)).alias("lag_us"),
     )
 
 
@@ -136,6 +159,22 @@ STREAMS_ORACLES: dict[str, str] = {
          AND p.ts >= c.ts
          AND p.ts < c.ts + INTERVAL '30 minutes'
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    "stream_click_attribution": """
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               c.click_id,
+               COALESCE(p.purchase_id, -1) AS purchase_id,
+               COALESCE(epoch_us(p.purchase_ts) - epoch_us(c.click_ts), -1)
+                   AS lag_us
+        FROM c
+        LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'
     """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

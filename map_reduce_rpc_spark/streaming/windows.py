@@ -96,41 +96,94 @@ def purchase_click_join(
     Inner-join results emit as soon as both sides arrive; the watermark
     governs eviction, not emission.
     """
-    clicks = (
-        clicks_src.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    purchases = (
-        purchases_src.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            f"""
-            user_id = p_user_id AND
-            purchase_ts >= click_ts AND
-            purchase_ts < click_ts + INTERVAL {horizon}
-            """
-        ),
-        "inner",
-    )
+    joined = _interval_joined(clicks_src, purchases_src, watermark, horizon, "inner")
     return joined.select(
         "user_id",
         "click_id",
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def click_attribution_outer(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str = WATERMARK_DELAY,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emitted,
+    with its in-horizon purchases or null-extended if none arrive.
+
+    Unlike the inner form, the null-extended rows are emitted by the
+    WATERMARK, not by arrival: a click can only be declared
+    purchase-less once the watermark on the purchase side has passed
+    ``click_ts + horizon`` (no qualifying purchase can still arrive).
+    The replay harness's sentinel chunks are what push the watermark
+    there under ``AvailableNow`` — this query is the reason the
+    watermark must be applied BEFORE the event-type filter (see
+    ``_interval_joined``): filtered-out sentinels still advance it.
+    """
+    joined = _interval_joined(
+        clicks_src, purchases_src, watermark, horizon, "left_outer"
+    )
+    return joined.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+def _interval_joined(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str,
+    horizon: str,
+    how: str,
+) -> DataFrame:
+    # The sentinel/heartbeat rows MUST survive the per-side event-type
+    # filter: Catalyst pushes filters below the EventTimeWatermark
+    # node, so a plain ``event_type = 'click'`` filter would drop the
+    # sentinels before they reach the watermark statistics and the
+    # watermark would stall at the last *click* — leaving the final
+    # click's outer null-extension (and its state) pinned forever.
+    # This is the streaming-punctuation rule: heartbeats advance event
+    # time through every operator's input, so they are admitted here
+    # and excluded from results after the join (sentinel user_id is -1
+    # and never equals a real key, so the only sentinel matches are
+    # sentinel-to-sentinel, filtered by the caller).
+    clicks = (
+        clicks_src.withWatermark("ts", watermark)
+        .where(F.col("event_type").isin("click", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        purchases_src.withWatermark("ts", watermark)
+        .where(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts < click_ts + INTERVAL {horizon}
+            """
+        ),
+        how,
+    )
+    if how == "inner":
+        joined = joined.withColumn("user_id", F.col("c_user_id"))
+    return joined
 
 
 def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK_DELAY) -> DataFrame:

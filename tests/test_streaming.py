@@ -16,6 +16,7 @@ STREAM_KEYS = [
     "stream_static_hourly",
     "stream_dedup_events",
     "stream_purchase_click_join",
+    "stream_click_attribution",
 ]
 
 
