@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": sampling.table_profile,
         # —— structured streaming (stream/batch parity) ——
         "stream_hourly_counts": streams.stream_hourly_counts,
-        "stream_session_stats": streams.stream_session_stats,
+        "stream_purchase_click_join": streams.stream_purchase_click_join,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_dedup_events": streams.stream_dedup_events,
@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         "doc_repetition": textops.doc_repetition,
         "stream_sliding_counts": streams.stream_sliding_counts,
-        "stream_purchase_click_join": streams.stream_purchase_click_join,
+        "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,
         "domain_mix_sample": sampling.domain_mix_sample,
         "global_shuffle": sampling.global_shuffle,
