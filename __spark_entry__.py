@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "daily_revenue_moving": relational.daily_revenue_moving,
         "cube_sales": relational.cube_sales,
+        "grouping_sets_sales": relational.grouping_sets_sales,
         # Rows-only by design (engine-specific outputs; recall/decode
         # math asserted in tests/test_similarity.py, test_multimodal.py):
         "ann_ivf_topk": vectors.ann_ivf_topk,

@@ -118,6 +118,34 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a non-hierarchical set list — (flag,status),
+    (status), () — which neither ROLLUP nor CUBE can express. One scan,
+    one shuffle: Spark expands the sets via Expand (each input row
+    replicated once per set) before a single hash aggregate, so cost is
+    O(sets) per row, not O(passes) over the table. ``grouping()`` flags
+    disambiguate a genuine 'ALL' value from the aggregated marker."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("agg_flag"),
+        F.grouping("l_linestatus").cast("int").alias("agg_status"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "agg_flag",
+        "agg_status",
+        "sum_qty",
+        "n_rows",
+    )
+
+
 def pivot_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot l_linestatus into columns (oracle: conditional aggregation)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -563,6 +591,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
                count(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS agg_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS agg_status,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
     """,
     "pivot_line_status": """
         SELECT l_returnflag,
