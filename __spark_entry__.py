@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_moving": relational.daily_revenue_moving,
         "cube_sales": relational.cube_sales,
         "grouping_sets_sales": relational.grouping_sets_sales,
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
         # Rows-only by design (engine-specific outputs; recall/decode
         # math asserted in tests/test_similarity.py, test_multimodal.py):
         "ann_ivf_topk": vectors.ann_ivf_topk,

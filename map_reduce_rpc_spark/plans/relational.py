@@ -439,6 +439,39 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch surface (``approx_percentile``, the
+    t-digest-style mergeable sketch) made oracle-checkable, same
+    pattern as the HLL query: the sketch's rank-error contract —
+    accuracy=100 bounds rank error by 1/100 — is asserted IN the
+    query by sandwiching each approximate quantile between the exact
+    ``percentile_disc`` values at p±0.01, and the oracle asserts the
+    verdict. Every compared value is an actual data point (both
+    functions return observed values, no interpolation), so the check
+    is FP-exact. At scale the sketch is the point: per-partition
+    t-digests merge in O(compression) instead of a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_ord_apx")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               (  approx_percentile(o_totalprice, 0.50, 100)
+                    BETWEEN percentile_disc(0.49) WITHIN GROUP (ORDER BY o_totalprice)
+                        AND percentile_disc(0.51) WITHIN GROUP (ORDER BY o_totalprice)
+                AND approx_percentile(o_totalprice, 0.90, 100)
+                    BETWEEN percentile_disc(0.89) WITHIN GROUP (ORDER BY o_totalprice)
+                        AND percentile_disc(0.91) WITHIN GROUP (ORDER BY o_totalprice)
+                AND approx_percentile(o_totalprice, 0.99, 100)
+                    BETWEEN percentile_disc(0.98) WITHIN GROUP (ORDER BY o_totalprice)
+                        AND percentile_disc(1.00) WITHIN GROUP (ORDER BY o_totalprice)
+               ) AS within_bound
+        FROM _ord_apx
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def daily_revenue_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames + analytics over the daily revenue series: 7-day
     moving average (ROWS BETWEEN 6 PRECEDING) and day-over-day delta
@@ -602,6 +635,10 @@ RELATIONAL_ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_linestatus), ())
+    """,
+    "approx_percentile_bounds": """
+        SELECT o_orderpriority, count(*) AS n, TRUE AS within_bound
+        FROM orders GROUP BY o_orderpriority
     """,
     "pivot_line_status": """
         SELECT l_returnflag,
