@@ -68,3 +68,30 @@ def test_reduce_stage_parallelism(spark):
     # every reducer got keys, and at least two reducers overlapped
     assert sum(n for n, _, _ in out) == 32
     assert _max_concurrency([(s, e) for _, s, e in out]) >= 2
+
+
+def test_observed_metrics_ride_the_job(spark, sf_dir):
+    """The reference's timing/jobcount plugins observe engine behavior
+    from inside a running job (SURVEY.md §2.2 W6); Spark's native
+    analog is ``df.observe()``: named aggregate metrics that ride the
+    existing plan — no second scan, no extra job — and are reported on
+    completion. Assert the observed scan-side row count matches an
+    independent recount, i.e. the observation measured the real job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.tables import load_table
+
+    obs = Observation("scan_metrics")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    grouped = observed.groupBy("l_returnflag").count()
+    assert grouped.count() >= 1  # run the job; metrics ride along
+    got = obs.get
+    assert got["rows_in"] == li.count()
+    assert got["min_qty"] <= got["max_qty"]
