@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_fingerprints": textops.doc_fingerprints,
         "chunk_documents": textops.chunk_documents,
+        "decontaminate_docs": textops.decontaminate_docs,
         "doc_repetition": textops.doc_repetition,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,

@@ -379,7 +379,77 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination shape: benchmark membership by doc_id % DECON_MOD == 0
+# (stands in for "the eval set"), overlap on distinct word DECON_N-grams.
+DECON_MOD = 100
+DECON_N = 5
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    word 5-gram with the benchmark set (the eval-overlap scrub every
+    serious training corpus runs; GPT-3/Pile-style n-gram collision).
+
+    Scale shape: the benchmark side is distinct-reduced then BROADCAST,
+    so the 100 TB corpus side never shuffles — each scan task probes
+    the in-memory gram set and aggregates per doc locally (the count
+    agg keys on doc_id, whose rows are already co-located within a
+    scan task's docs... the final groupBy is the only exchange, and it
+    carries one row per contaminated doc-gram hit, not corpus text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", DECON_N))).alias("g"),
+    )
+    bench = sh.where(is_bench).select("g").distinct()
+    hits = (
+        sh.where(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlaps"))
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+            (F.coalesce("n_overlaps", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 TEXTOPS_ORACLES: dict[str, str] = {
+    "decontaminate_docs": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                   ts[i+3] || ' ' || ts[i+4] AS g
+            FROM toks, unnest(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
+            WHERE len(ts) >= {DECON_N}
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECON_MOD} = 0),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n_overlaps
+            FROM sh s JOIN bench USING (g)
+            WHERE s.doc_id % {DECON_MOD} <> 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_overlaps, 0) AS n_overlaps,
+               COALESCE(h.n_overlaps, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+        LEFT JOIN hits h USING (doc_id)
+    """,
     # filled in below (embeds the ngram_jaccard_dups SQL): dup_clusters
     "chunk_documents": f"""
         SELECT doc_id,
