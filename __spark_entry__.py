@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": textops.rolling_fingerprints,
         "dup_clusters": textops.dup_clusters,
         "tfidf_top_terms": textops.tfidf_top_terms,
-        "quality_filter": textops.quality_filter,
+        "decontaminate_docs": textops.decontaminate_docs,
         # —— training-data pipeline: dataset management ——
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_fingerprints": textops.doc_fingerprints,
         "chunk_documents": textops.chunk_documents,
-        "decontaminate_docs": textops.decontaminate_docs,
+        "quality_filter": textops.quality_filter,
         "doc_repetition": textops.doc_repetition,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,
