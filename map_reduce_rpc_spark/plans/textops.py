@@ -320,7 +320,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk rather than the text so the output stays narrow; the digest
     also makes cross-engine equality exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_table(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_table(docs: DataFrame) -> DataFrame:
+    """Chunking plan over any (doc_id, text) frame — see
+    :func:`chunk_documents` for semantics and scale notes."""
     n_last = F.floor(
         (F.greatest(F.length("text"), F.lit(1)) - 1) / F.lit(CHUNK_STRIDE)
     )

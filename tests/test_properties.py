@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the hand-built operators.
+
+The oracle suite checks fixed corpora; these properties attack the
+operators with adversarial generated inputs — empty strings, equal
+timestamps, single-key pile-ups — where boundary bugs live. Example
+counts are kept small because each example runs a real Spark job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=700,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts)
+def test_chunking_reconstructs_every_document(spark, texts):
+    """Chunks tile the document exactly: the first `stride` chars of
+    each non-final chunk plus the whole final chunk reassemble the
+    original text, for any length incl. empty and sub-stride."""
+    from map_reduce_rpc_spark.plans.textops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = chunk_table(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # expected chunk list computed independently
+        n_chunks = max(1, -(-max(len(t), 1) // CHUNK_STRIDE))
+        exp = [t[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_SIZE] for k in range(n_chunks)]
+        assert [r.chunk_start for r in rows] == [k * CHUNK_STRIDE for k in range(n_chunks)]
+        assert [r.chunk_len for r in rows] == [len(c) for c in exp]
+        assert [r.chunk_md5 for r in rows] == [
+            hashlib.md5(c.encode()).hexdigest() for c in exp
+        ]
+        # tiling property
+        rebuilt = "".join(c[:CHUNK_STRIDE] for c in exp[:-1]) + exp[-1]
+        assert rebuilt == t
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=40),  # ts (collisions likely)
+        st.integers(min_value=-5, max_value=5),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_asof_rows, right=_asof_rows)
+def test_asof_backward_matches_reference_model(spark, left, right):
+    """Both as-of implementations must equal the obvious O(n*m) model:
+    latest right ts <= left ts per key, ties -> max payload."""
+    from map_reduce_rpc_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_cogrouped,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left)],
+        "row_id long, k long, lts long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in right], "k long, rts long, payload long"
+    )
+
+    def model(k, lts):
+        cands = [(t, p) for (rk, t, p) in right if rk == k and t <= lts]
+        return max(cands) if cands else (None, None)
+
+    expected = {
+        i: model(k, t) for i, (k, t, _) in enumerate(left)
+    }
+    for impl in (asof_join_backward, asof_join_cogrouped):
+        out = impl(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+        got = {r.row_id: (r.matched_ts_us, r.matched_payload) for r in out}
+        assert got == expected, impl.__name__
