@@ -35,10 +35,16 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     total = 0.0
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:  # one bad query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -53,6 +59,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
