@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import NON_LETTER_RE, quality_signals, tokens, word_ngrams
 from ..operators import dedup
-from ..tables import load_table
+from ..tables import load_table, spread_partitions
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -69,7 +69,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
+        spread_partitions(load_table(spark, sf_dir, "documents")),
         "doc_id",
         "text",
         n=NGRAM_N,
@@ -92,7 +92,7 @@ def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully hash-checked against a DuckDB oracle that recomputes the
     md5-derived signatures, buckets, and verify scores."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        spread_partitions(load_table(spark, sf_dir, "documents")),
         "doc_id",
         "text",
         n=NGRAM_N,
@@ -115,7 +115,7 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same banding + cap + verify and the driver still
     hash-checks the operator end to end."""
     return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
+        spread_partitions(load_table(spark, sf_dir, "documents")),
         "doc_id",
         "text",
         max_bucket=SIMHASH_MAX_BUCKET,
@@ -359,7 +359,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the per-doc rollup. Ratios are double divisions of exact
     integer counts, so the oracle compares bit-identically.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g")
     )

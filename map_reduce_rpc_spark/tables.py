@@ -51,6 +51,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Ensure compute-dense map work is not serialized by a
+    small-split scan.
+
+    A parquet table smaller than ``spark.sql.files.maxPartitionBytes``
+    scans as ONE partition, so everything fused into the scan stage
+    (tokenization, hashing, n-gram explosion) runs on one core while
+    the rest idle — the classic compute-per-byte / split-size
+    mismatch. Guarded: only repartitions when the scan yields fewer
+    splits than ``defaultParallelism``, so at 100 TB (thousands of
+    splits) this is a no-op and no shuffle is added. The shuffle it
+    does add at small scale moves raw input bytes once — trivially
+    cheaper than leaving (cores - 1) idle through the expensive map.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLE_NAMES:
