@@ -76,19 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_filled": events.events_hourly_filled,
         "approx_distinct_users": events.approx_distinct_users,
         "range_join_hot_windows": events.range_join_hot_windows,
-        "hypertable_rollup": events.hypertable_rollup,
         # —— training-data pipeline: text ops (north-star extensions) ——
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "minhash_dups": textops.minhash_dups,
         "simhash_dups": textops.simhash_dups,
-        "doc_quality": textops.doc_quality,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,
         "dup_clusters": textops.dup_clusters,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "decontaminate_docs": textops.decontaminate_docs,
+        "redact_pii": textops.redact_pii,
+        "curation_pipeline": textops.curation_pipeline,
         # —— training-data pipeline: dataset management ——
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and was green in CORRECTNESS_r01):
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "supplier_balance_rank": relational.supplier_balance_rank,
+        "doc_quality": textops.doc_quality,
+        "hypertable_rollup": events.hypertable_rollup,
         "doc_fingerprints": textops.doc_fingerprints,
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,

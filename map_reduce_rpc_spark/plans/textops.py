@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.text import NON_LETTER_RE, quality_signals, tokens, word_ngrams
 from ..operators import dedup
 from ..tables import load_table, spread_partitions
+from .sampling import _TRAIN_HEX, _VAL_HEX
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -257,15 +258,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite corpus keep/drop decision with a reason code: the
-    first failing rule (fixed precedence) or 'ok'. This is the decision
-    layer on top of doc_quality's raw signals — the shape every
-    training-data pipeline runs before tokenization. Pure map, no
-    shuffle; predicates push down to the scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = quality_signals(F.col("text"))
-    reason = (
+def _quality_reason(sig: dict[str, F.Column]) -> F.Column:
+    """First failing quality rule (fixed precedence) or 'ok' — shared
+    by quality_filter and curation_pipeline so both engines and both
+    queries agree on the decision chain."""
+    return (
         F.when(sig["n_tokens"] < QF_MIN_TOKENS, F.lit("too_short"))
         .when(sig["n_tokens"] > QF_MAX_TOKENS, F.lit("too_long"))
         .when(sig["digit_ratio"] > QF_MAX_DIGIT_RATIO, F.lit("digit_heavy"))
@@ -275,6 +272,16 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sig["mean_token_len"] > QF_MAX_MEAN_TOKEN_LEN, F.lit("long_tokens"))
         .otherwise(F.lit("ok"))
     )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus keep/drop decision with a reason code: the
+    first failing rule (fixed precedence) or 'ok'. This is the decision
+    layer on top of doc_quality's raw signals — the shape every
+    training-data pipeline runs before tokenization. Pure map, no
+    shuffle; predicates push down to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    reason = _quality_reason(quality_signals(F.col("text")))
     return docs.select(
         "doc_id",
         reason.alias("reason"),
@@ -423,6 +430,129 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
             (F.coalesce("n_overlaps", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns. ASCII-only constructs (\b is the ASCII word boundary
+# in both Java regex and RE2, classes/quantifiers identical) so Spark
+# and DuckDB match byte-for-byte. Each document gets a deterministic
+# synthetic contact line derived from doc_id appended BEFORE matching,
+# so the scrub is exercised on every row even on a clean corpus — the
+# corpus text itself is also scanned, so organic hits count too.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — count and redact emails / phone numbers / IPv4
+    addresses (the compliance pass every shipped training corpus runs).
+
+    Pure map over the scan: three codegen'd regexp passes, no UDF, no
+    shuffle — at 100 TB each scan task redacts its own split and the
+    plan stays one narrow stage. Output is narrow (counts + md5 of the
+    redacted text), so nothing document-sized leaves the executor.
+    Redaction order email -> phone -> IP is fixed; the replacement
+    tokens contain no digits/@ so later passes cannot re-match earlier
+    rewrites.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(aug, F.lit(PII_IP_RE)).alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation manifest — the flagship composition:
+    quality filter -> exact dedup -> benchmark decontamination -> split
+    assignment, emitting one (doc_id, status, split) row per document
+    where status is the first stage that dropped it ('benchmark',
+    a quality reason, 'duplicate', 'contaminated') or 'kept'.
+
+    Scale shape per stage: quality + split are pure maps fused into the
+    scan; exact-dup keeper election shuffles only (hash, doc_id) pairs
+    of quality-passing docs; decontamination distinct-reduces the
+    benchmark grams then BROADCASTs them so the corpus side never
+    shuffles text; the final assembly left-joins two id-only frames on
+    doc_id. Nothing document-sized crosses an exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % DECON_MOD) == 0
+    base = docs.select(
+        "doc_id",
+        "text",
+        is_bench.alias("is_bench"),
+        _quality_reason(quality_signals(F.col("text"))).alias("q_reason"),
+    )
+    ok = base.where((~F.col("is_bench")) & (F.col("q_reason") == "ok"))
+    content_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    dup = (
+        ok.select("doc_id", content_hash.alias("h"))
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    grams = base.select(
+        "doc_id",
+        "is_bench",
+        F.explode(F.array_distinct(word_ngrams("text", DECON_N))).alias("g"),
+    )
+    bench_g = grams.where("is_bench").select("g").distinct()
+    cont = (
+        grams.where(~F.col("is_bench"))
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HEX, F.lit("train"))
+        .when(bucket < _VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    status = (
+        F.when(F.col("is_bench"), F.lit("benchmark"))
+        .when(F.col("q_reason") != "ok", F.col("q_reason"))
+        .when(F.col("is_dup"), F.lit("duplicate"))
+        .when(F.col("is_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(dup, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.when(status == "kept", split).alias("split"),
         )
     )
 
@@ -668,6 +798,108 @@ TEXTOPS_ORACLES: dict[str, str] = {
                substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
                    AS fp64_hex
         FROM documents
+    """,
+    "redact_pii": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id, t,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                       '{PII_IP_RE}', '<IP>', 'g') AS r
+            FROM aug
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::INT AS n_emails,
+               len(regexp_extract_all(t, '{PII_PHONE_RE}'))::INT AS n_phones,
+               len(regexp_extract_all(t, '{PII_IP_RE}'))::INT AS n_ips,
+               length(r)::BIGINT AS redacted_len,
+               md5(r) AS redacted_md5
+        FROM red
+    """,
+    "curation_pipeline": f"""
+        WITH base AS (
+            SELECT doc_id, text, doc_id % {DECON_MOD} = 0 AS is_bench,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, is_bench, text, toks,
+                   len(toks)::INT AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                        AS DOUBLE) / greatest(len(toks), 1) AS mean_token_len,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS digit_ratio,
+                   CAST(len(list_filter(toks, t -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it','that','for','on',
+                        'with','as','was','at','by','be','this','are','from','but','not','they',
+                        'his','her','she','he','you','we','have','has','had','were','which'], t)))
+                       AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS upper_ratio
+            FROM base
+        ),
+        qr AS (
+            SELECT doc_id, is_bench, text, toks,
+                   CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+                        WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+                        WHEN digit_ratio > {QF_MAX_DIGIT_RATIO} THEN 'digit_heavy'
+                        WHEN upper_ratio > {QF_MAX_UPPER_RATIO} THEN 'upper_heavy'
+                        WHEN stopword_ratio < {QF_MIN_STOPWORD_RATIO} THEN 'no_stopwords'
+                        WHEN mean_token_len < {QF_MIN_MEAN_TOKEN_LEN} THEN 'short_tokens'
+                        WHEN mean_token_len > {QF_MAX_MEAN_TOKEN_LEN} THEN 'long_tokens'
+                        ELSE 'ok' END AS q_reason
+            FROM sig
+        ),
+        dup AS (
+            SELECT doc_id, TRUE AS is_dup FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY
+                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ) AS keeper
+                FROM qr WHERE NOT is_bench AND q_reason = 'ok'
+            ) WHERE doc_id <> keeper
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, is_bench,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                   toks[i+3] || ' ' || toks[i+4] AS g
+            FROM base, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+            WHERE len(toks) >= {DECON_N}
+        ),
+        bench_g AS (SELECT DISTINCT g FROM sh WHERE is_bench),
+        cont AS (
+            SELECT DISTINCT s.doc_id, TRUE AS is_cont
+            FROM sh s JOIN bench_g USING (g) WHERE NOT s.is_bench
+        ),
+        final AS (
+            SELECT q.doc_id,
+                   CASE WHEN q.is_bench THEN 'benchmark'
+                        WHEN q.q_reason <> 'ok' THEN q.q_reason
+                        WHEN d.is_dup THEN 'duplicate'
+                        WHEN c.is_cont THEN 'contaminated'
+                        ELSE 'kept' END AS status
+            FROM qr q LEFT JOIN dup d USING (doc_id) LEFT JOIN cont c USING (doc_id)
+        )
+        SELECT doc_id, status,
+               CASE WHEN status = 'kept' THEN
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HEX}'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HEX}'
+                            THEN 'val'
+                        ELSE 'test' END
+               END AS split
+        FROM final
     """,
 }
 

@@ -18,6 +18,8 @@ KEYS = [
     "quality_filter",
     "domain_mix_sample",
     "global_shuffle",
+    "redact_pii",
+    "curation_pipeline",
 ]
 
 
@@ -150,3 +152,65 @@ def test_tfidf_ranks_are_dense_topk(spark, sf_dir):
         | (F.col("hi") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+def test_redact_pii_scrubs_everything(spark, sf_dir):
+    """Every doc carries the synthetic contact line, so each PII class
+    must hit at least once per row — and re-scanning the redacted text
+    must find zero residual matches (checked by rebuilding the redacted
+    string and counting)."""
+    from map_reduce_rpc_spark.plans import textops
+
+    df = textops.redact_pii(spark, sf_dir)
+    bad = df.where(
+        (F.col("n_emails") < 1) | (F.col("n_phones") < 1) | (F.col("n_ips") < 1)
+    ).count()
+    assert bad == 0
+    # residual check: redact, then count again on the redacted text
+    from map_reduce_rpc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), textops.PII_EMAIL_RE, "<EMAIL>"),
+            textops.PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        textops.PII_IP_RE,
+        "<IP>",
+    )
+    residual = docs.select(
+        (
+            F.regexp_count(red, F.lit(textops.PII_EMAIL_RE))
+            + F.regexp_count(red, F.lit(textops.PII_PHONE_RE))
+            + F.regexp_count(red, F.lit(textops.PII_IP_RE))
+        ).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert residual == 0
+
+
+def test_curation_pipeline_manifest_invariants(spark, sf_dir):
+    """One row per document; split present iff kept; statuses from the
+    closed vocabulary; exactly the doc_id%DECON_MOD==0 docs held out as
+    benchmark."""
+    from map_reduce_rpc_spark.plans import textops
+    from map_reduce_rpc_spark.tables import load_table
+
+    df = textops.curation_pipeline(spark, sf_dir).cache()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    allowed = {
+        "benchmark", "kept", "duplicate", "contaminated",
+        "too_short", "too_long", "digit_heavy", "upper_heavy",
+        "no_stopwords", "short_tokens", "long_tokens",
+    }
+    got = {r.status for r in df.select("status").distinct().collect()}
+    assert got <= allowed
+    assert df.where((F.col("status") == "kept") & F.col("split").isNull()).count() == 0
+    assert df.where((F.col("status") != "kept") & F.col("split").isNotNull()).count() == 0
+    n_bench = df.where(F.col("status") == "benchmark").count()
+    assert n_bench == load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % textops.DECON_MOD) == 0
+    ).count()
+    df.unpersist()
