@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rows-only by design (engine-specific outputs; recall/decode
         # math asserted in tests/test_similarity.py, test_multimodal.py):
         "ann_ivf_topk": vectors.ann_ivf_topk,
+        "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "srp_near_dups": vectors.srp_near_dups,
         "image_features_mm": multimodal.image_features_mm,
         "audio_features_mm": multimodal.audio_features_mm,

@@ -330,3 +330,86 @@ def srp_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — trains the IVF cell assignment when no
+# natural block column exists. The reference has no clustering; this is
+# the Spark-idiomatic iterative-algorithm pattern (cf. operators/graph.py).
+# ---------------------------------------------------------------------------
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns
+    ``(id, cell)`` — the trained inverted-file partitioner for
+    :func:`ivf_topk`.
+
+    Per iteration: centroids are embedded in the plan as a LITERAL
+    array (k x dim doubles — bytes, not a join), so assignment is a
+    narrow map fused into the scan (argmin over ``transform`` +
+    ``array_min``, all codegen); the update is ONE groupBy shuffle
+    carrying (cell, per-dim partial sums) — map-side combined, so the
+    exchange moves k x dim doubles per upstream partition regardless of
+    row count. The driver holds only the k x dim centroid matrix per
+    round (the same contract as MLlib's KMeans). Deterministic:
+    init picks the k rows with the smallest md5(id) — uniform,
+    engine-portable, and stable under appends of later ids only if
+    hashes exceed existing picks; empty cells keep their previous
+    centroid.
+
+    At 1B vectors: iters x (narrow scan + k*dim-wide exchange) — no
+    all-pairs term anywhere; the scan dominates, as it should.
+    """
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if dim is None:
+        dim = len(base.select("v").first()["v"])
+    init_rows = (
+        base.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["v"]) for r in init_rows]
+
+    def _assigned() -> DataFrame:
+        # ONE nested-array literal node (not k*dim Column objects) —
+        # keeps per-iteration plan analysis O(1) instead of O(k*dim).
+        cent_arr = F.lit([[float(x) for x in c] for c in cents])
+        d2 = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # first minimal index (ties broken by position — deterministic)
+        cell = F.array_position(d2, F.array_min(d2)).cast("int") - F.lit(1)
+        return base.withColumn("cell", cell)
+
+    for _ in range(iters):
+        # update via posexplode -> (cell, pos) partial sums: same
+        # map-side-combined k*dim exchange volume as a k*dim-column
+        # aggregate, but trivially codegen-able (a wide sum-per-column
+        # aggregate costs ~3x this in compile time alone).
+        sums = (
+            _assigned()
+            .select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
+        for row in sums:
+            new_cents[row["cell"]][row["pos"]] = row["s"] / row["n"]
+        cents = new_cents
+
+    return _assigned().select("id", "cell")

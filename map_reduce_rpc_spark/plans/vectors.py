@@ -62,6 +62,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 over TRAINED cells: distributed Lloyd's k-means
+    (operators/similarity.kmeans_cells) learns the inverted file, then
+    the same probe plan as ann_ivf_topk runs against it. Rows-only
+    check (float centroid sums are engine/partition-order specific);
+    tests/test_similarity.py asserts determinism, inertia descent, and
+    recall at least matching the label-block IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.kmeans_cells(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64
+    ).withColumnRenamed("id", "vec_id")
+    return similarity.ivf_topk(
+        emb.join(cells, "vec_id"),
+        QUERY_IDS,
+        k=TOP_K,
+        nprobe=3,
+        block_col="cell",
+        dim=64,
+    )
+
+
 def srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH cosine near-dup pairs (>= 0.9), exact-verified.
     Rows-only check (signature hashing is engine-specific); recall is

@@ -107,3 +107,61 @@ def test_srp_agrees_with_exact_on_natural_data(spark, emb):
     exact = similarity.blocked_near_dup_pairs(emb, threshold=0.9).count()
     srp = similarity.srp_near_dup_pairs(emb, threshold=0.9).count()
     assert exact == 0 and srp == 0
+
+
+def test_kmeans_cells_partition_and_determinism(spark, emb):
+    """Every vector gets exactly one cell in [0, k); the whole
+    pipeline is deterministic (md5-ordered init, fixed iterations, tie
+    break by centroid position) so two independent runs must agree
+    exactly."""
+    a = similarity.kmeans_cells(emb, k=4, iters=2, dim=64).collect()
+    b = similarity.kmeans_cells(emb, k=4, iters=2, dim=64).collect()
+    n = emb.count()
+    assert len(a) == n
+    assert all(0 <= r["cell"] < 4 for r in a)
+    assert sorted((r["id"], r["cell"]) for r in a) == sorted(
+        (r["id"], r["cell"]) for r in b
+    )
+
+
+def test_kmeans_iterations_reduce_inertia(spark, emb):
+    """Lloyd's invariant: total within-cell squared distance never
+    increases with more iterations (measured against each run's own
+    final centroids via the per-cell mean)."""
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def inertia(iters: int) -> float:
+        cells = similarity.kmeans_cells(emb, k=4, iters=iters, dim=64).collect()
+        by_cell: dict[int, list] = {}
+        for r in cells:
+            by_cell.setdefault(r["cell"], []).append(vecs[r["id"]])
+        total = 0.0
+        for vs in by_cell.values():
+            m = np.mean(vs, axis=0)
+            total += sum(float(np.sum((v - m) ** 2)) for v in vs)
+        return total
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-6, f"inertia rose: {i1} -> {i3}"
+
+
+def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_dir):
+    """Trained cells must make probing pay: recall@10 above the
+    nprobe/k scanned fraction (and in practice well above the
+    label-block IVF at the same budget)."""
+    from map_reduce_rpc_spark.plans import vectors
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vectors.similarity_topk(spark, sf_dir).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"])
+        for r in vectors.ann_kmeans_topk(spark, sf_dir).collect()
+    }
+    recall = len(km & brute) / len(brute)
+    scanned = 3 / vectors.KMEANS_K
+    assert recall > scanned, f"recall {recall} <= scanned fraction {scanned}"
