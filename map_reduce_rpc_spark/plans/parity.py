@@ -151,7 +151,10 @@ def udtf_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic as kv_pipeline, so the DuckDB regex oracle matches."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, word string")
+    # Arrow-batched UDTF (ArrowEvalPythonUDTF, not row-pickled
+    # BatchEvalPythonUDTF) — same ~10-100x serialization win as
+    # pandas_udf vs F.udf; asserted by tests/test_plan_invariants.py.
+    @udtf(returnType="pos int, word string", useArrow=True)
     class FirstTokens:
         def eval(self, text: str):
             word: list[str] = []
