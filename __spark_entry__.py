@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_line_arrays": relational.order_line_arrays,
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "daily_revenue_moving": relational.daily_revenue_moving,
+        "window_kitchen_sink": relational.window_kitchen_sink,
         "cube_sales": relational.cube_sales,
         "grouping_sets_sales": relational.grouping_sets_sales,
         "approx_percentile_bounds": relational.approx_percentile_bounds,

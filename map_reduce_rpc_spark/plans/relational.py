@@ -336,6 +336,32 @@ def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + offset window functions beyond the ranking set:
+    ntile / percent_rank / cume_dist / lag / lead / nth_value and
+    unbounded-frame first/last — one window spec reused so Spark plans
+    a single sort per partition. Tie-broken by o_orderkey so every
+    function is deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(full).alias("cheapest_in_pri"),
+        F.last("o_totalprice").over(full).alias("dearest_in_pri"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_cheapest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar function library showcase
 # ---------------------------------------------------------------------------
@@ -735,6 +761,24 @@ RELATIONAL_ORACLES: dict[str, str] = {
                    AS running_bal
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "window_kitchen_sink": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ntile(4) OVER w::INT AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               first_value(o_totalprice) OVER wf AS cheapest_in_pri,
+               last_value(o_totalprice) OVER wf AS dearest_in_pri,
+               nth_value(o_totalprice, 2) OVER wf AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
     """,
     "scalar_kitchen_sink": """
         SELECT o_orderkey,
