@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row past 50; each is hash-checked by tests/test_relational.py
         # and was green in CORRECTNESS_r01):
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "inverted_index_topn": parity.inverted_index_topn,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
         "hypertable_rollup": events.hypertable_rollup,

@@ -2,9 +2,14 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": ...}
+Prints ONE compact JSON line on stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": ...,
+   "queries": {...top 10 slowest...}}
+The full per-query timing map goes to stderr (and an earlier stdout
+line) so the driver's bounded tail-capture always sees the final
+summary line intact. (Round 2 embedded all 79 timings in the final
+line, ~4.5 KB, which overflowed the driver's tail buffer and left
+BENCH_r02.json unparsed.)
 
 Each query is timed end-to-end including the action (count of the
 result — forces full execution without driver-side collect of data).
@@ -51,15 +56,23 @@ def main() -> None:
         print(f"  {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map: stderr + an EARLY stdout line (not the final one).
+    full = {"per_query_sec": timings, **({"errors": errors} if errors else {})}
+    print(json.dumps(full), file=sys.stderr)
+    print(json.dumps(full))
+    # Final stdout line: compact, guaranteed to fit the driver's tail buffer.
+    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"errors": errors} if errors else {}),
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "queries": slow10,
             }
         )
     )

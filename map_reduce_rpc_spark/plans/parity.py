@@ -64,6 +64,55 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Posting-list cap for inverted_index_topn — the 100 TB form of the
+# inverted index (see SCALE.md). The parity query above keeps the
+# reference's unbounded semantics (indexer.go:38-41: ALL docs per word
+# in one reduce buffer / output cell); at scale a stopword's posting
+# list is O(corpus), so the catalog's recommended variant keeps the
+# exact per-word doc count but only the first N doc ids.
+INDEX_TOPN = 10
+
+
+def inverted_index_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded inverted index: word -> (exact distinct-doc count, the
+    first INDEX_TOPN doc ids lexicographically).
+
+    Scale shape (vs the parity ``inverted_index``): per-doc word dedup
+    happens map-side (``array_distinct`` before the explode — no
+    shuffle, and it makes (doc, word) pairs globally unique since each
+    row is one doc), then ONE exchange on ``word`` serves both the
+    row_number window and the final groupBy (exchange reuse). The agg
+    buffer holds at most INDEX_TOPN docs per word — ``collect_list``
+    over ``when(rn <= N)`` drops the tail before it is buffered —
+    while ``count(*)`` keeps the doc frequency exact. A stopword costs
+    O(df) rows through the sort, never O(df) bytes in one buffer or
+    one output cell.
+
+    Reference shape being bounded: plugins/indexer.go:38-41.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.explode(F.array_distinct(tokens("text"))).alias("word"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("word").orderBy("doc"))
+    return (
+        pairs.withColumn("rn", rn)
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("int").alias("doc_count"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= INDEX_TOPN, F.col("doc")))
+                ),
+            ).alias("top_docs"),
+        )
+    )
+
+
 def file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count per document.
 
@@ -218,6 +267,28 @@ PARITY_ORACLES: dict[str, str] = {
                count(*)::INT AS doc_count,
                string_agg(doc, ',' ORDER BY doc) AS docs
         FROM pairs
+        GROUP BY word
+    """,
+    "inverted_index_topn": f"""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc, word
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '{NON_LETTER_RE}')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+        ),
+        ranked AS (
+            SELECT doc, word,
+                   row_number() OVER (PARTITION BY word ORDER BY doc) AS rn
+            FROM pairs
+        )
+        SELECT word,
+               count(*)::INT AS doc_count,
+               coalesce(string_agg(CASE WHEN rn <= {INDEX_TOPN} THEN doc END,
+                                   ',' ORDER BY doc), '') AS top_docs
+        FROM ranked
         GROUP BY word
     """,
     "file_counts": f"""

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import NON_LETTER_RE, quality_signals, tokens, word_ngrams
 from ..operators import dedup
+from ..operators.similarity import _plan_size_bytes
 from ..tables import load_table, spread_partitions
 from .sampling import _TRAIN_HEX, _VAL_HEX
 
@@ -61,7 +62,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact-jaccard pair list is the shared intermediate of
 # ngram_jaccard_dups and dup_clusters; materialize it once per sf_dir
 # (persisted — it's a handful of id pairs) instead of re-running the
-# inverted-index join per consumer.
+# inverted-index join per consumer. Capped at ONE entry: a session
+# sweeping many sf dirs must not accumulate persisted frames, so the
+# previous entry is unpersisted on replacement.
 _PAIRS_CACHE: dict[str, DataFrame] = {}
 
 
@@ -69,6 +72,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIRS_CACHE.get(sf_dir)
     if cached is not None:
         return cached
+    for old_key in list(_PAIRS_CACHE):
+        _PAIRS_CACHE.pop(old_key).unpersist()
     pairs = dedup.ngram_jaccard_pairs(
         spread_partitions(load_table(spark, sf_dir, "documents")),
         "doc_id",
@@ -395,6 +400,41 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (stands in for "the eval set"), overlap on distinct word DECON_N-grams.
 DECON_MOD = 100
 DECON_N = 5
+# Broadcast the bench gram set only while Catalyst estimates it under
+# this; above it, fall back to a shuffle join (same auto pattern as
+# blocked_near_dup_pairs). Real eval sets fit easily; the synthetic
+# membership rule (1% of the corpus) would not at 100 TB.
+DECON_BCAST_MAX_BYTES = 64 << 20
+
+
+def _gram_overlap_hits(sh: DataFrame) -> DataFrame:
+    """(doc_id, is_bench, g) -> (doc_id, n_overlaps) for non-bench docs
+    sharing >= 1 gram with the bench set.
+
+    Scale shape: grams are hashed to 60-bit ints (portable_hash60)
+    BEFORE the distinct/join, so the bench build side carries 8-byte
+    keys instead of ~40-byte strings and the probe side never shuffles
+    text. The bench side is broadcast only while Catalyst's size
+    estimate stays under DECON_BCAST_MAX_BYTES — past that (an
+    O(corpus) synthetic eval set) it degrades to a hash-partitioned
+    join on the 8-byte key rather than dying on the broadcast. The
+    DuckDB oracle hashes identically, so the driver still hash-checks
+    end to end.
+    """
+    hashed = sh.select(
+        "doc_id", "is_bench", dedup.portable_hash60(F.col("g")).alias("gh")
+    )
+    bench = hashed.where("is_bench").select("gh").distinct()
+    est = _plan_size_bytes(bench)
+    if est is not None and est <= DECON_BCAST_MAX_BYTES:
+        bench = F.broadcast(bench)
+    return (
+        hashed.where(~F.col("is_bench"))
+        .select("doc_id", "gh")
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlaps"))
+    )
 
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,26 +442,18 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 5-gram with the benchmark set (the eval-overlap scrub every
     serious training corpus runs; GPT-3/Pile-style n-gram collision).
 
-    Scale shape: the benchmark side is distinct-reduced then BROADCAST,
-    so the 100 TB corpus side never shuffles — each scan task probes
-    the in-memory gram set and aggregates per doc locally (the count
-    agg keys on doc_id, whose rows are already co-located within a
-    scan task's docs... the final groupBy is the only exchange, and it
-    carries one row per contaminated doc-gram hit, not corpus text).
+    Scale shape: see _gram_overlap_hits — hashed 8-byte gram keys,
+    bench side distinct-reduced then broadcast under a size estimate
+    (shuffle join past it), corpus text never crosses an exchange.
     """
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % DECON_MOD == 0
     sh = docs.select(
         "doc_id",
+        is_bench.alias("is_bench"),
         F.explode(F.array_distinct(word_ngrams("text", DECON_N))).alias("g"),
     )
-    bench = sh.where(is_bench).select("g").distinct()
-    hits = (
-        sh.where(~is_bench)
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlaps"))
-    )
+    hits = _gram_overlap_hits(sh)
     return (
         docs.where(~is_bench)
         .select("doc_id")
@@ -525,13 +557,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_bench",
         F.explode(F.array_distinct(word_ngrams("text", DECON_N))).alias("g"),
     )
-    bench_g = grams.where("is_bench").select("g").distinct()
-    cont = (
-        grams.where(~F.col("is_bench"))
-        .join(F.broadcast(bench_g), "g")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_cont", F.lit(True))
+    cont = _gram_overlap_hits(grams).select(
+        "doc_id", F.lit(True).alias("is_cont")
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = (
@@ -566,16 +593,22 @@ TEXTOPS_ORACLES: dict[str, str] = {
             FROM documents
         ),
         sh AS (
-            SELECT DISTINCT doc_id,
-                   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
-                   ts[i+3] || ' ' || ts[i+4] AS g
-            FROM toks, unnest(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
-            WHERE len(ts) >= {DECON_N}
+            -- distinct at the STRING level (matches array_distinct),
+            -- then hash to the 60-bit key the engine joins on
+            SELECT doc_id,
+                   ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh
+            FROM (
+                SELECT DISTINCT doc_id,
+                       ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                       ts[i+3] || ' ' || ts[i+4] AS g
+                FROM toks, unnest(range(1, len(ts) - {DECON_N} + 2)) AS u(i)
+                WHERE len(ts) >= {DECON_N}
+            )
         ),
-        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECON_MOD} = 0),
+        bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % {DECON_MOD} = 0),
         hits AS (
             SELECT s.doc_id, count(*) AS n_overlaps
-            FROM sh s JOIN bench USING (g)
+            FROM sh s JOIN bench USING (gh)
             WHERE s.doc_id % {DECON_MOD} <> 0
             GROUP BY 1
         )
@@ -871,16 +904,22 @@ TEXTOPS_ORACLES: dict[str, str] = {
             ) WHERE doc_id <> keeper
         ),
         sh AS (
-            SELECT DISTINCT doc_id, is_bench,
-                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                   toks[i+3] || ' ' || toks[i+4] AS g
-            FROM base, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
-            WHERE len(toks) >= {DECON_N}
+            -- distinct at the STRING level (matches array_distinct),
+            -- then hash to the 60-bit key the engine joins on
+            SELECT doc_id, is_bench,
+                   ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh
+            FROM (
+                SELECT DISTINCT doc_id, is_bench,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4] AS g
+                FROM base, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+                WHERE len(toks) >= {DECON_N}
+            )
         ),
-        bench_g AS (SELECT DISTINCT g FROM sh WHERE is_bench),
+        bench_g AS (SELECT DISTINCT gh FROM sh WHERE is_bench),
         cont AS (
             SELECT DISTINCT s.doc_id, TRUE AS is_cont
-            FROM sh s JOIN bench_g USING (g) WHERE NOT s.is_bench
+            FROM sh s JOIN bench_g USING (gh) WHERE NOT s.is_bench
         ),
         final AS (
             SELECT q.doc_id,

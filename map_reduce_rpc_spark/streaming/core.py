@@ -47,6 +47,13 @@ STREAM_SCHEMA_DDL = (
 _query_seq = itertools.count()
 _replay_cache: dict[tuple[str, int], str] = {}
 
+# Executed physical plans of recently finished streaming runs, captured
+# by run_available_now for the plan-shape gate (streaming plans are not
+# reachable from the drained batch result, so the harness records them
+# here). Bounded ring; (memory-sink name, plan string) pairs.
+EXECUTED_PLANS: list[tuple[str, str]] = []
+_EXECUTED_PLANS_MAX = 32
+
 
 def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 2) -> str:
     """Materialize the events table as an ordered chunk directory:
@@ -161,6 +168,11 @@ def run_available_now(sdf: DataFrame, spark: SparkSession, output_mode: str = "a
             .start()
         )
         q.awaitTermination()
+        try:
+            EXECUTED_PLANS.append((name, q._jsq.explainInternal(True)))
+            del EXECUTED_PLANS[:-_EXECUTED_PLANS_MAX]
+        except Exception:
+            pass  # py4j surface drift must not fail the query itself
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

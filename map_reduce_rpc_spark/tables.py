@@ -36,18 +36,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects unless this legacy conf is on. Set it at runtime so
-        # ANY session (including externally-constructed ones) can read it —
-        # relying on the session builder alone breaks callers that bring
-        # their own SparkSession. Runtime-settable conf; no-op if already set.
+        # Some testdata generations store ts as TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects unless this legacy conf is
+        # on. Set it at runtime so ANY session (including
+        # externally-constructed ones) can read it — relying on the
+        # session builder alone breaks callers that bring their own
+        # SparkSession. Runtime-settable conf; no-op if already set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the session tz so the NTZ->LTZ normalization below (and
+        # every downstream hour/date extraction) is value-identical to
+        # DuckDB's naive reading even under an externally-built session
+        # (the driver brings its own). session.py already sets UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong; integer-div to micros
-        # (exact — no double roundtrip), matching DuckDB's nanos->micros
-        # truncation.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # Normalize ts to TIMESTAMP (LTZ) micros whatever the parquet
+        # physical type of this testdata generation:
+        #   - TIMESTAMP(NANOS) read via nanosAsLong -> bigint: integer-
+        #     div to micros (exact — no double roundtrip), matching
+        #     DuckDB's nanos->micros truncation.
+        #   - timestamp[us] without tz -> TIMESTAMP_NTZ: cast to LTZ.
+        #     The session timezone is pinned to UTC (session.py), so
+        #     the cast is value-identical to DuckDB's naive reading.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -163,3 +163,42 @@ def test_write_quarantine_split_one_pass(spark, tmp_path):
     # partition values come back as strings (no bool type inference)
     assert back.where("is_bad = 'true'").count() == 1
     assert back.where("is_bad = 'false'").count() == 2
+
+
+def _snapshot_dir(root: str) -> dict[str, tuple[float, str]]:
+    """path -> (mtime, md5) for every file under root."""
+    import hashlib
+
+    snap: dict[str, tuple[float, str]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            snap[os.path.relpath(p, root)] = (os.stat(p).st_mtime, digest)
+    return snap
+
+
+def test_write_finalization_is_immutable(spark, tmp_path):
+    """early_exit analog (/root/reference/test-mr.sh:229-283): once the
+    first writer returns, the output directory must never change —
+    no file may appear, disappear, or be rewritten by later work.
+    Spark's commit protocol gives this (task temp dirs + atomic job
+    commit = the reference's os.Rename finalization, mr/worker.go);
+    this pins it: snapshot listing+mtimes+checksums after write, run
+    more actions (including another write elsewhere), re-compare."""
+    df = spark.createDataFrame(
+        [("b", "2"), ("a", "1"), ("c", "3")], ["key", "value"]
+    )
+    out = str(tmp_path / "final_txt")
+    sinks.write_kv_text(df, out, num_partitions=2)
+    snap1 = _snapshot_dir(out)
+    assert any(p.startswith("part-") for p in snap1), snap1
+
+    # subsequent actions: a read of the written output, a second write
+    # to a sibling dir, and an unrelated aggregation
+    assert spark.read.text(out).count() == 3
+    sinks.write_kv_text(df, str(tmp_path / "final_txt2"), num_partitions=2)
+    df.groupBy("key").count().collect()
+
+    assert _snapshot_dir(out) == snap1  # byte-stable after finalization
