@@ -368,6 +368,14 @@ def kmeans_cells(
     all-pairs term anywhere; the scan dominates, as it should.
     """
     base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    # Cache the parsed (id, vec) projection for the training loop: each
+    # Lloyd's iteration is an action, and without this every iteration
+    # re-scans the source and re-casts the array (MLlib caches its
+    # input for the same reason). MEMORY_AND_DISK so a 1B-vector table
+    # degrades to spill, not OOM; released after the last update.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if dim is None:
         dim = len(base.select("v").first()["v"])
     init_rows = (
@@ -412,4 +420,8 @@ def kmeans_cells(
             new_cents[row["cell"]][row["pos"]] = row["s"] / row["n"]
         cents = new_cents
 
-    return _assigned().select("id", "cell")
+    out = _assigned().select("id", "cell")
+    # The returned plan re-derives from the (now final) literal
+    # centroids; drop the training cache so it doesn't outlive the fit.
+    base.unpersist()
+    return out

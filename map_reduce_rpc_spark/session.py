@@ -39,7 +39,12 @@ def get_spark(app_name: str = "map_reduce_rpc_spark", cpus: str | None = None) -
         # timestamp — read as long and convert in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode puts driver + all 32 executor threads in ONE JVM:
+        # an 8g heap showed multi-second GC stalls that randomly spiked
+        # individual bench queries ~10s late in an 80-query run. 24g
+        # (box has 128 GiB) keeps full-GC pauses out of the timings; on
+        # a real cluster this maps to per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
