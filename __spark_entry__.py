@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         # Rows-only by design (engine-specific outputs; recall/decode
         # math asserted in tests/test_similarity.py, test_multimodal.py):
+        "image_resize_mm": multimodal.image_resize_mm,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "srp_near_dups": vectors.srp_near_dups,

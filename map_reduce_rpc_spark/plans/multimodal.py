@@ -49,6 +49,27 @@ def frame_checksums_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_checksums(mm.synthesize_media(spark, sf_dir), every_n=2)
 
 
+RESIZE_W, RESIZE_H = 16, 12
+
+
+def image_resize_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize with a fully hash-checked decode: the nearest-
+    neighbor resize runs in numpy inside mapInPandas (the REAL decode
+    path — swap decode_image's fallback for Pillow in production), and
+    the output buffer is digested in hex space so the DuckDB oracle can
+    replay byte selection exactly: output byte i maps to source byte
+    ((y*h//out_h)*w + (x*w//out_w))*3 + c, tiled mod 256 over the
+    synthetic blob."""
+    media = mm.synthesize_media(spark, sf_dir)
+    resized = mm.resize_images(media, RESIZE_W, RESIZE_H)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.sha2(F.lower(F.hex("data")), 256).alias("resized_sha"),
+    )
+
+
 # Shared synthesis CTE — must mirror operators/multimodal.synthesize_media
 # expression-for-expression.
 _MEDIA_CTE = """
@@ -112,3 +133,40 @@ MULTIMODAL_ORACLES: dict[str, str] = {
     # image_features_mm / audio_features_mm: decode-side pixel/PCM
     # math, rows-only (numpy cross-checked in tests).
 }
+
+# Resize oracle: replay the nearest-neighbor byte selection in hex
+# space. Output buffer is RESIZE_W*RESIZE_H*3 bytes; byte i decomposes
+# as y = i // (W*3), x = (i % (W*3)) // 3, c = i % 3; its source index
+# is ((y*h // RESIZE_H)*w + (x*w // RESIZE_W))*3 + c, and the synthetic
+# blob tiles every 256 bytes (512 hex chars).
+MULTIMODAL_ORACLES["image_resize_mm"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               repeat(sha256(text), 8) AS hexstr,
+               ((doc_id % 7 + 2) * 8)::BIGINT AS w,
+               ((doc_id % 5 + 2) * 8)::BIGINT AS h
+        FROM documents
+        WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'image'
+    ),
+    outbytes AS (
+        SELECT media_id, hexstr, w, h,
+               CAST(unnest(range(0, {RESIZE_W * RESIZE_H * 3})) AS BIGINT) AS i
+        FROM m
+    ),
+    mapped AS (
+        SELECT media_id, i,
+               substring(
+                   hexstr,
+                   2 * (((((i // {RESIZE_W * 3}) * h // {RESIZE_H}) * w
+                          + ((i % {RESIZE_W * 3}) // 3) * w // {RESIZE_W}) * 3
+                         + i % 3) % 256) + 1,
+                   2) AS hx
+        FROM outbytes
+    )
+    SELECT media_id,
+           {RESIZE_W} AS width,
+           {RESIZE_H} AS height,
+           sha256(string_agg(hx, '' ORDER BY i)) AS resized_sha
+    FROM mapped
+    GROUP BY media_id
+"""
