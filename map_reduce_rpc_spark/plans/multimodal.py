@@ -1,14 +1,15 @@
 """Multimodal queries for the driver contract.
 
 The media table is synthesized deterministically from ``documents``
-(operators/multimodal.py), so catalog- and plan-level queries have full
-DuckDB oracles — including a blob round-trip digest
-(``sha2(hex(data))``) that proves the binary payloads are byte-equal
-across engines — and so does the frame-checksum decode stage (the
-slice digests run in hex space, which SQL can reproduce). The
-remaining decode-side operators (pixel/PCM math inside mapInPandas)
-are not SQL-expressible; they get rows-only driver checks plus numpy
-cross-checks in tests/test_multimodal.py.
+(operators/multimodal.py), so EVERY query here — catalog, frame plan,
+and all four decode stages (frame checksums, resize, pixel features,
+PCM features) — carries a full DuckDB oracle. The trick throughout is
+replaying byte selection in hex space (2 hex chars per byte of the
+256-byte tiled blob) and keeping the math on exact integers: digests
+hash the slice's hex, and the float outputs (channel means, rms) are
+double divisions/sqrt of exact integer sums, which both engines
+compute bit-identically. numpy cross-checks remain in
+tests/test_multimodal.py as semantic (not just parity) coverage.
 """
 
 from __future__ import annotations
@@ -130,9 +131,72 @@ MULTIMODAL_ORACLES: dict[str, str] = {
                                 128)) AS frame_sha
         FROM frames
     """,
-    # image_features_mm / audio_features_mm: decode-side pixel/PCM
-    # math, rows-only (numpy cross-checked in tests).
+    # image_features_mm / audio_features_mm: the decode-side pixel/PCM
+    # math is replayed below in hex space with exact-integer sums, so
+    # even the float outputs hash-match: channel means are double
+    # divisions of exact ints, rms is sqrt of an exact int over 2048
+    # (a power of two — the division is exact), and numpy's pairwise
+    # summation is irrelevant because every partial sum of byte/sample
+    # squares stays below 2^53.
 }
+
+# Pixel means: source byte for pixel i, channel c is blob[(i*3+c) % 256]
+# (the synthetic decode tiles the 256-byte blob over the w*h*3 grid).
+MULTIMODAL_ORACLES["image_features_mm"] = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               repeat(sha256(text), 8) AS hexstr,
+               ((doc_id % 7 + 2) * 8)::BIGINT AS w,
+               ((doc_id % 5 + 2) * 8)::BIGINT AS h
+        FROM documents
+        WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'image'
+    ),
+    vals AS (
+        SELECT media_id, w, h, i % 3 AS c,
+               ('0x' || substring(hexstr, 2 * (i % 256) + 1, 2))::BIGINT AS v
+        FROM (SELECT media_id, hexstr, w, h,
+                     CAST(unnest(range(0, w * h * 3)) AS BIGINT) AS i
+              FROM m)
+    ),
+    chans AS (
+        SELECT media_id,
+               sum(CASE WHEN c = 0 THEN v END)::DOUBLE / (w * h) AS mean_r,
+               sum(CASE WHEN c = 1 THEN v END)::DOUBLE / (w * h) AS mean_g,
+               sum(CASE WHEN c = 2 THEN v END)::DOUBLE / (w * h) AS mean_b
+        FROM vals GROUP BY media_id, w, h
+    )
+    SELECT media_id, mean_r, mean_g, mean_b,
+           (mean_r + mean_g + mean_b) / 3 AS brightness
+    FROM chans
+"""
+
+# PCM samples: little-endian int16 pairs over the tiled blob —
+# sample k = signed(blob[(2k) % 256] + 256 * blob[(2k+1) % 256]).
+MULTIMODAL_ORACLES["audio_features_mm"] = """
+    WITH m AS (
+        SELECT doc_id AS media_id, repeat(sha256(text), 8) AS hexstr
+        FROM documents
+        WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'audio'
+    ),
+    raw AS (
+        SELECT media_id,
+               ('0x' || substring(hexstr, 2 * ((2 * k) % 256) + 1, 2))::BIGINT
+               + 256 * ('0x' || substring(hexstr, 2 * ((2 * k + 1) % 256) + 1, 2))::BIGINT
+                   AS u
+        FROM (SELECT media_id, hexstr,
+                     CAST(unnest(range(0, 2048)) AS BIGINT) AS k
+              FROM m)
+    ),
+    pcm AS (
+        SELECT media_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        FROM raw
+    )
+    SELECT media_id,
+           sqrt(sum(s * s)::DOUBLE / 2048) AS rms,
+           max(abs(s))::INT AS peak,
+           2048 AS n_samples
+    FROM pcm GROUP BY media_id
+"""
 
 # Resize oracle: replay the nearest-neighbor byte selection in hex
 # space. Output buffer is RESIZE_W*RESIZE_H*3 bytes; byte i decomposes
