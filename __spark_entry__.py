@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_topn": parity.inverted_index_topn,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
+        "dup_clusters_star": textops.dup_clusters_star,
         "hypertable_rollup": events.hypertable_rollup,
         "doc_fingerprints": textops.doc_fingerprints,
         "chunk_documents": textops.chunk_documents,

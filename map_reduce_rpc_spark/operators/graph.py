@@ -85,6 +85,107 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction — the O(log n)-round MapReduce CC algorithm (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Why this exists next to :func:`connected_components`: min-label
+    propagation needs rounds = graph DIAMETER, which is fine for
+    near-dup cliques (diameter 1-3) but pathological for chain-shaped
+    graphs (a 10^6-node path needs 10^6 rounds). Star contraction
+    halves component height every round regardless of shape, so it is
+    the 100 TB-safe default when the dup-graph shape is unknown.
+
+    Each round is two grouped aggregations + joins on node id (same
+    shuffle key both phases), localCheckpoint()ed to keep lineage O(1).
+
+    - large-star: for each node u with m = min(N(u) ∪ {u}), connect
+      every LARGER neighbor v > u to m (operates on the symmetric
+      edge set);
+    - small-star: direct edges large→small, then for each u connect
+      every neighbor (all ≤ u) and u itself to m = min(N(u) ∪ {u}).
+
+    Fixpoint: the directed edge set stops changing; every node then
+    points at its component's minimum id.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical large→small
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star over the symmetric set
+        sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(
+                F.greatest(F.col("v"), F.col("m")).alias("u"),
+                F.least(F.col("v"), F.col("m")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star over the directed (large→small) set
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_und = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))  # v ≥ m
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test: directed edge sets equal <=> same count and
+        # empty difference (both sides are distinct canonical pairs)
+        same_count = new_und.count() == und.count()
+        if same_count and new_und.exceptAll(und).count() == 0:
+            und = new_und
+            converged = True
+            break
+        und = new_und
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge within {max_iter} "
+            "rounds (needs O(log n)); labels may be incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # final star: u -> v is (node -> component min); minima map to themselves
+    return nodes.join(
+        und.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("comp"), F.col("node")).alias("component")
+    )
+
+
 def dedup_keepers(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Cluster the dup pairs and pick the keeper (min id) per cluster:
     (node, component, is_keeper) — drop rows where is_keeper is false

@@ -221,6 +221,21 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star contraction
+    (operators/graph.connected_components_star) — O(log n) rounds
+    regardless of graph shape, vs rounds = diameter for min-label
+    propagation. The 100 TB-safe default when the dup-graph shape is
+    unknown (chains, not just cliques); identical output, same
+    recursive-CTE oracle."""
+    from ..operators.graph import connected_components_star
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_TOPK terms per document.
 
@@ -1092,3 +1107,6 @@ TEXTOPS_ORACLES["dup_clusters"] = f"""
     SELECT node AS doc_id, min(r) AS component
     FROM reach GROUP BY node
 """
+
+# Identical output contract, different iteration strategy — same oracle.
+TEXTOPS_ORACLES["dup_clusters_star"] = TEXTOPS_ORACLES["dup_clusters"]

@@ -1,0 +1,62 @@
+"""Connected components: min-label propagation vs large-star/small-star
+contraction must produce identical (node, component) maps on every
+graph shape — including the chain graphs where propagation's
+rounds-equals-diameter cost is pathological and star contraction's
+O(log n) bound is the point."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from map_reduce_rpc_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _components(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+CASES = {
+    # worst case for propagation: one long path (diameter = n)
+    "path": [(i, i + 1) for i in range(120)],
+    # best case / dup-graph shape: disjoint cliques
+    "cliques": [
+        (g * 10 + i, g * 10 + j)
+        for g in range(12)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    ],
+    # hub + an unrelated far-away pair
+    "star+pair": [(0, i) for i in range(1, 40)] + [(1000, 1001)],
+}
+_rng = random.Random(7)
+CASES["random"] = [
+    (a, b)
+    for a, b in ((_rng.randrange(300), _rng.randrange(300)) for _ in range(250))
+    if a != b
+]
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_star_matches_propagation(spark, name):
+    df = spark.createDataFrame(CASES[name], ["id_a", "id_b"])
+    prop = _components(connected_components(df, max_iter=200))
+    star = _components(connected_components_star(df))
+    assert star == prop
+
+
+def test_star_converges_in_log_rounds_on_path(spark):
+    """A 120-node path must converge well inside max_iter=25 (the
+    O(log n) contract); propagation would need 120 rounds."""
+    import warnings
+
+    df = spark.createDataFrame(CASES["path"], ["id_a", "id_b"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # non-convergence raises
+        out = _components(connected_components_star(df, max_iter=25))
+    # a path is one component labeled by its min node
+    assert out == {(i, 0) for i in range(121)}
