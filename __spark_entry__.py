@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,
         "doc_repetition": textops.doc_repetition,
+        "stream_events_etl": streams.stream_events_etl,
+        "salted_user_counts": events.salted_user_counts,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,

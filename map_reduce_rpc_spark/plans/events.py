@@ -53,6 +53,27 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type through the skew-proof
+    two-phase salted aggregation (operators/scale.salted_distinct_count):
+    salt = hash(value) mod 16, per-(key, salt) distinct counts sum to
+    the exact global distinct because each value maps to one salt.
+
+    Why it's in the catalog: event streams are power-law — one hot
+    event_type can hold most of the corpus, and a plain
+    countDistinct(key) funnels that key's whole value set through one
+    aggregation buffer. The salted form caps any single buffer at
+    ~1/16th of the hot key while staying EXACT (hash-checked against a
+    plain COUNT(DISTINCT) oracle).
+    """
+    from ..operators.scale import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", n_salts=16).select(
+        "event_type", F.col("n_distinct").alias("n_users")
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): sessions per user
     with length stats. Window lag + conditional cumsum — the canonical
@@ -263,6 +284,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    # The salted two-phase plan must equal a plain exact distinct.
+    "salted_user_counts": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "range_join_hot_windows": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n

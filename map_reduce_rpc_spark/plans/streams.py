@@ -87,6 +87,27 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless map-only streaming normalization — the continuous-ETL
+    pattern (parse, extract, project; no watermark, no state): each
+    arriving event emits immediately as a typed row (json scalar
+    pulled from props, value normalized to exact cents, hour bucket).
+    At 100 TB/day this is the always-on landing-zone normalizer whose
+    cost is exactly one narrow stage; unchunked replay because nothing
+    is watermark-driven."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    s = core.read_events_stream(spark, replay_dir, chunked=False)
+    out = s.where(F.col("user_id") != core.SENTINEL_USER).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    return core.run_available_now(out, spark)
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event delivered twice (two identical stream scans
     unioned); the dedup stage must emit each event_id exactly once."""
@@ -125,6 +146,13 @@ _SESSION_CTE = """
 """
 
 STREAMS_ORACLES: dict[str, str] = {
+    "stream_events_etl": """
+        SELECT event_id, user_id, event_type,
+               date_trunc('hour', ts) AS hour,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    """,
     "stream_sliding_counts": """
         WITH wins AS (
             SELECT event_type,
