@@ -13,6 +13,23 @@ BENCH_r02.json unparsed.)
 
 Each query is timed end-to-end including the action (count of the
 result — forces full execution without driver-side collect of data).
+
+Session recycling (round 4): running all 84 queries in ONE local[32]
+JVM accumulates driver-side state — AppStatusStore stage/task entries,
+streaming state-store providers awaiting the 60 s maintenance unload,
+broadcast/shuffle blocks pending a GC-driven ContextCleaner pass. In
+round 3 that debris produced a positional cliff: every query from
+registry position ~70 on ran 3-11x slower than the identical plan in
+round 2. The fix is to recycle the SparkSession every
+$SPARK_GRAFT_BENCH_RECYCLE queries (default 21): stop() tears down
+state stores, the status store, and shuffle dirs, and the next
+getOrCreate starts clean in the same JVM. This is also the honest
+model of production, where each query family runs in its own job, not
+one immortal driver. Diagnostics:
+  SPARK_GRAFT_BENCH_ORDER=reversed  run the registry backwards — if
+    the slow set follows position, it's harness debris; if it follows
+    the query, it's the plan.
+  SPARK_GRAFT_BENCH_RECYCLE=0       disable recycling (round-3 mode).
 """
 
 from __future__ import annotations
@@ -25,34 +42,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "21"))
 
 
-def main() -> None:
-    import __spark_entry__ as entry_mod
+def _fresh_session():
+    """Start a session and pay the one-time warmup outside any timing."""
     from map_reduce_rpc_spark.session import get_spark
 
     spark = get_spark("bench")
-
-    qs = entry_mod.queries()
-    timings: dict[str, float] = {}
-
-    # warm the JVM + parquet footers once with a trivial action
+    # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     # Pre-build the streaming replay dir (test scaffolding: replays the
     # events table as an arriving-files stream; production sources are
-    # Kafka/landing dirs that already exist). Keeps the one-time
-    # events->chunk parquet write out of the first stream query's
-    # timing; the queries themselves still run their full replay.
+    # Kafka/landing dirs that already exist). Disk-cached across
+    # sessions, so recycled sessions pay only a stat().
     try:
         from map_reduce_rpc_spark.streaming.core import build_replay_dir
 
         build_replay_dir(spark, SF_DIR)
     except Exception as exc:
         print(f"  replay prebuild skipped: {exc}", file=sys.stderr)
+    return spark
 
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    qs = list(entry_mod.queries().items())
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reversed":
+        qs.reverse()
+        print("  (registry order REVERSED for diagnosis)", file=sys.stderr)
+
+    spark = _fresh_session()
+    timings: dict[str, float] = {}
     total = 0.0
     errors: dict[str, str] = {}
-    for name, fn in qs.items():
+    since_recycle = 0
+    for name, fn in qs:
+        if RECYCLE_EVERY > 0 and since_recycle >= RECYCLE_EVERY:
+            t0 = time.perf_counter()
+            spark.stop()
+            spark = _fresh_session()
+            since_recycle = 0
+            print(
+                f"  [session recycled in {time.perf_counter() - t0:.1f}s]",
+                file=sys.stderr,
+            )
+        since_recycle += 1
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)

@@ -26,6 +26,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _snapshot(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` with a retry + persist fallback.
+
+    Eager localCheckpoint in Spark 4.x can throw a spurious
+    INTERNAL_ERROR ("The localCheckpoint action failed") under a
+    long-lived session with concurrent cleanup — observed ~1/85 runs in
+    the bench harness; the identical call succeeds on retry. One retry
+    absorbs the race; if that also fails, fall back to persist+count,
+    which keeps results correct (lineage merely stays deep for this one
+    round).
+    """
+    for attempt in (0, 1):
+        try:
+            return df.localCheckpoint()
+        except Exception:  # Py4JJavaError; retry once
+            if attempt == 1:
+                break
+    out = df.persist()
+    out.count()
+    return out
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
 ) -> DataFrame:
@@ -37,9 +59,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _snapshot(
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    )
 
     converged = False
     for _ in range(max_iter):
@@ -48,7 +70,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _snapshot(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -56,7 +78,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -111,20 +132,18 @@ def connected_components_star(
     Fixpoint: the directed edge set stops changing; every node then
     points at its component's minimum id.
     """
-    und = (
+    und = _snapshot(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # canonical large→small
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = _snapshot(
         und.select(F.col("u").alias("node"))
         .union(und.select("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     converged = False
@@ -148,7 +167,7 @@ def connected_components_star(
         )
         # -- small-star over the directed (large→small) set
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        new_und = (
+        new_und = _snapshot(
             large.join(m2, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))  # v ≥ m
             .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
@@ -157,7 +176,6 @@ def connected_components_star(
                 F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
         )
         # fixpoint test: directed edge sets equal <=> same count and
         # empty difference (both sides are distinct canonical pairs)
@@ -176,12 +194,19 @@ def connected_components_star(
             RuntimeWarning,
             stacklevel=2,
         )
-    # final star: u -> v is (node -> component min); minima map to themselves
-    return nodes.join(
-        und.select(F.col("u").alias("node"), F.col("v").alias("comp")),
-        "node",
-        "left",
-    ).select(
+    # final star: u -> v is (node -> component min); minima map to
+    # themselves. The min-aggregate keeps the output a FUNCTION
+    # node -> component even if max_iter ran out before the edge set
+    # became star-shaped (a node could then still carry several
+    # outgoing edges; without the aggregate it would emit one row per
+    # edge and downstream dedup would see duplicate doc ids). On a
+    # converged (star) edge set the groupBy is a semantic no-op.
+    comp_map = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
+    )
+    return nodes.join(comp_map, "node", "left").select(
         "node", F.coalesce(F.col("comp"), F.col("node")).alias("component")
     )
 

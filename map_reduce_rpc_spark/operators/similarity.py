@@ -162,36 +162,65 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
-    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: per-block mean centroids; each query probes only
     the ``nprobe`` blocks whose centroids score highest, then exact
     cosine within those blocks.
+
+    When ``centroids`` is given (block i -> centroids[i], e.g. the
+    matrix :func:`kmeans_fit` already trained), the per-block mean
+    aggregation is skipped entirely — the k x dim floats become a
+    local relation on the driver, so the probe phase costs zero scans.
+    Otherwise centroids are derived with a dimension-free
+    posexplode -> (blk, pos) mean -> re-assemble aggregate (same
+    exchange volume as a wide per-element avg, but O(1) plan nodes
+    instead of O(dim), and no driver round-trip to discover dim).
 
     Recall < 1 by design; tested against brute_force_topk. At scale the
     block column comes from k-means (or any partitioner); the plan —
     broadcast centroids, prune scan by block, window top-k — is
     unchanged.
     """
+    # No norm here: the candidate norm is computed AFTER the probe join
+    # prunes to nprobe blocks, so non-probed rows cost only the narrow
+    # (id, blk, vec) projection — at 1B vectors that's the difference
+    # between normming the whole corpus and normming the scanned
+    # fraction. (With the corpus parquet partitioned by block, the
+    # probe filter also becomes a partition-pruning predicate.)
     base = emb.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("blk"),
         _as_double(vec_col).alias("_v"),
-    ).withColumn("_n", l2_norm(F.col("_v")))
-    if dim is None:
-        # driver round-trip — pass dim explicitly in query paths
-        dim = len(base.select("_v").first()["_v"])
-    centroids = base.groupBy("blk").agg(
-        F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("cent")
     )
+    if centroids is not None:
+        centroids_df = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "blk int, cent array<double>",
+        )
+    else:
+        centroids_df = (
+            base.select("blk", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("blk", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("blk")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+        )
     queries = base.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn")
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        l2_norm(F.col("_v")).alias("_qn"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cent_cos").desc(), F.col("blk")
     )
     probed = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(F.broadcast(centroids_df))
         .select(
             "query_id",
             "_qv",
@@ -209,7 +238,9 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
-        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias("cos"),
+        (
+            dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * l2_norm(F.col("_v")))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -339,17 +370,46 @@ def srp_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def kmeans_cells(
+def assign_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add an argmin-squared-distance cell column from LITERAL
+    centroids: a narrow codegen map — no join, no shuffle, no scan of
+    a centroid table. The k x dim doubles ride the plan as ONE nested
+    literal node, so plan analysis stays O(1) in k*dim. Ties break to
+    the lowest cell index (array_position finds the first minimum) —
+    deterministic.
+    """
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    v = _as_double(vec_col)
+    d2 = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cell = F.array_position(d2, F.array_min(d2)).cast("int") - F.lit(1)
+    return emb.withColumn(out_col, cell)
+
+
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     iters: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column; returns
-    ``(id, cell)`` — the trained inverted-file partitioner for
-    :func:`ivf_topk`.
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over an embedding column; returns the trained
+    ``k x dim`` centroid matrix AND the ``(id, cell)`` assignment —
+    the inverted-file partitioner + probe table for :func:`ivf_topk`.
+    Callers that need ANN after training should pass the centroid
+    matrix straight to ``ivf_topk(centroids=...)`` instead of letting
+    it re-aggregate per-block means the fit already computed.
 
     Per iteration: centroids are embedded in the plan as a LITERAL
     array (k x dim doubles — bytes, not a join), so assignment is a
@@ -376,8 +436,6 @@ def kmeans_cells(
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    if dim is None:
-        dim = len(base.select("v").first()["v"])
     init_rows = (
         base.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -387,29 +445,13 @@ def kmeans_cells(
     )
     cents: list[list[float]] = [list(r["v"]) for r in init_rows]
 
-    def _assigned() -> DataFrame:
-        # ONE nested-array literal node (not k*dim Column objects) —
-        # keeps per-iteration plan analysis O(1) instead of O(k*dim).
-        cent_arr = F.lit([[float(x) for x in c] for c in cents])
-        d2 = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # first minimal index (ties broken by position — deterministic)
-        cell = F.array_position(d2, F.array_min(d2)).cast("int") - F.lit(1)
-        return base.withColumn("cell", cell)
-
     for _ in range(iters):
         # update via posexplode -> (cell, pos) partial sums: same
         # map-side-combined k*dim exchange volume as a k*dim-column
         # aggregate, but trivially codegen-able (a wide sum-per-column
         # aggregate costs ~3x this in compile time alone).
         sums = (
-            _assigned()
+            assign_cells(base, cents, vec_col="v")
             .select("cell", F.posexplode("v"))
             .groupBy("cell", "pos")
             .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
@@ -420,8 +462,20 @@ def kmeans_cells(
             new_cents[row["cell"]][row["pos"]] = row["s"] / row["n"]
         cents = new_cents
 
-    out = _assigned().select("id", "cell")
+    out = assign_cells(base, cents, vec_col="v").select("id", "cell")
     # The returned plan re-derives from the (now final) literal
     # centroids; drop the training cache so it doesn't outlive the fit.
     base.unpersist()
-    return out
+    return cents, out
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`kmeans_fit`, assignment only — kept for callers that just
+    need the ``(id, cell)`` partitioner."""
+    return kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)[1]

@@ -62,18 +62,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact-jaccard pair list is the shared intermediate of
 # ngram_jaccard_dups and dup_clusters; materialize it once per sf_dir
 # (persisted — it's a handful of id pairs) instead of re-running the
-# inverted-index join per consumer. Capped at ONE entry: a session
-# sweeping many sf dirs must not accumulate persisted frames, so the
-# previous entry is unpersisted on replacement.
-_PAIRS_CACHE: dict[str, DataFrame] = {}
+# inverted-index join per consumer. Keyed by (applicationId, sf_dir):
+# a DataFrame is bound to the SparkContext that built it, so an entry
+# must never outlive its session (a harness that recycles sessions —
+# bench.py does — would otherwise get a handle into a stopped JVM
+# context: exactly the round-4 dup_clusters_star failure). Capped at
+# ONE entry: a session sweeping many sf dirs must not accumulate
+# persisted frames, so the previous entry is unpersisted on
+# replacement (best-effort — its session may already be gone).
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _PAIRS_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
     for old_key in list(_PAIRS_CACHE):
-        _PAIRS_CACHE.pop(old_key).unpersist()
+        try:
+            _PAIRS_CACHE.pop(old_key).unpersist()
+        except Exception:  # entry from an already-stopped session
+            pass
     pairs = dedup.ngram_jaccard_pairs(
         spread_partitions(load_table(spark, sf_dir, "documents")),
         "doc_id",
@@ -82,7 +91,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         max_df=MAX_SHINGLE_DF,
     ).persist()
-    _PAIRS_CACHE[sf_dir] = pairs
+    _PAIRS_CACHE[key] = pairs
     return pairs
 
 

@@ -58,7 +58,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned fraction; with real k-means cells the same plan gives
     recall >> scanned fraction.)"""
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=5, dim=64
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=5
     )
 
 
@@ -68,22 +68,24 @@ KMEANS_ITERS = 4
 
 def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 over TRAINED cells: distributed Lloyd's k-means
-    (operators/similarity.kmeans_cells) learns the inverted file, then
-    the same probe plan as ann_ivf_topk runs against it. Rows-only
+    (operators/similarity.kmeans_fit) learns the inverted file, then
+    the same probe plan as ann_ivf_topk runs against it. The fitted
+    centroid matrix flows straight into the serving plan: cell
+    assignment is a narrow literal-argmin map (assign_cells — no join
+    with an assignment table) and ivf_topk(centroids=...) skips the
+    per-block mean re-aggregation the fit already did. Rows-only
     check (float centroid sums are engine/partition-order specific);
     tests/test_similarity.py asserts determinism, inertia descent, and
     recall at least matching the label-block IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = similarity.kmeans_cells(
-        emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=64
-    ).withColumnRenamed("id", "vec_id")
+    cents, _cells = similarity.kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return similarity.ivf_topk(
-        emb.join(cells, "vec_id"),
+        similarity.assign_cells(emb, cents),
         QUERY_IDS,
         k=TOP_K,
         nprobe=3,
         block_col="cell",
-        dim=64,
+        centroids=cents,
     )
 
 

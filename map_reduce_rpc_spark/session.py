@@ -25,6 +25,20 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """min(24g, ~half of MemAvailable), floor 2g. /proc is Linux-only;
+    anywhere it's missing, fall back to the 24g the target box uses."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "24g"
+
+
 def get_spark(app_name: str = "map_reduce_rpc_spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     spark = (
@@ -41,10 +55,12 @@ def get_spark(app_name: str = "map_reduce_rpc_spark", cpus: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Local mode puts driver + all 32 executor threads in ONE JVM:
         # an 8g heap showed multi-second GC stalls that randomly spiked
-        # individual bench queries ~10s late in an 80-query run. 24g
-        # (box has 128 GiB) keeps full-GC pauses out of the timings; on
-        # a real cluster this maps to per-executor memory instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # individual bench queries ~10s late in an 80-query run. Size
+        # the default to the HOST (min(24g, ~half of MemAvailable)) so
+        # the same default neither GC-thrashes this 128 GiB box nor
+        # invites OOM kills on a small laptop; on a real cluster this
+        # maps to per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -47,7 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # every downstream hour/date extraction) is value-identical to
         # DuckDB's naive reading even under an externally-built session
         # (the driver brings its own). session.py already sets UTC.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # SESSION-WIDE side effect, so: only when it differs, with a
+        # warning — a caller whose session deliberately runs in another
+        # timezone should see the mutation, not discover it later.
+        if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+            import warnings
+
+            warnings.warn(
+                "load_table('events') sets spark.sql.session.timeZone=UTC "
+                "for the WHOLE session (required for oracle-identical "
+                "timestamp semantics); your session had a different zone",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Normalize ts to TIMESTAMP (LTZ) micros whatever the parquet

@@ -114,8 +114,8 @@ def test_kmeans_cells_partition_and_determinism(spark, emb):
     pipeline is deterministic (md5-ordered init, fixed iterations, tie
     break by centroid position) so two independent runs must agree
     exactly."""
-    a = similarity.kmeans_cells(emb, k=4, iters=2, dim=64).collect()
-    b = similarity.kmeans_cells(emb, k=4, iters=2, dim=64).collect()
+    a = similarity.kmeans_cells(emb, k=4, iters=2).collect()
+    b = similarity.kmeans_cells(emb, k=4, iters=2).collect()
     n = emb.count()
     assert len(a) == n
     assert all(0 <= r["cell"] < 4 for r in a)
@@ -134,7 +134,7 @@ def test_kmeans_iterations_reduce_inertia(spark, emb):
     vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
 
     def inertia(iters: int) -> float:
-        cells = similarity.kmeans_cells(emb, k=4, iters=iters, dim=64).collect()
+        cells = similarity.kmeans_cells(emb, k=4, iters=iters).collect()
         by_cell: dict[int, list] = {}
         for r in cells:
             by_cell.setdefault(r["cell"], []).append(vecs[r["id"]])
