@@ -43,10 +43,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering contract: the correctness checker records rows for the
     FIRST 50 entries only, so slots 1-50 hold one fully-oracled query
-    per distinct operator family. The tail holds (a) oracled variants
-    of families already checked in the window (kept green by the same
-    pytest oracles) and (b) the rows-only queries whose outputs are
-    engine-specific by design (ANN recall, pixel/PCM decode).
+    per distinct operator family. Round 4 ROTATED the window: ~9
+    long-certified-stable queries (lang_id, token_counts, media
+    catalog/plan, redact_pii, split/stratified sampling, rolling
+    fingerprints, decontaminate) moved to the tail and the tail
+    families the driver had never certified (cube, grouping sets,
+    window kitchen sink, star-contraction clusters, bounded inverted
+    index, stateless stream ETL, salted aggregation, hypertable
+    rollup, and the newly-oracled srp_near_dups) moved in. Rotated-out
+    queries stay hash-checked by the pytest oracle replicas
+    (tests/oracle.py). The tail's last entries are the only two
+    rows-only queries left: ann_ivf_topk / ann_kmeans_topk, whose
+    recall-not-values outputs are engine-specific by design.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # —— reference parity (SURVEY.md §2.2) ——
@@ -81,17 +89,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "minhash_dups": textops.minhash_dups,
         "simhash_dups": textops.simhash_dups,
-        "lang_id": textops.lang_id,
-        "token_counts": textops.token_counts,
-        "rolling_fingerprints": textops.rolling_fingerprints,
         "dup_clusters": textops.dup_clusters,
+        "dup_clusters_star": textops.dup_clusters_star,
         "tfidf_top_terms": textops.tfidf_top_terms,
-        "decontaminate_docs": textops.decontaminate_docs,
-        "redact_pii": textops.redact_pii,
         "curation_pipeline": textops.curation_pipeline,
+        "inverted_index_topn": parity.inverted_index_topn,
+        # —— relational tail families rotated into the window (round 4) ——
+        "cube_sales": relational.cube_sales,
+        "grouping_sets_sales": relational.grouping_sets_sales,
+        "window_kitchen_sink": relational.window_kitchen_sink,
+        "hypertable_rollup": events.hypertable_rollup,
+        "salted_user_counts": events.salted_user_counts,
         # —— training-data pipeline: dataset management ——
-        "split_assign": sampling.split_assign,
-        "stratified_sample": sampling.stratified_sample,
         "pack_sequences": sampling.pack_sequences,
         "table_profile": sampling.table_profile,
         # —— structured streaming (stream/batch parity) ——
@@ -100,29 +109,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_sessions": streams.stream_stateful_sessions,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_dedup_events": streams.stream_dedup_events,
+        "stream_events_etl": streams.stream_events_etl,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,
+        "srp_near_dups": vectors.srp_near_dups,
         # —— training-data pipeline: multimodal columns ——
-        "media_catalog": multimodal.media_catalog,
-        "media_frame_plan": multimodal.media_frame_plan,
         "frame_checksums_mm": multimodal.frame_checksums_mm,
         # ================= end of the 50-slot checked window =================
-        # Oracled variants of families checked above (driver records no
-        # row past 50; each is hash-checked by tests/test_relational.py
-        # and was green in CORRECTNESS_r01):
+        # Oracled queries past the driver window (each hash-checked by
+        # the pytest oracle replicas in tests/; the first nine were
+        # driver-certified green in CORRECTNESS_r01-r03 before rotating
+        # out in round 4):
+        "lang_id": textops.lang_id,
+        "token_counts": textops.token_counts,
+        "rolling_fingerprints": textops.rolling_fingerprints,
+        "decontaminate_docs": textops.decontaminate_docs,
+        "redact_pii": textops.redact_pii,
+        "split_assign": sampling.split_assign,
+        "stratified_sample": sampling.stratified_sample,
+        "media_catalog": multimodal.media_catalog,
+        "media_frame_plan": multimodal.media_frame_plan,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "inverted_index_topn": parity.inverted_index_topn,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
-        "dup_clusters_star": textops.dup_clusters_star,
-        "hypertable_rollup": events.hypertable_rollup,
         "doc_fingerprints": textops.doc_fingerprints,
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,
         "doc_repetition": textops.doc_repetition,
-        "stream_events_etl": streams.stream_events_etl,
-        "salted_user_counts": events.salted_user_counts,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,
@@ -135,18 +149,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_line_arrays": relational.order_line_arrays,
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "daily_revenue_moving": relational.daily_revenue_moving,
-        "window_kitchen_sink": relational.window_kitchen_sink,
-        "cube_sales": relational.cube_sales,
-        "grouping_sets_sales": relational.grouping_sets_sales,
         "approx_percentile_bounds": relational.approx_percentile_bounds,
-        # Rows-only by design (engine-specific outputs; recall/decode
-        # math asserted in tests/test_similarity.py, test_multimodal.py):
+        # Multimodal decode stages (fully oracled since round 3 via
+        # hex-domain exact-integer feature oracles):
         "image_resize_mm": multimodal.image_resize_mm,
-        "ann_ivf_topk": vectors.ann_ivf_topk,
-        "ann_kmeans_topk": vectors.ann_kmeans_topk,
-        "srp_near_dups": vectors.srp_near_dups,
         "image_features_mm": multimodal.image_features_mm,
         "audio_features_mm": multimodal.audio_features_mm,
+        # Rows-only by design — the ONLY two left (ANN recall is
+        # engine-specific; recall/determinism/inertia asserted in
+        # tests/test_similarity.py):
+        "ann_ivf_topk": vectors.ann_ivf_topk,
+        "ann_kmeans_topk": vectors.ann_kmeans_topk,
     }
     return q
 

@@ -256,6 +256,28 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+# Quantization scale for the portable SRP projection: embeddings are
+# floor()ed to integers at 2^20 resolution so the plane dot products
+# are EXACT integer sums — order-independent, hence bit-identical
+# between numpy matmul (pairwise summation) and the oracle's SQL fold
+# (sequential). 64 dims x |q| <~ 2^21 stays far under 2^63.
+SRP_QUANT = 1 << 20
+
+
+def srp_plane_sign(seed: int, j: int, d: int) -> int:
+    """±1 hyperplane entry for bit j, dimension d — md5-derived so the
+    DuckDB oracle regenerates the identical family:
+    ``('0x' || substring(md5('srp:'||seed||':'||j||':'||d), 1, 1))::BIGINT % 2``.
+    Rademacher (±1) planes give the same sign-projection LSH family as
+    Gaussian ones (SimHash uses them), and unlike Gaussian draws they
+    need no RNG state an external engine can't replay.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"srp:{seed}:{j}:{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 1 else -1
+
+
 def srp_signatures(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -266,27 +288,35 @@ def srp_signatures(
     """64-bit sign-random-projection signature per vector.
 
     P(bit agrees) = 1 - angle/pi, so hamming distance estimates cosine.
-    The N x dim @ dim x n_bits projection runs as numpy matmul inside
-    Arrow batches (mapInPandas) — the one place BLAS beats codegen;
-    hyperplanes are regenerated deterministically (seeded rng) inside
-    each task, nothing is shuffled but (id, sig) longs.
+    The N x dim @ dim x n_bits projection runs as numpy integer matmul
+    inside Arrow batches (mapInPandas) — the one place BLAS beats
+    codegen; hyperplanes are regenerated deterministically
+    (:func:`srp_plane_sign`) inside each task, nothing is shuffled but
+    (id, sig) longs. Bit j of the signature is
+    ``sum_d floor(v[d]*2^20) * s(j,d) > 0`` — all-integer, so an
+    ANSI-SQL oracle reproduces every bit exactly.
     """
     import numpy as np
     import pandas as pd
 
     def project(batches):
-        rng_planes: dict[int, "np.ndarray"] = {}
+        planes: dict[int, "np.ndarray"] = {}
         weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["_v"].values).astype(np.float64)
+            Q = np.floor(V * float(SRP_QUANT)).astype(np.int64)
             dim = V.shape[1]
-            if dim not in rng_planes:
-                rng_planes[dim] = np.random.default_rng(seed).standard_normal(
-                    (dim, n_bits)
+            if dim not in planes:
+                planes[dim] = np.array(
+                    [
+                        [srp_plane_sign(seed, j, d) for j in range(n_bits)]
+                        for d in range(dim)
+                    ],
+                    dtype=np.int64,
                 )
-            bits = (V @ rng_planes[dim]) > 0
+            bits = (Q @ planes[dim]) > 0
             sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
             yield pd.DataFrame(
                 {"id": pdf["_id"].values, "sig": sigs.view(np.int64)}

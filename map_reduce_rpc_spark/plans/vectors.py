@@ -20,6 +20,13 @@ from ..tables import load_table
 QUERY_IDS = list(range(8))
 TOP_K = 10
 NEAR_DUP_THRESHOLD = 0.9
+# SRP family parameters — must mirror operators/similarity defaults
+# (srp_signatures seed/n_bits, srp_near_dup_pairs bands) so the oracle
+# replays the identical hash family.
+SRP_SEED = 42
+SRP_BITS = 64
+SRP_BANDS = 8
+SRP_BAND_WIDTH = SRP_BITS // SRP_BANDS
 
 # sequential-order dot product of two DOUBLE[] lists in DuckDB SQL —
 # list_dot_product would also work, but an explicit fold keeps the
@@ -90,11 +97,15 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH cosine near-dup pairs (>= 0.9), exact-verified.
-    Rows-only check (signature hashing is engine-specific); recall is
-    proven on planted near-duplicates in tests/test_similarity.py.
-    The natural table has no pairs above threshold (max pairwise cos
-    ~0.6), so agreement with embedding_near_dups is also asserted."""
+    """SRP-LSH cosine near-dup pairs (>= 0.9), exact-verified — FULLY
+    oracled: the md5-derived ±1 hyperplanes and the integer-quantized
+    projection (operators/similarity.srp_plane_sign / SRP_QUANT) are
+    replayed bit-for-bit by the DuckDB oracle below
+    (signatures -> bands -> bucket join -> exact-cosine verify).
+    Recall is additionally proven on planted near-duplicates in
+    tests/test_similarity.py; the natural table has no pairs above
+    threshold (max pairwise cos ~0.6), so agreement with
+    embedding_near_dups is asserted there too."""
     return similarity.srp_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
     )
@@ -131,5 +142,47 @@ VECTORS_ORACLES: dict[str, str] = {
                {_cos("a.v", "b.v")} AS cos
         FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_cos("a.v", "b.v")} >= {NEAR_DUP_THRESHOLD}
+    """,
+    # Replays the full SRP pipeline bit-for-bit: ±1 hyperplane entries
+    # from md5 (srp_plane_sign), embeddings floor-quantized to ints at
+    # 2^20 (SRP_QUANT) so projection sums are exact integers in both
+    # engines, 8 bands x 8 bits, bucket join, exact-cosine verify with
+    # the pinned sequential fold (_cos).
+    "srp_near_dups": f"""
+        WITH base AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        quant AS (
+            SELECT id, t.i - 1 AS d,
+                   CAST(floor(v[t.i] * {similarity.SRP_QUANT}) AS BIGINT) AS q
+            FROM base, unnest(range(1, len(v) + 1)) AS t(i)
+        ),
+        bits AS (
+            SELECT id, tj.j AS j,
+                   SUM(q * (CASE WHEN ('0x' || substring(
+                            md5('srp:{SRP_SEED}:' || tj.j || ':' || d),
+                            1, 1))::BIGINT % 2 = 1 THEN 1 ELSE -1 END)) > 0 AS bit
+            FROM quant, unnest(range(0, {SRP_BITS})) AS tj(j)
+            GROUP BY id, tj.j
+        ),
+        bands AS (
+            SELECT id, j // {SRP_BAND_WIDTH} AS band_idx,
+                   SUM(CASE WHEN bit
+                       THEN (1::BIGINT << (j % {SRP_BAND_WIDTH})) ELSE 0 END
+                   ) AS band_val
+            FROM bits GROUP BY id, j // {SRP_BAND_WIDTH}
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.id < b.id
+        )
+        SELECT id_a, id_b, cos FROM (
+            SELECT c.id_a, c.id_b, {_cos("va.v", "vb.v")} AS cos
+            FROM cand c
+            JOIN base va ON va.id = c.id_a
+            JOIN base vb ON vb.id = c.id_b
+        ) WHERE cos >= {NEAR_DUP_THRESHOLD}
     """,
 }
