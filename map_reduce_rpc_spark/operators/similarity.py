@@ -335,6 +335,7 @@ def srp_near_dup_pairs(
     vec_col: str = "embedding",
     n_bits: int = 64,
     bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs via SRP-LSH banding + exact verify.
 
@@ -343,6 +344,20 @@ def srp_near_dup_pairs(
     Recall for 8x8-bit bands at cos 0.95+ is >0.999; precision is exact
     (candidates are verified). Shuffle profile: one (id, band) row per
     vector per band — vector payloads only touch the verify join.
+
+    ``max_bucket`` is the saturation lever (same contract as
+    simhash_pairs): an 8-bit band has only 256 values, so once the
+    corpus is ≫ bands x 2^width the buckets saturate and the candidate
+    term goes quadratic in N regardless of true-duplicate density (the
+    sf1 soak measures 7.6M candidates for 90k true pairs at 20k
+    vectors). Buckets larger than ``max_bucket`` are dropped before
+    the pair join, bounding candidates at
+    bands x 2^width x C(max_bucket, 2); recall then covers only pairs
+    sharing at least one surviving band. At 100 TB scale the primary
+    lever is wider bands (n_bits=128+, width >= 16 — band space must
+    grow with log2 N); the cap bounds whatever the band width lets
+    through. Deterministic (bucket size is a fact of the data), so an
+    oracle replays it with a windowed count.
     """
     width = n_bits // bands
     sigs = srp_signatures(emb, id_col, vec_col, n_bits)
@@ -362,6 +377,13 @@ def srp_near_dup_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -380,9 +402,13 @@ def srp_near_dup_pairs(
     ).withColumn("n", l2_norm(F.col("v")))
     va = vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    # No broadcast hint on cand: its size is data-dependent (quadratic
+    # under band saturation — see max_bucket above), and a forced
+    # broadcast of a multi-million-pair candidate set is exactly the
+    # kind of driver-side bomb the 100 TB brief warns about. AQE's
+    # runtime stats pick broadcast when cand is actually small.
     return (
-        F.broadcast(cand)
-        .join(va, "id_a")
+        cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",

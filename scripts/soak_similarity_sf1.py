@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""sf1-scale soak of the similarity family (VERDICT r3 item #7).
+
+Same recipe as soak_dedup_sf1.py: replicate the sf0.1 embeddings table
+10x with disjoint vec_id ranges (vec_id + k * 10**7). Every vector
+gains 9 IDENTICAL twins — the worst case for the similarity levers:
+
+  - embedding_near_dups: every label block grows 10x, so the blocked
+    exact pair space grows 100x AND now contains ~90k true cos=1.0
+    pairs (2,000 vectors x C(10,2)) instead of zero — measures how the
+    blocked-exact path degrades, which is WHY it is not the 100 TB
+    default;
+  - srp_near_dups: identical vectors share all 8 band values, so every
+    LSH bucket holds >= 10 identical signatures — candidate counts go
+    quadratic per bucket while banding cost stays O(vectors x bands);
+  - ann_ivf_topk: the probe-pruned scan should scale linearly with the
+    corpus (scan dominates, no pair term);
+  - kmeans_fit: iters x (narrow scan + k*dim exchange) — also linear.
+
+Prints one JSON line per operator: wall seconds, result-row count, and
+the candidate-pair count where the operator exposes it. Results are
+recorded in SCALE.md.
+
+Usage: python scripts/soak_similarity_sf1.py [copies]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.operators import similarity
+from map_reduce_rpc_spark.session import get_spark
+from map_reduce_rpc_spark.tables import load_table
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = "/tmp/spark_graft_sf1"
+ID_STRIDE = 10**7
+THRESHOLD = 0.9
+QUERY_IDS = list(range(8))
+
+
+def build(spark, copies: int) -> str:
+    path = os.path.join(OUT_DIR, "embeddings.parquet")
+    marker = os.path.join(OUT_DIR, f".built_emb_{copies}x")
+    if os.path.exists(marker):
+        return path
+    emb = load_table(spark, SRC_SF, "embeddings")
+    out = emb.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+    ).select(
+        (F.col("vec_id") + F.col("k") * ID_STRIDE).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    out.write.mode("overwrite").parquet(path)
+    open(marker, "w").close()
+    return path
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("soak_similarity_sf1")
+    path = build(spark, copies)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    print(json.dumps({"op": "corpus", "vectors": n, "copies": copies}))
+
+    t0 = time.perf_counter()
+    pairs = similarity.blocked_near_dup_pairs(emb, threshold=THRESHOLD)
+    n_pairs = pairs.count()
+    print(json.dumps({
+        "op": "embedding_near_dups", "sec": round(time.perf_counter() - t0, 2),
+        "pairs": n_pairs,
+    }))
+
+    t0 = time.perf_counter()
+    sigs = similarity.srp_signatures(emb)
+    srp = similarity.srp_near_dup_pairs(emb, threshold=THRESHOLD)
+    n_srp = srp.count()
+    srp_sec = round(time.perf_counter() - t0, 2)
+    # candidate volume behind the verify (replays the banding join)
+    t0 = time.perf_counter()
+    width = 64 // 8
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("sig"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("band_val"),
+                )
+                for i in range(8)
+            ])
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_val")
+    n_cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    print(json.dumps({
+        "op": "srp_near_dups", "sec": srp_sec, "pairs": n_srp,
+        "candidates": n_cand,
+        "candidates_sec": round(time.perf_counter() - t0, 2),
+    }))
+
+    t0 = time.perf_counter()
+    srp_capped = similarity.srp_near_dup_pairs(
+        emb, threshold=THRESHOLD, max_bucket=50
+    )
+    n_srp_capped = srp_capped.count()
+    print(json.dumps({
+        "op": "srp_near_dups_capped", "sec": round(time.perf_counter() - t0, 2),
+        "pairs": n_srp_capped, "max_bucket": 50,
+    }))
+
+    t0 = time.perf_counter()
+    ivf = similarity.ivf_topk(emb, QUERY_IDS, k=10, nprobe=5)
+    n_ivf = ivf.count()
+    print(json.dumps({
+        "op": "ann_ivf_topk", "sec": round(time.perf_counter() - t0, 2),
+        "rows": n_ivf,
+    }))
+
+    t0 = time.perf_counter()
+    cents, cells = similarity.kmeans_fit(emb, k=8, iters=4)
+    n_cells = cells.count()
+    print(json.dumps({
+        "op": "kmeans_fit", "sec": round(time.perf_counter() - t0, 2),
+        "assigned": n_cells,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
