@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pytest oracle replicas in tests/; the first nine were
         # driver-certified green in CORRECTNESS_r01-r03 before rotating
         # out in round 4):
+        "containment_dups": textops.containment_dups,
+        "gopher_rules": textops.gopher_rules,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,

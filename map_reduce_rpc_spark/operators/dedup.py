@@ -444,3 +444,76 @@ def simhash_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# 5. containment (substring-level) dedup
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` distinct token k-gram
+    windows, with the CONTAINMENT score shared/min(|A|,|B|).
+
+    Jaccard misses quotation/inclusion: a 100-line doc fully embedded
+    in a 10,000-line doc has jaccard ~0.01 but containment ~1.0 — the
+    "one doc quotes another" case substring-level training-data dedup
+    exists for (cf. suffix-array dedup; this is its bounded windowed
+    form). Long k (default 8 tokens) makes coincidental window
+    collisions rare, so shared windows ~ shared verbatim spans.
+
+    Plan shape (the 100 TB story mirrors ngram_jaccard_pairs):
+    windows are md5-hashed to 60-bit ints (portable_hash60) BEFORE the
+    shuffle, so only (hash, doc) longs cross an exchange — never window
+    text; ``max_df`` drops boilerplate windows (headers, licenses)
+    before the pair join, bounding posting lists; per-doc distinct
+    window counts ride a count window over the same hash partitioning
+    (exchange reuse, no extra shuffle); the size join runs un-hinted so
+    AQE broadcasts only when the doc-size side actually fits.
+    Output: (id_a, id_b, shared, containment) with id_a < id_b.
+    """
+    wins = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, k))).alias("w"),
+    ).where(F.col("w").isNotNull() & (F.col("w") != ""))
+    wins = wins.select("doc", portable_hash60(F.col("w")).alias("h"))
+
+    if max_df is not None:
+        wdf = Window.partitionBy("h")
+        wins = (
+            wins.withColumn("_df", F.count("*").over(wdf))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+
+    sizes = wins.groupBy("doc").agg(F.count("*").alias("sz"))
+
+    a, b = wins.alias("a"), wins.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
+            ).alias("containment"),
+        )
+    )

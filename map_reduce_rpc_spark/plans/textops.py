@@ -137,6 +137,32 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment windows are LONG (8 tokens): coincidental collisions are
+# rare, so shared windows ~ shared verbatim spans; min_shared=2 filters
+# single-window noise; the max_df prune mirrors the jaccard family.
+CONTAIN_K = 8
+CONTAIN_MIN_SHARED = 2
+CONTAIN_MAX_DF = 100
+
+
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (quotation/inclusion) dup pairs: docs sharing
+    >= CONTAIN_MIN_SHARED distinct 8-token windows, scored by
+    containment = shared / min(|A|,|B|) — catches the
+    small-doc-embedded-in-big-doc case jaccard structurally misses
+    (the bounded windowed form of suffix-array training-data dedup).
+    Windows are md5-hashed to 60-bit ints before any shuffle; fully
+    oracled (DuckDB replays windows, hash, prune, and scores)."""
+    return dedup.containment_pairs(
+        spread_partitions(load_table(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        k=CONTAIN_K,
+        min_shared=CONTAIN_MIN_SHARED,
+        max_df=CONTAIN_MAX_DF,
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals per document (length/punct/digit/stopword/upper
     ratios) — the standard cheap corpus filter."""
@@ -150,6 +176,86 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["digit_ratio"].alias("digit_ratio"),
         sig["stopword_ratio"].alias("stopword_ratio"),
         sig["upper_ratio"].alias("upper_ratio"),
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", §A1.1 — the public canonical web-text filter set).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher quality-rule set, one boolean flag per rule
+    plus the composite keep decision. Distinct from quality_filter
+    (first-failing-reason over this repo's own signal set): these are
+    the published web-scale thresholds, WORD-based (whitespace split,
+    not letter tokens) and line-aware (bullet/ellipsis line ratios —
+    degenerate single-line docs in this synthetic corpus, but the
+    rules are computed for real). Pure codegen narrow map, zero
+    shuffles, fully oracled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nzw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / nzw
+    )
+    # '#' chars + non-overlapping '...' occurrences, per word
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nzw
+    lines = F.split(text, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("•")
+            | F.ltrim(l).startswith("-")
+            | F.ltrim(l).startswith("*"),
+        )
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = tokens(F.lower(text))
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullet_lines": (bullet_lines.cast("double") / n_lines)
+        <= GOPHER_MAX_BULLET_LINE_RATIO,
+        "ok_ellipsis_lines": (ellipsis_lines.cast("double") / n_lines)
+        <= GOPHER_MAX_ELLIPSIS_LINE_RATIO,
+        "ok_alpha_words": (alpha_words.cast("double") / nzw)
+        >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
     )
 
 
@@ -732,6 +838,109 @@ TEXTOPS_ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc = id_a
         JOIN sizes sb ON sb.doc = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    """,
+    # Replays every Gopher rule: whitespace words, '#'/'...' symbol
+    # counts via non-overlapping replace, newline-split line ratios,
+    # letter-token stopword hits.
+    "gopher_rules": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               w -> w <> '') AS ws,
+                   string_split(text, chr(10)) AS lines,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   greatest(len(ws), 1) AS nzw,
+                   CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS DOUBLE) / greatest(len(ws), 1) AS mean_word_len,
+                   (length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                   ) / greatest(len(ws), 1) AS symbol_ratio,
+                   greatest(len(lines), 1) AS n_lines,
+                   len(list_filter(lines, l ->
+                       starts_with(ltrim(l), chr(8226))
+                       OR starts_with(ltrim(l), '-')
+                       OR starts_with(ltrim(l), '*'))) AS bullet_lines,
+                   len(list_filter(lines, l ->
+                       ends_with(rtrim(l), '...'))) AS ellipsis_lines,
+                   len(list_filter(ws, w ->
+                       regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                   ({" + ".join(
+                       f"list_contains(toks, '{w}')::INT"
+                       for w in GOPHER_STOPWORDS
+                   )}) AS stop_hits
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               n_words >= {GOPHER_MIN_WORDS}
+                   AND n_words <= {GOPHER_MAX_WORDS} AS ok_word_count,
+               mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                   AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                   AS ok_mean_word_len,
+               symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+               CAST(bullet_lines AS DOUBLE) / n_lines
+                   <= {GOPHER_MAX_BULLET_LINE_RATIO} AS ok_bullet_lines,
+               CAST(ellipsis_lines AS DOUBLE) / n_lines
+                   <= {GOPHER_MAX_ELLIPSIS_LINE_RATIO} AS ok_ellipsis_lines,
+               CAST(alpha_words AS DOUBLE) / nzw
+                   >= {GOPHER_MIN_ALPHA_WORD_RATIO} AS ok_alpha_words,
+               stop_hits >= {GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+               (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+                   AND (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})
+                   AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                   AND CAST(bullet_lines AS DOUBLE) / n_lines
+                       <= {GOPHER_MAX_BULLET_LINE_RATIO}
+                   AND CAST(ellipsis_lines AS DOUBLE) / n_lines
+                       <= {GOPHER_MAX_ELLIPSIS_LINE_RATIO}
+                   AND CAST(alpha_words AS DOUBLE) / nzw
+                       >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+                   AND stop_hits >= {GOPHER_MIN_STOPWORD_HITS} AS keep
+        FROM m
+    """,
+    # Replays containment_pairs: 8-token windows over the lowercased
+    # token stream, md5->60-bit hash (portable_hash60), max_df prune,
+    # shared-window counts, containment = shared / min(|A|,|B|).
+    "containment_dups": f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        win_all AS (
+            SELECT DISTINCT doc,
+                   ('0x' || substring(md5(
+                       array_to_string(list_slice(ts, i, i + {CONTAIN_K} - 1), ' ')
+                   ), 1, 15))::BIGINT AS h
+            FROM toks, unnest(range(1, len(ts) - {CONTAIN_K} + 2)) AS u(i)
+            WHERE len(ts) >= {CONTAIN_K}
+        ),
+        win AS (
+            SELECT w.doc, w.h
+            FROM win_all w
+            JOIN (SELECT h FROM win_all
+                  GROUP BY h HAVING count(*) <= {CONTAIN_MAX_DF}) k
+              USING (h)
+        ),
+        sizes AS (SELECT doc, count(*) AS sz FROM win GROUP BY doc),
+        shared AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS shared
+            FROM win a JOIN win b ON a.h = b.h AND a.doc < b.doc
+            GROUP BY 1, 2
+            HAVING count(*) >= {CONTAIN_MIN_SHARED}
+        )
+        SELECT id_a, id_b, shared,
+               CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        FROM shared
+        JOIN sizes sa ON sa.doc = id_a
+        JOIN sizes sb ON sb.doc = id_b
     """,
     "doc_quality": f"""
         WITH base AS (

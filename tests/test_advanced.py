@@ -214,3 +214,47 @@ def test_curation_pipeline_manifest_invariants(spark, sf_dir):
         (F.col("doc_id") % textops.DECON_MOD) == 0
     ).count()
     df.unpersist()
+
+
+GOPHER_KEYS = ["gopher_rules", "containment_dups"]
+
+
+@pytest.mark.parametrize("name", GOPHER_KEYS)
+def test_round4_queries_match_oracle(spark, duck, sf_dir, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    assert_matches(q(spark, sf_dir), duck.sql(sql))
+
+
+def test_gopher_rules_semantics(spark, tmp_path):
+    """Each rule trips on a purpose-built document."""
+    from map_reduce_rpc_spark.plans import textops
+
+    good = (
+        "the quick brown fox and the lazy dog have been seen with many "
+        "other animals that wander through fields of tall grass " * 5
+    )
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "too short to have fifty words"),        # word count
+        (2, good + " ###### " * 40),                 # symbol ratio (#)
+        (3, "\n".join("- bullet item " + good[:40] for _ in range(10))),
+        (4, "\n".join(good[:40] + "..." for _ in range(10))),  # ellipsis lines
+        (5, " ".join("12345" for _ in range(100))),  # no alpha words + stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import map_reduce_rpc_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables_load = lambda sp, sf, name: docs  # noqa: E731
+        textops.load_table = tables_load
+        out = {r["doc_id"]: r for r in textops.gopher_rules(spark, "unused").collect()}
+    finally:
+        textops.load_table = orig
+    assert out[0]["keep"]
+    assert not out[1]["ok_word_count"]
+    assert not out[2]["ok_symbol_ratio"]
+    assert not out[3]["ok_bullet_lines"]
+    assert not out[4]["ok_ellipsis_lines"]
+    assert not out[5]["ok_alpha_words"] and not out[5]["ok_stopwords"]

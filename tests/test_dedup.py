@@ -140,3 +140,55 @@ def test_portable_hash_matches_duckdb(spark, duck):
             "SELECT ('0x' || substring(md5(?), 1, 15))::BIGINT", [w]
         ).fetchone()
         assert got[w] == expect, w
+
+
+def test_containment_catches_quotation_jaccard_misses(spark):
+    """A short doc fully embedded in a long doc: jaccard is tiny (the
+    long doc's window set dwarfs the short one's) but containment is
+    ~1.0 — the case this operator family exists for."""
+    quote = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while birds sing morning songs"
+    )
+    # letter-only unique tokens (the tokenizer drops digits, so
+    # "filler1 filler2" would collapse into identical shingles)
+    def alpha(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
+    filler = " ".join(
+        f"fill{alpha(i)} tok{alpha(i)} wrd{alpha(i)}" for i in range(120)
+    )
+    rows = [
+        (0, quote),
+        (1, filler[: len(filler) // 2] + " " + quote + " " + filler),
+        (2, "entirely unrelated content about columnar storage engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.count() == 0  # inclusion is invisible to jaccard@0.5
+
+    cont = dedup.containment_pairs(docs, "doc_id", "text", k=8, min_shared=2)
+    rows_out = {(r["id_a"], r["id_b"]): r for r in cont.collect()}
+    assert (0, 1) in rows_out
+    assert rows_out[(0, 1)]["containment"] == 1.0  # every window of 0 is in 1
+    assert all(k == (0, 1) for k in rows_out)  # no pair with doc 2
+
+
+def test_containment_max_df_prunes_boilerplate(spark):
+    """A window shared by MANY docs (boilerplate header) must not
+    produce O(n^2) pairs when max_df prunes it."""
+    header = "standard license header apache version two point zero here"
+    rows = [(i, header + f" unique tail {i} alpha beta gamma") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = dedup.containment_pairs(docs, "doc_id", "text", k=8, min_shared=1)
+    pruned = dedup.containment_pairs(
+        docs, "doc_id", "text", k=8, min_shared=1, max_df=10
+    )
+    assert unpruned.count() == 190  # C(20,2): all pairs share the header
+    assert pruned.count() == 0
