@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in round 4):
         "containment_dups": textops.containment_dups,
         "gopher_rules": textops.gopher_rules,
+        "semantic_dedup": vectors.semantic_dedup,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,

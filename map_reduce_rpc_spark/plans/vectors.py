@@ -13,6 +13,7 @@ brute-force baseline.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..tables import load_table
@@ -111,6 +112,42 @@ def srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup end to end: cluster-blocked
+    exact-cosine pairs above SEMDEDUP_THRESHOLD -> connected components
+    -> keeper (min vec_id) per semantic cluster; singletons keep
+    themselves. Output (vec_id, component, is_keeper) — drop
+    is_keeper=false rows to semantically dedup the corpus.
+
+    Blocks here are the label column so the whole pipeline is
+    oracle-able (recursive-CTE closure over the same exact pairs); with
+    no natural blocks, train cells via kmeans_fit and swap
+    assign_cells in as the block column — the plan shape (blocked pair
+    generation, CC on id pairs only) is identical.
+    """
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_near_dup_pairs(emb, threshold=SEMDEDUP_THRESHOLD)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("component")
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_keeper"),
+        )
+    )
+
+
 _QID_LIST = ", ".join(str(i) for i in QUERY_IDS)
 
 VECTORS_ORACLES: dict[str, str] = {
@@ -184,5 +221,36 @@ VECTORS_ORACLES: dict[str, str] = {
             JOIN base va ON va.id = c.id_a
             JOIN base vb ON vb.id = c.id_b
         ) WHERE cos >= {NEAR_DUP_THRESHOLD}
+    """,
+    # Same label-blocked exact pairs at the SemDeDup threshold, then a
+    # recursive-CTE transitive closure (the dup_clusters oracle
+    # pattern) and a left join so singleton vectors keep themselves.
+    "semantic_dedup": f"""
+        WITH RECURSIVE eb AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM eb a JOIN eb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_cos("a.v", "b.v")} >= {SEMDEDUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a AS node, a AS r FROM edges
+            UNION
+            SELECT e.a AS node, reach.r AS r
+            FROM reach JOIN edges e ON e.b = reach.node
+        ),
+        comp AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT eb.vec_id,
+               coalesce(comp.component, eb.vec_id) AS component,
+               coalesce(comp.component, eb.vec_id) = eb.vec_id AS is_keeper
+        FROM eb LEFT JOIN comp ON comp.node = eb.vec_id
     """,
 }
