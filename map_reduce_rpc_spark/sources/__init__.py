@@ -3,4 +3,4 @@ E5, E9, E13 in SURVEY.md §2.1) re-expressed as Spark readers/writers,
 plus the partitioned-parquet sink a 100 TB deployment actually uses.
 """
 
-from . import delimited, documents, jsonlines, sinks  # noqa: F401
+from . import columnar, delimited, documents, jsonlines, sinks  # noqa: F401

@@ -202,3 +202,38 @@ def test_write_finalization_is_immutable(spark, tmp_path):
     df.groupBy("key").count().collect()
 
     assert _snapshot_dir(out) == snap1  # byte-stable after finalization
+
+
+def test_orc_roundtrip_partition_pruning_and_pushdown(spark, tmp_path):
+    """ORC sink/source: exact roundtrip, directory-partition pruning,
+    and predicate pushdown reaching the ORC scan (same optimizer
+    contract as parquet — the reason the format swap is one call)."""
+    from map_reduce_rpc_spark.sources import columnar
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "x", 1), ("2024-01-01", "y", 5), ("2024-01-02", "z", 2)],
+        ["day", "k", "v"],
+    )
+    out = str(tmp_path / "orc")
+    columnar.write_orc(df, out, partition_by=("day",))
+    assert os.path.isdir(os.path.join(out, "day=2024-01-01"))
+
+    back = columnar.read_orc(spark, out)
+    # str(): Spark's partition-value inference types day= dirs as DATE
+    assert sorted((str(r["day"]), r["k"], r["v"]) for r in back.collect()) == [
+        ("2024-01-01", "x", 1),
+        ("2024-01-01", "y", 5),
+        ("2024-01-02", "z", 2),
+    ]
+    # partition pruning: filter on the partition col reads one subtree
+    plan = (
+        back.where(F.col("day") == "2024-01-01")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "2024-01-02" not in plan
+    # predicate pushdown on a data column reaches the ORC scan
+    plan2 = (
+        back.where(F.col("v") > 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,3)]" in plan2
