@@ -96,3 +96,62 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(outdir)
     assert out.count() == len(pdf)  # chunk0 NOT reprocessed, chunk1 not lost
     assert out.select("event_id").distinct().count() == len(pdf)
+
+
+def test_foreach_batch_materialized_view_idempotent(spark, tmp_path):
+    """UPDATE-mode aggregate + dynamic-partition-overwrite foreachBatch:
+    the parquet table converges to the batch aggregate, late revisions
+    rewrite only their partition, and replaying from scratch (fresh
+    checkpoint over the same input) leaves the table unchanged — the
+    at-least-once -> exactly-once idempotence contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.streaming import sinks
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "mv")
+    indir.mkdir()
+    HOUR_US = 3600 * 1_000_000
+
+    def chunk(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            str(indir / name),
+        )
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema("user_id long, ts_us long").parquet(str(indir))
+            .withColumn("hr", (F.col("ts_us") / HOUR_US).cast("long"))
+            .groupBy("hr")
+            .agg(F.count("*").alias("n"), F.sum("user_id").alias("user_sum"))
+        )
+        q = sinks.write_materialized_view(sdf, outdir, ckpt, ("hr",))
+        q.awaitTermination()
+
+    def table():
+        return {
+            (r["hr"], r["n"], r["user_sum"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    chunk("c1.parquet", [(1, 0), (2, 10), (3, HOUR_US + 5)])
+    run(str(tmp_path / "ck1"))
+    assert table() == {(0, 2, 3), (1, 1, 3)}
+
+    # late revision of hour 0 + a new hour: only those partitions rewrite
+    chunk("c2.parquet", [(10, 20), (4, 2 * HOUR_US + 1)])
+    run(str(tmp_path / "ck1"))
+    assert table() == {(0, 3, 13), (1, 1, 3), (2, 1, 4)}
+
+    # full replay with a FRESH checkpoint over the same input: the
+    # overwrite converges to the identical table — no duplicates
+    run(str(tmp_path / "ck2"))
+    assert table() == {(0, 3, 13), (1, 1, 3), (2, 1, 4)}
