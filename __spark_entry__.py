@@ -57,9 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup/cube/grouping-sets and parts_top3_per_brand). Rotated-out
     queries stay hash-checked by the pytest oracle replicas
     (tests/oracle.py, auto-parametrized over every oracle_sql entry).
-    The tail's last entries are the only two rows-only queries left:
-    ann_ivf_topk / ann_kmeans_topk, whose recall-not-values outputs are
-    engine-specific by design.
+    As of late round 4 EVERY registered query is fully DuckDB-oracled —
+    the last two rows-only entries (ann_ivf_topk / ann_kmeans_topk)
+    gained bit-exact oracles via exact-integer centroid math (IVF) and
+    an unrolled Lloyd's-iteration CTE replay (k-means).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # —— reference parity (SURVEY.md §2.2) ——
@@ -163,9 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_mm": multimodal.image_resize_mm,
         "image_features_mm": multimodal.image_features_mm,
         "audio_features_mm": multimodal.audio_features_mm,
-        # Rows-only by design — the ONLY two left (ANN recall is
-        # engine-specific; recall/determinism/inertia asserted in
-        # tests/test_similarity.py):
+        # Fully oracled as of late round 4 (exact-integer centroids /
+        # unrolled Lloyd's CTE replay — see plans/vectors.py); recall,
+        # determinism, and inertia descent additionally asserted in
+        # tests/test_similarity.py:
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
     }

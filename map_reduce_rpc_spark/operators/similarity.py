@@ -199,14 +199,29 @@ def ivf_topk(
             "blk int, cent array<double>",
         )
     else:
+        # EXACT-INTEGER centroid derivation: elements are floor-
+        # quantized at 2^20 (SRP_QUANT) and summed as longs — the sum
+        # is order-independent, so the centroid (s/c, one IEEE double
+        # division of exact integers) is bit-identical in any engine
+        # and the whole IVF query becomes oracle-able. Cosine is
+        # scale-invariant, so the 2^20 factor needs no unscaling. A
+        # float avg() here would differ across partition orders and
+        # engines in the last ulp — enough to flip a probe ranking.
         centroids_df = (
             base.select("blk", F.posexplode("_v").alias("pos", "x"))
             .groupBy("blk", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(SRP_QUANT))).cast("long")).alias("s"),
+                F.count("*").alias("c"),
+            )
             .groupBy("blk")
             .agg(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                        )
+                    ),
                     lambda s: s["m"],
                 ).alias("cent")
             )
@@ -506,16 +521,29 @@ def kmeans_fit(
         # map-side-combined k*dim exchange volume as a k*dim-column
         # aggregate, but trivially codegen-able (a wide sum-per-column
         # aggregate costs ~3x this in compile time alone).
+        # EXACT-INTEGER sums (elements floor-quantized at 2^20, summed
+        # as longs): a float sum here would depend on partition order,
+        # making the fit non-reproducible run-to-run and impossible to
+        # oracle. The integer sum is order-independent; the centroid is
+        # then (s / n) / 2^20 — an IEEE-exact-integer division followed
+        # by an exact power-of-two scale, bit-identical in any engine.
+        # Quantization shifts each mean by < 2^-20 — noise relative to
+        # Lloyd's own convergence tolerance.
         sums = (
             assign_cells(base, cents, vec_col="v")
             .select("cell", F.posexplode("v"))
             .groupBy("cell", "pos")
-            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("col") * F.lit(float(SRP_QUANT))).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new_cents = [list(c) for c in cents]  # empty cells keep their centroid
         for row in sums:
-            new_cents[row["cell"]][row["pos"]] = row["s"] / row["n"]
+            new_cents[row["cell"]][row["pos"]] = row["s"] / row["n"] / SRP_QUANT
         cents = new_cents
 
     out = assign_cells(base, cents, vec_col="v").select("id", "cell")

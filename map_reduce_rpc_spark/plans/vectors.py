@@ -5,9 +5,12 @@ Cosine math runs on array<double> with sequential-order dot products in
 both engines (zip_with+aggregate in Spark, manual list ops in DuckDB),
 so results are bit-identical doubles and hash-match without tolerance.
 
-ivf_topk is registered rows-only (its recall is probabilistic by
-design); tests/test_similarity.py checks its recall against the exact
-brute-force baseline.
+Every query here is fully DuckDB-oracled, including both ANN paths:
+centroids derive from EXACT-INTEGER sums (elements floor-quantized at
+2^20), so IVF probe rankings and the k-means fit are bit-reproducible
+— the k-means oracle replays all Lloyd iterations as an unrolled CTE
+chain. tests/test_similarity.py additionally checks ANN recall against
+the exact brute-force baseline.
 """
 
 from __future__ import annotations
@@ -59,19 +62,28 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 5
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (probe 5 of the 10 label blocks). Rows-only
-    check; recall vs brute force asserted in tests/test_similarity.py.
-    (The synthetic labels are weak clusters, so recall here tracks the
-    scanned fraction; with real k-means cells the same plan gives
-    recall >> scanned fraction.)"""
+    """IVF ANN top-10 (probe 5 of the 10 label blocks) — FULLY oracled
+    since round 4: block centroids derive from exact integer sums
+    (floor-quantized at 2^20), so centroid values, probe rankings, and
+    the final exact cosines are all bit-identical to the DuckDB replay
+    below. Recall vs brute force additionally asserted in
+    tests/test_similarity.py. (The synthetic labels are weak clusters,
+    so recall here tracks the scanned fraction; with real k-means
+    cells the same plan gives recall >> scanned fraction.)"""
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=5
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, nprobe=IVF_NPROBE
     )
 
 
 KMEANS_K = 8
 KMEANS_ITERS = 4
+
+
+KMEANS_NPROBE = 3
 
 
 def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,19 +93,137 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid matrix flows straight into the serving plan: cell
     assignment is a narrow literal-argmin map (assign_cells — no join
     with an assignment table) and ivf_topk(centroids=...) skips the
-    per-block mean re-aggregation the fit already did. Rows-only
-    check (float centroid sums are engine/partition-order specific);
-    tests/test_similarity.py asserts determinism, inertia descent, and
-    recall at least matching the label-block IVF."""
+    per-block mean re-aggregation the fit already did.
+
+    FULLY oracled since round 4: the fit is bit-reproducible (md5-
+    ordered init, literal-centroid argmin assignment, exact-integer
+    update sums), so the DuckDB oracle replays ALL {iters} Lloyd
+    iterations as an unrolled CTE chain (assignment -> quantized sums
+    -> new centroids, empty cells inheriting), then the probe + exact
+    cosine top-k. tests/test_similarity.py additionally asserts
+    determinism, inertia descent, and recall at least matching the
+    label-block IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _cells = similarity.kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     return similarity.ivf_topk(
         similarity.assign_cells(emb, cents),
         QUERY_IDS,
         k=TOP_K,
-        nprobe=3,
+        nprobe=KMEANS_NPROBE,
         block_col="cell",
         centroids=cents,
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd's replay: cent0 (md5-ordered init) ->
+    [assign -> exact-integer update]*iters -> final assignment ->
+    probe -> exact cosine top-k. Every stage's floats are either
+    per-row sequential folds or exact-integer divisions, so the chain
+    is bit-identical to the Spark fit + serve."""
+    Q = similarity.SRP_QUANT
+    k, iters, nprobe = KMEANS_K, KMEANS_ITERS, KMEANS_NPROBE
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({v}) + 1), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+        )
+
+    ctes = [
+        """base AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        )""",
+        f"""cent0 AS (
+            SELECT cell, cent FROM (
+                SELECT row_number() OVER (
+                           ORDER BY md5(CAST(id AS VARCHAR)), id
+                       ) - 1 AS cell,
+                       v AS cent
+                FROM base
+            ) WHERE cell < {k}
+        )""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+            SELECT id, v, cell FROM (
+                SELECT b.id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {d2("b.v", "c.cent")}, c.cell
+                       ) AS rn
+                FROM base b, {prev} c
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""cent{it} AS (
+            SELECT cell, list(m ORDER BY pos) AS cent FROM (
+                SELECT a.cell, t.i - 1 AS pos,
+                       (CAST(sum(CAST(floor(a.v[t.i] * {Q}) AS BIGINT))
+                             AS DOUBLE) / count(*)) / {Q} AS m
+                FROM a{it} a, unnest(range(1, len(a.v) + 1)) AS t(i)
+                GROUP BY a.cell, t.i
+            ) GROUP BY cell
+            UNION ALL
+            SELECT p.cell, p.cent FROM {prev} p
+            WHERE p.cell NOT IN (SELECT DISTINCT cell FROM a{it})
+        )"""
+        )
+    final_cent = f"cent{iters}"
+    ctes.append(
+        f"""afin AS (
+            SELECT id, v, cell FROM (
+                SELECT b.id, b.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY b.id
+                           ORDER BY {d2("b.v", "c.cent")}, c.cell
+                       ) AS rn
+                FROM base b, {final_cent} c
+            ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        f"""q AS (
+            SELECT id AS query_id, v AS qv,
+                   sqrt({_DOT.format(a="v", b="v")}) AS qn
+            FROM base WHERE id IN ({_QID_LIST})
+        )"""
+    )
+    ctes.append(
+        f"""probed AS (
+            SELECT query_id, qv, qn, cell FROM (
+                SELECT q.query_id, q.qv, q.qn, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_cos("q.qv", "c.cent")} DESC, c.cell
+                       ) AS pr
+                FROM q, {final_cent} c
+            ) WHERE pr <= {nprobe}
+        )"""
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT p.query_id, a.id AS neighbor_id,
+                   {_DOT.format(a="p.qv", b="a.v")}
+                       / (p.qn * sqrt({_DOT.format(a="a.v", b="a.v")})) AS cos
+            FROM afin a JOIN probed p
+              ON a.cell = p.cell AND a.id <> p.query_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """
     )
 
 
@@ -222,6 +352,55 @@ VECTORS_ORACLES: dict[str, str] = {
             JOIN base vb ON vb.id = c.id_b
         ) WHERE cos >= {NEAR_DUP_THRESHOLD}
     """,
+    # Replays ivf_topk end to end: exact-integer block centroids
+    # (floor-quantized element sums / counts — bit-identical doubles),
+    # probe ranking by centroid cosine (sequential fold), exact cosine
+    # within the probed blocks, deterministic tie-broken top-k.
+    "ann_ivf_topk": f"""
+        WITH base AS (
+            SELECT vec_id AS id, label AS blk, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        quant AS (
+            SELECT id, blk, t.i - 1 AS pos,
+                   CAST(floor(v[t.i] * {similarity.SRP_QUANT}) AS BIGINT) AS qx
+            FROM base, unnest(range(1, len(v) + 1)) AS t(i)
+        ),
+        cent AS (
+            SELECT blk, list(m ORDER BY pos) AS cent FROM (
+                SELECT blk, pos, CAST(sum(qx) AS DOUBLE) / count(*) AS m
+                FROM quant GROUP BY blk, pos
+            ) GROUP BY blk
+        ),
+        q AS (
+            SELECT id AS query_id, v AS qv,
+                   sqrt({_DOT.format(a="v", b="v")}) AS qn
+            FROM base WHERE id IN ({_QID_LIST})
+        ),
+        probed AS (
+            SELECT query_id, qv, qn, blk FROM (
+                SELECT q.query_id, q.qv, q.qn, cent.blk,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_cos("q.qv", "cent.cent")} DESC, cent.blk
+                       ) AS pr
+                FROM q, cent
+            ) WHERE pr <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, b.id AS neighbor_id,
+                   {_DOT.format(a="p.qv", b="b.v")}
+                       / (p.qn * sqrt({_DOT.format(a="b.v", b="b.v")})) AS cos
+            FROM base b JOIN probed p
+              ON b.blk = p.blk AND b.id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
     # Same label-blocked exact pairs at the SemDeDup threshold, then a
     # recursive-CTE transitive closure (the dup_clusters oracle
     # pattern) and a left join so singleton vectors keep themselves.
@@ -254,3 +433,5 @@ VECTORS_ORACLES: dict[str, str] = {
         FROM eb LEFT JOIN comp ON comp.node = eb.vec_id
     """,
 }
+
+VECTORS_ORACLES["ann_kmeans_topk"] = _kmeans_oracle_sql()
