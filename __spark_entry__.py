@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pytest oracle replicas in tests/; the first nine were
         # driver-certified green in CORRECTNESS_r01-r03 before rotating
         # out in round 4):
+        "fuzzy_part_names": textops.fuzzy_part_names,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,

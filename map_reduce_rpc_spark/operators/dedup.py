@@ -517,3 +517,56 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. fuzzy string matching (edit-distance entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    len_band: int = 2,
+) -> DataFrame:
+    """DISTINCT name pairs within ``max_dist`` edit distance — the
+    entity-resolution primitive (catalog/name canonicalization: "blue
+    bolt" vs "blu bolt"), complementing the token-set (jaccard) and
+    bit-signature (simhash) dedup families with a character-level one.
+
+    Blocking: levenshtein(a,b) >= |len(a)-len(b)|, so only pairs within
+    ``len_band`` of each other's length can match. That inequality is
+    expressed as an EQUI-join — side A explodes to every length bucket
+    in [len-band, len+band], side B keys on its exact length — because
+    a plain |la-lb|<=band predicate would plan a nested-loop join over
+    the full name-pair space (the gate in test_plan_invariants forbids
+    exactly that). Names are deduplicated BEFORE pairing, so cost is
+    quadratic in DISTINCT names per length bucket, not rows; the
+    verify (levenshtein, an O(len^2) DP both engines implement
+    identically) runs on surviving candidates only.
+    Output: (name_a, name_b, dist) with name_a < name_b.
+    """
+    names = df.select(F.col(name_col).alias("name")).where(
+        F.col("name").isNotNull()
+    ).distinct()
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("name") - len_band, F.lit(0)),
+                F.length("name") + len_band,
+            )
+        ).alias("lb"),
+    )
+    b = names.select(F.col("name").alias("name_b"), F.length("name").alias("lb"))
+    return (
+        a.join(b, ["lb"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

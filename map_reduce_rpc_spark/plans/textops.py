@@ -137,6 +137,24 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 3
+FUZZY_LEN_BAND = 2
+
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level entity resolution over the part catalog:
+    distinct p_name pairs within edit distance 3, length-band blocked
+    (operators/dedup.fuzzy_name_pairs — the blocking inequality runs as
+    an exploded equi-join, never a nested loop). Fully oracled:
+    levenshtein is the same unit-cost DP in both engines."""
+    return dedup.fuzzy_name_pairs(
+        load_table(spark, sf_dir, "part"),
+        "p_name",
+        max_dist=FUZZY_MAX_DIST,
+        len_band=FUZZY_LEN_BAND,
+    )
+
+
 # Containment windows are LONG (8 tokens): coincidental collisions are
 # rare, so shared windows ~ shared verbatim spans; min_shared=2 filters
 # single-window noise; the max_df prune mirrors the jaccard family.
@@ -838,6 +856,19 @@ TEXTOPS_ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc = id_a
         JOIN sizes sb ON sb.doc = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    """,
+    # The oracle states the blocking as the plain |la-lb| band predicate
+    # the exploded equi-join implements.
+    "fuzzy_part_names": f"""
+        WITH n AS (
+            SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM n a JOIN n b
+          ON abs(length(a.name) - length(b.name)) <= {FUZZY_LEN_BAND}
+             AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
     """,
     # Replays every Gopher rule: whitespace words, '#'/'...' symbol
     # counts via non-overlapping replace, newline-split line ratios,
