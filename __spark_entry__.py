@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-certified green in CORRECTNESS_r01-r03 before rotating
         # out in round 4):
         "fuzzy_part_names": textops.fuzzy_part_names,
+        "funnel_conversion": events.funnel_conversion,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,

@@ -283,7 +283,96 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event log: how many users
+    progressed view -> click -> purchase IN THAT ORDER (each stage's
+    event strictly after the previous stage's first occurrence), plus
+    the mean lag from the previous stage (integer-microsecond division
+    — no float aggregation anywhere, so the result hashes exactly).
+
+    Plan shape: one narrow filter + partial-agg per stage, chained by
+    equi-joins on user_id — each stage's input is only the users who
+    survived the previous stage, so work SHRINKS down the funnel; no
+    window over the full event stream, no self-join on events. At
+    100 TB: three user-keyed exchanges (AQE-coalesced), with the
+    event scan pruned to the three funnel event types.
+    Output: (stage, n_users, avg_gap_us).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    view = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    click = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(view, "user_id")
+        .where(F.col("us") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("us").alias("t1"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(click, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str, gap) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("stage"),
+            F.lit(1).cast("long").alias("_one"),
+            gap.cast("long").alias("_gap"),
+        ).groupBy("stage").agg(
+            F.sum("_one").alias("n_users"),
+            F.expr("sum(_gap) div sum(_one)").alias("avg_gap_us"),
+        )
+
+    return (
+        stage(view, "view", F.lit(0))
+        .unionByName(stage(click, "view>click", F.col("t1") - F.col("t0")))
+        .unionByName(
+            stage(purchase, "view>click>purchase", F.col("t2") - F.col("t1"))
+        )
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
+    "funnel_conversion": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        v AS (
+            SELECT user_id, min(us) AS t0 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT ev.user_id, v.t0, min(ev.us) AS t1
+            FROM ev JOIN v ON ev.user_id = v.user_id
+            WHERE ev.event_type = 'click' AND ev.us > v.t0
+            GROUP BY ev.user_id, v.t0
+        ),
+        p AS (
+            SELECT ev.user_id, c.t1, min(ev.us) AS t2
+            FROM ev JOIN c ON ev.user_id = c.user_id
+            WHERE ev.event_type = 'purchase' AND ev.us > c.t1
+            GROUP BY ev.user_id, c.t1
+        )
+        SELECT 'view' AS stage, count(*) AS n_users,
+               CAST(0 AS BIGINT) AS avg_gap_us FROM v
+        UNION ALL
+        SELECT 'view>click', count(*),
+               CAST(sum(t1 - t0) // count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'view>click>purchase', count(*),
+               CAST(sum(t2 - t1) // count(*) AS BIGINT) FROM p
+    """,
     # The salted two-phase plan must equal a plain exact distinct.
     "salted_user_counts": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
