@@ -104,6 +104,19 @@ def main() -> None:
         "op": "simhash", "sec": round(time.perf_counter() - t0, 2),
         "pairs": n_sh, "max_bucket": textops.SIMHASH_MAX_BUCKET,
     }))
+
+    t0 = time.perf_counter()
+    cont = dedup.containment_pairs(
+        docs, "doc_id", "text",
+        k=textops.CONTAIN_K,
+        min_shared=textops.CONTAIN_MIN_SHARED,
+        max_df=textops.CONTAIN_MAX_DF,
+    )
+    n_cont = cont.count()
+    print(json.dumps({
+        "op": "containment", "sec": round(time.perf_counter() - t0, 2),
+        "pairs": n_cont, "max_df": textops.CONTAIN_MAX_DF,
+    }))
     spark.stop()
 
 
