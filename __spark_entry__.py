@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_catalog": multimodal.media_catalog,
         "media_frame_plan": multimodal.media_frame_plan,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q18_large_volume": relational.q18_large_volume,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
         "doc_fingerprints": textops.doc_fingerprints,

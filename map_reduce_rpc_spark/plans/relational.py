@@ -85,6 +85,41 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LARGE_VOLUME_QTY = 280
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape, deliberately written through the SQL ENTRYPOINT
+    (``spark.sql`` over registered temp views) rather than the
+    DataFrame API: customer/order rows whose order's total quantity
+    exceeds a threshold, via IN + GROUP BY/HAVING subquery. Exercises
+    Catalyst's subquery rewrite (IN -> left-semi join) and proves the
+    engine's SQL surface end to end — every other registered query
+    declares its plan in DataFrame form. The oracle is the *identical*
+    SQL string run by DuckDB, modulo nothing.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q18_SQL)
+
+
+_Q18_SQL = f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > {LARGE_VOLUME_QTY}
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + group on orders (TPC-H Q4 shape, no subquery)."""
     o = load_table(spark, sf_dir, "orders").where(
@@ -534,6 +569,9 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RELATIONAL_ORACLES: dict[str, str] = {
+    # The exact SQL string the Spark query runs — one dialect, two
+    # engines (the point of writing q18 through the SQL entrypoint).
+    "q18_large_volume": _Q18_SQL,
     "order_line_arrays": """
         WITH ranked AS (
             SELECT l_orderkey, l_linenumber, l_quantity,
