@@ -237,3 +237,35 @@ def test_orc_roundtrip_partition_pruning_and_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,3)]" in plan2
+
+
+def test_write_clustered_parquet_enables_file_skipping(spark, tmp_path):
+    """Range clustering must produce files with narrow, ordered key
+    ranges (parquet footer stats), so a point/range predicate overlaps
+    only a fraction of files — the data-skipping contract."""
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_rpc_spark.sources import sinks
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    sinks.write_clustered_parquet(df, out, ("k",), files=8)
+
+    ranges = []
+    for p in glob.glob(os.path.join(out, "part-*.parquet")):
+        md = pq_mod.ParquetFile(p).metadata
+        ci = md.row_group(0).column(0)
+        lo = ci.statistics.min
+        hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 8
+    # files cover disjoint, ordered ranges (clustered, not hashed)
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b
+    # a narrow predicate overlaps exactly one file's range
+    probe = 12_345
+    overlapping = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(overlapping) == 1
