@@ -20,7 +20,7 @@ both are table-stakes for the 100 TB deployment this engine targets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,32 @@ def salted_join(
         "_salt", F.pmod(F.xxhash64(F.col(fact_salt_src)), F.lit(n_salts))
     )
     return fact_s.join(dim_rep, [on, "_salt"]).drop("_salt")
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints, each
+    truncated to ``bits`` bits: bit i of x lands at position 2i, bit i
+    of y at 2i+1.
+
+    Use as the cluster key for ``sinks.write_clustered_parquet`` when
+    queries filter on BOTH columns: sorting by a single column gives
+    each file a narrow range in that column but the FULL domain in the
+    other, so only one predicate can skip files; sorting by the
+    interleaved key bounds every file in both dimensions (a compact
+    2-D bounding box), so either predicate prunes — the mechanism
+    behind Delta/Iceberg OPTIMIZE ZORDER, here as a plain codegen
+    expression (2*bits shift-and-or terms, no UDF, no shuffle of its
+    own). Scale continuous domains to [0, 2^bits) upstream.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    xl = xc.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    yl = yc.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(xl, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key

@@ -71,3 +71,64 @@ def test_salted_join_matches_plain(spark, sf_dir):
     ps = {r.p_brand: r.q for r in plain.collect()}
     ss = {r.p_brand: r.q for r in salted.collect()}
     assert ps == ss
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column clustering, measured on the parquet
+    footers: clustering by x alone leaves every file spanning the full
+    y domain (y predicates skip nothing); clustering by the Morton key
+    bounds each file in BOTH dimensions, so either predicate prunes."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_rpc_spark.operators.scale import zorder_key
+    from map_reduce_rpc_spark.sources import sinks
+
+    n, dom = 65_536, 256  # x,y cover [0, 256)^2 exactly once
+    df = spark.range(n).select(
+        (F.col("id") % dom).alias("x"),
+        (F.col("id") / dom).cast("long").alias("y"),
+    )
+
+    def file_boxes(path):
+        boxes = []
+        for p in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq_mod.ParquetFile(p).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            boxes.append(((lo["x"], hi["x"]), (lo["y"], hi["y"])))
+        return boxes
+
+    out_x = str(tmp_path / "by_x")
+    sinks.write_clustered_parquet(df, out_x, ("x",), files=16)
+    out_z = str(tmp_path / "by_z")
+    sinks.write_clustered_parquet(
+        df.withColumn("_z", zorder_key("x", "y", bits=8)), out_z, ("_z",), files=16
+    )
+
+    x_boxes = file_boxes(out_x)
+    z_boxes = file_boxes(out_z)
+    # x-clustering: every file spans (nearly) the whole y domain
+    assert all(hy - ly > dom * 0.9 for _, (ly, hy) in x_boxes)
+    # The metric file-skipping actually depends on: how many files a
+    # single-dimension point predicate overlaps. Under x-clustering a
+    # y-predicate overlaps EVERY file (y stats span the domain); under
+    # z-clustering both predicates prune most files.
+    def overlaps(boxes, dim_idx, probe):
+        return sum(1 for b in boxes if b[dim_idx][0] <= probe <= b[dim_idx][1])
+
+    probes = [17, 100, 200]
+    for p in probes:
+        assert overlaps(x_boxes, 1, p) == len(x_boxes)  # y never prunes
+        assert overlaps(z_boxes, 1, p) <= len(z_boxes) // 2  # y prunes
+        assert overlaps(z_boxes, 0, p) <= len(z_boxes) // 2  # x still prunes
