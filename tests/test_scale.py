@@ -132,3 +132,20 @@ def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
         assert overlaps(x_boxes, 1, p) == len(x_boxes)  # y never prunes
         assert overlaps(z_boxes, 1, p) <= len(z_boxes) // 2  # y prunes
         assert overlaps(z_boxes, 0, p) <= len(z_boxes) // 2  # x still prunes
+
+
+def test_zorder_key_is_bijective_on_the_grid(spark):
+    """Morton interleave must be a bijection on [0,2^bits)^2 — any
+    collision would silently merge distinct (x,y) regions into one
+    cluster position."""
+    from map_reduce_rpc_spark.operators.scale import zorder_key
+
+    dom = 256
+    df = spark.range(dom * dom).select(
+        (F.col("id") % dom).alias("x"),
+        (F.col("id") / dom).cast("long").alias("y"),
+    )
+    keys = df.select(zorder_key("x", "y", bits=8).alias("z"))
+    assert keys.distinct().count() == dom * dom
+    lo, hi = keys.agg(F.min("z"), F.max("z")).first()
+    assert (lo, hi) == (0, dom * dom - 1)  # exactly the 16-bit range
