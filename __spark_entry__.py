@@ -51,10 +51,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window kitchen sink, star-contraction clusters, bounded inverted
     index, stateless stream ETL, salted aggregation, hypertable
     rollup, and the newly-oracled srp_near_dups) moved in; later in
-    round 4 the three NEW families (containment_dups, gopher_rules,
-    semantic_dedup) took the window slots of pivot_line_status and
-    orders_topk (their pivot/top-k shapes stay covered by
-    rollup/cube/grouping-sets and parts_top3_per_brand). Rotated-out
+    round 4 the six NEW families (containment_dups, gopher_rules,
+    semantic_dedup, fuzzy_part_names, funnel_conversion,
+    q18_large_volume) took the slots of pivot_line_status, orders_topk,
+    rollup_sales, events_hourly_filled, dup_clusters, and
+    inverted_index_topn — each vacated family remains covered in-window
+    by a sibling (cube/grouping-sets for rollup and pivot,
+    parts_top3_per_brand for top-k, events_hourly for the filled
+    variant, dup_clusters_star for min-label CC, parity inverted_index
+    for the topn form). Rotated-out
     queries stay hash-checked by the pytest oracle replicas
     (tests/oracle.py, auto-parametrized over every oracle_sql entry).
     As of late round 4 EVERY registered query is fully DuckDB-oracled —
@@ -72,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_first_tokens": parity.udtf_first_tokens,
         # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "rollup_sales": relational.rollup_sales,
         "region_revenue": relational.region_revenue,
         "customer_order_stats": relational.customer_order_stats,
         "customers_without_orders": relational.customers_without_orders,
@@ -85,7 +89,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events.events_json_extract,
         "user_sessions": events.user_sessions,
         "purchase_asof_click": events.purchase_asof_click,
-        "events_hourly_filled": events.events_hourly_filled,
         "approx_distinct_users": events.approx_distinct_users,
         "range_join_hot_windows": events.range_join_hot_windows,
         # —— training-data pipeline: text ops (north-star extensions) ——
@@ -96,12 +99,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": textops.containment_dups,
         "gopher_rules": textops.gopher_rules,
         "semantic_dedup": vectors.semantic_dedup,
-        "dup_clusters": textops.dup_clusters,
+        "fuzzy_part_names": textops.fuzzy_part_names,
+        "funnel_conversion": events.funnel_conversion,
         "dup_clusters_star": textops.dup_clusters_star,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "curation_pipeline": textops.curation_pipeline,
-        "inverted_index_topn": parity.inverted_index_topn,
         # —— relational tail families rotated into the window (round 4) ——
+        "q18_large_volume": relational.q18_large_volume,
         "cube_sales": relational.cube_sales,
         "grouping_sets_sales": relational.grouping_sets_sales,
         "window_kitchen_sink": relational.window_kitchen_sink,
@@ -128,8 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pytest oracle replicas in tests/; the first nine were
         # driver-certified green in CORRECTNESS_r01-r03 before rotating
         # out in round 4):
-        "fuzzy_part_names": textops.fuzzy_part_names,
-        "funnel_conversion": events.funnel_conversion,
+        "rollup_sales": relational.rollup_sales,
+        "inverted_index_topn": parity.inverted_index_topn,
+        "events_hourly_filled": events.events_hourly_filled,
+        "dup_clusters": textops.dup_clusters,
         "lang_id": textops.lang_id,
         "token_counts": textops.token_counts,
         "rolling_fingerprints": textops.rolling_fingerprints,
@@ -140,7 +146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_catalog": multimodal.media_catalog,
         "media_frame_plan": multimodal.media_frame_plan,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q18_large_volume": relational.q18_large_volume,
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
         "doc_fingerprints": textops.doc_fingerprints,
