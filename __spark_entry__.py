@@ -43,56 +43,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering contract: the correctness checker records rows for the
     FIRST 50 entries only, so slots 1-50 hold one fully-oracled query
-    per distinct operator family. Round 4 ROTATED the window: ~9
-    long-certified-stable queries (lang_id, token_counts, media
-    catalog/plan, redact_pii, split/stratified sampling, rolling
-    fingerprints, decontaminate) moved to the tail and the tail
-    families the driver had never certified (cube, grouping sets,
-    window kitchen sink, star-contraction clusters, bounded inverted
-    index, stateless stream ETL, salted aggregation, hypertable
-    rollup, and the newly-oracled srp_near_dups) moved in; later in
-    round 4 the six NEW families (containment_dups, gopher_rules,
-    semantic_dedup, fuzzy_part_names, funnel_conversion,
-    q18_large_volume) took the slots of pivot_line_status, orders_topk,
-    rollup_sales, events_hourly_filled, dup_clusters, and
-    inverted_index_topn — each vacated family remains covered in-window
-    by a sibling (cube/grouping-sets for rollup and pivot,
-    parts_top3_per_brand for top-k, events_hourly for the filled
-    variant, dup_clusters_star for min-label CC, parity inverted_index
-    for the topn form). Rotated-out
+    per distinct operator family. Round 5 ROTATED the window per the
+    round-4 verdict: the 15 queries that had never held a recorded
+    driver CORRECTNESS row (ann_ivf_topk, ann_kmeans_topk,
+    approx_percentile_bounds, audio_features_mm, chunk_documents,
+    doc_repetition, domain_mix_sample, global_shuffle,
+    image_features_mm, image_resize_mm, inverted_index_topn,
+    quality_filter, stream_click_attribution, stream_session_stats,
+    stream_sliding_counts) moved IN; 15 queries certified green in all
+    of rounds 1-4 (file_counts, file_meta_concat, udtf_first_tokens,
+    region_revenue, customer_order_stats, customers_without_orders,
+    scalar_kitchen_sink, segment_setops, order_price_percentiles,
+    events_hourly, events_json_extract, user_sessions,
+    approx_distinct_users, range_join_hot_windows, dedup_exact) moved
+    to the tail — each vacated family stays covered in-window by a
+    sibling (wordcount/kv_pipeline for the parity scan+UDF path,
+    stream_hourly_counts for hourly aggregation, q18's IN-subquery +
+    purchase_asof_click for joins, approx_percentile_bounds for the
+    sketch family, minhash/simhash/containment for dedup). Rotated-out
     queries stay hash-checked by the pytest oracle replicas
     (tests/oracle.py, auto-parametrized over every oracle_sql entry).
-    As of late round 4 EVERY registered query is fully DuckDB-oracled —
-    the last two rows-only entries (ann_ivf_topk / ann_kmeans_topk)
-    gained bit-exact oracles via exact-integer centroid math (IVF) and
-    an unrolled Lloyd's-iteration CTE replay (k-means).
+    Every registered query is fully DuckDB-oracled (since late round
+    4) — zero rows-only entries.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # —— reference parity (SURVEY.md §2.2) ——
         "wordcount": parity.wordcount,
         "inverted_index": parity.inverted_index,
-        "file_counts": parity.file_counts,
-        "file_meta_concat": parity.file_meta_concat,
+        "inverted_index_topn": parity.inverted_index_topn,
         "kv_pipeline": parity.kv_pipeline,
-        "udtf_first_tokens": parity.udtf_first_tokens,
         # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "region_revenue": relational.region_revenue,
-        "customer_order_stats": relational.customer_order_stats,
-        "customers_without_orders": relational.customers_without_orders,
-        "scalar_kitchen_sink": relational.scalar_kitchen_sink,
-        "segment_setops": relational.segment_setops,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
-        "order_price_percentiles": relational.order_price_percentiles,
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
         # —— events / time-series ——
-        "events_hourly": events.events_hourly,
-        "events_json_extract": events.events_json_extract,
-        "user_sessions": events.user_sessions,
         "purchase_asof_click": events.purchase_asof_click,
-        "approx_distinct_users": events.approx_distinct_users,
-        "range_join_hot_windows": events.range_join_hot_windows,
         # —— training-data pipeline: text ops (north-star extensions) ——
-        "dedup_exact": textops.dedup_exact,
+        "chunk_documents": textops.chunk_documents,
+        "quality_filter": textops.quality_filter,
+        "doc_repetition": textops.doc_repetition,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "minhash_dups": textops.minhash_dups,
         "simhash_dups": textops.simhash_dups,
@@ -114,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # —— training-data pipeline: dataset management ——
         "pack_sequences": sampling.pack_sequences,
         "table_profile": sampling.table_profile,
+        # —— training-data pipeline: dataset management (tail rotated in) ——
+        "domain_mix_sample": sampling.domain_mix_sample,
+        "global_shuffle": sampling.global_shuffle,
         # —— structured streaming (stream/batch parity) ——
         "stream_hourly_counts": streams.stream_hourly_counts,
         "stream_purchase_click_join": streams.stream_purchase_click_join,
@@ -121,19 +113,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_dedup_events": streams.stream_dedup_events,
         "stream_events_etl": streams.stream_events_etl,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        "stream_session_stats": streams.stream_session_stats,
+        "stream_click_attribution": streams.stream_click_attribution,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "embedding_near_dups": vectors.embedding_near_dups,
         "srp_near_dups": vectors.srp_near_dups,
+        "ann_ivf_topk": vectors.ann_ivf_topk,
+        "ann_kmeans_topk": vectors.ann_kmeans_topk,
         # —— training-data pipeline: multimodal columns ——
         "frame_checksums_mm": multimodal.frame_checksums_mm,
+        "image_resize_mm": multimodal.image_resize_mm,
+        "image_features_mm": multimodal.image_features_mm,
+        "audio_features_mm": multimodal.audio_features_mm,
         # ================= end of the 50-slot checked window =================
         # Oracled queries past the driver window (each hash-checked by
-        # the pytest oracle replicas in tests/; the first nine were
-        # driver-certified green in CORRECTNESS_r01-r03 before rotating
-        # out in round 4):
+        # the pytest oracle replicas in tests/; every query below holds
+        # at least one driver-certified green CORRECTNESS row from
+        # rounds 1-4 before rotating out):
+        "file_counts": parity.file_counts,
+        "file_meta_concat": parity.file_meta_concat,
+        "udtf_first_tokens": parity.udtf_first_tokens,
+        "region_revenue": relational.region_revenue,
+        "customer_order_stats": relational.customer_order_stats,
+        "customers_without_orders": relational.customers_without_orders,
+        "scalar_kitchen_sink": relational.scalar_kitchen_sink,
+        "segment_setops": relational.segment_setops,
+        "order_price_percentiles": relational.order_price_percentiles,
+        "events_hourly": events.events_hourly,
+        "events_json_extract": events.events_json_extract,
+        "user_sessions": events.user_sessions,
+        "approx_distinct_users": events.approx_distinct_users,
+        "range_join_hot_windows": events.range_join_hot_windows,
+        "dedup_exact": textops.dedup_exact,
         "rollup_sales": relational.rollup_sales,
-        "inverted_index_topn": parity.inverted_index_topn,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,
         "lang_id": textops.lang_id,
@@ -149,14 +163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "doc_quality": textops.doc_quality,
         "doc_fingerprints": textops.doc_fingerprints,
-        "chunk_documents": textops.chunk_documents,
-        "quality_filter": textops.quality_filter,
-        "doc_repetition": textops.doc_repetition,
-        "stream_sliding_counts": streams.stream_sliding_counts,
-        "stream_session_stats": streams.stream_session_stats,
-        "stream_click_attribution": streams.stream_click_attribution,
-        "domain_mix_sample": sampling.domain_mix_sample,
-        "global_shuffle": sampling.global_shuffle,
         "order_priority_counts": relational.order_priority_counts,
         "distinct_parts_per_flag": relational.distinct_parts_per_flag,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
@@ -164,20 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_line_arrays": relational.order_line_arrays,
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "daily_revenue_moving": relational.daily_revenue_moving,
-        "approx_percentile_bounds": relational.approx_percentile_bounds,
         "pivot_line_status": relational.pivot_line_status,
         "orders_topk": relational.orders_topk,
-        # Multimodal decode stages (fully oracled since round 3 via
-        # hex-domain exact-integer feature oracles):
-        "image_resize_mm": multimodal.image_resize_mm,
-        "image_features_mm": multimodal.image_features_mm,
-        "audio_features_mm": multimodal.audio_features_mm,
-        # Fully oracled as of late round 4 (exact-integer centroids /
-        # unrolled Lloyd's CTE replay — see plans/vectors.py); recall,
-        # determinism, and inertia descent additionally asserted in
-        # tests/test_similarity.py:
-        "ann_ivf_topk": vectors.ann_ivf_topk,
-        "ann_kmeans_topk": vectors.ann_kmeans_topk,
     }
     return q
 
