@@ -483,7 +483,13 @@ def containment_pairs(
         F.col(id_col).cast("long").alias("doc"),
         F.explode_outer(F.array_distinct(word_ngrams(text_col, k))).alias("w"),
     ).where(F.col("w").isNotNull() & (F.col("w") != ""))
-    wins = wins.select("doc", portable_hash60(F.col("w")).alias("h"))
+    # Dedup POST-hash as well (array_distinct above is pre-hash): the
+    # oracle computes over DISTINCT (doc, h), so a 60-bit md5 collision
+    # between two distinct windows of the same doc must collapse here
+    # too — otherwise shared/size counts diverge between the engines.
+    wins = wins.select(
+        "doc", portable_hash60(F.col("w")).alias("h")
+    ).dropDuplicates(["doc", "h"])
 
     if max_df is not None:
         wdf = Window.partitionBy("h")
@@ -528,45 +534,126 @@ def fuzzy_name_pairs(
     df: DataFrame,
     name_col: str,
     max_dist: int = 3,
-    len_band: int = 2,
+    len_band: int | None = None,
+    qgram: int | None = None,
 ) -> DataFrame:
     """DISTINCT name pairs within ``max_dist`` edit distance — the
     entity-resolution primitive (catalog/name canonicalization: "blue
     bolt" vs "blu bolt"), complementing the token-set (jaccard) and
     bit-signature (simhash) dedup families with a character-level one.
 
-    Blocking: levenshtein(a,b) >= |len(a)-len(b)|, so only pairs within
-    ``len_band`` of each other's length can match. That inequality is
-    expressed as an EQUI-join — side A explodes to every length bucket
-    in [len-band, len+band], side B keys on its exact length — because
-    a plain |la-lb|<=band predicate would plan a nested-loop join over
-    the full name-pair space (the gate in test_plan_invariants forbids
-    exactly that). Names are deduplicated BEFORE pairing, so cost is
-    quadratic in DISTINCT names per length bucket, not rows; the
-    verify (levenshtein, an O(len^2) DP both engines implement
-    identically) runs on surviving candidates only.
+    Blocking #1 (length band): levenshtein(a,b) >= |len(a)-len(b)|, so
+    only pairs within ``len_band`` of each other's length can match.
+    The inequality is expressed as an EQUI-join — side A explodes to
+    every length bucket in [len-band, len+band], side B keys on its
+    exact length — because a plain |la-lb|<=band predicate would plan a
+    nested-loop join over the full name-pair space (the gate in
+    test_plan_invariants forbids exactly that). ``len_band`` defaults
+    to ``max_dist``, which makes the band LOSSLESS; passing a smaller
+    band is an explicit approximate-recall trade (pairs whose lengths
+    differ by more than the band are silently dropped).
+
+    Blocking #2 (``qgram`` = q, optional — the 100 TB lever): length
+    banding alone is quadratic in distinct names per length bucket.
+    Ed-Join-style positional-q-gram prefix filtering (Xiao, Wang & Lin,
+    VLDB'08 — public algorithm) bounds candidates LOSSLESSLY: an edit
+    destroys at most q q-grams, so any pair within distance d shares
+    >= max(la,lb)-q+1-d*q occurrence-numbered q-grams; ordering every
+    name's grams by ascending global frequency and keeping only the
+    first d*q+1 per name, two matching names MUST collide on a kept
+    (gram, occurrence) element whenever max(la,lb) >= q*(d+1) (prefix
+    pigeonhole). Pairs where both names are shorter than q*(d+1) fall
+    back to the plain band join over that small short-name subset.
+    Rare-gram-first ordering is what bounds posting lists (frequent
+    grams like 'er' never block), so bucket sizes stay bounded at 100x
+    name cardinality. Requires q >= 2 (q=1 breaks the short/long band
+    disjointness argument).
+
+    Names are deduplicated BEFORE pairing, so cost is in DISTINCT
+    names; the verify (levenshtein, an O(len^2) DP both engines
+    implement identically) runs on surviving candidates only.
     Output: (name_a, name_b, dist) with name_a < name_b.
     """
+    if len_band is None:
+        len_band = max_dist
     names = df.select(F.col(name_col).alias("name")).where(
         F.col("name").isNotNull()
     ).distinct()
-    a = names.select(
-        F.col("name").alias("name_a"),
-        F.explode(
-            F.sequence(
-                F.greatest(F.length("name") - len_band, F.lit(0)),
-                F.length("name") + len_band,
-            )
-        ).alias("lb"),
-    )
-    b = names.select(F.col("name").alias("name_b"), F.length("name").alias("lb"))
-    return (
-        a.join(b, ["lb"])
-        .where(F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
+
+    def band_pairs(side: DataFrame) -> DataFrame:
+        a = side.select(
+            F.col("name").alias("name_a"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("name") - len_band, F.lit(0)),
+                    F.length("name") + len_band,
+                )
+            ).alias("lb"),
         )
-        .where(F.col("dist") <= max_dist)
-    )
+        b = side.select(
+            F.col("name").alias("name_b"), F.length("name").alias("lb")
+        )
+        return (
+            a.join(b, ["lb"])
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+        )
+
+    if qgram is None:
+        cand = band_pairs(names)
+    else:
+        q, d = qgram, max_dist
+        if q < 2:
+            raise ValueError("qgram blocking requires q >= 2")
+        cut = q * (d + 1)
+        # Pairs where BOTH names are shorter than q*(d+1) can evade the
+        # shared-gram guarantee -> plain band join over just the shorts.
+        shorts = names.where(F.length("name") < cut)
+        short_pairs = band_pairs(shorts)
+
+        # Occurrence-numbered q-grams for every name (multiset -> set,
+        # so the count-filter bound applies to plain equality joins).
+        grams = names.select(
+            "name",
+            F.length("name").alias("len"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(name) - {q} + 1, 0)),"
+                    f" i -> substring(name, i, {q}))"
+                )
+            ).alias("pos", "g"),
+        )
+        occ_w = Window.partitionBy("name", "g").orderBy("pos")
+        grams = grams.withColumn("occ", F.row_number().over(occ_w))
+        freq = grams.groupBy("g", "occ").agg(F.count("*").alias("freq"))
+        rank_w = Window.partitionBy("name").orderBy("freq", "g", "occ")
+        prefix = (
+            grams.join(freq, ["g", "occ"])
+            .withColumn("rk", F.row_number().over(rank_w))
+            .where(F.col("rk") <= d * q + 1)
+            .select("name", "len", "g", "occ")
+        )
+        pa_, pb_ = prefix.alias("pa"), prefix.alias("pb")
+        gram_pairs = (
+            pa_.join(
+                pb_,
+                (F.col("pa.g") == F.col("pb.g"))
+                & (F.col("pa.occ") == F.col("pb.occ"))
+                & (F.col("pa.name") < F.col("pb.name"))
+                & (
+                    F.abs(F.col("pa.len") - F.col("pb.len"))
+                    <= F.lit(len_band)
+                ),
+            )
+            .select(
+                F.col("pa.name").alias("name_a"),
+                F.col("pb.name").alias("name_b"),
+            )
+        )
+        cand = short_pairs.unionByName(gram_pairs).distinct()
+
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

@@ -325,13 +325,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stage(df: DataFrame, name: str, gap) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("stage"),
-            F.lit(1).cast("long").alias("_one"),
-            gap.cast("long").alias("_gap"),
-        ).groupBy("stage").agg(
-            F.sum("_one").alias("n_users"),
-            F.expr("sum(_gap) div sum(_one)").alias("avg_gap_us"),
+        # Global aggregate (no groupBy) so an EMPTY stage still emits
+        # one row with n_users=0 / NULL gap — matching the oracle's
+        # ungrouped UNION ALL arms on any dataset, including one with
+        # no clicks or purchases at all.
+        return (
+            df.select(gap.cast("long").alias("_gap"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.expr("sum(_gap) div count(1)").alias("avg_gap_us"),
+            )
+            .select(F.lit(name).alias("stage"), "n_users", "avg_gap_us")
         )
 
     return (
@@ -365,13 +369,16 @@ EVENTS_ORACLES: dict[str, str] = {
             GROUP BY ev.user_id, c.t1
         )
         SELECT 'view' AS stage, count(*) AS n_users,
-               CAST(0 AS BIGINT) AS avg_gap_us FROM v
+               CASE WHEN count(*) = 0 THEN NULL
+                    ELSE CAST(0 AS BIGINT) END AS avg_gap_us FROM v
         UNION ALL
         SELECT 'view>click', count(*),
-               CAST(sum(t1 - t0) // count(*) AS BIGINT) FROM c
+               CASE WHEN count(*) = 0 THEN NULL
+                    ELSE CAST(sum(t1 - t0) // count(*) AS BIGINT) END FROM c
         UNION ALL
         SELECT 'view>click>purchase', count(*),
-               CAST(sum(t2 - t1) // count(*) AS BIGINT) FROM p
+               CASE WHEN count(*) = 0 THEN NULL
+                    ELSE CAST(sum(t2 - t1) // count(*) AS BIGINT) END FROM p
     """,
     # The salted two-phase plan must equal a plain exact distinct.
     "salted_user_counts": """

@@ -19,6 +19,19 @@ yields exactly-once table state. This is the same contract
 Delta/Iceberg MERGE gives, degraded gracefully to plain parquet — at
 100 TB the partition column (hour/date) bounds each overwrite to the
 recently-revised slice, not the table.
+
+CORRECTNESS CONTRACT (the subtle one): UPDATE output mode emits only
+the groups a micro-batch CHANGED. Overwriting a partition with just
+those groups is lossless ONLY when ``partition_cols`` functionally
+determine the aggregate's full grouping key — i.e. one group per
+partition (partition col == group key, as in hourly counts keyed by
+hour). When the grouping key is finer (e.g. grouped by (hour, user)
+but partitioned by hour), an overwrite would drop the partition's
+unchanged sibling groups. For that shape pass ``merge_on`` = the full
+grouping key: the sink then read-merges each touched partition
+(existing rows anti-joined on the key, union, rewrite) so siblings
+survive. The merge path costs one read of the touched partitions per
+batch — still bounded by the revised slice, never the table.
 """
 
 from __future__ import annotations
@@ -29,22 +42,49 @@ from pyspark.sql import DataFrame
 def foreach_batch_overwrite(
     path: str,
     partition_cols: tuple[str, ...],
+    merge_on: tuple[str, ...] | None = None,
 ) -> "callable":
     """Build the ``foreachBatch`` function: dynamic-overwrite the
-    output partitions this micro-batch touched. Use with an UPDATE-mode
-    aggregate so each batch carries the full revised value of every
-    group it contains."""
+    output partitions this micro-batch touched.
+
+    Use with an UPDATE-mode aggregate so each batch carries the full
+    revised value of every group it contains. If the aggregate's
+    grouping key is finer than ``partition_cols``, pass it as
+    ``merge_on`` — see the module docstring for why the plain
+    overwrite would otherwise drop unchanged sibling groups.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
+        out = batch_df
+        if merge_on is not None:
+            spark = batch_df.sparkSession
+            try:
+                existing = spark.read.parquet(path)
+            except Exception:
+                existing = None  # first batch: nothing to merge yet
+            if existing is not None:
+                # Keep only existing rows in TOUCHED partitions whose
+                # group key is NOT revised by this batch; the overwrite
+                # below replaces those partitions wholesale.
+                touched = batch_df.select(*partition_cols).distinct()
+                survivors = (
+                    existing.join(touched, list(partition_cols), "left_semi")
+                    .join(
+                        batch_df.select(*merge_on).distinct(),
+                        list(merge_on),
+                        "left_anti",
+                    )
+                )
+                out = batch_df.unionByName(
+                    survivors.select(*batch_df.columns)
+                )
+        # partitionOverwriteMode as a PER-WRITE option: scoped to this
+        # write, no session-conf leak into later overwrite writes.
         (
-            batch_df.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-        )
-        (
-            batch_df.write.mode("overwrite")
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
             .parquet(path)
         )
@@ -57,13 +97,20 @@ def write_materialized_view(
     path: str,
     checkpoint: str,
     partition_cols: tuple[str, ...],
+    merge_on: tuple[str, ...] | None = None,
 ):
     """Wire an UPDATE-mode streaming aggregate into the idempotent
-    overwrite sink; returns the started query (caller awaits)."""
+    overwrite sink; returns the started query (caller awaits).
+
+    ``merge_on``: pass the aggregate's full grouping key whenever it is
+    finer than ``partition_cols`` (module docstring has the contract).
+    """
     return (
         sdf.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(foreach_batch_overwrite(path, partition_cols))
+        .foreachBatch(
+            foreach_batch_overwrite(path, partition_cols, merge_on)
+        )
         .trigger(availableNow=True)
         .start()
     )

@@ -192,3 +192,73 @@ def test_containment_max_df_prunes_boilerplate(spark):
     )
     assert unpruned.count() == 190  # C(20,2): all pairs share the header
     assert pruned.count() == 0
+
+
+def test_fuzzy_default_band_is_lossless(spark):
+    """Round-4 advice: len_band=2 < max_dist=3 silently dropped pairs
+    like ('abc','abcxyz') (length diff 3, edit distance 3). The default
+    band now equals max_dist, making the length blocking lossless."""
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "abcxyz"), (2, "zzzz")], "id long, name string"
+    )
+    pairs = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in dedup.fuzzy_name_pairs(docs, "name", max_dist=3).collect()
+    }
+    assert ("abc", "abcxyz", 3) in pairs
+    # explicit narrower band is the documented approximate-recall trade
+    banded = dedup.fuzzy_name_pairs(docs, "name", max_dist=3, len_band=2)
+    assert ("abc", "abcxyz", 3) not in {
+        (r["name_a"], r["name_b"], r["dist"]) for r in banded.collect()
+    }
+
+
+def test_fuzzy_qgram_blocking_is_lossless(spark):
+    """Ed-Join positional-q-gram prefix filtering must return EXACTLY
+    the plain length-band result — on an adversarial fixture: repeated
+    grams (occurrence numbering), names shorter than q*(d+1) (short
+    fallback path), short-vs-long pairs, and frequent shared grams."""
+    names = [
+        "aaaaaaaaaa", "aaaaaaaaab", "aaaa", "aaab",          # gram repeats
+        "ab", "ba", "x", "",                                  # < q shorts
+        "lemon blush powder", "lemon blush powdr",            # real-ish
+        "lemon blush powde", "melon blush powder",
+        "abcdefgh", "abcdefghijk",                            # len diff 3
+        "qrstuvwx", "qrstuvwxyz12",                           # len diff 4: out
+    ]
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    plain = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in dedup.fuzzy_name_pairs(docs, "name", max_dist=3).collect()
+    }
+    blocked = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in dedup.fuzzy_name_pairs(
+            docs, "name", max_dist=3, qgram=2
+        ).collect()
+    }
+    assert blocked == plain
+    assert ("abcdefgh", "abcdefghijk", 3) in plain  # crosses the short cut
+
+
+def test_fuzzy_qgram_matches_plain_on_part_names(spark, sf_dir):
+    """End-to-end on the real part catalog: the blocked and plain paths
+    agree pair-for-pair (the registered query runs the blocked path;
+    its oracle states only band + levenshtein, so this equivalence is
+    what keeps the oracle honest)."""
+    from map_reduce_rpc_spark.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    plain = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.fuzzy_name_pairs(part, "p_name", max_dist=3).collect()
+    }
+    blocked = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.fuzzy_name_pairs(
+            part, "p_name", max_dist=3, qgram=2
+        ).collect()
+    }
+    assert blocked == plain and len(plain) > 0

@@ -155,3 +155,66 @@ def test_foreach_batch_materialized_view_idempotent(spark, tmp_path):
     # overwrite converges to the identical table — no duplicates
     run(str(tmp_path / "ck2"))
     assert table() == {(0, 3, 13), (1, 1, 3), (2, 1, 4)}
+
+
+def test_foreach_batch_merge_on_preserves_sibling_groups(spark, tmp_path):
+    """Grouping key FINER than the partition col (grouped by (hr, user),
+    partitioned by hr): UPDATE mode emits only changed groups, so a
+    plain partition overwrite would drop the partition's unchanged
+    sibling groups. merge_on=(full group key) read-merges them back —
+    the ADVICE-flagged silent-row-loss shape, now exercised."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.streaming import sinks
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "mv")
+    indir.mkdir()
+    HOUR_US = 3600 * 1_000_000
+
+    def chunk(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            str(indir / name),
+        )
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .parquet(str(indir))
+            .withColumn("hr", (F.col("ts_us") / HOUR_US).cast("long"))
+            .groupBy("hr", "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        q = sinks.write_materialized_view(
+            sdf, outdir, ckpt, ("hr",), merge_on=("hr", "user_id")
+        )
+        q.awaitTermination()
+
+    def table():
+        return {
+            (r["hr"], r["user_id"], r["n"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    # hour 0 holds two sibling groups (users 1 and 2)
+    chunk("c1.parquet", [(1, 0), (2, 10), (1, 20)])
+    run(str(tmp_path / "ck1"))
+    assert table() == {(0, 1, 2), (0, 2, 1)}
+
+    # late event revises ONLY user 1 in hour 0: user 2's group must
+    # survive the partition rewrite (this is the row-loss scenario)
+    chunk("c2.parquet", [(1, 30)])
+    run(str(tmp_path / "ck1"))
+    assert table() == {(0, 1, 3), (0, 2, 1)}
+
+    # replay from a fresh checkpoint converges to the same table
+    run(str(tmp_path / "ck2"))
+    assert table() == {(0, 1, 3), (0, 2, 1)}
