@@ -211,6 +211,65 @@ def connected_components_star(
     )
 
 
+def components_within_blocks(
+    edges: DataFrame,
+    block_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, component) for edge lists whose edges NEVER cross a block
+    boundary (e.g. blocked near-dup pairs: both endpoints share the
+    block by construction). Component = min node id, identical to
+    :func:`connected_components` — but computed in ONE shuffle.
+
+    Why this exists: when edges are block-local, every connected
+    component lies inside a single block, so the global iterative
+    algorithms are pure overhead — min-label propagation pays
+    rounds x (join + agg + checkpoint) of fixed per-round cost that
+    dwarfs the actual work (measured at sf0.1: 10-17 s for 391 edges
+    vs ~1 s here). Per block, a driver-free union-find runs inside an
+    Arrow batch (``applyInPandas``); with blocks bounded (k-means
+    cells sized n/k, the SemDeDup construction) each group is tiny and
+    the shuffle on the block key is the only data movement. This is
+    the published SemDeDup shape: cluster -> WITHIN-cluster closure.
+
+    Caller contract: both endpoints of every edge must carry the same
+    ``block_col`` value (true for any within-block pair generator). A
+    node may appear in only one block, so outputs are disjoint.
+    """
+    import pandas as pd
+
+    def _union_find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["_src"], pdf["_dst"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-id roots
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return (
+        edges.select(
+            F.col(block_col).alias("_blk"),
+            F.col(src).cast("long").alias("_src"),
+            F.col(dst).cast("long").alias("_dst"),
+        )
+        .groupBy("_blk")
+        .applyInPandas(_union_find, schema="node long, component long")
+    )
+
+
 def dedup_keepers(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
     """Cluster the dup pairs and pick the keeper (min id) per cluster:
     (node, component, is_keeper) — drop rows where is_keeper is false

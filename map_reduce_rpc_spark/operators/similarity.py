@@ -105,6 +105,7 @@ def blocked_near_dup_pairs(
     block_col: str = "label",
     strategy: str = "auto",
     broadcast_max_bytes: int = 64 << 20,
+    keep_block_col: bool = False,
 ) -> DataFrame:
     """Exact cosine >= threshold pairs within each block.
 
@@ -144,12 +145,14 @@ def blocked_near_dup_pairs(
     else:
         a = base.alias("a")
         b = base.hint("merge").alias("b")
+    extra = [F.col("a.blk").alias("blk")] if keep_block_col else []
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("cos"),
+        *extra,
     )
     return pairs.where(F.col("cos") >= threshold)
 

@@ -247,22 +247,36 @@ SEMDEDUP_THRESHOLD = 0.35
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup end to end: cluster-blocked
-    exact-cosine pairs above SEMDEDUP_THRESHOLD -> connected components
-    -> keeper (min vec_id) per semantic cluster; singletons keep
-    themselves. Output (vec_id, component, is_keeper) — drop
+    exact-cosine pairs above SEMDEDUP_THRESHOLD -> within-block
+    components -> keeper (min vec_id) per semantic cluster; singletons
+    keep themselves. Output (vec_id, component, is_keeper) — drop
     is_keeper=false rows to semantically dedup the corpus.
 
     Blocks here are the label column so the whole pipeline is
     oracle-able (recursive-CTE closure over the same exact pairs); with
     no natural blocks, train cells via kmeans_fit and swap
     assign_cells in as the block column — the plan shape (blocked pair
-    generation, CC on id pairs only) is identical.
+    generation, within-block closure) is identical.
+
+    Scale shape (round 5): pairs never cross a block, so the closure
+    runs as ONE grouped union-find (graph.components_within_blocks)
+    instead of global iterative CC — this cut the query from 9.2 s to
+    the pair-generation cost alone at sf0.1. The candidate stage stays
+    exact-cosine WITHIN blocks, which is the published SemDeDup design:
+    the lever at 100 TB is block size (k-means cells sized n/k keep
+    each block's quadratic term bounded), not LSH — at this semantic
+    threshold (0.35) SRP-LSH banding has near-zero selectivity (bit
+    agreement ~0.61 -> an 8-bit band collides at ~2%; recall ~15%), so
+    hashing can only replace exact candidates at near-duplicate
+    thresholds (>= ~0.9; that path ships as srp_near_dup_pairs).
     """
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_within_blocks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.blocked_near_dup_pairs(emb, threshold=SEMDEDUP_THRESHOLD)
-    comp = connected_components(pairs).select(
+    pairs = similarity.blocked_near_dup_pairs(
+        emb, threshold=SEMDEDUP_THRESHOLD, keep_block_col=True
+    )
+    comp = components_within_blocks(pairs, block_col="blk").select(
         F.col("node").alias("vec_id"), F.col("component")
     )
     return (

@@ -60,3 +60,36 @@ def test_star_converges_in_log_rounds_on_path(spark):
         out = _components(connected_components_star(df, max_iter=25))
     # a path is one component labeled by its min node
     assert out == {(i, 0) for i in range(121)}
+
+
+def test_components_within_blocks_matches_global_cc(spark):
+    """Blocked union-find must equal global min-label CC whenever edges
+    are block-local (the semantic_dedup contract): same components,
+    same min-id labels — including chain shapes within a block (where
+    the single-shuffle form skips the per-round iteration entirely)."""
+    from map_reduce_rpc_spark.operators.graph import (
+        components_within_blocks,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # block 0: chain 1-2-3-4 plus isolated pair 8-9
+            (0, 1, 2), (0, 2, 3), (0, 3, 4), (0, 8, 9),
+            # block 1: triangle 10-11-12 with redundant edges
+            (1, 10, 11), (1, 11, 12), (1, 10, 12),
+            # block 2: self-contained star around 20
+            (2, 20, 21), (2, 20, 22), (2, 20, 23),
+        ],
+        "blk int, id_a long, id_b long",
+    )
+    blocked = {
+        (r["node"], r["component"])
+        for r in components_within_blocks(edges, "blk").collect()
+    }
+    global_cc = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert blocked == global_cc
+    assert (4, 1) in blocked and (12, 10) in blocked and (23, 20) in blocked
