@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_pipeline": parity.kv_pipeline,
         # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
         "q1_pricing_summary": relational.q1_pricing_summary,
+        # NEW round 5: Q6 over a range-clustered layout — the file-level
+        # skipping lever exercised end-to-end in a certified query
+        # (vacates ngram_jaccard_dups to the tail; minhash/simhash/
+        # containment keep the dedup family in-window).
+        "q6_clustered_scan": relational.q6_clustered_scan,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         # —— events / time-series ——
@@ -82,7 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,
         "doc_repetition": textops.doc_repetition,
-        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "minhash_dups": textops.minhash_dups,
         "simhash_dups": textops.simhash_dups,
         "containment_dups": textops.containment_dups,
@@ -147,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": events.approx_distinct_users,
         "range_join_hot_windows": events.range_join_hot_windows,
         "dedup_exact": textops.dedup_exact,
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "rollup_sales": relational.rollup_sales,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,

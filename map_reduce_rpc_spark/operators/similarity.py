@@ -302,24 +302,38 @@ def srp_signatures(
     vec_col: str = "embedding",
     n_bits: int = 64,
     seed: int = 42,
+    bands: int = 8,
 ) -> DataFrame:
-    """64-bit sign-random-projection signature per vector.
+    """Sign-random-projection signature per vector, emitted as one
+    value per LSH band (``bands`` longs of ``n_bits // bands`` bits).
 
     P(bit agrees) = 1 - angle/pi, so hamming distance estimates cosine.
     The N x dim @ dim x n_bits projection runs as numpy integer matmul
     inside Arrow batches (mapInPandas) — the one place BLAS beats
     codegen; hyperplanes are regenerated deterministically
     (:func:`srp_plane_sign`) inside each task, nothing is shuffled but
-    (id, sig) longs. Bit j of the signature is
+    (id, band values) longs. Bit j of the signature is
     ``sum_d floor(v[d]*2^20) * s(j,d) > 0`` — all-integer, so an
-    ANSI-SQL oracle reproduces every bit exactly.
+    ANSI-SQL oracle reproduces every bit exactly; band b's value packs
+    bits [b*width, (b+1)*width) little-endian.
+
+    Emitting per-band values (round 5; previously one packed 64-bit
+    long) removes the 64-bit ceiling on n_bits, which the log2(N) band
+    sizing needs: at 10^9 vectors the calibrated width is ~24 bits x 8
+    bands = 192 signature bits.
     """
     import numpy as np
     import pandas as pd
 
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    width = n_bits // bands
+    if width > 62:
+        raise ValueError(f"band width {width} exceeds a long (max 62)")
+
     def project(batches):
         planes: dict[int, "np.ndarray"] = {}
-        weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        weights = (1 << np.arange(width, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -335,15 +349,18 @@ def srp_signatures(
                     dtype=np.int64,
                 )
             bits = (Q @ planes[dim]) > 0
-            sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+            vals = np.empty((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                seg = bits[:, b * width : (b + 1) * width].astype(np.uint64)
+                vals[:, b] = (seg * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame(
-                {"id": pdf["_id"].values, "sig": sigs.view(np.int64)}
+                {"id": pdf["_id"].values, "bands": list(vals)}
             )
 
     base = emb.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     )
-    return base.mapInPandas(project, schema="id long, sig long")
+    return base.mapInPandas(project, schema="id long, bands array<long>")
 
 
 def srp_near_dup_pairs(
@@ -351,50 +368,51 @@ def srp_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 64,
+    n_bits: int | None = None,
     bands: int = 8,
     max_bucket: int | None = None,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Cosine >= threshold pairs via SRP-LSH banding + exact verify.
 
-    Pipeline: signature -> split into ``bands`` bands -> bucket join on
+    Pipeline: signature -> one value per band -> bucket join on
     (band_idx, band_val) -> exact cosine on the candidates only.
     Recall for 8x8-bit bands at cos 0.95+ is >0.999; precision is exact
     (candidates are verified). Shuffle profile: one (id, band) row per
     vector per band — vector payloads only touch the verify join.
 
-    ``max_bucket`` is the saturation lever (same contract as
-    simhash_pairs): an 8-bit band has only 256 values, so once the
-    corpus is ≫ bands x 2^width the buckets saturate and the candidate
-    term goes quadratic in N regardless of true-duplicate density (the
-    sf1 soak measures 7.6M candidates for 90k true pairs at 20k
-    vectors). Buckets larger than ``max_bucket`` are dropped before
-    the pair join, bounding candidates at
-    bands x 2^width x C(max_bucket, 2); recall then covers only pairs
-    sharing at least one surviving band. At 100 TB scale the primary
-    lever is wider bands (n_bits=128+, width >= 16 — band space must
-    grow with log2 N); the cap bounds whatever the band width lets
-    through. Deterministic (bucket size is a fact of the data), so an
-    oracle replays it with a windowed count.
+    Band-width AUTO-CALIBRATION (round 5, default): with ``n_bits``
+    None, the band width follows the log2(N) rule SCALE.md derives —
+    ``width = max(8, ceil(log2(N / target_bucket)))`` — so the expected
+    random-bucket size N / 2^width stays ~``target_bucket`` as the
+    corpus grows, instead of saturating (8-bit bands have 256 values;
+    the sf1 soak measured 7.6M candidates for 90k true pairs once
+    N >> bands x 2^width). Costs one count() of the input. At the test
+    corpora (N <= 16k) the rule yields the historical 8x8-bit layout,
+    so oracle-pinned callers see identical behavior; pass an explicit
+    ``n_bits`` to pin the family regardless of N (the registered query
+    does, keeping its DuckDB replay exact).
+
+    ``max_bucket`` remains the deterministic backstop for whatever the
+    width lets through (identical twins hash identically at ANY width):
+    buckets larger than it are dropped before the pair join, bounding
+    candidates at bands x 2^width x C(max_bucket, 2); recall then
+    covers only pairs sharing a surviving band. Deterministic (bucket
+    size is a fact of the data), so an oracle replays it with a
+    windowed count.
     """
-    width = n_bits // bands
-    sigs = srp_signatures(emb, id_col, vec_col, n_bits)
+    if n_bits is None:
+        import math
+
+        n = emb.count()
+        width = max(
+            8, math.ceil(math.log2(max(n, 1) / target_bucket)) if n > target_bucket else 8
+        )
+        n_bits = bands * width
+    sigs = srp_signatures(emb, id_col, vec_col, n_bits, bands=bands)
     banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("sig"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_val")
+        "id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_val")
         banded = (

@@ -85,6 +85,61 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clustered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir, disk-cached) a range-clustered
+    copy of lineitem ordered by l_shipdate — the high-cardinality
+    pruning layout ``sources/sinks.write_clustered_parquet`` provides.
+    Each output file covers a narrow shipdate range, so footer min/max
+    stats let a date-filtered reader skip whole files."""
+    import hashlib
+    import os
+
+    from ..sources.sinks import write_clustered_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_clustered_{tag}/lineitem"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_clustered_parquet(
+            load_table(spark, sf_dir, "lineitem"),
+            path,
+            ("l_shipdate",),
+            files=16,
+            mode="overwrite",
+        )
+    return path
+
+
+def q6_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 over a RANGE-CLUSTERED lineitem layout: identical semantics
+    (and oracle) to q6_forecast_revenue, but the scan reads the
+    l_shipdate-clustered parquet copy, so the pushed shipdate range
+    predicate skips whole files via footer min/max statistics instead
+    of filtering after IO. At 100 TB this layout turns the 1-year
+    shipdate slice into "open the files whose stats overlap
+    [1996, 1997)" — the measured skip ratio is pytest-asserted in
+    tests/test_scale.py::test_clustered_scan_skips_files.
+
+    load_table is still called first (it pins the session timezone the
+    timestamp literals below rely on); the clustered copy itself is
+    byte-derived from the same rows, so all aggregates hash-match the
+    plain-layout oracle."""
+    path = _clustered_lineitem_path(spark, sf_dir)
+    li = spark.read.parquet(path)
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 LARGE_VOLUME_QTY = 280
 
 
@@ -659,6 +714,18 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    # Same logical answer as q6: the clustered copy holds the same rows,
+    # so the plain-layout SQL is the oracle for the clustered scan too.
+    "q6_clustered_scan": """
         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
                count(*) AS n_items

@@ -142,23 +142,23 @@ FUZZY_MAX_DIST = 3
 # |len diff|); round 4 shipped band=2 < dist=3, which silently dropped
 # e.g. ('abc','abcxyz') — fixed per the round-4 advice.
 FUZZY_LEN_BAND = 3
-FUZZY_QGRAM = 2
 
 
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level entity resolution over the part catalog:
     distinct p_name pairs within edit distance 3, length-band blocked
-    AND Ed-Join q-gram prefix-filtered (operators/dedup.fuzzy_name_pairs
-    — both blockings run as equi-joins, never a nested loop; both are
-    LOSSLESS at these settings, so the oracle needs only the band
-    predicate + the levenshtein filter). Fully oracled: levenshtein is
-    the same unit-cost DP in both engines."""
+    with Ed-Join q-gram prefix-filtering auto-engaging past 5k distinct
+    names (operators/dedup.fuzzy_name_pairs — both blockings run as
+    equi-joins, never a nested loop; both are LOSSLESS at these
+    settings and return identical pairs, so the oracle needs only the
+    band predicate + the levenshtein filter regardless of which path
+    ran). Fully oracled: levenshtein is the same unit-cost DP in both
+    engines."""
     return dedup.fuzzy_name_pairs(
         load_table(spark, sf_dir, "part"),
         "p_name",
         max_dist=FUZZY_MAX_DIST,
         len_band=FUZZY_LEN_BAND,
-        qgram=FUZZY_QGRAM,
     )
 
 

@@ -238,7 +238,13 @@ def srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (max pairwise cos ~0.6), so agreement with
     embedding_near_dups is asserted there too."""
     return similarity.srp_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_THRESHOLD,
+        # Pinned (not auto-calibrated): the oracle below replays exactly
+        # this 8x8-bit family; auto-sizing would drift the band width
+        # with corpus count.
+        n_bits=SRP_BITS,
+        bands=SRP_BANDS,
     )
 
 

@@ -148,6 +148,55 @@ def read_events_stream(
     )
 
 
+def read_rate_events(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    num_partitions: int = 4,
+    start_ts_us: int = 820_454_400_000_000,  # 1996-01-01 UTC
+    advance_us_per_row: int = 1_000,
+) -> DataFrame:
+    """Kafka-shaped NON-FILE stream source: the built-in
+    ``rate-micro-batch`` generator mapped onto the canonical events
+    schema, so every events-stream query in this repo runs against it
+    unchanged (same columns as :func:`read_events_stream`).
+
+    Why ``rate-micro-batch`` and not ``rate``: it emits exactly
+    ``rowsPerBatch`` rows per micro-batch with a monotonically
+    advancing ``value`` counter — DETERMINISTIC content per batch
+    index, which is what tests need and what a replayed Kafka topic
+    gives in production. The mapping is a pure function of the counter
+    (event time advances ``advance_us_per_row`` per row; user/type/
+    value derive from xxhash64/modulo), so two runs of N batches see
+    identical rows — the at-least-once contract holds exactly as for
+    the file replay.
+
+    This adapter is the source boundary a Kafka deployment swaps at:
+    replace this one function with ``readStream.format("kafka")`` +
+    ``from_json(value)`` and every downstream window/join/sessionizer
+    is untouched.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    ts_us = F.lit(start_ts_us) + F.col("value") * F.lit(advance_us_per_row)
+    return raw.select(
+        F.col("value").alias("event_id"),
+        ts_us.alias("ts_us"),
+        F.pmod(F.xxhash64(F.col("value")), F.lit(500)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("value") + 1), F.lit(10_000)) / 100.0).alias(
+            "value"
+        ),
+        F.lit("{}").alias("props"),
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+
 def run_available_now(sdf: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Run a streaming frame to completion into a memory sink; return
     the drained result as a batch DataFrame.

@@ -79,49 +79,59 @@ def main() -> None:
         "pairs": n_pairs,
     }))
 
-    t0 = time.perf_counter()
-    sigs = similarity.srp_signatures(emb)
-    srp = similarity.srp_near_dup_pairs(emb, threshold=THRESHOLD)
-    n_srp = srp.count()
-    srp_sec = round(time.perf_counter() - t0, 2)
-    # candidate volume behind the verify (replays the banding join)
-    t0 = time.perf_counter()
-    width = 64 // 8
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftrightunsigned(F.col("sig"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("band_val"),
-                )
-                for i in range(8)
-            ])
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_val")
-    n_cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+    def srp_candidates(n_bits: int) -> int:
+        """Candidate volume behind the verify (replays the band join)."""
+        sigs = similarity.srp_signatures(emb, n_bits=n_bits)
+        banded = sigs.select(
+            "id", F.posexplode("bands").alias("band_idx", "band_val")
         )
-        .select("a.id", "b.id")
-        .distinct()
-        .count()
-    )
+        return (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    import math
+
+    auto_width = max(8, math.ceil(math.log2(max(n, 1) / 64)))
+
+    # pinned historical 8x8-bit family (what the registered query runs)
+    t0 = time.perf_counter()
+    n_srp = similarity.srp_near_dup_pairs(
+        emb, threshold=THRESHOLD, n_bits=64
+    ).count()
+    srp_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_cand = srp_candidates(64)
     print(json.dumps({
-        "op": "srp_near_dups", "sec": srp_sec, "pairs": n_srp,
+        "op": "srp_near_dups_pinned64", "sec": srp_sec, "pairs": n_srp,
         "candidates": n_cand,
+        "candidates_sec": round(time.perf_counter() - t0, 2),
+    }))
+
+    # AUTO-calibrated width (the round-5 default: width ~ log2(N/64))
+    t0 = time.perf_counter()
+    n_srp_auto = similarity.srp_near_dup_pairs(emb, threshold=THRESHOLD).count()
+    srp_auto_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_cand_auto = srp_candidates(8 * auto_width)
+    print(json.dumps({
+        "op": "srp_near_dups_auto", "sec": srp_auto_sec,
+        "pairs": n_srp_auto, "band_width": auto_width,
+        "candidates": n_cand_auto,
         "candidates_sec": round(time.perf_counter() - t0, 2),
     }))
 
     t0 = time.perf_counter()
     srp_capped = similarity.srp_near_dup_pairs(
-        emb, threshold=THRESHOLD, max_bucket=50
+        emb, threshold=THRESHOLD, n_bits=64, max_bucket=50
     )
     n_srp_capped = srp_capped.count()
     print(json.dumps({

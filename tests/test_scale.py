@@ -149,3 +149,47 @@ def test_zorder_key_is_bijective_on_the_grid(spark):
     assert keys.distinct().count() == dom * dom
     lo, hi = keys.agg(F.min("z"), F.max("z")).first()
     assert (lo, hi) == (0, dom * dom - 1)  # exactly the 16-bit range
+
+
+def test_clustered_scan_skips_files(spark, sf_dir):
+    """The q6_clustered_scan layout must actually prune: each clustered
+    file covers a narrow l_shipdate range, so the 1996 shipdate slice
+    overlaps only a minority of files' footer min/max stats — the
+    mechanism, measured, not assumed. Also asserts answer parity with
+    the plain-layout q6."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_rpc_spark.plans import relational
+
+    path = relational._clustered_lineitem_path(spark, sf_dir)
+    files = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert len(files) > 4  # enough files for skipping to mean anything
+
+    import datetime as dt
+
+    lo_q = dt.datetime(1996, 1, 1)
+    hi_q = dt.datetime(1997, 1, 1)
+    overlapping = 0
+    for p in files:
+        md = pq_mod.ParquetFile(p).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_shipdate":
+                    st = col.statistics
+                    fmin = st.min if fmin is None else min(fmin, st.min)
+                    fmax = st.max if fmax is None else max(fmax, st.max)
+        assert fmin is not None
+        if fmax >= lo_q and fmin < hi_q:
+            overlapping += 1
+    # lineitem shipdates span ~7 years; a 1-year slice over a range-
+    # clustered layout should overlap well under half the files.
+    assert overlapping <= len(files) // 2, (overlapping, len(files))
+
+    plain = relational.q6_forecast_revenue(spark, sf_dir).collect()
+    clustered = relational.q6_clustered_scan(spark, sf_dir).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in clustered]

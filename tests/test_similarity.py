@@ -165,3 +165,63 @@ def test_kmeans_ivf_recall_beats_scanned_fraction(spark, sf_dir):
     recall = len(km & brute) / len(brute)
     scanned = 3 / vectors.KMEANS_K
     assert recall > scanned, f"recall {recall} <= scanned fraction {scanned}"
+
+
+def test_srp_auto_calibration_widens_bands(spark):
+    """With n_bits=None the band width follows max(8, ceil(log2(N/64))):
+    small corpora keep the historical 8x8-bit family; a corpus past
+    bands x 2^8 gets wider bands, and identical twins are still found
+    (recall at cos=1.0 survives ANY width — twins share every band)."""
+    import pandas as pd
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(600)),
+                "embedding": [
+                    [float((i * 37 + d * 11) % 97) / 97.0 for d in range(8)]
+                    # 300 base vectors, each with one identical twin
+                    for i in [j % 300 for j in range(600)]
+                ],
+            }
+        )
+    )
+    # N=600 -> width = ceil(log2(600/64)) = 4 -> clamped to 8: unchanged
+    pairs_auto = similarity.srp_near_dup_pairs(emb, threshold=0.9999)
+    pairs_pinned = similarity.srp_near_dup_pairs(emb, threshold=0.9999, n_bits=64)
+    twins = {(i, i + 300) for i in range(300)}
+    got_auto = {(r["id_a"], r["id_b"]) for r in pairs_auto.collect()}
+    got_pinned = {(r["id_a"], r["id_b"]) for r in pairs_pinned.collect()}
+    assert twins <= got_auto and twins <= got_pinned
+
+    # Explicit wide family (16-bit bands, 128 sig bits): twins still
+    # collide on every band; the wider space only sheds FALSE buckets.
+    wide = similarity.srp_near_dup_pairs(emb, threshold=0.9999, n_bits=128)
+    assert twins <= {(r["id_a"], r["id_b"]) for r in wide.collect()}
+
+
+def test_srp_band_values_match_packed_bits(spark):
+    """Band values must pack bit j into band j//width at position
+    j%width (little-endian) — the exact layout the DuckDB oracle
+    replays; a drift here would break srp_near_dups' hash match."""
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(0, [0.9, -0.4, 0.3, 0.1]), (1, [-0.2, 0.8, -0.7, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["id"]: list(r["bands"])
+        for r in similarity.srp_signatures(emb, n_bits=64, bands=8).collect()
+    }
+    # recompute in pure python from the public definition
+    for vid, vec in [(0, [0.9, -0.4, 0.3, 0.1]), (1, [-0.2, 0.8, -0.7, 0.5])]:
+        q = [int(np.floor(np.float64(np.float32(x)) * similarity.SRP_QUANT)) for x in vec]
+        bits = [
+            sum(q[d] * similarity.srp_plane_sign(42, j, d) for d in range(4)) > 0
+            for j in range(64)
+        ]
+        expect = [
+            sum((1 << k) for k in range(8) if bits[b * 8 + k]) for b in range(8)
+        ]
+        assert rows[vid] == expect, f"vec {vid}"

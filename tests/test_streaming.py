@@ -218,3 +218,65 @@ def test_foreach_batch_merge_on_preserves_sibling_groups(spark, tmp_path):
     # replay from a fresh checkpoint converges to the same table
     run(str(tmp_path / "ck2"))
     assert table() == {(0, 1, 3), (0, 2, 1)}
+
+
+def test_rate_source_adapter_feeds_existing_queries(spark, tmp_path):
+    """Non-file source demo: the rate-micro-batch adapter emits the
+    canonical events schema, an EXISTING windowed aggregation runs on
+    it unchanged, and two independent runs see identical rows for the
+    same counter range (deterministic mapping) — the Kafka-shaped
+    at-least-once contract without a file replay dir."""
+    import time as _time
+
+    from map_reduce_rpc_spark.streaming import core, windows
+
+    def run_until(n_batches, ckpt, sink):
+        """Drive a stream off the unbounded rate source until
+        ``n_batches`` micro-batches committed (processAllAvailable
+        would never return — there is always a next batch)."""
+        q = sink.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(processingTime="0 seconds").start()
+        try:
+            deadline = _time.time() + 120
+            while (
+                q.lastProgress is None or q.lastProgress["batchId"] < n_batches
+            ):
+                assert _time.time() < deadline, "stream made no progress"
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+
+    # 1) existing windowed aggregation runs unchanged on the adapter
+    agg = windows.hourly_counts(core.read_rate_events(spark, rows_per_batch=500))
+    run_until(
+        2,
+        "ck_agg",
+        agg.writeStream.format("memory").queryName("rate_agg").outputMode("update"),
+    )
+    rows = spark.table("rate_agg").collect()
+    assert rows and all(r["n_events"] > 0 for r in rows)
+
+    # 2) determinism: two independent runs agree row-for-row on the
+    #    counter range both runs are guaranteed to have produced
+    def capture(ckpt):
+        seen: dict[int, tuple] = {}
+
+        def grab(batch_df, batch_id):
+            for r in batch_df.collect():
+                seen[r["event_id"]] = (
+                    r["user_id"], r["event_type"], r["value"], r["ts_us"]
+                )
+
+        ev = core.read_rate_events(spark, rows_per_batch=500)
+        run_until(2, ckpt, ev.writeStream.foreachBatch(grab))
+        return {k: v for k, v in seen.items() if k < 1000}  # batches 0-1
+
+    first, second = capture("ck_a"), capture("ck_b")
+    assert len(first) == 1000 and first == second
+
+    # schema parity with the file-replay source
+    ev = core.read_rate_events(spark)
+    assert set(ev.columns) == {
+        "event_id", "ts_us", "user_id", "event_type", "value", "props", "ts"
+    }
