@@ -95,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": textops.fuzzy_part_names,
         "funnel_conversion": events.funnel_conversion,
         "dup_clusters_star": textops.dup_clusters_star,
-        "tfidf_top_terms": textops.tfidf_top_terms,
         "curation_pipeline": textops.curation_pipeline,
         # —— relational tail families rotated into the window (round 4) ——
         "q18_large_volume": relational.q18_large_volume,
@@ -126,6 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dups": vectors.srp_near_dups,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
+        # NEW round 5: SemDeDup over LEARNED k-means cells (the
+        # no-natural-blocks 100 TB form), Lloyd-replay + closure oracle
+        # (vacates tfidf_top_terms, certified r1-r4, to the tail).
+        "semantic_dedup_cells": vectors.semantic_dedup_cells,
         # —— training-data pipeline: multimodal columns ——
         "frame_checksums_mm": multimodal.frame_checksums_mm,
         "image_resize_mm": multimodal.image_resize_mm,
@@ -152,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_hot_windows": events.range_join_hot_windows,
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "rollup_sales": relational.rollup_sales,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,

@@ -115,14 +115,14 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled Lloyd's replay: cent0 (md5-ordered init) ->
-    [assign -> exact-integer update]*iters -> final assignment ->
-    probe -> exact cosine top-k. Every stage's floats are either
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE prefix: base -> cent0 (md5-ordered
+    init) -> [assign -> exact-integer update]*iters -> afin (final
+    assignment with column ``cell``). Every stage's floats are either
     per-row sequential folds or exact-integer divisions, so the chain
-    is bit-identical to the Spark fit + serve."""
+    is bit-identical to the Spark ``kmeans_fit`` + ``assign_cells``.
+    Reused by the ann_kmeans_topk and semantic_dedup_cells oracles."""
     Q = similarity.SRP_QUANT
-    k, iters, nprobe = KMEANS_K, KMEANS_ITERS, KMEANS_NPROBE
 
     def d2(v: str, c: str) -> str:
         return (
@@ -185,6 +185,15 @@ def _kmeans_oracle_sql() -> str:
             ) WHERE rn = 1
         )"""
     )
+    return ctes
+
+
+def _kmeans_oracle_sql() -> str:
+    """ann_kmeans_topk oracle: shared Lloyd prefix -> probe -> exact
+    cosine top-k."""
+    iters, nprobe = KMEANS_ITERS, KMEANS_NPROBE
+    ctes = _kmeans_ctes(KMEANS_K, iters)
+    final_cent = f"cent{iters}"
     ctes.append(
         f"""q AS (
             SELECT id AS query_id, v AS qv,
@@ -295,6 +304,90 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
             ).alias("is_keeper"),
         )
+    )
+
+
+SEMDEDUP_CELLS_K = 8
+SEMDEDUP_CELLS_ITERS = 2
+
+
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with NO natural block column — the 100 TB form:
+    distributed k-means (kmeans_fit, 8 cells x 2 Lloyd iterations)
+    learns the blocks, assign_cells attaches them as a narrow
+    literal-argmin map, then the same blocked exact-cosine pair stage
+    and single-shuffle union-find closure as semantic_dedup run within
+    the LEARNED cells. At scale k grows with N so cells stay bounded
+    (~n/k rows) and the within-cell quadratic term never explodes —
+    this query certifies that entire pipeline end to end.
+
+    Fully oracled: the DuckDB replay composes the unrolled-Lloyd CTE
+    chain (bit-identical fit, the ann_kmeans_topk machinery) with the
+    pair + recursive-closure replay of semantic_dedup — every float is
+    a sequential fold or exact-integer division, so keepers hash-match
+    exactly."""
+    from ..operators.graph import components_within_blocks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _cells = similarity.kmeans_fit(
+        emb, k=SEMDEDUP_CELLS_K, iters=SEMDEDUP_CELLS_ITERS
+    )
+    celled = similarity.assign_cells(emb, cents)
+    pairs = similarity.blocked_near_dup_pairs(
+        celled,
+        threshold=SEMDEDUP_THRESHOLD,
+        block_col="cell",
+        keep_block_col=True,
+    )
+    comp = components_within_blocks(pairs, block_col="blk").select(
+        F.col("node").alias("vec_id"), F.col("component")
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_keeper"),
+        )
+    )
+
+
+def _semantic_cells_oracle_sql() -> str:
+    """semantic_dedup_cells oracle: shared Lloyd prefix (afin = final
+    cell assignment) -> within-cell exact-cosine pairs -> recursive
+    transitive closure -> keepers."""
+    ctes = _kmeans_ctes(SEMDEDUP_CELLS_K, SEMDEDUP_CELLS_ITERS)
+    return (
+        "WITH RECURSIVE "
+        + ",\n        ".join(ctes)
+        + f""",
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM afin a JOIN afin b ON a.cell = b.cell AND a.id < b.id
+            WHERE {_cos("a.v", "b.v")} >= {SEMDEDUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a AS node, a AS r FROM edges
+            UNION
+            SELECT e.a AS node, reach.r AS r
+            FROM reach JOIN edges e ON e.b = reach.node
+        ),
+        comp AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        )
+        SELECT base.id AS vec_id,
+               coalesce(comp.component, base.id) AS component,
+               coalesce(comp.component, base.id) = base.id AS is_keeper
+        FROM base LEFT JOIN comp ON comp.node = base.id
+    """
     )
 
 
@@ -455,3 +548,4 @@ VECTORS_ORACLES: dict[str, str] = {
 }
 
 VECTORS_ORACLES["ann_kmeans_topk"] = _kmeans_oracle_sql()
+VECTORS_ORACLES["semantic_dedup_cells"] = _semantic_cells_oracle_sql()
