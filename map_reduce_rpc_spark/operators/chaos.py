@@ -85,7 +85,27 @@ def _main() -> None:
 
     diff = chaotic.exceptAll(clean).count() + clean.exceptAll(chaotic).count()
     assert diff == 0, f"chaos run diverged from clean run by {diff} rows"
-    print(f"CHAOS OK rows={clean.count()} diff=0")
+
+    # Round 5: the grouped union-find closure (applyInPandas,
+    # semantic-dedup's single-shuffle CC) must also be deterministic
+    # under first-attempt task failures — a retried group replays its
+    # whole Arrow batch, and the union-find is a pure function of it.
+    from .graph import components_within_blocks
+
+    edges = docs.select(
+        (F.col("doc_id") / 100).cast("long").alias("blk"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        (F.col("doc_id") + 1).cast("long").alias("id_b"),
+    ).where(F.col("doc_id") % 100 != 99)  # keep edges block-local
+    cc_chaotic = components_within_blocks(flaky_passthrough(edges), "blk")
+    cc_clean = components_within_blocks(edges, "blk")
+    cc_diff = (
+        cc_chaotic.exceptAll(cc_clean).count()
+        + cc_clean.exceptAll(cc_chaotic).count()
+    )
+    assert cc_diff == 0, f"union-find chaos run diverged by {cc_diff} rows"
+
+    print(f"CHAOS OK rows={clean.count()} cc_rows={cc_clean.count()} diff=0")
     spark.stop()
 
 

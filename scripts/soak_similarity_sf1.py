@@ -154,6 +154,27 @@ def main() -> None:
         "op": "kmeans_fit", "sec": round(time.perf_counter() - t0, 2),
         "assigned": n_cells,
     }))
+
+    # SemDeDup closure scaling: the pair stage is quadratic WITHIN a
+    # block, so the scale lever is growing k with N (bounded cells).
+    # Fixed k=8 lets cells grow ~10x (pair work ~100x); k=80 holds
+    # cell size at the sf0.1 level — wall should stay near-linear.
+    from map_reduce_rpc_spark.operators.graph import components_within_blocks
+
+    for k in (8, 80):
+        t0 = time.perf_counter()
+        cents_k, _ = similarity.kmeans_fit(emb, k=k, iters=2)
+        celled = similarity.assign_cells(emb, cents_k)
+        pairs = similarity.blocked_near_dup_pairs(
+            celled, threshold=0.35, block_col="cell", keep_block_col=True
+        )
+        comp = components_within_blocks(pairs, block_col="blk")
+        n_comp = comp.count()
+        print(json.dumps({
+            "op": f"semantic_dedup_cells_k{k}",
+            "sec": round(time.perf_counter() - t0, 2),
+            "clustered_nodes": n_comp,
+        }))
     spark.stop()
 
 
