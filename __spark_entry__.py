@@ -79,7 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (vacates ngram_jaccard_dups to the tail; minhash/simhash/
         # containment keep the dedup family in-window).
         "q6_clustered_scan": relational.q6_clustered_scan,
-        "parts_top3_per_brand": relational.parts_top3_per_brand,
+        # NEW round 5: the one join type nothing else exercised
+        # (vacates parts_top3_per_brand, certified r1-r4, to the tail;
+        # window_kitchen_sink keeps rank windows in-window).
+        "order_ship_calendar": relational.order_ship_calendar,
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         # —— events / time-series ——
         "purchase_asof_click": events.purchase_asof_click,
@@ -156,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": textops.dedup_exact,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "parts_top3_per_brand": relational.parts_top3_per_brand,
         "rollup_sales": relational.rollup_sales,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,

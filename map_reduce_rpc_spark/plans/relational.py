@@ -140,6 +140,32 @@ def q6_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_ship_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type no other registered query
+    exercises: per-day order placements vs lineitem shipments, keeping
+    days that appear on EITHER side (early dates only ship nothing,
+    late dates only place nothing). Shape at scale: two partial-agg'd
+    shuffles on the date key feed one sort-merge full-outer join on
+    already-reduced inputs (one row per date each side), so the outer
+    join is over ~date-cardinality rows regardless of fact size.
+    Output: (d, n_orders, n_shipments) with zeros for absent sides."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_shipments"))
+    )
+    return o.join(li, "d", "full_outer").select(
+        "d",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
+    )
+
+
 LARGE_VOLUME_QTY = 280
 
 
@@ -734,6 +760,22 @@ RELATIONAL_ORACLES: dict[str, str] = {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.03 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    # Spark's USING-column full outer coalesces the key; mirror with
+    # coalesce(o.d, l.d).
+    "order_ship_calendar": """
+        WITH o AS (
+            SELECT o_orderdate AS d, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        l AS (
+            SELECT l_shipdate AS d, count(*) AS n_shipments
+            FROM lineitem GROUP BY 1
+        )
+        SELECT coalesce(o.d, l.d) AS d,
+               coalesce(o.n_orders, 0) AS n_orders,
+               coalesce(l.n_shipments, 0) AS n_shipments
+        FROM o FULL OUTER JOIN l ON o.d = l.d
     """,
     "order_priority_counts": """
         SELECT o_orderpriority, count(*) AS n_orders
