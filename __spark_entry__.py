@@ -122,9 +122,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,
+        # NEW round 5: full-outer stream-stream interval join —
+        # completes the inner/left-outer/full-outer family (vacates
+        # embedding_near_dups, certified r1-r4 and 0 rows at sf0.01;
+        # its blocked-exact pair path stays certified through
+        # semantic_dedup and semantic_dedup_cells, which share
+        # blocked_near_dup_pairs and emit real pairs).
+        "stream_click_purchase_full": streams.stream_click_purchase_full,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
-        "embedding_near_dups": vectors.embedding_near_dups,
         "srp_near_dups": vectors.srp_near_dups,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
@@ -160,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
+        "embedding_near_dups": vectors.embedding_near_dups,
         "rollup_sales": relational.rollup_sales,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,

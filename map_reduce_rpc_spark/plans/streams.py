@@ -87,6 +87,26 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_click_purchase_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (round 5 — completes the
+    inner / left-outer / full-outer family): every click AND every
+    purchase, null-extended (-1) on whichever side never arrived in
+    the horizon. Chunked replay: BOTH unmatched directions are
+    watermark-driven."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    clicks = core.read_events_stream(spark, replay_dir)
+    purchases = core.read_events_stream(spark, replay_dir)
+    out = core.run_available_now(
+        windows.click_purchase_full_outer(clicks, purchases), spark
+    ).where(F.col("user_id") != core.SENTINEL_USER)
+    return out.select(
+        "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("lag_us"), F.lit(-1)).alias("lag_us"),
+    )
+
+
 def stream_events_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless map-only streaming normalization — the continuous-ETL
     pattern (parse, extract, project; no watermark, no state): each
@@ -200,6 +220,22 @@ STREAMS_ORACLES: dict[str, str] = {
                    AS lag_us
         FROM c
         LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'
+    """,
+    "stream_click_purchase_full": """
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.click_id, -1) AS click_id,
+               COALESCE(p.purchase_id, -1) AS purchase_id,
+               COALESCE(epoch_us(p.purchase_ts) - epoch_us(c.click_ts), -1)
+                   AS lag_us
+        FROM c
+        FULL OUTER JOIN p
           ON c.user_id = p.user_id
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'

@@ -134,6 +134,36 @@ def click_attribution_outer(
     )
 
 
+def click_purchase_full_outer(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str = WATERMARK_DELAY,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    family (inner: purchase_click_join; left outer:
+    click_attribution_outer): every click AND every purchase emitted,
+    null-extended when the other side never arrives in the horizon
+    (a purchase with no preceding click is an un-attributed conversion;
+    a click with no following purchase is an abandoned one).
+
+    Both unmatched directions are watermark-driven: a row can only be
+    declared match-less once the OTHER side's watermark has passed the
+    end of its horizon window, so state and emission timing are
+    identical in shape to the left-outer case, just applied on both
+    sides.
+    """
+    joined = _interval_joined(
+        clicks_src, purchases_src, watermark, horizon, "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
 def _interval_joined(
     clicks_src: DataFrame,
     purchases_src: DataFrame,
