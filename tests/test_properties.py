@@ -106,3 +106,47 @@ def test_asof_backward_matches_reference_model(spark, left, right):
         ).collect()
         got = {r.row_id: (r.matched_ts_us, r.matched_payload) for r in out}
         assert got == expected, impl.__name__
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # block
+        st.integers(min_value=0, max_value=40),   # node a (per-block ns)
+        st.integers(min_value=0, max_value=40),   # node b
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(edges=_edges)
+def test_blocked_union_find_matches_pure_model(spark, edges):
+    """components_within_blocks equals a pure-python union-find over
+    the same block-local edges — for any random multigraph, including
+    self-loops, duplicate edges, and chains. Node ids are namespaced
+    per block (node + block*1000) so the block-local contract holds."""
+    from map_reduce_rpc_spark.operators.graph import components_within_blocks
+
+    rows = [(blk, a + blk * 1000, b + blk * 1000) for blk, a, b in edges]
+
+    # pure model: min-id component per node, union over all edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for _, a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+
+    df = spark.createDataFrame(rows, "blk long, id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in components_within_blocks(df, "blk").collect()
+    }
+    assert got == expect
