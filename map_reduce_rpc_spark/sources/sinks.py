@@ -62,6 +62,85 @@ def write_partitioned_parquet(
     w.parquet(path)
 
 
+def merge_upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Batch MERGE (upsert) into a plain-parquet table: rows in
+    ``updates`` replace existing rows with the same key; all other
+    existing rows survive. The batch analog of the streaming
+    ``foreach_batch_overwrite(merge_on=...)`` sink — the same
+    at-least-once -> exactly-once idempotence story (re-running the
+    same updates yields the same table).
+
+    With ``partition_cols``, only partitions PRESENT in the updates are
+    rewritten (dynamic partition overwrite): survivors are read from
+    just the touched partitions, anti-joined on the key, unioned with
+    the updates, and written back — at 100 TB the rewrite is bounded by
+    the updated slice (e.g. the revised dates), never the table. An
+    unpartitioned table rewrites wholly (correct, but prefer a
+    partition column once the table outgrows one rewrite).
+
+    This is the plain-parquet degradation of Delta/Iceberg MERGE: no
+    transaction log, so concurrent writers need external coordination;
+    single-writer pipelines (the common batch-ETL case) get the same
+    end state.
+    """
+    import os
+
+    # NOT a _SUCCESS check: the dynamic-partition-overwrite committer
+    # does not write a root _SUCCESS marker, so a _SUCCESS test would
+    # see "no table" on the second merge and silently skip the merge
+    # (dropping every survivor in the touched partitions).
+    exists = os.path.isdir(path) and any(
+        not name.startswith(".") for name in os.listdir(path)
+    )
+    out = updates
+    if exists:
+        existing = spark.read.parquet(path)
+        survivors = existing.join(
+            updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        if partition_cols:
+            touched = updates.select(*partition_cols).distinct()
+            survivors = survivors.join(
+                touched, list(partition_cols), "left_semi"
+            )
+        out = updates.unionByName(survivors.select(*updates.columns))
+        # The scan (survivors) and the overwrite share ``path``: the
+        # dynamic overwrite deletes a touched partition's files before
+        # the lazy scan would read them, silently dropping survivors.
+        # Materialize the merged result FIRST (eager localCheckpoint
+        # cuts the lineage back to the doomed files); Delta/Iceberg
+        # solve this with snapshot isolation, plain parquet solves it
+        # by not reading and deleting in one plan.
+        out = out.localCheckpoint()
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_cols
+        )
+    w.parquet(path)
+
+
+def read_parquet_evolving(spark, path: str) -> DataFrame:
+    """Read a parquet directory whose SCHEMA EVOLVED across writes
+    (later files added columns): ``mergeSchema`` unions all file
+    footers' schemas; files missing a column surface NULLs for it.
+
+    The 100 TB reality this serves: a year of daily partitions where a
+    column was added in month 7 — without mergeSchema the read binds to
+    one random footer's schema and either loses the new column or fails
+    on the old files. Costs one footer read per file at planning time
+    (why it is off by default); predicate pushdown and column pruning
+    still apply per file.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_clustered_parquet(
     df: DataFrame,
     path: str,

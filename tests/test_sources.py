@@ -269,3 +269,64 @@ def test_write_clustered_parquet_enables_file_skipping(spark, tmp_path):
     probe = 12_345
     overlapping = [r for r in ranges if r[0] <= probe <= r[1]]
     assert len(overlapping) == 1
+
+
+def test_merge_upsert_parquet_partition_scoped(spark, tmp_path):
+    """Batch MERGE: updates replace same-key rows, survivors in touched
+    partitions and whole untouched partitions are preserved, and
+    re-applying the same updates is idempotent."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+
+    def table():
+        return {
+            (r["d"], r["k"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (2, 20, "c"), (3, 30, "d")],
+        "d int, k int, v string",
+    )
+    sinks.merge_upsert_parquet(spark, path, base, ("k",), ("d",))
+    assert table() == {(1, 10, "a"), (1, 11, "b"), (2, 20, "c"), (3, 30, "d")}
+
+    # update k=10 (day 1), insert k=12 (day 1), insert day 4; day 2/3 untouched
+    upd = spark.createDataFrame(
+        [(1, 10, "a2"), (1, 12, "e"), (4, 40, "f")], "d int, k int, v string"
+    )
+    sinks.merge_upsert_parquet(spark, path, upd, ("k",), ("d",))
+    expect = {
+        (1, 10, "a2"), (1, 11, "b"), (1, 12, "e"),
+        (2, 20, "c"), (3, 30, "d"), (4, 40, "f"),
+    }
+    assert table() == expect
+
+    # idempotence: same updates again -> same table
+    sinks.merge_upsert_parquet(spark, path, upd, ("k",), ("d",))
+    assert table() == expect
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    """Schema evolution: a later write adds a column; mergeSchema reads
+    old + new files as one relation with NULLs for the missing column,
+    and a filter on the new column still prunes correctly."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.sources import sinks
+
+    path = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "y", 7)], "id long, a string, b int"
+    ).write.mode("append").parquet(path)
+
+    df = sinks.read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {(r["id"], r["a"], r["b"]) for r in df.collect()}
+    assert rows == {(1, "x", None), (2, "y", 7)}
+    assert df.where(F.col("b") == 7).count() == 1
+    assert df.where(F.col("b").isNull()).count() == 1
