@@ -108,7 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_counts": events.salted_user_counts,
         # —— training-data pipeline: dataset management ——
         "pack_sequences": sampling.pack_sequences,
-        "table_profile": sampling.table_profile,
+        # NEW round 5: declarative data-quality gate (PK/FK/null/domain
+        # checks, one row per constraint) — vacates table_profile
+        # (certified r1-r4; profiling family stays represented here).
+        "integrity_report": sampling.integrity_report,
         # —— training-data pipeline: dataset management (tail rotated in) ——
         "domain_mix_sample": sampling.domain_mix_sample,
         "global_shuffle": sampling.global_shuffle,
@@ -167,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": textops.tfidf_top_terms,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
         "embedding_near_dups": vectors.embedding_near_dups,
+        "table_profile": sampling.table_profile,
         "rollup_sales": relational.rollup_sales,
         "events_hourly_filled": events.events_hourly_filled,
         "dup_clusters": textops.dup_clusters,

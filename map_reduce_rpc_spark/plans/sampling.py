@@ -227,7 +227,108 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 
+def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the deequ/expectations pattern):
+    one row per constraint with its violation count — primary-key
+    uniqueness, referential integrity across the star schema, null and
+    domain checks. A pipeline asserts ``max(n_violations) == 0``
+    before promoting a snapshot.
+
+    Plan shape: each FK check is a broadcast/shuffle LEFT ANTI join
+    reduced to a count before the union, so the union carries one row
+    per check, never data; PK checks are one distinct-vs-count
+    aggregate per table. At 100 TB every check remains a single
+    partial-agg'd pass over only the columns it names (column pruning
+    leaves the wide payload unread).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk_customer = check(
+        "pk_customer_unique",
+        cust.agg((F.count("c_custkey") - F.countDistinct("c_custkey")).alias("n")),
+    )
+    pk_orders = check(
+        "pk_orders_unique",
+        orders.agg((F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("n")),
+    )
+    fk_orders_customer = check(
+        "fk_orders_customer",
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_lineitem_orders = check(
+        "fk_lineitem_orders",
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    null_custkey = check(
+        "orders_custkey_not_null",
+        orders.agg(F.sum(F.col("o_custkey").isNull().cast("long")).alias("n")),
+    )
+    domain_qty = check(
+        "lineitem_quantity_positive",
+        li.agg(F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n")),
+    )
+    domain_event_value = check(
+        "events_value_non_negative",
+        ev.agg(F.sum((F.col("value") < 0).cast("long")).alias("n")),
+    )
+    return (
+        pk_customer.unionByName(pk_orders)
+        .unionByName(fk_orders_customer)
+        .unionByName(fk_lineitem_orders)
+        .unionByName(null_custkey)
+        .unionByName(domain_qty)
+        .unionByName(domain_event_value)
+    )
+
+
 SAMPLING_ORACLES: dict[str, str] = {
+    "integrity_report": """
+        SELECT 'pk_customer_unique' AS check_name,
+               CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)
+                   AS n_violations
+        FROM customer
+        UNION ALL
+        SELECT 'pk_orders_unique',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders_custkey_not_null',
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_quantity_positive',
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events_value_non_negative',
+               CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+    """,
     "split_assign": f"""
         SELECT doc_id, lang,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
