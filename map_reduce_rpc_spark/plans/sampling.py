@@ -276,17 +276,31 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         ).agg(F.count(F.lit(1)).alias("n")),
     )
+    # sum() over an EMPTY table is NULL, not 0 — coalesce so a
+    # zero-row corpus reports zero violations (mirrored in the oracle)
     null_custkey = check(
         "orders_custkey_not_null",
-        orders.agg(F.sum(F.col("o_custkey").isNull().cast("long")).alias("n")),
+        orders.agg(
+            F.coalesce(
+                F.sum(F.col("o_custkey").isNull().cast("long")), F.lit(0)
+            ).alias("n")
+        ),
     )
     domain_qty = check(
         "lineitem_quantity_positive",
-        li.agg(F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n")),
+        li.agg(
+            F.coalesce(
+                F.sum((F.col("l_quantity") <= 0).cast("long")), F.lit(0)
+            ).alias("n")
+        ),
     )
     domain_event_value = check(
         "events_value_non_negative",
-        ev.agg(F.sum((F.col("value") < 0).cast("long")).alias("n")),
+        ev.agg(
+            F.coalesce(
+                F.sum((F.col("value") < 0).cast("long")), F.lit(0)
+            ).alias("n")
+        ),
     )
     return (
         pk_customer.unionByName(pk_orders)
@@ -318,15 +332,15 @@ SAMPLING_ORACLES: dict[str, str] = {
             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         UNION ALL
         SELECT 'orders_custkey_not_null',
-               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(COALESCE(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM orders
         UNION ALL
         SELECT 'lineitem_quantity_positive',
-               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(COALESCE(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'events_value_non_negative',
-               CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(COALESCE(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM events
     """,
     "split_assign": f"""

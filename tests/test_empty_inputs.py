@@ -1,0 +1,78 @@
+"""Empty-input robustness: every relational/text/vector family must
+DEGRADE to an empty (or all-zero) result on a zero-row corpus, never
+crash — the behavior a 100 TB pipeline needs when a partition filter
+matches nothing or a new tenant's tables are still empty.
+
+An empty mirror of the testdata schemas is materialized once per
+session; one representative query per family runs against it. Queries
+whose semantics define a non-empty result on empty input (global
+aggregates, funnel stages, integrity checks) assert their degenerate
+row instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_rpc_spark.tables import TABLE_NAMES, load_table
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.limit(0).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
+    return str(out)
+
+
+# family representative -> expected row count on EMPTY input
+# (None = just "no exception and a well-defined count")
+_CASES = {
+    # relational: scans/joins/windows collapse to zero rows
+    "q1_pricing_summary": 0,
+    "region_revenue": 0,
+    "parts_top3_per_brand": 0,
+    "customers_without_orders": 0,
+    "order_ship_calendar": 0,
+    "cube_sales": None,  # grouping-set aggregates may emit global rows
+    # events
+    "events_hourly": 0,
+    "user_sessions": 0,
+    "purchase_asof_click": 0,
+    "funnel_conversion": 3,  # one row per stage, n_users=0 (round-5 fix)
+    # text ops / dedup
+    "wordcount": 0,
+    "dedup_exact": 0,
+    "ngram_jaccard_dups": 0,
+    "minhash_dups": 0,
+    "gopher_rules": 0,
+    "fuzzy_part_names": 0,
+    "dup_clusters_star": 0,
+    # dataset management
+    "split_assign": 0,
+    "stratified_sample": 0,
+    "pack_sequences": 0,
+    "global_shuffle": 0,
+    "integrity_report": 7,  # one row per check, all zero violations
+    # vectors
+    "similarity_topk": 0,
+    "embedding_near_dups": 0,
+    "srp_near_dups": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    df = fn(spark, empty_sf_dir)
+    n = df.count()
+    expected = _CASES[name]
+    if expected is not None:
+        assert n == expected, f"{name}: {n} rows on empty input"
+    if name == "integrity_report":
+        assert all(r["n_violations"] == 0 for r in df.collect())
