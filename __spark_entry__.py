@@ -196,6 +196,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_moving": relational.daily_revenue_moving,
         "pivot_line_status": relational.pivot_line_status,
         "orders_topk": relational.orders_topk,
+        # NEW round 5 (late): four more classic TPC-H shapes the
+        # surface lacked — Q3 top-k join-agg, Q14 conditional agg over
+        # a join, Q7 role-played dimension, Q22 scalar-subquery
+        # threshold + anti join. Tail slots: pytest-oracled now,
+        # rotation candidates for the round-6 window.
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q14_promo_effect": relational.q14_promo_effect,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q22_dormant_rich": relational.q22_dormant_rich,
     }
     return q
 

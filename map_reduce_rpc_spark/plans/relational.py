@@ -649,10 +649,219 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the classic "unshipped orders" top-k join-agg —
+    segment-filtered customers x date-filtered orders x date-filtered
+    lineitem, revenue per order, top 10.
+
+    Shape at scale: the BUILDING-segment customer keys are a filtered
+    dimension -> broadcast LEFT-SEMI against orders (no fact shuffle
+    for the segment predicate, no customer columns survive). Both date
+    predicates are literal scan filters (PushedFilters on o_orderdate
+    / l_shipdate), so the orderkey shuffle join only carries the
+    unshipped slice. Ties broken by o_orderkey so LIMIT 10 is
+    deterministic across engines."""
+    cutoff = "1996-06-15"
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = orders.join(
+        F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi"
+    ).join(li, F.col("o_orderkey") == li.l_orderkey)
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    the PROMO share of one month's revenue. The CASE WHEN lives INSIDE
+    the sum (one pass, no second scan); part is broadcast; the month
+    predicate is a pushed scan filter. Both sums stay DECIMAL until
+    the final cast, and the share is a double/double division of those
+    two exact sums, so all three outputs hash bit-identically."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    rev = _dec("l_extendedprice") * disc
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("_pr"),
+        F.sum(rev).alias("_tr"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        F.col("_pr").cast("double").alias("promo_revenue"),
+        F.col("_tr").cast("double").alias("total_revenue"),
+        (F.lit(100.0) * F.col("_pr").cast("double") / F.col("_tr").cast("double")).alias(
+            "promo_share_pct"
+        ),
+        "n_items",
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations with
+    the nation dimension ROLE-PLAYED twice (supplier's nation and
+    customer's nation are independent joins of the same table — the
+    one dimensional pattern no other registered query exercises).
+    Grouped by (supp_nation, cust_nation, ship year), so both
+    directions of the pair appear as separate rows.
+
+    Shape at scale: lineitem x orders is the orderkey fact-fact
+    shuffle; supplier / customer / both nation aliases broadcast; the
+    nation-pair predicate collapses to a broadcast-side filter, so the
+    fact scan is never shuffled for it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("volume"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join — the
+    "global sales opportunity" query. Customers whose balance exceeds
+    the positive-balance AVERAGE (a scalar aggregate broadcast to
+    every row) and who placed NO order since 2000, counted per nation.
+
+    The threshold is computed as exact-decimal-sum / count cast to
+    double — bit-identical in both engines — so the > comparison
+    can never flip a row near the boundary. The scalar joins in as a
+    broadcast nested-loop of ONE row (Catalyst's plan for a scalar
+    crossJoin), and the dormancy check is a left-anti join against the
+    date-filtered orders keys: no fact columns move, no correlated
+    per-row subquery execution."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    thr = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("thr")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("thr"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     # The exact SQL string the Spark query runs — one dialect, two
     # engines (the point of writing q18 through the SQL entrypoint).
     "q18_large_volume": _Q18_SQL,
+    "q3_shipping_priority": """
+        SELECT o.o_orderkey, o.o_orderdate,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IN (
+                  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o.o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1996-06-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    "q14_promo_effect": """
+        WITH agg AS (
+            SELECT sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS pr,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS tr,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+        )
+        SELECT CAST(pr AS DOUBLE) AS promo_revenue,
+               CAST(tr AS DOUBLE) AS total_revenue,
+               100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE) AS promo_share_pct,
+               n_items
+        FROM agg
+    """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS volume,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    "q22_dormant_rich": """
+        WITH thr AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS thr
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM customer c, thr
+        WHERE c.c_acctbal > thr.thr
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+    """,
     "order_line_arrays": """
         WITH ranked AS (
             SELECT l_orderkey, l_linenumber, l_quantity,
