@@ -742,12 +742,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .where(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_nation") == "NATION_13")
+                & (F.col("cust_nation") == "NATION_19")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_13")
             )
         )
     )
@@ -842,8 +842,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
         JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
         GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
     """,
     "q22_dormant_rich": """
