@@ -593,7 +593,13 @@ def fuzzy_name_pairs(
         F.col("name").isNotNull()
     ).distinct()
     if qgram == "auto":
+        # The distinct-names set feeds the auto count() action plus four
+        # plan subtrees below (shorts, grams, freq, prefix); materialize
+        # it ONCE so the scan+distinct isn't recomputed per subtree.
+        names = names.localCheckpoint()
         qgram = 2 if names.count() >= FUZZY_QGRAM_AUTO_MIN else None
+    elif qgram is not None:
+        names = names.localCheckpoint()
 
     def band_pairs(side: DataFrame) -> DataFrame:
         a = side.select(
@@ -626,14 +632,20 @@ def fuzzy_name_pairs(
         shorts = names.where(F.length("name") < cut)
         short_pairs = band_pairs(shorts)
 
-        # Occurrence-numbered q-grams for every name (multiset -> set,
-        # so the count-filter bound applies to plain equality joins).
-        grams = names.select(
+        # Occurrence-numbered q-grams for every name of length >= q
+        # (multiset -> set, so the count-filter bound applies to plain
+        # equality joins). Names shorter than q have NO q-grams and can
+        # only pair within len_band of other sub-cut names — the shorts
+        # band join above already owns every such pair. Filtering them
+        # out also keeps sequence(1, len-q+1) strictly ascending:
+        # without it, len < q makes the stop < start and Spark's
+        # default -1 step would emit the phantom array [1, 0].
+        grams = names.where(F.length("name") >= q).select(
             "name",
             F.length("name").alias("len"),
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(name) - {q} + 1, 0)),"
+                    f"transform(sequence(1, length(name) - {q} + 1),"
                     f" i -> substring(name, i, {q}))"
                 )
             ).alias("pos", "g"),

@@ -86,26 +86,47 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clustered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once per sf_dir, disk-cached) a range-clustered
-    copy of lineitem ordered by l_shipdate — the high-cardinality
-    pruning layout ``sources/sinks.write_clustered_parquet`` provides.
-    Each output file covers a narrow shipdate range, so footer min/max
-    stats let a date-filtered reader skip whole files."""
+    """Materialize (once per source generation, disk-cached) a
+    range-clustered copy of lineitem ordered by l_shipdate — the
+    high-cardinality pruning layout ``sources/sinks.
+    write_clustered_parquet`` provides. Each output file covers a
+    narrow shipdate range, so footer min/max stats let a date-filtered
+    reader skip whole files.
+
+    The cache key folds in the source parquet's (mtime, size), so a
+    regenerated testdata directory invalidates the copy instead of
+    silently serving stale rows under an oracle that reads the live
+    table. The copy is built in a process-unique staging dir and
+    atomically rename(2)d into place, so concurrent builders (bench +
+    pytest) can race without either reading a torn file set."""
     import hashlib
     import os
+    import shutil
 
     from ..sources.sinks import write_clustered_parquet
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = f"/tmp/spark_graft_clustered_{tag}/lineitem"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.stage.{os.getpid()}"
         write_clustered_parquet(
             load_table(spark, sf_dir, "lineitem"),
-            path,
+            staging,
             ("l_shipdate",),
             files=16,
             mode="overwrite",
         )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # A concurrent builder won the rename; its copy is complete
+            # (rename is atomic and only performed after _SUCCESS).
+            shutil.rmtree(staging, ignore_errors=True)
     return path
 
 
@@ -119,9 +140,9 @@ def q6_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     [1996, 1997)" — the measured skip ratio is pytest-asserted in
     tests/test_scale.py::test_clustered_scan_skips_files.
 
-    load_table is still called first (it pins the session timezone the
-    timestamp literals below rely on); the clustered copy itself is
-    byte-derived from the same rows, so all aggregates hash-match the
+    The clustered copy is byte-derived from the same rows (and cached
+    keyed by the source file's mtime+size, see
+    ``_clustered_lineitem_path``), so all aggregates hash-match the
     plain-layout oracle."""
     path = _clustered_lineitem_path(spark, sf_dir)
     li = spark.read.parquet(path)

@@ -52,7 +52,19 @@ def foreach_batch_overwrite(
     grouping key is finer than ``partition_cols``, pass it as
     ``merge_on`` — see the module docstring for why the plain
     overwrite would otherwise drop unchanged sibling groups.
+
+    ``partition_cols`` must be non-empty: with no partition columns
+    every overwrite is STATIC (dynamic mode only scopes deletion to
+    partitions), so the write would clear the whole table before the
+    survivors scan that reads it — the exact hazard the merge path
+    exists to avoid.
     """
+    if not partition_cols:
+        raise ValueError(
+            "foreach_batch_overwrite requires at least one partition "
+            "column; an unpartitioned overwrite is static and would "
+            "drop every group absent from the current micro-batch"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
@@ -80,6 +92,11 @@ def foreach_batch_overwrite(
                 out = batch_df.unionByName(
                     survivors.select(*batch_df.columns)
                 )
+                # Materialize the merged batch BEFORE the overwrite so
+                # no task reads `path` while the commit is replacing it
+                # — same guard (and comment) as the batch twin
+                # merge_upsert_parquet in sources/sinks.py.
+                out = out.localCheckpoint()
         # partitionOverwriteMode as a PER-WRITE option: scoped to this
         # write, no session-conf leak into later overwrite writes.
         (

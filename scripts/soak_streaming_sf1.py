@@ -40,9 +40,15 @@ USER_STRIDE = 10**6
 
 def build(spark, copies: int) -> str:
     path = os.path.join(OUT_DIR, "events.parquet")
-    marker = os.path.join(OUT_DIR, f".built_{copies}x")
-    if os.path.exists(marker):
+    # ONE marker recording what the dir currently holds (a per-copies
+    # marker would survive a rebuild at a different size and mislabel
+    # the corpus: build 10x, build 2x, build 10x again would reuse the
+    # 2x data while reporting copies=10).
+    marker = os.path.join(OUT_DIR, ".built")
+    if os.path.exists(marker) and open(marker).read().strip() == str(copies):
         return OUT_DIR
+    if os.path.exists(marker):
+        os.remove(marker)
     ev = load_table(spark, SRC_SF, "events")
     out = ev.withColumn(
         "k", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
@@ -61,7 +67,8 @@ def build(spark, copies: int) -> str:
         "props",
     )
     out.write.mode("overwrite").parquet(path)
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(str(copies))
     return OUT_DIR
 
 

@@ -157,6 +157,35 @@ def test_zorder_key_is_bijective_on_the_grid(spark):
     assert (lo, hi) == (0, dom * dom - 1)  # exactly the 16-bit range
 
 
+def test_clustered_cache_invalidates_on_source_change(spark, tmp_path):
+    """The /tmp clustered-lineitem cache must key on the SOURCE file's
+    identity (mtime+size), not just the directory name: a regenerated
+    testdata dir has to produce a fresh clustered copy, never silently
+    serve rows from the previous generation under an oracle reading
+    the live table."""
+    import os
+    import shutil
+
+    from map_reduce_rpc_spark.plans import relational
+
+    sf = str(tmp_path)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        os.path.join(sf, "lineitem.parquet"),
+    )
+    p1 = relational._clustered_lineitem_path(spark, sf)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    # same source, same generation -> cache hit (same path)
+    assert relational._clustered_lineitem_path(spark, sf) == p1
+    # "regenerate" the source: same bytes, new mtime -> new cache key
+    os.utime(os.path.join(sf, "lineitem.parquet"))
+    p2 = relational._clustered_lineitem_path(spark, sf)
+    assert p2 != p1
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+    for p in (p1, p2):
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+
 def test_clustered_scan_skips_files(spark, sf_dir):
     """The q6_clustered_scan layout must actually prune: each clustered
     file covers a narrow l_shipdate range, so the 1996 shipdate slice

@@ -220,6 +220,19 @@ def test_foreach_batch_merge_on_preserves_sibling_groups(spark, tmp_path):
     assert table() == {(0, 1, 3), (0, 2, 1)}
 
 
+def test_foreach_batch_rejects_unpartitioned_overwrite():
+    """partition_cols=() makes the overwrite STATIC (dynamic mode only
+    scopes deletion to partitions), which would clear the whole table
+    before the merge path's survivors scan reads it — the sink must
+    refuse at build time, not lose rows at the second micro-batch."""
+    import pytest
+
+    from map_reduce_rpc_spark.streaming import sinks
+
+    with pytest.raises(ValueError, match="partition"):
+        sinks.foreach_batch_overwrite("/tmp/never-written", ())
+
+
 def test_rate_source_adapter_feeds_existing_queries(spark, tmp_path):
     """Non-file source demo: the rate-micro-batch adapter emits the
     canonical events schema, an EXISTING windowed aggregation runs on
