@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": relational.q14_promo_effect,
         "q7_nation_volume": relational.q7_nation_volume,
         "q22_dormant_rich": relational.q22_dormant_rich,
+        # Q17: correlated per-group scalar subquery, decorrelated as
+        # aggregate-then-join; Q19: OR-of-ANDs spanning both join sides.
+        "q17_small_quantity": relational.q17_small_quantity,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
     }
     return q
 

@@ -812,6 +812,75 @@ def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: CORRELATED scalar subquery per group — revenue
+    from small-quantity orders of one brand's parts, where "small"
+    means below 20% of that part's own average quantity.
+
+    Spark-first decorrelation: the per-part average is a groupBy over
+    lineitem joined back to the brand-filtered fact slice — exactly
+    the aggregate-then-join rewrite Catalyst produces for the SQL
+    form, but stated explicitly. The brand filter shrinks part to a
+    broadcast BEFORE the fact join, and the per-part threshold join is
+    keyed on the same l_partkey, so AQE can plan both as broadcasts at
+    dimension scale. The threshold (0.2 * exact-decimal-sum / count)
+    is bit-identical in both engines, so the < comparison never flips
+    a boundary row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("thr")
+    )
+    j = (
+        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("thr"))
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands spanning BOTH sides of a fact-dim join. The interesting plan
+    property: Catalyst splits the OR — the join-key equality stays the
+    only join condition, per-side implied predicates (quantity between
+    the union of bands, size/brand in the union of bands) are pushed
+    to each scan, and the residual OR is evaluated post-join. part is
+    broadcast, so the fact table is never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        band1 | band2
+    )
+    return j.agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     # The exact SQL string the Spark query runs — one dialect, two
     # engines (the point of writing q18 through the SQL entrypoint).
@@ -866,6 +935,34 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
         GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    "q17_small_quantity": """
+        WITH per_part AS (
+            SELECT l_partkey AS pk,
+                   0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*)) AS thr
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN per_part a ON a.pk = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < a.thr
+    """,
+    "q19_discounted_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
     """,
     "q22_dormant_rich": """
         WITH thr AS (
