@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregate-then-join; Q19: OR-of-ANDs spanning both join sides.
         "q17_small_quantity": relational.q17_small_quantity,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
+        # Forward as-of join (time-to-convert): mirror of the certified
+        # backward purchase_asof_click.
+        "click_next_purchase": events.click_next_purchase,
     }
     return q
 

@@ -81,6 +81,144 @@ def asof_join_backward(
     return filled.select(*out_cols)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    with the same key and ``right_ts >= left_ts`` (pandas
+    ``merge_asof(direction='forward')`` semantics), optionally bounded
+    by ``tolerance_us``. Ties on the right timestamp resolve to the
+    least payload — the ascending mirror of the backward variant's
+    greatest-payload rule, so both are total and deterministic.
+
+    Same union-and-fill shape as the backward join (one shuffle on the
+    key + one in-partition sort); only the window direction flips:
+    ``first`` non-null payload over [current, unbounded following].
+    """
+    payload_t = F.struct(
+        F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        payload_t.alias("_payload"),
+        F.lit(1).alias("_is_r"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.lit(0).alias("_is_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # At equal timestamps the left row sorts BEFORE the right row
+    # (ascending _is_r), so the [current, following] frame of a left
+    # row still sees same-timestamp right rows — >= is inclusive.
+    # Ascending struct order makes ``first`` pick the min-(ts, payload)
+    # among subsequent right rows.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_r"), F.col("_payload"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = u.withColumn("_m", F.first("_payload", ignorenulls=True).over(w)).where(
+        F.col("_is_r") == 0
+    )
+
+    matched = F.col("_m")
+    if tolerance_us is not None:
+        matched = F.when(
+            F.col("_m._pt") - F.col("_t") <= F.lit(tolerance_us), F.col("_m")
+        )
+    out_cols = [F.col(c) for c in left_cols]
+    out_cols.append(matched.getField("_pt").alias("matched_ts_us"))
+    for c in payload_cols:
+        out_cols.append(matched.getField(c).alias(f"matched_{c}"))
+    return filled.select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row minimizing
+    ``|right_ts - left_ts|`` (within ``tolerance_us`` when given);
+    an exact distance tie prefers the BACKWARD (<=) candidate. Built
+    as the backward and forward fills over one tagged union — a single
+    shuffle on the key feeding two window passes (two in-partition
+    sorts, no second exchange: both windows partition by the same key).
+    """
+    payload_t = F.struct(
+        F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        payload_t.alias("_payload"),
+        F.lit(1).alias("_is_r"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.lit(0).alias("_is_r"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_r").desc(), F.col("_payload"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_is_r"), F.col("_payload"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = (
+        u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(wb))
+        .withColumn("_mf", F.first("_payload", ignorenulls=True).over(wf))
+        .where(F.col("_is_r") == 0)
+    )
+
+    db = F.col("_t") - F.col("_mb._pt")
+    df_ = F.col("_mf._pt") - F.col("_t")
+    if tolerance_us is not None:
+        in_b = F.col("_mb").isNotNull() & (db <= F.lit(tolerance_us))
+        in_f = F.col("_mf").isNotNull() & (df_ <= F.lit(tolerance_us))
+    else:
+        in_b = F.col("_mb").isNotNull()
+        in_f = F.col("_mf").isNotNull()
+    # backward wins exact ties (db <= df_) — a fixed, documented rule
+    # so the operator (and its SQL oracle) is deterministic
+    matched = (
+        F.when(in_b & in_f, F.when(db <= df_, F.col("_mb")).otherwise(F.col("_mf")))
+        .when(in_b, F.col("_mb"))
+        .when(in_f, F.col("_mf"))
+    )
+    out_cols = [F.col(c) for c in left_cols]
+    out_cols.append(matched.getField("_pt").alias("matched_ts_us"))
+    for c in payload_cols:
+        out_cols.append(matched.getField(c).alias(f"matched_{c}"))
+    return filled.select(*out_cols)
+
+
 def asof_join_cogrouped(
     left: DataFrame,
     right: DataFrame,

@@ -133,6 +133,37 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the mirror of purchase_asof_click): each
+    click picks up the same user's EARLIEST purchase at-or-after the
+    click, within a 1-hour tolerance — the time-to-convert query
+    shape. Tie on ts -> min value; no purchase within the hour ->
+    nulls. Oracle uses correlated LIMIT-1 subqueries with the same
+    ascending total order."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("value"),
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts_us",
+        right_ts="purchase_ts_us",
+        payload_cols=["value"],
+        tolerance_us=3_600_000_000,
+    )
+
+
 def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample + gap-fill: a dense per-user hourly grid (sequence +
     explode between each user's first and last hour) left-joined to
@@ -496,6 +527,22 @@ EVENTS_ORACLES: dict[str, str] = {
                 ORDER BY c.ts DESC, c.value DESC LIMIT 1) AS matched_value
         FROM events p
         WHERE p.event_type = 'purchase'
+    """,
+    "click_next_purchase": """
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS click_ts_us,
+               (SELECT epoch_us(p.ts) FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id AND p.ts >= c.ts
+                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                ORDER BY p.ts ASC, p.value ASC LIMIT 1) AS matched_ts_us,
+               (SELECT p.value FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id AND p.ts >= c.ts
+                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                ORDER BY p.ts ASC, p.value ASC LIMIT 1) AS matched_value
+        FROM events c
+        WHERE c.event_type = 'click'
     """,
     "user_sessions": """
         WITH evsec AS (

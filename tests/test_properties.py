@@ -108,6 +108,46 @@ def test_asof_backward_matches_reference_model(spark, left, right):
         assert got == expected, impl.__name__
 
 
+@settings(**_SETTINGS)
+@given(left=_asof_rows, right=_asof_rows)
+def test_asof_forward_and_nearest_match_reference_model(spark, left, right):
+    """Forward: earliest right ts >= left ts per key, ties -> min
+    payload. Nearest: min |right ts - left ts|, exact tie -> the
+    backward candidate. Both checked against the O(n*m) model."""
+    from map_reduce_rpc_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left)],
+        "row_id long, k long, lts long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in right], "k long, rts long, payload long"
+    )
+
+    def fwd_model(k, lts):
+        cands = [(t, p) for (rk, t, p) in right if rk == k and t >= lts]
+        return min(cands) if cands else (None, None)
+
+    def near_model(k, lts):
+        back = [(t, p) for (rk, t, p) in right if rk == k and t <= lts]
+        fwd = [(t, p) for (rk, t, p) in right if rk == k and t >= lts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is not None and f is not None:
+            return b if (lts - b[0]) <= (f[0] - lts) else f
+        return b or f or (None, None)
+
+    kw = dict(on="k", left_ts="lts", right_ts="rts", payload_cols=["payload"])
+    for impl, model in ((asof_join_forward, fwd_model), (asof_join_nearest, near_model)):
+        out = impl(ldf, rdf, **kw).collect()
+        got = {r.row_id: (r.matched_ts_us, r.matched_payload) for r in out}
+        expected = {i: model(k, t) for i, (k, t, _) in enumerate(left)}
+        assert got == expected, impl.__name__
+
+
 _edges = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),    # block
