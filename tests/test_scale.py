@@ -228,3 +228,58 @@ def test_clustered_scan_skips_files(spark, sf_dir):
     plain = relational.q6_forecast_revenue(spark, sf_dir).collect()
     clustered = relational.q6_clustered_scan(spark, sf_dir).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in clustered]
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """Spark's runtime row-level filtering (the 100 TB fact-fact join
+    lever): when a selective filter sits on one shuffle-join side,
+    Catalyst builds a bloom filter from it and injects might_contain
+    on the OTHER side's scan, pruning fact rows before the exchange.
+    At test scale the application-side scan is below the (size-based)
+    default thresholds — exactly right for small inputs — so the
+    thresholds are scaled to the fixture to pin the mechanism, and
+    results must be identical with and without the injection."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.tables import load_table
+
+    def q():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 480000
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {(r.o_orderpriority, r.n) for r in q().collect()}
+    assert baseline  # the filter keeps some orders
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        # force a shuffle join: broadcast joins already prune and never
+        # need (or get) a bloom filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert {(r.o_orderpriority, r.n) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
