@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Forward as-of join (time-to-convert): mirror of the certified
         # backward purchase_asof_click.
         "click_next_purchase": events.click_next_purchase,
+        # VALUE-based (RANGE) window frame over a gapped calendar — the
+        # frame kind the ROWS window queries can't express.
+        "revenue_trailing_window": relational.revenue_trailing_window,
+        # Heavy hitters (Karp/Misra-Gries freqItems) — third sketch
+        # family, bound-asserted like the HLL and t-digest queries.
+        "frequent_brands_sketch": relational.frequent_brands_sketch,
     }
     return q
 

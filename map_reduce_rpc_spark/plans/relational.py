@@ -881,6 +881,80 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frame — the one frame kind the ROWS
+    queries (daily_revenue_moving, window_kitchen_sink) can't express:
+    per-priority daily revenue with a trailing 7-CALENDAR-DAY sum.
+    Where a priority has no orders on some days, the range frame spans
+    fewer rows than a ROWS 6-PRECEDING frame would — days_in_7d < 7
+    marks exactly those gaps, proving the frame is bounded by the
+    ORDER-BY VALUE, not the row count.
+
+    Shape at scale: one partial-agg'd shuffle to (priority, day), then
+    a single per-priority sort for the window — frame evaluation is a
+    sliding two-pointer over the sorted run, O(rows), no self-join.
+    Sums stay DECIMAL inside the frame (order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("int").alias("day_n"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = (
+        Window.partitionBy("pri").orderBy("day_n").rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "pri",
+        "day_n",
+        F.col("_rev").cast("double").alias("daily_rev"),
+        F.sum("_rev").over(w).cast("double").alias("rev_7d"),
+        F.count("*").over(w).alias("days_in_7d"),
+    )
+
+
+def frequent_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``freqItems`` — the third mergeable sketch
+    family next to HLL (approx_distinct_users) and t-digest
+    (approx_percentile_bounds). Spark's implementation is the
+    Karp/Misra-Gries single-pass summary: per-partition counter maps
+    of size <= 1/support merged tree-wise, collecting only the
+    bounded candidate set (here <= 33 brands) to the driver — the
+    same bounded-collect shape as the k-means centroid updates.
+
+    The sketch's contract — every item with true frequency > support
+    IS in the candidate set (false positives allowed, false negatives
+    never) — is asserted IN the query, like the other sketch oracles:
+    exact per-brand counts (one partial-agg'd shuffle) are checked for
+    membership in the candidate array, and the oracle asserts the
+    verdict plus the exact counts. support=0.03 sits below the ~4%
+    uniform brand share, so the set is non-trivial at every sf
+    (sf0.001's sampling noise drops 6 of 25 brands below it)."""
+    support = 0.03
+    part = load_table(spark, sf_dir, "part")
+    cand = part.stat.freqItems(["p_brand"], support).select(
+        F.col("p_brand_freqItems").alias("cand")
+    )
+    tot = part.agg(F.count("*").alias("total"))
+    exact = (
+        part.groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n") / F.col("total") > support)
+    )
+    return (
+        exact.crossJoin(F.broadcast(cand))
+        .agg(
+            F.first("total").alias("n_parts"),
+            F.count("*").alias("n_true_frequent"),
+            F.min(F.array_contains("cand", F.col("p_brand")).cast("int")).alias("_c"),
+        )
+        .select(
+            "n_parts",
+            "n_true_frequent",
+            (F.col("_c") == 1).alias("all_covered"),
+        )
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     # The exact SQL string the Spark query runs — one dialect, two
     # engines (the point of writing q18 through the SQL entrypoint).
@@ -935,6 +1009,34 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
         GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    "frequent_brands_sketch": """
+        WITH tot AS (SELECT count(*) AS total FROM part),
+        ef AS (
+            SELECT p_brand FROM part, tot
+            GROUP BY p_brand, total
+            HAVING count(*) / total > 0.03
+        )
+        SELECT (SELECT total FROM tot) AS n_parts,
+               count(*) AS n_true_frequent,
+               TRUE AS all_covered
+        FROM ef
+    """,
+    "revenue_trailing_window": """
+        WITH daily AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                                 o_orderdate) AS INT) AS day_n,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT pri, day_n,
+               CAST(rev AS DOUBLE) AS daily_rev,
+               CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d,
+               count(*) OVER w AS days_in_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY day_n
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "q17_small_quantity": """
         WITH per_part AS (
