@@ -940,18 +940,18 @@ def frequent_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .where(F.col("n") / F.col("total") > support)
     )
-    return (
-        exact.crossJoin(F.broadcast(cand))
-        .agg(
-            F.first("total").alias("n_parts"),
-            F.count("*").alias("n_true_frequent"),
-            F.min(F.array_contains("cand", F.col("p_brand")).cast("int")).alias("_c"),
-        )
-        .select(
-            "n_parts",
-            "n_true_frequent",
-            (F.col("_c") == 1).alias("all_covered"),
-        )
+    # n_parts comes from the tot aggregate (not first() over the
+    # frequent set), so an EMPTY corpus still yields (0, 0, true) —
+    # matching the oracle's ungrouped aggregates — instead of a null
+    # n_parts row (the funnel empty-stage lesson).
+    agg = exact.crossJoin(F.broadcast(cand)).agg(
+        F.count("*").alias("n_true_frequent"),
+        F.min(F.array_contains("cand", F.col("p_brand")).cast("int")).alias("_c"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("total").alias("n_parts"),
+        "n_true_frequent",
+        F.coalesce(F.col("_c") == 1, F.lit(True)).alias("all_covered"),
     )
 
 

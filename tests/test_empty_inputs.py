@@ -61,6 +61,16 @@ _CASES = {
     "similarity_topk": 0,
     "embedding_near_dups": 0,
     "srp_near_dups": 0,
+    # late round 5: new relational shapes
+    "q3_shipping_priority": 0,
+    "q7_nation_volume": 0,
+    "q14_promo_effect": None,  # global agg: one row of nulls/zero
+    "q22_dormant_rich": 0,  # scalar-subquery thr is NULL -> no rows
+    "q17_small_quantity": None,  # global agg over empty join
+    "q19_discounted_revenue": None,
+    "revenue_trailing_window": 0,
+    "frequent_brands_sketch": 1,  # degenerate (0, 0, true) row
+    "click_next_purchase": 0,  # forward as-of mirrors backward's 0
 }
 
 
