@@ -22,21 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
-def asof_join_backward(
+def _tagged_union(
     left: DataFrame,
     right: DataFrame,
     on: str,
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
-    tolerance_us: int | None = None,
-) -> DataFrame:
-    """Backward as-of join on long-microsecond timestamp columns.
-
-    Returns every left row + ``matched_ts_us`` + ``matched_<c>`` for
-    each payload column (nulls when no prior right row, or none within
-    ``tolerance_us``).
-    """
+) -> tuple[DataFrame, list[str]]:
+    """Shared construction for every as-of direction: tag both sides,
+    pack the right payload into one orderable struct, union. Returns
+    (union, original left column names)."""
     payload_t = F.struct(
         F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
     )
@@ -54,20 +50,58 @@ def asof_join_backward(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         F.lit(0).alias("_is_r"),
     )
-    u = l.unionByName(r, allowMissingColumns=True)
+    return l.unionByName(r, allowMissingColumns=True), left_cols
 
-    # At equal timestamps the right row must sort BEFORE the left row
-    # (<= is inclusive); ascending struct order makes ``last`` pick the
-    # max-(ts, payload) among prior right rows — a total, deterministic
-    # tie-break.
-    w = (
+
+# Window specs shared by the directional fills. Both are GROWING
+# [unbounded preceding, current] frames — Spark evaluates those
+# incrementally in O(rows); an [current, unbounded following] frame
+# would be recomputed per row (O(rows^2) on a hot key), so the forward
+# direction reverses the SORT instead of the frame.
+def _w_backward():
+    """Ascending scan: at equal _t the right row sorts first (desc
+    _is_r), so <= is inclusive; ``last`` non-null payload = max
+    (ts, payload) among prior right rows."""
+    return (
         Window.partitionBy("_k")
         .orderBy(F.col("_t"), F.col("_is_r").desc(), F.col("_payload"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).where(
-        F.col("_is_r") == 0
+
+
+def _w_forward():
+    """DESCENDING scan: rows with the greatest _t come first, so the
+    growing frame at a left row holds exactly the rows with
+    _t >= left._t; at equal _t the right row still sorts first (desc
+    _is_r under a desc scan), keeping >= inclusive. ``last`` non-null
+    payload = min (ts, payload) among subsequent right rows (payload
+    desc puts the least payload nearest the frame end)."""
+    return (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_is_r").desc(), F.col("_payload").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join on long-microsecond timestamp columns.
+
+    Returns every left row + ``matched_ts_us`` + ``matched_<c>`` for
+    each payload column (nulls when no prior right row, or none within
+    ``tolerance_us``).
+    """
+    u, left_cols = _tagged_union(left, right, on, left_ts, right_ts, payload_cols)
+    filled = u.withColumn(
+        "_m", F.last("_payload", ignorenulls=True).over(_w_backward())
+    ).where(F.col("_is_r") == 0)
 
     matched = F.col("_m")
     if tolerance_us is not None:
@@ -98,41 +132,15 @@ def asof_join_forward(
     greatest-payload rule, so both are total and deterministic.
 
     Same union-and-fill shape as the backward join (one shuffle on the
-    key + one in-partition sort); only the window direction flips:
-    ``first`` non-null payload over [current, unbounded following].
+    key + one in-partition sort); only the SORT direction flips — the
+    frame stays the growing [unbounded preceding, current] kind, which
+    Spark evaluates incrementally (a [current, following] frame would
+    be recomputed per row: O(rows^2) on a hot key).
     """
-    payload_t = F.struct(
-        F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
-    )
-    r = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_t"),
-        payload_t.alias("_payload"),
-        F.lit(1).alias("_is_r"),
-    )
-    left_cols = [c for c in left.columns]
-    l = left.select(
-        *left_cols,
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_t"),
-        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-        F.lit(0).alias("_is_r"),
-    )
-    u = l.unionByName(r, allowMissingColumns=True)
-
-    # At equal timestamps the left row sorts BEFORE the right row
-    # (ascending _is_r), so the [current, following] frame of a left
-    # row still sees same-timestamp right rows — >= is inclusive.
-    # Ascending struct order makes ``first`` pick the min-(ts, payload)
-    # among subsequent right rows.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_r"), F.col("_payload"))
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    filled = u.withColumn("_m", F.first("_payload", ignorenulls=True).over(w)).where(
-        F.col("_is_r") == 0
-    )
+    u, left_cols = _tagged_union(left, right, on, left_ts, right_ts, payload_cols)
+    filled = u.withColumn(
+        "_m", F.last("_payload", ignorenulls=True).over(_w_forward())
+    ).where(F.col("_is_r") == 0)
 
     matched = F.col("_m")
     if tolerance_us is not None:
@@ -160,40 +168,13 @@ def asof_join_nearest(
     an exact distance tie prefers the BACKWARD (<=) candidate. Built
     as the backward and forward fills over one tagged union — a single
     shuffle on the key feeding two window passes (two in-partition
-    sorts, no second exchange: both windows partition by the same key).
+    sorts, no second exchange: both windows partition by the same key;
+    both frames are the incremental growing kind, see _w_forward).
     """
-    payload_t = F.struct(
-        F.col(right_ts).alias("_pt"), *[F.col(c).alias(c) for c in payload_cols]
-    )
-    r = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_t"),
-        payload_t.alias("_payload"),
-        F.lit(1).alias("_is_r"),
-    )
-    left_cols = [c for c in left.columns]
-    l = left.select(
-        *left_cols,
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_t"),
-        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
-        F.lit(0).alias("_is_r"),
-    )
-    u = l.unionByName(r, allowMissingColumns=True)
-
-    wb = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_r").desc(), F.col("_payload"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wf = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_is_r"), F.col("_payload"))
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
+    u, left_cols = _tagged_union(left, right, on, left_ts, right_ts, payload_cols)
     filled = (
-        u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(wb))
-        .withColumn("_mf", F.first("_payload", ignorenulls=True).over(wf))
+        u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(_w_backward()))
+        .withColumn("_mf", F.last("_payload", ignorenulls=True).over(_w_forward()))
         .where(F.col("_is_r") == 0)
     )
 

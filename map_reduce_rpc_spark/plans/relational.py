@@ -817,31 +817,37 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from small-quantity orders of one brand's parts, where "small"
     means below 20% of that part's own average quantity.
 
-    Spark-first decorrelation: the per-part average is a groupBy over
-    lineitem joined back to the brand-filtered fact slice — exactly
-    the aggregate-then-join rewrite Catalyst produces for the SQL
-    form, but stated explicitly. The brand filter shrinks part to a
-    broadcast BEFORE the fact join, and the per-part threshold join is
-    keyed on the same l_partkey, so AQE can plan both as broadcasts at
-    dimension scale. The threshold (0.2 * exact-decimal-sum / count)
-    is bit-identical in both engines, so the < comparison never flips
-    a boundary row."""
+    Spark-first decorrelation: the per-part average is a groupBy
+    joined back to the brand-filtered fact slice — exactly the
+    aggregate-then-join rewrite Catalyst produces for the SQL form,
+    but stated explicitly. The brand semi-join prunes BOTH pipelines
+    first (~1/25 of parts survive), so the per-part aggregate never
+    shuffles lineitem rows for parts that cannot join, and the
+    threshold side stays small enough to broadcast at dimension scale
+    instead of forcing a second fact-sized shuffle join. Averages
+    restricted to a key subset are unchanged (per-part aggregation
+    commutes with filtering on the group key), so the oracle — which
+    averages over ALL parts before the brand join — still
+    hash-matches. The threshold (0.2 * exact-decimal-sum / count) is
+    bit-identical in both engines, so the < comparison never flips a
+    boundary row."""
     li = load_table(spark, sf_dir, "lineitem")
     brand_parts = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_brand") == "Brand#1")
         .select("p_partkey")
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
             F.lit(0.2)
             * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
         ).alias("thr")
     )
-    j = (
-        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
-        .join(per_part, li.l_partkey == F.col("pk"))
-        .where(F.col("l_quantity") < F.col("thr"))
+    j = brand_li.join(per_part, F.col("l_partkey") == F.col("pk")).where(
+        F.col("l_quantity") < F.col("thr")
     )
     return j.agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -912,26 +918,29 @@ def revenue_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def frequent_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via ``freqItems`` — the third mergeable sketch
+    """Heavy hitters via ``approx_top_k`` — the third mergeable sketch
     family next to HLL (approx_distinct_users) and t-digest
-    (approx_percentile_bounds). Spark's implementation is the
-    Karp/Misra-Gries single-pass summary: per-partition counter maps
-    of size <= 1/support merged tree-wise, collecting only the
-    bounded candidate set (here <= 33 brands) to the driver — the
-    same bounded-collect shape as the k-means centroid updates.
+    (approx_percentile_bounds). A frequent-items summary: bounded
+    per-partition counter maps merged associatively, so the shuffle
+    carries one sketch per partition, never per-row state. Chosen over
+    ``df.stat.freqItems`` because it is a lazy AGGREGATE EXPRESSION —
+    freqItems runs an eager job at plan-construction time, which would
+    break the query catalog's lazy-builder contract (plan audits would
+    silently execute it).
 
-    The sketch's contract — every item with true frequency > support
-    IS in the candidate set (false positives allowed, false negatives
-    never) — is asserted IN the query, like the other sketch oracles:
-    exact per-brand counts (one partial-agg'd shuffle) are checked for
-    membership in the candidate array, and the oracle asserts the
-    verdict plus the exact counts. support=0.03 sits below the ~4%
-    uniform brand share, so the set is non-trivial at every sf
-    (sf0.001's sampling noise drops 6 of 25 brands below it)."""
+    The sketch's contract — every item with true frequency above the
+    support IS in the candidate set (false positives allowed, false
+    negatives never, k=30 > 25 distinct brands) — is asserted IN the
+    query, like the other sketch oracles: exact per-brand counts (one
+    partial-agg'd shuffle) are checked for membership in the candidate
+    array, and the oracle asserts the verdict plus the exact counts.
+    support=0.03 sits below the ~4% uniform brand share, so the set is
+    non-trivial at every sf (sf0.001's sampling noise drops 6 of 25
+    brands below it)."""
     support = 0.03
     part = load_table(spark, sf_dir, "part")
-    cand = part.stat.freqItems(["p_brand"], support).select(
-        F.col("p_brand_freqItems").alias("cand")
+    cand = part.agg(
+        F.expr("transform(approx_top_k(p_brand, 30), s -> s.item)").alias("cand")
     )
     tot = part.agg(F.count("*").alias("total"))
     exact = (

@@ -109,11 +109,18 @@ def test_asof_backward_matches_reference_model(spark, left, right):
 
 
 @settings(**_SETTINGS)
-@given(left=_asof_rows, right=_asof_rows)
-def test_asof_forward_and_nearest_match_reference_model(spark, left, right):
+@given(
+    left=_asof_rows,
+    right=_asof_rows,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+)
+def test_asof_forward_and_nearest_match_reference_model(spark, left, right, tol):
     """Forward: earliest right ts >= left ts per key, ties -> min
     payload. Nearest: min |right ts - left ts|, exact tie -> the
-    backward candidate. Both checked against the O(n*m) model."""
+    backward candidate. Both checked against the O(n*m) model, with
+    and without a tolerance bound — the nearest tolerance path (a
+    nearer-but-out-of-tolerance side must fall through to the other
+    direction's in-tolerance match) is the trickiest branch."""
     from map_reduce_rpc_spark.operators.asof import (
         asof_join_forward,
         asof_join_nearest,
@@ -128,19 +135,37 @@ def test_asof_forward_and_nearest_match_reference_model(spark, left, right):
     )
 
     def fwd_model(k, lts):
-        cands = [(t, p) for (rk, t, p) in right if rk == k and t >= lts]
+        cands = [
+            (t, p)
+            for (rk, t, p) in right
+            if rk == k and t >= lts and (tol is None or t - lts <= tol)
+        ]
         return min(cands) if cands else (None, None)
 
     def near_model(k, lts):
-        back = [(t, p) for (rk, t, p) in right if rk == k and t <= lts]
-        fwd = [(t, p) for (rk, t, p) in right if rk == k and t >= lts]
+        back = [
+            (t, p)
+            for (rk, t, p) in right
+            if rk == k and t <= lts and (tol is None or lts - t <= tol)
+        ]
+        fwd = [
+            (t, p)
+            for (rk, t, p) in right
+            if rk == k and t >= lts and (tol is None or t - lts <= tol)
+        ]
         b = max(back) if back else None
         f = min(fwd) if fwd else None
         if b is not None and f is not None:
             return b if (lts - b[0]) <= (f[0] - lts) else f
         return b or f or (None, None)
 
-    kw = dict(on="k", left_ts="lts", right_ts="rts", payload_cols=["payload"])
+    kw = dict(
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        payload_cols=["payload"],
+        tolerance_us=tol,
+    )
     for impl, model in ((asof_join_forward, fwd_model), (asof_join_nearest, near_model)):
         out = impl(ldf, rdf, **kw).collect()
         got = {r.row_id: (r.matched_ts_us, r.matched_payload) for r in out}
