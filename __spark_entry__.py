@@ -218,6 +218,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Heavy hitters (Karp/Misra-Gries freqItems) — third sketch
         # family, bound-asserted like the HLL and t-digest queries.
         "frequent_brands_sketch": relational.frequent_brands_sketch,
+        # Completing the 22 classic TPC-H shapes (adapted to the
+        # available columns where the spec needs partsupp/shipmode —
+        # each docstring states the adaptation): correlated EXISTS
+        # (Q4), two-conjunct local-supplier join (Q5), returned-item
+        # top-k (Q10), scalar-subquery HAVING (Q11), derived-category
+        # conditional counts (Q12), outer-join-count distribution
+        # (Q13), view + scalar-max (Q15).
+        "q4_order_priority": relational.q4_order_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_brands": relational.q11_important_brands,
+        "q12_ship_latency": relational.q12_ship_latency,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        # ... and the subquery-heavy half: correlated min-cost (Q2),
+        # role-played-dimension market share (Q8), joined-cost profit
+        # (Q9), NOT-IN distinct counts (Q16), nested correlated
+        # quantity threshold (Q20), EXISTS + NOT-EXISTS sole-late
+        # supplier (Q21). With these the catalog covers all 22
+        # classic TPC-H query shapes.
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
     }
     return q
 

@@ -964,6 +964,502 @@ def frequent_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a half-year
+    window that had at least one LATE shipment, counted per priority.
+    The reference schema's commit/receipt dates don't exist here, so
+    "late" is l_shipdate > o_orderdate + 30 days (the correlated
+    predicate still references BOTH sides, which is the shape's
+    point).
+
+    Spark-first decorrelation: the EXISTS becomes a LEFT-SEMI join on
+    orderkey whose extra conjunct compares l_shipdate against the
+    OUTER row's o_orderdate — Catalyst keeps the equi-key as the join
+    key and evaluates the non-equi conjunct as a join residual, so
+    the plan is one shuffle on orderkey, never a per-row subquery.
+    The date window is a pushed scan filter on orders."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    had_late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return had_late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (faithful — every column exists): revenue per
+    nation where the SUPPLIER and the CUSTOMER share a nation, for one
+    region and a date window. The interesting join property: the
+    supplier join carries TWO equality conjuncts (l_suppkey AND the
+    customer's nationkey), so the "local" predicate is part of the
+    broadcast hash key, never a post-join filter over the cross of
+    nations.
+
+    Shape at scale: orders x lineitem is the only fact-fact shuffle
+    (orderkey); customer, supplier, nation, region all broadcast; the
+    region/date predicates prune on the broadcast/scan side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi")
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item customer ranking — one quarter's
+    orders, lineitems flagged 'R', revenue per customer, top 20.
+    Both filters are pushed scan predicates; nation broadcasts; the
+    orderkey join is the one fact-fact shuffle; ties broken by
+    c_custkey so LIMIT 20 is deterministic across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q11_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-HAVING against a GLOBAL scalar subquery
+    — brands whose lineitem value exceeds a fraction of the
+    whole-table total (partsupp doesn't exist here; brand value from
+    the fact table preserves the shape: aggregate twice over ONE
+    grouped pass, compare group rows to the broadcast global).
+
+    Spark-first: the per-brand aggregate is computed ONCE and cached
+    in the plan via a self-agg — the global total re-aggregates the
+    small per-brand result (25 rows), not the fact table, and joins
+    back as a broadcast scalar. Exact-decimal sums both sides of the
+    comparison; the fraction multiply happens in double on BOTH
+    engines, so the > can't flip a boundary row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_dec("l_extendedprice") * disc).alias("_val"))
+    )
+    total = per_brand.agg(F.sum("_val").cast("double").alias("_tot"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .where(F.col("_val").cast("double") > 0.045 * F.col("_tot"))
+        .select("p_brand", F.col("_val").cast("double").alias("total_value"))
+    )
+
+
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts per derived
+    category. The schema has no l_shipmode, so the category is the
+    DERIVED ship latency (datediff over the joined pair) — which
+    makes the shape strictly harder than stock Q12: the group key is
+    computed FROM THE JOIN, so it can't be pushed to either scan, yet
+    the plan is still one orderkey shuffle + one partial-agg'd
+    group-by over two rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff("l_shipdate", "o_orderdate") <= 30, "FAST"
+    ).otherwise("SLOW")
+    return j.groupBy(bucket.alias("latency_bucket")).agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count DISTRIBUTION — a
+    LEFT OUTER join with the filter ON THE JOIN (not a WHERE — a
+    customer whose every order is filtered out still appears with
+    count 0), aggregated twice: orders per customer, then customers
+    per order-count.
+
+    Spark-first: F.count over the nullable right-side key counts only
+    matched rows — exactly the outer-join-count semantics — and both
+    group-bys are partial-agg friendly, so the second aggregate sees
+    one row per customer, the third one row per distinct count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the "view + scalar max" query — 3-month
+    revenue per supplier, return the supplier(s) achieving the
+    maximum (ties all returned, per spec). The revenue relation is
+    built once and re-aggregated for the scalar; the max compares a
+    double cast of the SAME exact-decimal sum on both sides (and in
+    both engines), so equality is bit-safe.
+
+    At scale: one partial-agg'd shuffle to supplier grain (10-50k
+    rows at 100 TB), the scalar max is a broadcast of one row, and
+    supplier joins in as a broadcast dimension — no second fact
+    pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the "minimum-cost supplier" correlated
+    subquery — for every part of one type/size band, the supplier(s)
+    whose cost equals the part's GLOBAL minimum. The schema has no
+    partsupp, so "cost" is each supplier's observed min unit price
+    (l_extendedprice / l_quantity) from the fact table — the
+    correlated min-per-part-compared-back shape is intact.
+
+    Spark-first decorrelation: per-(part, supplier) min, re-minned to
+    per-part, joined back on (partkey, cost-equality). The equality is
+    safe across engines because the min is SELECTED FROM the same set
+    of IEEE doubles, not recomputed. The part-type filter semi-prunes
+    BEFORE both aggregates (filter commutes with min on the group
+    key), so the fact table is aggregated only for qualifying parts;
+    supplier/nation/region broadcast onto the tiny result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = pruned.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    j = (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("bk"))
+            & (cost.unit_cost == F.col("best_cost")),
+        )
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.select(
+        "s_name",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        "p_partkey",
+        "p_type",
+        F.col("best_cost").cast("double").alias("unit_cost"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — one nation's fraction
+    of a region's yearly volume for one part type. The widest join
+    tree in the catalog (lineitem x part x orders x customer x
+    nation x region x supplier x nation-again), with the nation
+    dimension role-played on BOTH ends (customer's region, supplier's
+    nationality) and a conditional share computed from two sums of
+    the SAME grouped pass.
+
+    Shape at scale: lineitem x orders is the one fact-fact shuffle;
+    every dimension broadcasts; the customer-region and part-type
+    predicates prune broadcast sides so the fact rows that survive
+    the hash probes are already the qualifying slice. The share
+    divides double casts of two exact-decimal sums — bit-identical
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    vol = _dec("l_extendedprice") * disc
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .join(
+            F.broadcast(region.select("r_regionkey")),
+            F.col("nc_region") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)).alias(
+            "_nat"
+        ),
+        F.sum(vol).alias("_tot"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.col("_tot").cast("double").alias("total_volume"),
+        "n_items",
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year over a
+    name-LIKE'd part slice. partsupp's ps_supplycost doesn't exist, so
+    unit cost is proxied as 10% of p_retailprice — profit keeps the
+    Q9 form revenue - qty * cost with the cost coming from a JOINED
+    dimension.
+
+    Numeric discipline: revenue and cost are accumulated as TWO
+    separate exact-decimal sums (decimal subtraction with mixed
+    scales differs between engines' precision promotion) and
+    differenced in double after the final cast — deterministic both
+    sides. The LIKE predicate prunes the broadcast part side; orders
+    joins only to supply the year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    j = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    agg = j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.sum(_dec("l_extendedprice") * disc).alias("_rev"),
+        F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("_cost"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        "nation",
+        "o_year",
+        (
+            F.col("_rev").cast("double") - 0.1 * F.col("_cost").cast("double")
+        ).alias("profit"),
+        "n_items",
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT-count per part attribute triple with
+    a NOT-IN supplier exclusion. partsupp doesn't exist, so the
+    part-supplier relation is the one OBSERVED in the fact table; the
+    excluded-supplier subquery (negative account balance standing in
+    for the spec's complaint-comment LIKE) becomes a LEFT-ANTI join —
+    the null-safe plan for NOT IN when the subquery side is known
+    non-null.
+
+    Shape at scale: the anti join runs against a broadcast of the
+    (tiny) excluded-supplier keys BEFORE the distinct-agg, so
+    disqualified rows never shuffle; count(DISTINCT) goes through
+    Spark's two-phase expand, partial-agg'd on (triple, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    j = li.join(
+        F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated quantity threshold —
+    suppliers who shipped MORE THAN 30% of a part's one-year volume,
+    for a name-LIKE'd part slice (the spec's ps_availqty > 0.5 * qty
+    becomes supplier-share-of-part > 0.3: the same
+    per-(part, supplier) aggregate compared against a correlated
+    per-part aggregate).
+
+    Spark-first: ONE date+part-pruned fact slice feeds both
+    aggregates (per part+supplier, re-aggregated per part), joined on
+    partkey with the share predicate as the join residual; DISTINCT
+    collapses a supplier dominating several parts. The 0.3 multiply
+    happens in double on both engines."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    supp_part = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    part_year = supp_part.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dom = supp_part.join(
+        part_year,
+        (supp_part.l_partkey == F.col("pk"))
+        & (F.col("supp_qty") > 0.3 * F.col("total_qty")),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        dom.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest subquery nesting in the suite —
+    suppliers who were the SOLE late shipper on a finished
+    multi-supplier order. One EXISTS (another supplier participated)
+    and one NOT EXISTS (no OTHER supplier was late) against the same
+    fact table, both correlated on orderkey AND anti-correlated on
+    suppkey. "Late" is l_shipdate > o_orderdate + 60 days (no
+    commit/receipt dates in this schema).
+
+    Spark-first decorrelation: the late slice (lineitem x F-status
+    orders, residual date predicate) is computed ONCE and reused as
+    (a) the driving rows, (b) the NOT-EXISTS probe side — the
+    LEFT-SEMI carries the suppkey!= residual on the orderkey equi-key,
+    and the LEFT-ANTI does the same against the late slice itself.
+    Three shuffles on one key, zero per-row subqueries."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waited = late.join(
+        other,
+        (late.l_orderkey == F.col("ok2")) & (late.l_suppkey != F.col("sk2")),
+        "left_semi",
+    ).join(
+        other_late,
+        (late.l_orderkey == F.col("ok3")) & (late.l_suppkey != F.col("sk3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     # The exact SQL string the Spark query runs — one dialect, two
     # engines (the point of writing q18 through the SQL entrypoint).
@@ -1382,5 +1878,221 @@ RELATIONAL_ORACLES: dict[str, str] = {
                string_split(o_orderpriority, '-')[2] AS pri_word,
                concat_ws('|', 'P', o_orderpriority) AS pri_tagged
         FROM orders
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    "q10_returned_items": """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+               CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "q11_important_brands": """
+        WITH val AS (
+            SELECT p.p_brand,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS v
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand
+        )
+        SELECT p_brand, CAST(v AS DOUBLE) AS total_value
+        FROM val
+        WHERE CAST(v AS DOUBLE)
+              > 0.045 * (SELECT CAST(sum(v) AS DOUBLE) FROM val)
+    """,
+    "q12_ship_latency": """
+        SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                    THEN 'FAST' ELSE 'SLOW' END AS latency_bucket,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY latency_bucket
+    """,
+    "q13_order_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN rev r ON r.supplier_no = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'STANDARD' AND p_size <= 25)
+            GROUP BY l_partkey, l_suppkey
+        ), best AS (
+            SELECT l_partkey, min(unit_cost) AS best_cost
+            FROM cost GROUP BY l_partkey
+        )
+        SELECT s.s_name, n.n_name AS nation, r.r_name AS region,
+               p.p_partkey, p.p_type,
+               CAST(b.best_cost AS DOUBLE) AS unit_cost,
+               CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM cost c
+        JOIN best b ON b.l_partkey = c.l_partkey
+                   AND c.unit_cost = b.best_cost
+        JOIN part p     ON p.p_partkey = c.l_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+    """,
+    "q8_market_share": """
+        WITH vol AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+                   ns.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN region rc  ON rc.r_regionkey = nc.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+            WHERE rc.r_name = 'EUROPE'
+              AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+               CAST(sum(volume) AS DOUBLE) AS total_volume,
+               count(*) AS n_items
+        FROM vol GROUP BY o_year
+    """,
+    "q9_product_profit": """
+        WITH agg AS (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev,
+                   sum(CAST(l.l_quantity AS DECIMAL(12,2))
+                       * CAST(p.p_retailprice AS DECIMAL(12,2))) AS cost,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY n.n_name, o_year
+        )
+        SELECT nation, o_year,
+               CAST(rev AS DOUBLE) - 0.1 * CAST(cost AS DOUBLE) AS profit,
+               n_items
+        FROM agg
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "q20_dominant_suppliers": """
+        WITH supp_part AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+        ), part_year AS (
+            SELECT l_partkey, sum(supp_qty) AS total_qty
+            FROM supp_part GROUP BY l_partkey
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+        FROM supp_part sp
+        JOIN part_year py ON py.l_partkey = sp.l_partkey
+                         AND sp.supp_qty > 0.3 * py.total_qty
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND o3.o_orderstatus = 'F'
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
     """,
 }
