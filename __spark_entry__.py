@@ -244,6 +244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        # SQ8 scalar quantization — the compression tier of the ANN
+        # stack (int8 codes, exact integer dot-product scoring; the
+        # 4x-scan-bytes lever at 100 TB of embeddings).
+        "ann_sq8_topk": vectors.ann_sq8_topk,
     }
     return q
 

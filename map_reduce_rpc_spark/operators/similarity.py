@@ -584,3 +584,121 @@ def kmeans_cells(
     """:func:`kmeans_fit`, assignment only — kept for callers that just
     need the ``(id, cell)`` partitioner."""
     return kmeans_fit(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)[1]
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the memory/IO compression tier of the ANN
+# stack: 8-bit codes cut vector storage and scan bytes 4x vs float32
+# (8x vs the double math tier), which at 100 TB of embeddings is the
+# difference between a cached index and a disk-bound one. The reference
+# has no vector surface at all; this mirrors the faiss
+# ScalarQuantizer(QT_8bit) / Milvus SQ8 design: train per-dimension
+# bounds once, encode to int8, score with EXACT integer dot products.
+# ---------------------------------------------------------------------------
+
+
+def _unit(v: Column) -> Column:
+    """L2-normalize an array<double> (zero vectors pass through
+    unchanged — their codes become all-zero instead of NaN)."""
+    n = l2_norm(v)
+    return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+def sq8_calibrate(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE-row calibration pass: per-dimension max |x| scales over the
+    L2-NORMALIZED vectors (SQ8 here scores cosine, so unit vectors are
+    what gets encoded — the faiss IP-metric convention).
+
+    Shape at scale: a single aggregate with ``dim`` max() columns —
+    partial-agg'd (each partition emits one dim-length row), so the
+    exchange carries partitions x dim doubles, never row data. Kept as
+    a DataFrame (not collected) so serving plans broadcast it without
+    a driver round-trip.
+    """
+    v = _unit(_as_double(vec_col))
+    return emb.agg(
+        F.array(*[F.max(F.abs(v[i])) for i in range(dim)]).alias("scales")
+    )
+
+
+def sq8_encode(
+    emb: DataFrame,
+    scales: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "code",
+) -> DataFrame:
+    """Encode L2-normalized vectors to int8-range codes:
+    floor(x * 127 / scale_d + 0.5) clamped to [-127, 127] (symmetric
+    round-to-nearest; a dimension that is constant 0 encodes to 0).
+    floor(x + 0.5) — not an engine round() builtin — because floor is
+    IEEE-exact and identical across engines (round() half-away vs
+    half-even differs), so codes are bit-reproducible and the DuckDB
+    oracle can replay them hash-for-hash. Rounding (vs truncating)
+    halves the max per-element error to scale/254 — on near-boundary
+    neighbor sets that measurably lifts recall@k. The scales row joins
+    in as a broadcast scalar; encoding itself is a narrow zip_with map
+    (whole-stage codegen, no Python, no shuffle)."""
+    v = _unit(_as_double(vec_col))
+    code = F.zip_with(
+        v,
+        F.col("_scales"),
+        lambda x, s: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x * F.lit(127.0) / s + F.lit(0.5)),
+                ),
+            )
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(scales.select(F.col("scales").alias("_scales"))))
+        .select(F.col(id_col), code.alias(out_col))
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over SQ8 codes — integer dot products, so
+    scores are EXACT int64 (hash-identical across engines, no float
+    tolerance anywhere). Output: (query_id, neighbor_id, qdot), k rows
+    per query, ties broken by neighbor_id.
+
+    Scale shape: identical to brute_force_topk (broadcast query codes,
+    one narrow pass over candidates, per-partition then global top-k)
+    — but the scanned payload is int8-range codes instead of doubles,
+    and the score loop is integer multiply-add. Recall vs the exact
+    float baseline is asserted in tests/test_similarity.py."""
+    coded = sq8_encode(emb, sq8_calibrate(emb, dim, vec_col), dim, id_col, vec_col)
+    queries = coded.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("_qc")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("_qc"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = coded.join(
+        F.broadcast(queries), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), idot.alias("qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -566,3 +566,67 @@ VECTORS_ORACLES: dict[str, str] = {
 
 VECTORS_ORACLES["ann_kmeans_topk"] = _kmeans_oracle_sql()
 VECTORS_ORACLES["semantic_dedup_cells"] = _semantic_cells_oracle_sql()
+
+
+EMB_DIM = 64  # embeddings table is fixed dim-64 (TESTDATA.md)
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by SQ8 scalar-quantized integer dot product for query
+    vectors 0..7 — the compression tier of the ANN stack (int8 codes:
+    4x fewer scan bytes than float32 at 100 TB). Calibration is one
+    partial-agg'd pass (per-dimension max |x|); encoding is a narrow
+    zip_with map off a broadcast scales row; scoring is EXACT int64
+    multiply-add, so the oracle replays every code and score
+    hash-for-hash with no float tolerance. Recall vs the exact float
+    baseline is asserted in tests/test_similarity.py."""
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, dim=EMB_DIM
+    )
+
+
+VECTORS_ORACLES["ann_sq8_topk"] = f"""
+    WITH v0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e0,
+               sqrt({_DOT.format(a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])")}) AS n
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id,
+               CASE WHEN n = 0 THEN e0
+                    ELSE list_transform(e0, x -> x / n) END AS e
+        FROM v0
+    ),
+    sc AS (
+        SELECT i, max(abs(e[i])) AS s
+        FROM v CROSS JOIN range(1, {EMB_DIM} + 1) t(i) GROUP BY i
+    ),
+    scl AS (SELECT list(s ORDER BY i) AS scales FROM sc),
+    codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {EMB_DIM} + 1), i ->
+                   CASE WHEN scales[i] = 0 THEN CAST(0 AS BIGINT)
+                        ELSE greatest(CAST(-127 AS BIGINT),
+                                      least(CAST(127 AS BIGINT),
+                                            CAST(floor(e[i] * 127.0 / scales[i] + 0.5) AS BIGINT)))
+                   END) AS c
+        FROM v CROSS JOIN scl
+    ),
+    q AS (
+        SELECT vec_id AS query_id, c AS qc FROM codes
+        WHERE vec_id IN ({_QID_LIST})
+    ),
+    scored AS (
+        SELECT q.query_id, codes.vec_id AS neighbor_id,
+               CAST(list_aggregate(
+                   list_transform(range(1, {EMB_DIM} + 1), i -> qc[i] * c[i]),
+                   'sum') AS BIGINT) AS qdot
+        FROM codes, q WHERE codes.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, qdot FROM (
+        SELECT query_id, neighbor_id, qdot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+"""
