@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup and semantic_dedup_cells, which share
         # blocked_near_dup_pairs and emit real pairs).
         "stream_click_purchase_full": streams.stream_click_purchase_full,
+        # NEW round 5 (late): watermark late-data DROP as a
+        # hash-checked gate — the replay delivers the first two hours
+        # of the timeline a micro-batch after the watermark has passed
+        # them; the oracle excludes exactly that slice.
+        "stream_late_data_drop": streams.stream_late_data_drop,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "srp_near_dups": vectors.srp_near_dups,

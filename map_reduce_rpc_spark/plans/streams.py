@@ -128,6 +128,25 @@ def stream_events_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.run_available_now(out, spark)
 
 
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics as a hash-checked gate (not
+    a doc claim): after the whole month has been aggregated, emitted,
+    and evicted, the replay RE-DELIVERS the timeline's first
+    {core.LATE_SPLIT_HOURS} hours — the at-least-once upstream
+    (Kafka redelivery / backfill replay) every production pipeline
+    faces. The stateful aggregation must DROP every re-delivered row
+    (each sits weeks below the in-force watermark); admitting one
+    would re-emit a finalized group. The oracle is the plain hourly
+    aggregate — every group exactly once — so a single admitted late
+    row breaks the row-count/hash equality. See
+    core.build_late_replay_dir for the measured one-batch-lag
+    subtlety in Spark's late filter that dictates the replay shape."""
+    replay_dir = core.build_late_replay_dir(spark, sf_dir)
+    ev = core.read_events_stream(spark, replay_dir)
+    out = core.run_available_now(windows.hourly_counts(ev), spark)
+    return out.where(F.col("event_type") != "__sentinel__")
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event delivered twice (two identical stream scans
     unioned); the dedup stage must emit each event_id exactly once."""
@@ -241,6 +260,18 @@ STREAMS_ORACLES: dict[str, str] = {
          AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'
     """,
     "stream_hourly_counts": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # the PLAIN hourly aggregate — each group exactly once. The replay
+    # re-delivers the first two hours after their windows were emitted
+    # and evicted; equality holds only if every re-delivered row was
+    # dropped by the watermark (an admitted one re-emits its group and
+    # breaks the row count).
+    "stream_late_data_drop": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

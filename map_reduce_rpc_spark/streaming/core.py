@@ -125,6 +125,87 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 1) -> 
     return out
 
 
+LATE_SPLIT_HOURS = 2
+
+
+def build_late_replay_dir(
+    spark: SparkSession, sf_dir: str, late_hours: int = LATE_SPLIT_HOURS
+) -> str:
+    """Replay dir that RE-DELIVERS the timeline's first ``late_hours``
+    of events after their windows have been finalized: chunk0 = the
+    whole month, chunk1 = a sentinel (advances the watermark past
+    every real window, so append mode EMITS and EVICTS all of them),
+    chunk2 = a duplicate copy of the early slice — now weeks below the
+    watermark — chunk3 = the final flush sentinel. A correct stateful
+    aggregation must DROP every re-delivered row; admitting one would
+    re-emit an already-emitted group and break append exactly-once.
+    This is the at-least-once upstream (Kafka redelivery, backfill
+    replay) every production pipeline faces.
+
+    Why re-delivery instead of just withholding the slice: Spark
+    filters late input against the PREVIOUS batch's eviction watermark
+    (one batch older than the one used to evict/emit state — measured
+    on 4.1: a withheld-slice batch right after the first real batch is
+    ADMITTED with numRowsDroppedByWatermark=0 and finalized as new
+    groups, which append mode permits because those groups were never
+    emitted). Re-delivering after the sentinel batch puts the slice
+    behind a watermark that IS in force for late filtering, so the
+    drop is guaranteed, deterministic, and hash-checkable."""
+    cache_key = (sf_dir, "late", late_hours)
+    cached = _replay_cache.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_stream_{tag}_late{late_hours}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+        "props",
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    min_us, max_us = int(bounds[0]), int(bounds[1])
+    split_us = min_us + late_hours * 3_600 * 1_000_000
+    chunks = {0: ev, 2: ev.where(F.col("ts_us") < split_us)}
+    for i, chunk in chunks.items():
+        tmp = f"{out}_write{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(out, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    for i in (1, 3):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-i], pa.int64()),
+                    "ts_us": pa.array(
+                        [max_us + i * _SENTINEL_STEP_US], pa.int64()
+                    ),
+                    "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                    "event_type": pa.array(["__sentinel__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            os.path.join(out, f"chunk{i}.parquet"),
+        )
+    base_mtime = os.stat(out).st_mtime - 3600
+    for i in range(4):
+        path = os.path.join(out, f"chunk{i}.parquet")
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    _replay_cache[cache_key] = out
+    return out
+
+
 def read_events_stream(
     spark: SparkSession, replay_dir: str, chunked: bool = True
 ) -> DataFrame:

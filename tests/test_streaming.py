@@ -293,3 +293,41 @@ def test_rate_source_adapter_feeds_existing_queries(spark, tmp_path):
     assert set(ev.columns) == {
         "event_id", "ts_us", "user_id", "event_type", "value", "props", "ts"
     }
+
+
+def test_late_redelivery_rows_are_dropped_by_watermark(spark, sf_dir, tmp_path):
+    """The late-drop gate must not be vacuous: run the late replay
+    directly and assert the re-delivered batch reports a NONZERO
+    numRowsDroppedByWatermark — i.e. the oracle equality in
+    stream_late_data_drop is earned by actual drops, not by a replay
+    that never put late rows in front of the operator."""
+    from map_reduce_rpc_spark.streaming import core, windows
+
+    replay = core.build_late_replay_dir(spark, sf_dir)
+    q = (
+        windows.hourly_counts(core.read_events_stream(spark, replay))
+        .writeStream.format("memory")
+        .queryName("late_drop_metric")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    redelivered = sum(
+        1 for p in q.recentProgress if p["batchId"] == 2
+    )
+    assert redelivered == 1, "replay did not produce the re-delivery batch"
+    assert dropped > 0, "no rows were dropped by the watermark"
+    # every re-delivered row must be dropped: the memory sink holds
+    # each (hour, type) group exactly once
+    out = spark.sql(
+        "SELECT count(*) AS c, count(DISTINCT hour || event_type) AS d "
+        "FROM late_drop_metric WHERE event_type <> '__sentinel__'"
+    ).first()
+    assert out["c"] == out["d"], "a re-emitted group broke append exactly-once"
