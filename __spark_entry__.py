@@ -43,8 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering contract: the correctness checker records rows for the
     FIRST 50 entries only, so slots 1-50 hold one fully-oracled query
-    per distinct operator family. Round 5 ROTATED the window per the
-    round-4 verdict: the 15 queries that had never held a recorded
+    per distinct operator family. LATE round 5: five round-4-certified
+    queries (cube_sales, grouping_sets_sales, window_kitchen_sink,
+    hypertable_rollup, salted_user_counts) vacated to the tail for the
+    five riskiest never-certified round-5 additions (q2/q8/q21 of the
+    completed TPC-H set, ann_sq8_topk, stream_late_data_drop). Earlier
+    in round 5 the window ROTATED per the round-4 verdict: the 15 queries that had never held a recorded
     driver CORRECTNESS row (ann_ivf_topk, ann_kmeans_topk,
     approx_percentile_bounds, audio_features_mm, chunk_documents,
     doc_repetition, domain_mix_sample, global_shuffle,
@@ -101,11 +105,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": textops.curation_pipeline,
         # —— relational tail families rotated into the window (round 4) ——
         "q18_large_volume": relational.q18_large_volume,
-        "cube_sales": relational.cube_sales,
-        "grouping_sets_sales": relational.grouping_sets_sales,
-        "window_kitchen_sink": relational.window_kitchen_sink,
-        "hypertable_rollup": events.hypertable_rollup,
-        "salted_user_counts": events.salted_user_counts,
+        # LATE round 5 window swap: cube_sales, grouping_sets_sales,
+        # window_kitchen_sink, hypertable_rollup, salted_user_counts
+        # (all driver-certified green in round 4, families still
+        # covered by rollup/pivot/revenue_trailing_window/events
+        # siblings in the pytest oracle gate) vacate to the tail; the
+        # five RISKIEST never-certified round-5 additions take their
+        # slots: the two hardest new TPC-H subquery shapes, the SQ8
+        # quantizer, and the watermark late-drop gate.
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "ann_sq8_topk": vectors.ann_sq8_topk,
+        "stream_late_data_drop": streams.stream_late_data_drop,
         # —— training-data pipeline: dataset management ——
         "pack_sequences": sampling.pack_sequences,
         # NEW round 5: declarative data-quality gate (PK/FK/null/domain
@@ -132,11 +144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup and semantic_dedup_cells, which share
         # blocked_near_dup_pairs and emit real pairs).
         "stream_click_purchase_full": streams.stream_click_purchase_full,
-        # NEW round 5 (late): watermark late-data DROP as a
-        # hash-checked gate — the replay delivers the first two hours
-        # of the timeline a micro-batch after the watermark has passed
-        # them; the oracle excludes exactly that slice.
-        "stream_late_data_drop": streams.stream_late_data_drop,
         # —— training-data pipeline: similarity search ——
         "similarity_topk": vectors.similarity_topk,
         "srp_near_dups": vectors.srp_near_dups,
@@ -237,22 +244,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_ship_latency": relational.q12_ship_latency,
         "q13_order_distribution": relational.q13_order_distribution,
         "q15_top_supplier": relational.q15_top_supplier,
-        # ... and the subquery-heavy half: correlated min-cost (Q2),
-        # role-played-dimension market share (Q8), joined-cost profit
-        # (Q9), NOT-IN distinct counts (Q16), nested correlated
-        # quantity threshold (Q20), EXISTS + NOT-EXISTS sole-late
-        # supplier (Q21). With these the catalog covers all 22
-        # classic TPC-H query shapes.
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q8_market_share": relational.q8_market_share,
+        # ... and the subquery-heavy half: joined-cost profit (Q9),
+        # NOT-IN distinct counts (Q16), nested correlated quantity
+        # threshold (Q20). (Q2, Q8, Q21 sit in the certified window
+        # above.) With these the catalog covers all 22 classic TPC-H
+        # query shapes.
         "q9_product_profit": relational.q9_product_profit,
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        # SQ8 scalar quantization — the compression tier of the ANN
-        # stack (int8 codes, exact integer dot-product scoring; the
-        # 4x-scan-bytes lever at 100 TB of embeddings).
-        "ann_sq8_topk": vectors.ann_sq8_topk,
+        # vacated from the window late round 5 (driver-certified green
+        # in round 4; pytest oracle gate keeps them regression-checked)
+        "cube_sales": relational.cube_sales,
+        "grouping_sets_sales": relational.grouping_sets_sales,
+        "window_kitchen_sink": relational.window_kitchen_sink,
+        "hypertable_rollup": events.hypertable_rollup,
+        "salted_user_counts": events.salted_user_counts,
     }
     return q
 
