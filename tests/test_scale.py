@@ -283,3 +283,62 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_skips_partitions(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the partitioned-layout twin of the
+    bloom-filter lever: a fact table PARTITIONED on the join key reads
+    only the directories the (filtered) dimension side can match,
+    discovered AT RUNTIME from the dimension's build-side rows. At
+    100 TB this is the difference between scanning one year and
+    scanning the whole lake when the year list comes from a subquery
+    Catalyst can't constant-fold.
+
+    Pins both halves: the plan carries a dynamicpruning expression on
+    the fact scan's PartitionFilters, and the result equals the
+    literally-filtered baseline."""
+    fact_dir = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+
+    # dimension: one attribute row per year. The predicate must be an
+    # EqualTo(attr, literal) on a NON-key column: Spark's DPP rule only
+    # fires for predicates isLikelySelective() deems selective (a bare
+    # boolean attribute is not), and a filter on the join key itself
+    # would propagate to the fact statically, defeating the
+    # runtime-pruning point.
+    years = orders.select("o_year").distinct().withColumn(
+        "era",
+        F.when(F.col("o_year") >= 2000, F.lit("recent")).otherwise(F.lit("old")),
+    )
+    dim_dir = str(tmp_path / "year_dim")
+    years.write.mode("overwrite").parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("era") == "recent")
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = (
+            fact.join(dim, "o_year")
+            .groupBy("o_year")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        got = {(r.o_year, r.n, round(r.total, 2)) for r in joined.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", saved
+        )
+
+    base = (
+        spark.read.parquet(fact_dir)
+        .where(F.col("o_year") >= 2000)
+        .groupBy("o_year")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+    want = {(r.o_year, r.n, round(r.total, 2)) for r in base.collect()}
+    assert got == want and len(want) >= 2
