@@ -252,6 +252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": relational.q9_product_profit,
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        # PQ/ADC — the second compression tier after SQ8: 4-bit
+        # sub-space codes (32x scan-byte cut), asymmetric distance
+        # scoring, md5-sampled codebooks replayed by the oracle —
+        # plus the production serving shape (ADC shortlist -> exact
+        # cosine re-rank; the oracle composes both stages).
+        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
+        "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
         # vacated from the window late round 5 (driver-certified green
         # in round 4; pytest oracle gate keeps them regression-checked)
         "cube_sales": relational.cube_sales,

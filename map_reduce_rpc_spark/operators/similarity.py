@@ -702,3 +702,191 @@ def sq8_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the second compression tier: m sub-space
+# codebooks of ksub entries give m*log2(ksub)-bit codes (8 bytes/vector
+# at the defaults vs 256 for float32 dim-64 — a 32x scan-byte cut), and
+# query scoring is ADC (asymmetric distance computation: exact query
+# subvectors against codebook-reconstructed candidates). Codebooks here
+# are md5-SAMPLED rows rather than per-subspace Lloyd's: deterministic
+# and engine-portable, so the DuckDB oracle replays codes and distances
+# exactly (production would train them with the kmeans_fit machinery
+# above; the plan shape — literal codebooks, narrow argmin encode map —
+# is identical either way).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # sub-spaces
+PQ_KSUB = 16  # codebook entries per sub-space (4-bit codes)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``m x ksub x (dim/m)`` codebooks from the ksub rows with the
+    smallest (md5(id), id) — the same portable sampler kmeans_fit uses
+    for init. Driver holds m*ksub*dsub doubles (KBs), the Lloyd's
+    contract."""
+    dsub = dim // m
+    rows = (
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(ksub)
+        .select("v")
+        .collect()
+    )
+    return [
+        [list(r["v"][j * dsub : (j + 1) * dsub]) for r in rows] for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ-encode each vector: per sub-space, the index of the nearest
+    codebook entry (squared L2, ties to the lowest index — the
+    assign_cells convention). The codebooks ride the plan as ONE
+    nested literal, so encoding is a narrow codegen map: no join, no
+    shuffle, no Python."""
+    m = len(codebooks)
+    dsub = dim // m
+    v = _as_double(vec_col)
+
+    def sub_code(j: int):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        d2 = F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+    return emb.select(
+        F.col(id_col), F.array(*[sub_code(j) for j in range(m)]).alias(out_col)
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by ADC distance: the EXACT query vector scored against
+    each candidate's codebook reconstruction — sum over sub-spaces of
+    ||q_j - c_{j, code_j}||^2. Output (query_id, neighbor_id, adist),
+    k rows per query, ascending distance, ties by neighbor_id.
+
+    Scale shape: candidates are scanned as m small-int codes (32x
+    fewer bytes than the float vectors); queries broadcast with their
+    raw subvectors; reconstruction indexes the literal codebook — all
+    codegen, no Python, one narrow pass + per-partition top-k. Every
+    arithmetic step is IEEE-deterministic in scan order-independent
+    form, so the DuckDB oracle matches bit-for-bit."""
+    dsub = dim // m
+    codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
+    coded = pq_encode(emb, codebooks, dim, id_col, vec_col)
+    queries = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+        )
+    )
+    cb_lit = F.lit(
+        [[[float(x) for x in c] for c in book] for book in codebooks]
+    )
+    # reconstruction: flatten(codebook[j][code_j]) in sub-space order
+    recon = F.flatten(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.element_at(cb_lit, j + 1), c + 1),
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(F.col("_qv"), recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = coded.join(
+        F.broadcast(queries), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adist.alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    dim: int = 64,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ serving shape: ADC over the compressed codes
+    builds a ``shortlist``-sized candidate set per query (scanning 32x
+    fewer bytes than the float vectors), then EXACT cosine re-ranks
+    just those candidates to the final top-k. At 1B vectors the exact
+    stage touches shortlist/N of the corpus — the float vectors are
+    fetched only for candidates (here: a semi-join back to the narrow
+    (id, vec) projection).
+
+    Output (query_id, neighbor_id, cos) — identical schema to
+    brute_force_topk minus rnk, so recall comparisons are direct."""
+    cand = pq_adc_topk(
+        emb, query_ids, k=shortlist, dim=dim, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    base = emb.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    queries = base.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("_qid"), F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    exact = (
+        cand.join(base, cand.neighbor_id == F.col("_id"))
+        .join(F.broadcast(queries), cand.query_id == F.col("_qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -261,3 +261,44 @@ def test_sq8_recall_vs_brute_force(spark, emb):
     # structured neighborhoods sit >0.95). Gate at 0.7 to catch
     # implementation regressions without flaking on sampling noise.
     assert recall >= 0.7, f"SQ8 recall collapsed: {recall}"
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    books = similarity.pq_codebooks(emb, dim=64)
+    assert len(books) == similarity.PQ_M
+    assert all(len(b) == similarity.PQ_KSUB for b in books)
+    assert all(len(c) == 64 // similarity.PQ_M for b in books for c in b)
+    coded = similarity.pq_encode(emb, books, dim=64).collect()
+    assert len(coded) == emb.count()
+    for r in coded[:50]:
+        assert len(r["codes"]) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_KSUB for c in r["codes"])
+    again = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(
+            emb, similarity.pq_codebooks(emb, dim=64), dim=64
+        ).collect()
+    }
+    for r in coded:
+        assert again[r["vec_id"]] == r["codes"]
+
+
+def test_pq_rerank_beats_raw_adc_recall(spark, emb):
+    """PQ is data-bound on this corpus: 8-byte codes cannot resolve
+    the ~0.003 boundary cosine gaps of near-random vectors (a numpy
+    replica measures ~0.12 raw-ADC and ~0.48 shortlist-50 + re-rank
+    recall@10; structured corpora sit >0.95). The gates assert the
+    MECHANISM: re-ranking must recover strictly more of the exact
+    top-10 than raw ADC, and both must beat chance (10/N ~ 0.02)."""
+    qids = list(range(8))
+    brute = similarity.brute_force_topk(emb, qids, k=10).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    adc = similarity.pq_adc_topk(emb, qids, k=10).collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in adc}
+    rr = similarity.pq_rerank_topk(emb, qids, k=10, shortlist=50).collect()
+    r = {(r_["query_id"], r_["neighbor_id"]) for r_ in rr}
+    adc_recall = len(a & b) / len(b)
+    rr_recall = len(r & b) / len(b)
+    assert len(rr) == len(b)
+    assert rr_recall > adc_recall, (rr_recall, adc_recall)
+    assert adc_recall >= 0.08 and rr_recall >= 0.35, (adc_recall, rr_recall)
