@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": relational.q9_product_profit,
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        # SQL-surface pins through the spark.sql entrypoint (the q18
+        # one-dialect contract): LATERAL correlated per-row top-N and
+        # a RECURSIVE CTE month spine (Spark 4.x), identical SQL text
+        # on both engines.
+        "lateral_top_lines": relational.lateral_top_lines,
+        "recursive_month_spine": relational.recursive_month_spine,
         # PQ/ADC — the second compression tier after SQ8: 4-bit
         # sub-space codes (32x scan-byte cut), asymmetric distance
         # scoring, md5-sampled codebooks replayed by the oracle —

@@ -964,6 +964,68 @@ def frequent_brands_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+    SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           t.l_linenumber, CAST(t.l_extendedprice AS DOUBLE) AS line_price
+    FROM orders o,
+    LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+             LIMIT 2) t
+    WHERE o.o_totalprice > 400000
+"""
+
+
+def lateral_top_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-row top-N from another table,
+    the SQL surface the window-function top-k queries
+    (parts_top3_per_brand) can't demonstrate: the inner SELECT is
+    CORRELATED (references o.o_orderkey) and LIMITed per outer row.
+    Catalyst decorrelates it to a ranked join (DecorrelateInnerQuery +
+    RewriteLateralSubquery), so the plan is the same shuffle-and-rank
+    shape as the window form — no per-row execution. Same SQL text
+    runs on both engines (the q18 one-dialect contract)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE spine(mo) AS (
+        SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+                    AS TIMESTAMP)
+        UNION ALL
+        SELECT mo + INTERVAL 1 MONTH FROM spine
+        WHERE mo + INTERVAL 1 MONTH
+              <= (SELECT max(o_orderdate) FROM orders)
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.mo, coalesce(m.n_orders, 0) AS n_orders,
+           coalesce(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON m.mo = s.mo
+"""
+
+
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (new SQL surface in Spark 4.x) — a month spine
+    generated by recursion from min to max order date, left-joined to
+    monthly revenue so empty months appear as zero rows. Identical SQL
+    text runs on both engines. The recursion is bounded by the data's
+    ~80-month span (under Spark's default 100-level
+    cteRecursionLevelLimit); the idiomatic non-recursive form is
+    sequence() + explode (events_hourly_filled) — this query pins the
+    RECURSIVE surface itself, the one construct that cannot be
+    expressed in the DataFrame API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS — orders in a half-year
     window that had at least one LATE shipment, counted per priority.
@@ -1879,6 +1941,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
                concat_ws('|', 'P', o_orderpriority) AS pri_tagged
         FROM orders
     """,
+    "lateral_top_lines": _LATERAL_SQL,
+    "recursive_month_spine": _RECURSIVE_SPINE_SQL,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
