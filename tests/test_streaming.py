@@ -331,3 +331,38 @@ def test_late_redelivery_rows_are_dropped_by_watermark(spark, sf_dir, tmp_path):
         "FROM late_drop_metric WHERE event_type <> '__sentinel__'"
     ).first()
     assert out["c"] == out["d"], "a re-emitted group broke append exactly-once"
+
+
+def test_stream_dedup_state_is_watermark_bounded(spark, sf_dir, tmp_path):
+    """The 100 TB property of dropDuplicatesWithinWatermark: dedup
+    state is EVICTED once the watermark passes each key's event time.
+    After the sentinel batch advances the watermark past the whole
+    month, the state store must hold (almost) nothing — plain
+    dropDuplicates(event_id) would still hold every id seen."""
+    from map_reduce_rpc_spark.streaming import core, windows
+
+    replay = core.build_replay_dir(spark, sf_dir)
+    q = (
+        windows.dedup_stream(core.read_events_stream(spark, replay))
+        .writeStream.format("memory")
+        .queryName("dedup_state_bound")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = spark.sql(
+        "SELECT count(*) AS c FROM dedup_state_bound"
+    ).first()["c"]
+    finals = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    ]
+    assert n_events > 0 and finals
+    # last progress entry = state after the watermark passed everything
+    assert finals[-1] <= 2, (
+        f"dedup state not evicted: {finals[-1]} rows still held "
+        f"(unbounded dropDuplicates would hold ~{n_events})"
+    )
