@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on both engines.
         "lateral_top_lines": relational.lateral_top_lines,
         "recursive_month_spine": relational.recursive_month_spine,
+        # Spark 4 VARIANT surface: parse props once to the shredded
+        # binary encoding, typed variant_get path reads (vs
+        # get_json_object re-parsing the text per expression).
+        "events_variant_stats": events.events_variant_stats,
         # PQ/ADC — the second compression tier after SQ8: 4-bit
         # sub-space codes (32x scan-byte cut), asymmetric distance
         # scoring, md5-sampled codebooks replayed by the oracle —

@@ -53,6 +53,32 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT surface over semi-structured props: parse
+    ONCE to the shredded binary encoding, then typed path extraction
+    with variant_get — at 100 TB this replaces per-expression string
+    re-parsing (get_json_object re-tokenizes the JSON text for every
+    path) with one parse and O(1) binary field reads. n_missing pins
+    the missing-path contract (a typed get on an absent path yields
+    NULL, not an error) — it must equal n_events since no props row
+    carries that key."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.variant_get(v, "$.not_there", "int")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("m").isNull().cast("long")).alias("n_missing"),
+        )
+    )
+
+
 def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event_type through the skew-proof
     two-phase salted aggregation (operators/scale.salted_distinct_count):
@@ -379,6 +405,20 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    # missing-path typed get -> NULL in both engines, so n_missing is
+    # just the row count; sum of ints cast BIGINT to match Spark long
+    "events_variant_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                   AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+               CAST(sum(CASE WHEN json_extract(props, '$.not_there') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM events
+        GROUP BY event_type
+    """,
     "funnel_conversion": """
         WITH ev AS (
             SELECT user_id, event_type, epoch_us(ts) AS us FROM events
