@@ -262,6 +262,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binary encoding, typed variant_get path reads (vs
         # get_json_object re-parsing the text per expression).
         "events_variant_stats": events.events_variant_stats,
+        # Spark 4 transformWithStateInPandas: the sessionizer through
+        # the new arbitrary-state API (typed handles + named timers,
+        # RocksDB provider), hash-checked against the same oracle as
+        # the applyInPandasWithState form. Registered only where the
+        # python protobuf package (its state protocol) exists — absent
+        # in this container, so the processor is mock-unit-tested and
+        # the applyInPandasWithState form stays the certified one.
+        **(
+            {"stream_tws_sessions": streams.stream_tws_sessions}
+            if streams.HAS_PROTOBUF
+            else {}
+        ),
         # PQ/ADC — the second compression tier after SQ8: 4-bit
         # sub-space codes (32x scan-byte cut), asymmetric distance
         # scoring, md5-sampled codebooks replayed by the oracle —

@@ -128,6 +128,47 @@ def stream_events_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.run_available_now(out, spark)
 
 
+# transformWithStateInPandas speaks a protobuf-based state protocol;
+# the python `protobuf` package is not installed in this container (no
+# pip allowed), so the query registers only where it can actually run.
+# The processor logic itself is pure pandas and unit-tested with mock
+# handles either way (tests/test_streaming.py).
+import importlib.util as _ilu  # noqa: E402
+
+try:
+    # find_spec on a dotted name imports the parent package, which
+    # raises (not returns None) when `google` itself is absent
+    HAS_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAS_PROTOBUF = False
+
+
+def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful_sessions through Spark 4's
+    transformWithStateInPandas (typed state handles + named event-time
+    timers, the applyInPandasWithState successor) — SAME batch-SQL
+    oracle, so the two stateful APIs are hash-checked against each
+    other. Runs under the RocksDB state store provider, which
+    transformWithState requires and which is the 100 TB deployment
+    choice anyway (disk-backed, changelog-checkpointed state); the
+    conf is scoped to this run and restored. Requires the python
+    ``protobuf`` package (the API's state-server protocol) — gated out
+    of the registry where absent."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = core.run_available_now(
+            stateful.sessionize_tws(_replay(spark, sf_dir)), spark
+        )
+    finally:
+        spark.conf.set(key, saved)
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP semantics as a hash-checked gate (not
     a doc claim): after the whole month has been aggregated, emitted,
@@ -294,3 +335,15 @@ STREAMS_ORACLES: dict[str, str] = {
         FROM sess GROUP BY user_id, sid
     """,
 }
+
+if HAS_PROTOBUF:
+    # identical oracle: the transformWithState form must produce the
+    # byte-same sessions as the applyInPandasWithState form
+    STREAMS_ORACLES["stream_tws_sessions"] = _SESSION_CTE + """
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) AS session_end_us,
+               count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM sess GROUP BY user_id, sid
+    """
