@@ -761,6 +761,13 @@ def pq_encode(
     nested literal, so encoding is a narrow codegen map: no join, no
     shuffle, no Python."""
     m = len(codebooks)
+    if not codebooks or not codebooks[0]:
+        # empty corpus -> empty codebooks: no rows can be encoded (an
+        # untyped [] literal would not even type-check in the plan)
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("array<int>").alias(out_col),
+        ).limit(0)
     dsub = dim // m
     v = _as_double(vec_col)
 
@@ -805,6 +812,14 @@ def pq_adc_topk(
     form, so the DuckDB oracle matches bit-for-bit."""
     dsub = dim // m
     codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
+    if not codebooks or not codebooks[0]:
+        # empty corpus: no codebooks, no candidates — degrade to an
+        # empty, correctly-typed result instead of a plan type error
+        return emb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("adist"),
+        ).limit(0)
     coded = pq_encode(emb, codebooks, dim, id_col, vec_col)
     queries = (
         emb.where(F.col(id_col).isin(query_ids))

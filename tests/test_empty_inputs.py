@@ -71,6 +71,27 @@ _CASES = {
     "revenue_trailing_window": 0,
     "frequent_brands_sketch": 1,  # degenerate (0, 0, true) row
     "click_next_purchase": 0,  # forward as-of mirrors backward's 0
+    # latest round-5 additions: the 22-shape completion set + the new
+    # SQL surfaces + the vector compression tiers
+    "q2_min_cost_supplier": 0,
+    "q4_order_priority": 0,
+    "q5_local_supplier_volume": 0,
+    "q8_market_share": 0,
+    "q9_product_profit": 0,
+    "q10_returned_items": 0,
+    "q11_important_brands": 0,  # total is NULL -> comparison never true
+    "q12_ship_latency": 0,
+    "q13_order_distribution": 0,  # no customers -> no distribution rows
+    "q15_top_supplier": 0,  # scalar max over empty rev is NULL
+    "q16_part_supplier_counts": 0,
+    "q20_dominant_suppliers": 0,
+    "q21_waiting_suppliers": 0,
+    "lateral_top_lines": 0,
+    "recursive_month_spine": None,  # min/max NULL: spine degenerates
+    "events_variant_stats": 0,
+    "ann_sq8_topk": 0,  # no queries, no candidates
+    "ann_pq_adc_topk": 0,  # empty codebook sample -> typed empty result
+    "ann_pq_rerank_topk": 0,
 }
 
 
