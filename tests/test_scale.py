@@ -342,3 +342,64 @@ def test_dynamic_partition_pruning_skips_partitions(spark, sf_dir, tmp_path):
     )
     want = {(r.o_year, r.n, round(r.total, 2)) for r in base.collect()}
     assert got == want and len(want) >= 2
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir, tmp_path):
+    """AQE's skew-join split — the lever the docs tell users to prefer
+    over manual salting (operators/scale.py) — must actually engage: a
+    fact table where ONE key holds ~90% of rows, shuffle-joined with
+    skew thresholds scaled to the fixture, must show a skew-handled
+    join in the final adaptive plan and match the result computed with
+    the splitter disabled."""
+    n, hot_frac = 200_000, 0.9
+    base = spark.range(n)
+    fact = base.select(
+        F.when(F.rand(7) < hot_frac, F.lit(0))
+        .otherwise((F.col("id") % 100) + 1)
+        .alias("k"),
+        (F.col("id") % 1000).alias("payload"),
+    )
+    dim = spark.range(101).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fact_dir)
+    dim.write.parquet(dim_dir)
+
+    # NOTE the downstream shape matters: a groupBy on the JOIN KEY
+    # right after the join requires the join's hash partitioning, and
+    # OptimizeSkewedJoin refuses to split rather than break that
+    # distribution (forceOptimizeSkewedJoin would add a re-shuffle).
+    # A global aggregate has no required distribution, so the split
+    # applies — the same reason to aggregate on a DIFFERENT key or
+    # accept the extra exchange when the hot key feeds a keyed agg.
+    def q():
+        f = spark.read.parquet(fact_dir)
+        d = spark.read.parquet(dim_dir).hint("shuffle_hash")
+        return f.join(d, "k").agg(
+            F.count("*").alias("n"),
+            F.sum("payload").alias("s"),
+            F.sum("attr").alias("a"),
+        )
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        df = q()
+        got = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        want = {tuple(r) for r in q().collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert got == want
