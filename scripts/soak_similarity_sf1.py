@@ -147,6 +147,8 @@ def main() -> None:
         "rows": n_ivf,
     }))
 
+    soak_compression(spark, emb, n)
+
     t0 = time.perf_counter()
     cents, cells = similarity.kmeans_fit(emb, k=8, iters=4)
     n_cells = cells.count()
@@ -177,6 +179,33 @@ def main() -> None:
         }))
     spark.stop()
 
+
+
+
+def soak_compression(spark, emb, n: int) -> None:
+    """Round-5 compression tiers at 10x: SQ8 (calibrate + encode +
+    int-dot top-k) and PQ (codebooks + encode + ADC / + re-rank) are
+    scan-shaped — one narrow pass over codes plus a broadcast query
+    set — so wall should track the corpus linearly, never a pair
+    term."""
+    t0 = time.perf_counter()
+    n_sq8 = similarity.sq8_topk(emb, QUERY_IDS, k=10).count()
+    print(json.dumps({
+        "op": "ann_sq8_topk", "sec": round(time.perf_counter() - t0, 2),
+        "rows": n_sq8,
+    }))
+    t0 = time.perf_counter()
+    n_adc = similarity.pq_adc_topk(emb, QUERY_IDS, k=10).count()
+    print(json.dumps({
+        "op": "ann_pq_adc_topk", "sec": round(time.perf_counter() - t0, 2),
+        "rows": n_adc,
+    }))
+    t0 = time.perf_counter()
+    n_rr = similarity.pq_rerank_topk(emb, QUERY_IDS, k=10, shortlist=50).count()
+    print(json.dumps({
+        "op": "ann_pq_rerank_topk", "sec": round(time.perf_counter() - t0, 2),
+        "rows": n_rr,
+    }))
 
 if __name__ == "__main__":
     main()
