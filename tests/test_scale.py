@@ -403,3 +403,63 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir, tmp_path):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert got == want
+
+
+def test_cbo_reorders_joins_by_stats(spark, sf_dir):
+    """Cost-based join reordering — the catalog-stats lever: with
+    ANALYZE'd column stats and CBO on, a join written
+    lineitem x orders x customer(selective filter) must be reordered
+    to join the filtered customer FIRST (innermost), so the fact-fact
+    join sees only qualifying orders. Pinned by the flip of which join
+    sits at the top of the optimized tree, plus result parity with CBO
+    off. At 100 TB this is the difference between shuffling all of
+    lineitem against all orders and shuffling it against the
+    rich-customer slice."""
+    for t in ("customer", "orders", "lineitem"):
+        # overwrite mode alone still trips LOCATION_ALREADY_EXISTS when
+        # a stale warehouse dir survives a dropped catalog entry
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        load_table(spark, sf_dir, t).write.mode("overwrite").saveAsTable(
+            f"cbo_{t}"
+        )
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    sql = """
+      SELECT c.c_mktsegment, count(*) AS n
+      FROM cbo_lineitem l
+      JOIN cbo_orders o ON o.o_orderkey = l.l_orderkey
+      JOIN cbo_customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_acctbal > 9000
+      GROUP BY c.c_mktsegment
+    """
+    keys = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+
+    def top_join_key(plan: str) -> str:
+        # the first Join line in the tree printout is the OUTERMOST
+        line = next(l for l in plan.splitlines() if "Join Inner" in l)
+        return "orderkey" if "o_orderkey" in line else "custkey"
+
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        q_on = spark.sql(sql)
+        plan_on = q_on._jdf.queryExecution().optimizedPlan().toString()
+        got = {tuple(r) for r in q_on.collect()}
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        q_off = spark.sql(sql)
+        plan_off = q_off._jdf.queryExecution().optimizedPlan().toString()
+        want = {tuple(r) for r in q_off.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("customer", "orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+    # CBO: filtered customer joins innermost -> lineitem join on top.
+    # Written order: customer joins last -> custkey join on top.
+    assert top_join_key(plan_on) == "orderkey", plan_on[:1500]
+    assert top_join_key(plan_off) == "custkey", plan_off[:1500]
+    assert got == want and got
