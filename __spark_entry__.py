@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on both engines.
         "lateral_top_lines": relational.lateral_top_lines,
         "recursive_month_spine": relational.recursive_month_spine,
+        # Robust profiling stats: median/IQR/MAD + MAD-based outlier
+        # counts, two grouped passes, percentile_disc throughout.
+        "order_value_robust_stats": relational.order_value_robust_stats,
         # Spark 4 VARIANT surface: parse props once to the shredded
         # binary encoding, typed variant_get path reads (vs
         # get_json_object re-parsing the text per expression).

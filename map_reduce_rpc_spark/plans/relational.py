@@ -602,6 +602,56 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBUST_SQL_TMPL = """
+    WITH med AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS median,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                 - percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS iqr
+        FROM {tbl} GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, m.n, m.median, m.iqr,
+               abs(o.o_totalprice - m.median) AS adev,
+               o.o_totalprice
+        FROM {tbl} o JOIN med m
+          ON m.o_orderpriority = o.o_orderpriority
+    ),
+    mad AS (
+        SELECT o_orderpriority, n, median, iqr,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY o_orderpriority, n, median, iqr
+    )
+    SELECT d.o_orderpriority, d.n, d.median, d.iqr, d.mad,
+           CAST(sum(CASE WHEN abs(d2.o_totalprice - d.median)
+                              > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM mad d JOIN dev d2 ON d2.o_orderpriority = d.o_orderpriority
+    GROUP BY d.o_orderpriority, d.n, d.median, d.iqr, d.mad
+"""
+
+
+def order_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust profiling statistics per priority — median, IQR, MAD
+    (median absolute deviation), and a MAD-based outlier count: the
+    outlier-detection recipe a data-quality gate runs where mean/std
+    would be dragged by the very outliers it hunts. Needs TWO grouped
+    passes by construction (MAD is a percentile OF deviations FROM a
+    percentile); the median row broadcasts back onto the fact rows, so
+    the table shuffles once per pass and never self-joins rows-to-rows.
+    All three statistics are percentile_disc — actual data values, no
+    interpolation — so both engines agree bit-for-bit and the outlier
+    threshold (median ± 3·1.4826·MAD, the normal-consistent scale
+    factor) compares identical doubles. One SQL template, two engines
+    (the q18 contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_ord_robust")
+    return spark.sql(_ROBUST_SQL_TMPL.format(tbl="_ord_robust"))
+
+
 def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch surface (``approx_percentile``, the
     t-digest-style mergeable sketch) made oracle-checkable, same
@@ -1941,6 +1991,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
                concat_ws('|', 'P', o_orderpriority) AS pri_tagged
         FROM orders
     """,
+    "order_value_robust_stats": _ROBUST_SQL_TMPL.format(tbl="orders"),
     "lateral_top_lines": _LATERAL_SQL,
     "recursive_month_spine": _RECURSIVE_SPINE_SQL,
     "q4_order_priority": """
