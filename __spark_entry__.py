@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Robust profiling stats: median/IQR/MAD + MAD-based outlier
         # counts, two grouped passes, percentile_disc throughout.
         "order_value_robust_stats": relational.order_value_robust_stats,
+        # Incremental (cross-batch) dedup through the MERGE sink:
+        # probe the stored fingerprints, left-anti, insert new hashes
+        # only — first arrival wins, per-increment cost O(new batch).
+        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         # Spark 4 VARIANT surface: parse props once to the shredded
         # binary encoding, typed variant_get path reads (vs
         # get_json_object re-parsing the text per expression).

@@ -822,6 +822,26 @@ TEXTOPS_ORACLES: dict[str, str] = {
                len(ts)::INT AS n_tokens
         FROM toks
     """,
+    "incremental_dedup_manifest": """
+        WITH fp AS (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS content_hash,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(doc_id % 2 AS INT) AS arrival_batch
+            FROM documents
+        ),
+        win AS (
+            SELECT content_hash, min(arrival_batch) AS arrival_batch
+            FROM fp GROUP BY content_hash
+        )
+        SELECT f.content_hash,
+               min(f.doc_id) AS keeper_id,
+               f.arrival_batch,
+               count(*) AS n_batch_copies
+        FROM fp f JOIN win w ON w.content_hash = f.content_hash
+                            AND w.arrival_batch = f.arrival_batch
+        GROUP BY f.content_hash, f.arrival_batch
+    """,
     "dedup_exact": """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
                count(*) AS n_copies,
@@ -1366,3 +1386,55 @@ TEXTOPS_ORACLES["dup_clusters"] = f"""
 
 # Identical output contract, different iteration strategy — same oracle.
 TEXTOPS_ORACLES["dup_clusters_star"] = TEXTOPS_ORACLES["dup_clusters"]
+
+
+def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) exact dedup — the INGESTION form of
+    dedup_exact: documents arrive in two batches (doc_id parity stands
+    in for arrival order), each batch is deduped against the
+    fingerprints the manifest ALREADY holds (probe -> left-anti ->
+    MERGE insert of new hashes only), so first arrival wins across
+    batches and re-running any batch is idempotent. This is the
+    pattern a continuously-fed 100 TB corpus needs: per-increment cost
+    is O(new batch) + a keyed anti-join against the store, never a
+    full-corpus re-dedup; the MERGE sink (sources/sinks.
+    merge_upsert_parquet) gets its registered-query certification
+    here. The manifest is rebuilt from scratch per call (so the query
+    is a pure function of sf_dir); the oracle replays arrival
+    semantics as min-batch-then-min-id per content hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import merge_upsert_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(dedup.normalize_text("text")).alias("content_hash"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 2).cast("int").alias("arrival_batch"),
+    )
+    # per-process scratch manifest, rebuilt each call (pure function of
+    # sf_dir) and LEFT on disk so the returned plan is a lazy scan of
+    # the merged store — the same lifecycle as the replay/clustered
+    # caches, and no driver-side collect
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_incr_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    for b in (0, 1):
+        batch = (
+            fp.where(F.col("arrival_batch") == b)
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count("*").alias("n_batch_copies"),
+            )
+            .withColumn("arrival_batch", F.lit(b))
+        )
+        if b > 0:
+            seen = spark.read.parquet(path).select("content_hash")
+            batch = batch.join(seen, "content_hash", "left_anti")
+        merge_upsert_parquet(spark, path, batch, ("content_hash",))
+    return spark.read.parquet(path).select(
+        "content_hash", "keeper_id", "arrival_batch", "n_batch_copies"
+    )
