@@ -104,3 +104,32 @@ def write_quarantine_split(df: DataFrame, path: str, mode: str = "error") -> Non
         .partitionBy("is_bad")
         .parquet(path)
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    row_tag: str = "row",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """XML reader (native in Spark 4 — SPARK-44265): explicit schema,
+    quarantined malformed rows, same dead-letter contract as the
+    CSV/JSONL readers. XML is NOT a splittable line format — one task
+    per file between rowTag boundaries — so at 100 TB keep individual
+    XML drops to bounded sizes (or convert at the landing zone); the
+    reader is the ingest-compatibility path, parquet is the storage
+    answer."""
+    return (
+        spark.read.schema(_with_corrupt_col(schema_ddl, mode))
+        .option("rowTag", row_tag)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .format("xml")
+        .load(path)
+    )
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "error") -> None:
+    """XML sink (one element per row under ``rowTag``)."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)

@@ -330,3 +330,54 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert rows == {(1, "x", None), (2, "y", 7)}
     assert df.where(F.col("b") == 7).count() == 1
     assert df.where(F.col("b").isNull()).count() == 1
+
+
+def test_xml_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """Spark 4's native XML source through the same explicit-schema +
+    dead-letter contract as CSV/JSONL: a clean roundtrip preserves
+    values, and a malformed element lands in _corrupt_record instead
+    of killing the read."""
+    from map_reduce_rpc_spark.sources.delimited import (
+        CORRUPT_COL,
+        read_xml,
+        write_xml,
+    )
+    from map_reduce_rpc_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_xml")
+    write_xml(orders, out)
+    back = read_xml(
+        spark,
+        out,
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    got = {
+        (r.o_orderkey, r.o_orderpriority, r.o_totalprice)
+        for r in back.where(back[CORRUPT_COL].isNull()).collect()
+    }
+    want = {tuple(r) for r in orders.collect()}
+    assert got == want
+
+    # malformed element: o_orderkey not a long -> quarantined
+    bad_dir = tmp_path / "bad_xml"
+    bad_dir.mkdir()
+    (bad_dir / "bad.xml").write_text(
+        "<rows><row><o_orderkey>7</o_orderkey>"
+        "<o_orderpriority>1-URGENT</o_orderpriority>"
+        "<o_totalprice>10.5</o_totalprice></row>"
+        "<row><o_orderkey>NOT_A_NUMBER</o_orderkey>"
+        "<o_orderpriority>2-HIGH</o_orderpriority>"
+        "<o_totalprice>3.25</o_totalprice></row></rows>"
+    )
+    parsed = read_xml(
+        spark,
+        str(bad_dir),
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).cache()
+    good = parsed.where(parsed[CORRUPT_COL].isNull())
+    bad = parsed.where(parsed[CORRUPT_COL].isNotNull())
+    assert good.count() == 1 and good.first().o_orderkey == 7
+    assert bad.count() == 1
