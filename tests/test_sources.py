@@ -381,3 +381,32 @@ def test_xml_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     bad = parsed.where(parsed[CORRUPT_COL].isNotNull())
     assert good.count() == 1 and good.first().o_orderkey == 7
     assert bad.count() == 1
+
+
+def test_kvtext_python_datasource_roundtrip(spark, sf_dir, tmp_path):
+    """The Spark 4 Python Data Source API over the reference's own
+    mr-out format: write with the JVM-side kv-text sink, read back
+    through spark.read.format('kvtext') — values equal, one input
+    partition per reducer file, and first-space-only value splitting
+    (indexer values contain spaces) preserved."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.sources import kvtext_source, sinks
+    from map_reduce_rpc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    kv = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("key"),
+        # value WITH spaces: the indexer-style "<count> <list>" shape
+        F.concat_ws(" ", F.col("n_chars"), F.col("lang"), F.col("source")).alias(
+            "value"
+        ),
+    )
+    out = str(tmp_path / "kvout")
+    sinks.write_kv_text(kv, out, num_partitions=4)
+    kvtext_source.register(spark)
+    back = spark.read.format("kvtext").option("path", out).load()
+    assert back.rdd.getNumPartitions() == 4
+    got = {(r.key, r.value) for r in back.collect()}
+    want = {(r.key, r.value) for r in kv.collect()}
+    assert got == want
