@@ -1041,13 +1041,13 @@ def lateral_top_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECURSIVE_SPINE_SQL = """
-    WITH RECURSIVE spine(mo) AS (
-        SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
-                    AS TIMESTAMP)
+    WITH RECURSIVE spine(mo, max_mo) AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP),
+               CAST(max(o_orderdate) AS TIMESTAMP)
+        FROM orders
         UNION ALL
-        SELECT mo + INTERVAL 1 MONTH FROM spine
-        WHERE mo + INTERVAL 1 MONTH
-              <= (SELECT max(o_orderdate) FROM orders)
+        SELECT mo + INTERVAL 1 MONTH, max_mo FROM spine
+        WHERE mo + INTERVAL 1 MONTH <= max_mo
     ),
     monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
@@ -1071,7 +1071,14 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cteRecursionLevelLimit); the idiomatic non-recursive form is
     sequence() + explode (events_hourly_filled) — this query pins the
     RECURSIVE surface itself, the one construct that cannot be
-    expressed in the DataFrame API."""
+    expressed in the DataFrame API.
+
+    Performance note (measured): the loop bound must be CARRIED IN THE
+    RECURSION STATE (max_mo column, computed once in the anchor) — a
+    scalar subquery in the step's WHERE is re-evaluated every
+    iteration, i.e. 80 re-scans of orders (12 s at sf0.1 vs ~1 s for
+    this form). The same rewrite matters on any engine that doesn't
+    cache uncorrelated scalar subqueries across recursive steps."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
 
