@@ -171,3 +171,55 @@ def write_clustered_parquet(
         df.repartitionByRange(*cluster_by)
     )
     parts.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_within: tuple[str, ...] = (),
+) -> int:
+    """Compact a small-file parquet directory in place: rewrite to
+    ``ceil(total_bytes / target_file_bytes)`` files (optionally
+    re-sorted within each output file to restore clustering for
+    footer-stat pruning), then atomically swap the directory. Returns
+    the output file count.
+
+    The small-file problem is the silent killer of long-lived 100 TB
+    tables: streaming sinks and fine-grained MERGEs leave thousands of
+    KB-scale files per partition, and every later scan pays task
+    startup + footer reads per file. Compaction trades one bounded
+    rewrite for every future scan's speedup — the OPTIMIZE verb of
+    Delta/Iceberg, degraded to plain parquet (single-writer contract,
+    like merge_upsert_parquet).
+
+    Sizing note: file count derives from the CURRENT on-disk bytes, so
+    compression ratio changes under re-sort can land files above or
+    below target — a sizing heuristic, not a guarantee (same as
+    Delta's OPTIMIZE).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = df.repartition(n_files)
+    if sort_within:
+        out = df.repartitionByRange(n_files, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    out.write.parquet(tmp)
+    old = path.rstrip("/") + "_compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -410,3 +410,47 @@ def test_kvtext_python_datasource_roundtrip(spark, sf_dir, tmp_path):
     got = {(r.key, r.value) for r in back.collect()}
     want = {(r.key, r.value) for r in kv.collect()}
     assert got == want
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files directory to the
+    byte-derived target count, keep every row byte-identical, and —
+    with sort_within — restore footer-stat clustering (non-overlapping
+    file ranges) that later scans prune on."""
+    import glob
+
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_rpc_spark.sources.sinks import compact_parquet_dir
+    from map_reduce_rpc_spark.tables import load_table
+
+    out = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(out)  # 64 tiny files
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert len(glob.glob(out + "/part-*.parquet")) == 64
+
+    n = compact_parquet_dir(
+        spark, out, target_file_bytes=1 << 20, sort_within=("l_shipdate",)
+    )
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n < 64
+    after = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert after == before
+    # clustering restored: per-file shipdate ranges barely overlap
+    spans = []
+    for p in files:
+        md = pq_mod.ParquetFile(p).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_shipdate":
+                    los.append(col.statistics.min)
+                    his.append(col.statistics.max)
+        spans.append((min(los), max(his)))
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0]
+    )
+    assert overlaps <= max(1, len(spans) // 4), spans
