@@ -638,7 +638,6 @@ def sq8_calibrate(
 def sq8_encode(
     emb: DataFrame,
     scales: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "code",
@@ -692,7 +691,9 @@ def sq8_topk(
     — but the scanned payload is int8-range codes instead of doubles,
     and the score loop is integer multiply-add. Recall vs the exact
     float baseline is asserted in tests/test_similarity.py."""
-    coded = sq8_encode(emb, sq8_calibrate(emb, dim, vec_col), dim, id_col, vec_col)
+    # dim feeds only the calibration docstring contract; encoding is
+    # shape-driven (zip_with over whatever the row carries)
+    coded = sq8_encode(emb, sq8_calibrate(emb, dim, vec_col), id_col, vec_col)
     queries = coded.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("_qc")
     )

@@ -1417,8 +1417,19 @@ def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process scratch manifest, rebuilt each call (pure function of
     # sf_dir) and LEFT on disk so the returned plan is a lazy scan of
     # the merged store — the same lifecycle as the replay/clustered
-    # caches, and no driver-side collect
+    # caches, and no driver-side collect. The pid suffix isolates
+    # concurrent builders (bench + pytest); dirs from DEAD pids are
+    # reaped here so reruns don't accumulate copies in /tmp.
+    import glob
+    import re
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_incr_{tag}_*"):
+        m = re.search(r"_(\d+)$", stale)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
     path = f"/tmp/spark_graft_incr_{tag}_{os.getpid()}"
     shutil.rmtree(path, ignore_errors=True)
     for b in (0, 1):

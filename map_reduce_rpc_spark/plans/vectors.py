@@ -658,7 +658,37 @@ def _pq_d2(j: str, i: str) -> str:
     )
 
 
-VECTORS_ORACLES["ann_pq_adc_topk"] = f"""
+PQ_SHORTLIST = 50
+
+
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving shape: ADC over 4-bit sub-space codes
+    builds a 50-candidate shortlist per query (32x fewer scan bytes),
+    then EXACT cosine re-ranks only those candidates to the top-10.
+    Both stages are IEEE-deterministic (md5-sampled codebooks, literal
+    argmin encode, sequential folds), so the oracle replays shortlist
+    AND re-rank distance-for-distance. On this near-random corpus the
+    8-byte code sits below the ~0.003 boundary cosine gaps, so the
+    shortlist — not the re-rank — bounds recall (measured ~0.48 vs
+    0.02 chance; structured corpora sit >0.95): see
+    tests/test_similarity.py for the data-bound gate."""
+    return similarity.pq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        shortlist=PQ_SHORTLIST,
+        dim=EMB_DIM,
+    )
+
+
+def _pq_oracle_sql(shortlist: int | None = None) -> str:
+    """Shared PQ oracle builder: sample -> codebooks -> codes -> ADC
+    scores. ``shortlist=None`` returns the raw ADC top-{TOP_K};
+    a shortlist size returns the composed serving form (ADC
+    shortlist -> exact cosine re-rank to top-{TOP_K}). One builder so
+    the two oracles can never drift apart (a prior str.replace()
+    assembly silently no-op'd under whitespace edits)."""
+    base = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
@@ -691,7 +721,9 @@ VECTORS_ORACLES["ann_pq_adc_topk"] = f"""
                    * (qe[i] - books[c[((i-1)//8)+1] + 1][i])), 'sum') AS adist
         FROM codes CROSS JOIN cb, q
         WHERE codes.vec_id <> q.query_id
-    )
+    )"""
+    if shortlist is None:
+        return base + f"""
     SELECT query_id, neighbor_id, adist FROM (
         SELECT query_id, neighbor_id, adist,
                row_number() OVER (PARTITION BY query_id
@@ -699,49 +731,16 @@ VECTORS_ORACLES["ann_pq_adc_topk"] = f"""
         FROM scored
     ) WHERE rnk <= {TOP_K}
 """
-
-
-PQ_SHORTLIST = 50
-
-
-def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production PQ serving shape: ADC over 4-bit sub-space codes
-    builds a 50-candidate shortlist per query (32x fewer scan bytes),
-    then EXACT cosine re-ranks only those candidates to the top-10.
-    Both stages are IEEE-deterministic (md5-sampled codebooks, literal
-    argmin encode, sequential folds), so the oracle replays shortlist
-    AND re-rank distance-for-distance. On this near-random corpus the
-    8-byte code sits below the ~0.003 boundary cosine gaps, so the
-    shortlist — not the re-rank — bounds recall (measured ~0.48 vs
-    0.02 chance; structured corpora sit >0.95): see
-    tests/test_similarity.py for the data-bound gate."""
-    return similarity.pq_rerank_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        QUERY_IDS,
-        k=TOP_K,
-        shortlist=PQ_SHORTLIST,
-        dim=EMB_DIM,
-    )
-
-
-VECTORS_ORACLES["ann_pq_rerank_topk"] = (
-    VECTORS_ORACLES["ann_pq_adc_topk"]
-    .replace(
-        f"WHERE rnk <= {TOP_K}",
-        f"WHERE rnk <= {PQ_SHORTLIST}",
-    )
-    .replace(
-        "SELECT query_id, neighbor_id, adist FROM (",
-        "SELECT query_id, neighbor_id FROM (",
-    )
-    .replace(
-        "    SELECT query_id, neighbor_id FROM (",
-        """    , shortlist AS (
-    SELECT query_id, neighbor_id FROM (""",
-    )
-    + f"""
-    )
-    , rerank AS (
+    return base + f"""
+    , shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {shortlist}
+    ),
+    rerank AS (
         SELECT s.query_id, s.neighbor_id,
                {_cos("q.qe", "n.e")} AS cos
         FROM shortlist s
@@ -755,4 +754,7 @@ VECTORS_ORACLES["ann_pq_rerank_topk"] = (
         FROM rerank
     ) WHERE rr <= {TOP_K}
 """
-)
+
+
+VECTORS_ORACLES["ann_pq_adc_topk"] = _pq_oracle_sql()
+VECTORS_ORACLES["ann_pq_rerank_topk"] = _pq_oracle_sql(shortlist=PQ_SHORTLIST)

@@ -197,11 +197,33 @@ def compact_parquet_dir(
     compression ratio changes under re-sort can land files above or
     below target — a sizing heuristic, not a guarantee (same as
     Delta's OPTIMIZE).
+
+    A Hive-partitioned directory is REFUSED: flat-rewriting it would
+    demote the partition column to a regular column and destroy the
+    directory-pruning layout (and the top-level byte scan would size
+    it as 0). Compact partitioned tables one partition directory at a
+    time — which also bounds each rewrite, exactly what a 100 TB table
+    needs.
+
+    The swap is two renames; a crash between them leaves ``path``
+    missing but ALL data intact in ``<path>_compact_old`` (the
+    original) — single-writer recovery is one rename back. A failed
+    second rename is rolled back automatically.
     """
     import math
     import os
     import shutil
 
+    part_dirs = [
+        f
+        for f in os.listdir(path)
+        if "=" in f and os.path.isdir(os.path.join(path, f))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{path} is Hive-partitioned ({part_dirs[0]}, ...): compact each "
+            "partition directory individually to preserve the layout"
+        )
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -211,15 +233,20 @@ def compact_parquet_dir(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "_compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    out = df.repartition(n_files)
     if sort_within:
         out = df.repartitionByRange(n_files, *sort_within).sortWithinPartitions(
             *sort_within
         )
+    else:
+        out = df.repartition(n_files)
     out.write.parquet(tmp)
     old = path.rstrip("/") + "_compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        os.replace(old, path)  # roll the original back in
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return n_files

@@ -99,8 +99,11 @@ def build_replay_dir(spark: SparkSession, sf_dir: str, n_sentinels: int = 1) -> 
     )
     os.replace(os.path.join(tmp, part), os.path.join(out, "chunk0.parquet"))
     shutil.rmtree(tmp, ignore_errors=True)
-    # single-row aggregate action (scalar), not a table materialization
-    max_us = int(ev.agg(F.max("ts_us")).first()[0])
+    # single-row aggregate action (scalar), not a table materialization;
+    # an EMPTY corpus yields None -> anchor the sentinels at epoch 0 so
+    # the replay still drains (and every query degrades to zero rows)
+    max_ts = ev.agg(F.max("ts_us")).first()[0]
+    max_us = int(max_ts) if max_ts is not None else 0
 
     for i in range(1, n_sentinels + 1):
         # sentinel chunks are driver-side constants (one row each)
@@ -169,7 +172,10 @@ def build_late_replay_dir(
         "props",
     )
     bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
-    min_us, max_us = int(bounds[0]), int(bounds[1])
+    # empty corpus: anchor at epoch 0 — both real chunks come out
+    # empty, the sentinels still drain the stream, results are 0 rows
+    min_us = int(bounds[0]) if bounds[0] is not None else 0
+    max_us = int(bounds[1]) if bounds[1] is not None else 0
     split_us = min_us + late_hours * 3_600 * 1_000_000
     chunks = {0: ev, 2: ev.where(F.col("ts_us") < split_us)}
     for i, chunk in chunks.items():

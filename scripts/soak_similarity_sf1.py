@@ -147,7 +147,7 @@ def main() -> None:
         "rows": n_ivf,
     }))
 
-    soak_compression(spark, emb, n)
+    soak_compression(spark, emb)
 
     t0 = time.perf_counter()
     cents, cells = similarity.kmeans_fit(emb, k=8, iters=4)
@@ -182,7 +182,7 @@ def main() -> None:
 
 
 
-def soak_compression(spark, emb, n: int) -> None:
+def soak_compression(spark, emb) -> None:
     """Round-5 compression tiers at 10x: SQ8 (calibrate + encode +
     int-dot top-k) and PQ (codebooks + encode + ADC / + re-rank) are
     scan-shaped — one narrow pass over codes plus a broadcast query

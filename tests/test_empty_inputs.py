@@ -92,6 +92,11 @@ _CASES = {
     "ann_sq8_topk": 0,  # no queries, no candidates
     "ann_pq_adc_topk": 0,  # empty codebook sample -> typed empty result
     "ann_pq_rerank_topk": 0,
+    # streaming replay on an empty corpus: sentinel-anchored at epoch 0
+    # (core.py guards the None min/max), drains to zero result rows
+    "stream_late_data_drop": 0,
+    "incremental_dedup_manifest": 0,
+    "order_value_robust_stats": 0,
 }
 
 

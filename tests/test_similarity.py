@@ -229,7 +229,7 @@ def test_srp_band_values_match_packed_bits(spark):
 
 def test_sq8_codes_bounded_and_deterministic(spark, emb):
     coded = similarity.sq8_encode(
-        emb, similarity.sq8_calibrate(emb, dim=64), dim=64
+        emb, similarity.sq8_calibrate(emb, dim=64)
     )
     rows = coded.collect()
     assert len(rows) == emb.count()
@@ -239,7 +239,7 @@ def test_sq8_codes_bounded_and_deterministic(spark, emb):
     again = {
         r["vec_id"]: r["code"]
         for r in similarity.sq8_encode(
-            emb, similarity.sq8_calibrate(emb, dim=64), dim=64
+            emb, similarity.sq8_calibrate(emb, dim=64)
         ).collect()
     }
     for r in rows:

@@ -454,3 +454,20 @@ def test_compact_parquet_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_pat
         1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0]
     )
     assert overlaps <= max(1, len(spans) // 4), spans
+
+
+def test_compact_refuses_partitioned_directory(spark, sf_dir, tmp_path):
+    """Flat-compacting a Hive-partitioned table would demote the
+    partition column and destroy directory pruning — the op must
+    refuse loudly, not mis-size to one file."""
+    import pytest as _pytest
+
+    from map_reduce_rpc_spark.sources.sinks import compact_parquet_dir
+    from map_reduce_rpc_spark.tables import load_table
+
+    out = str(tmp_path / "part_tbl")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "pri", F.substring("o_orderpriority", 1, 1)
+    ).write.partitionBy("pri").parquet(out)
+    with _pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet_dir(spark, out)
