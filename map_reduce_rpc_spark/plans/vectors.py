@@ -575,13 +575,17 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by SQ8 scalar-quantized integer dot product for query
     vectors 0..7 — the compression tier of the ANN stack (int8 codes:
     4x fewer scan bytes than float32 at 100 TB). Calibration is one
-    partial-agg'd pass (per-dimension max |x|); encoding is a narrow
-    zip_with map off a broadcast scales row; scoring is EXACT int64
+    partial-agg'd pass (the GLOBAL max |x| over unit vectors — a
+    single scale, so the integer dot is proportional to the true dot;
+    per-dimension scales would silently reweight the metric, the bug
+    the property suite caught at recall 0.78 vs 1.0 — see
+    operators/similarity.sq8_calibrate); encoding is a narrow
+    transform map off a broadcast scale row; scoring is EXACT int64
     multiply-add, so the oracle replays every code and score
     hash-for-hash with no float tolerance. Recall vs the exact float
     baseline is asserted in tests/test_similarity.py."""
     return similarity.sq8_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K, dim=EMB_DIM
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K
     )
 
 
@@ -597,18 +601,16 @@ VECTORS_ORACLES["ann_sq8_topk"] = f"""
                     ELSE list_transform(e0, x -> x / n) END AS e
         FROM v0
     ),
-    sc AS (
-        SELECT i, max(abs(e[i])) AS s
-        FROM v CROSS JOIN range(1, {EMB_DIM} + 1) t(i) GROUP BY i
+    scl AS (
+        SELECT max(abs(t.x)) AS s FROM v, unnest(v.e) AS t(x)
     ),
-    scl AS (SELECT list(s ORDER BY i) AS scales FROM sc),
     codes AS (
         SELECT vec_id,
-               list_transform(range(1, {EMB_DIM} + 1), i ->
-                   CASE WHEN scales[i] = 0 THEN CAST(0 AS BIGINT)
+               list_transform(e, x ->
+                   CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
                         ELSE greatest(CAST(-127 AS BIGINT),
                                       least(CAST(127 AS BIGINT),
-                                            CAST(floor(e[i] * 127.0 / scales[i] + 0.5) AS BIGINT)))
+                                            CAST(floor(x * 127.0 / s + 0.5) AS BIGINT)))
                    END) AS c
         FROM v CROSS JOIN scl
     ),

