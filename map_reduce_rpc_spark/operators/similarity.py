@@ -813,6 +813,15 @@ def pq_adc_topk(
     ||q_j - c_{j, code_j}||^2. Output (query_id, neighbor_id, adist),
     k rows per query, ascending distance, ties by neighbor_id.
 
+    Metric note: ADC ranks in L2 space over the RAW vectors (the faiss
+    IndexPQ default). On unit-norm corpora — this repo's embeddings
+    table, and any cosine deployment worth its salt — L2 and cosine
+    order identically (||a-b||^2 = 2 - 2cos); on unnormalized data
+    this is L2-ANN, not cosine-ANN: normalize upstream if cosine is
+    the contract. (Unlike SQ8's raw-code dots, per-sub-space codebook
+    geometry is sound here because ADC RECONSTRUCTS before
+    differencing.)
+
     Scale shape: candidates are scanned as m small-int codes (32x
     fewer bytes than the float vectors); queries broadcast with their
     raw subvectors; reconstruction indexes the literal codebook — all
