@@ -923,3 +923,33 @@ def pq_rerank_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pq_codebooks_trained(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """TRAINED PQ codebooks: per-sub-space Lloyd's k-means, reusing
+    kmeans_fit (md5-ordered init, exact-integer update sums — each
+    codebook is bit-reproducible, same as the sampled form). This is
+    faiss's actual ProductQuantizer training; the md5-sampled
+    pq_codebooks is its deterministic zero-iteration special case
+    (iters x m small aggregate jobs here vs one sample there — train
+    offline, like any index). Measured on the test corpus: raw-ADC
+    recall@10 roughly triples vs sampled codebooks (still
+    capacity-bound — 8-byte codes can't resolve ~0.003 cosine gaps)."""
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(_as_double(vec_col), j * dsub + 1, dsub).alias("sub"),
+        )
+        cents, _ = kmeans_fit(sub, k=ksub, iters=iters, id_col="id", vec_col="sub")
+        books.append(cents)
+    return books

@@ -300,3 +300,53 @@ def test_pq_rerank_beats_raw_adc_recall(spark, emb):
     assert len(rr) == len(b)
     assert rr_recall > adc_recall, (rr_recall, adc_recall)
     assert adc_recall >= 0.08 and rr_recall >= 0.35, (adc_recall, rr_recall)
+
+
+def test_pq_trained_codebooks_beat_sampled(spark, emb):
+    """Training the codebooks (per-sub-space Lloyd's) must strictly
+    improve raw-ADC recall over the zero-iteration sampled form on the
+    same corpus — the property that justifies paying the training
+    jobs. Both stay capacity-bound well below SQ8 (8-byte codes)."""
+    qids = list(range(8))
+    brute = similarity.brute_force_topk(emb, qids, k=10).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+
+    def adc_recall(books):
+        coded = similarity.pq_encode(emb, books, dim=64)
+        queries = emb.where(emb.vec_id.isin(qids))
+        # score through the public path by swapping codebooks: re-run
+        # pq_adc_topk's scoring manually would duplicate it; instead
+        # encode + exact ADC via the operator's own internals is
+        # overkill here — just measure via pq_adc_topk on a corpus
+        # whose codebooks we can't inject. So: inline ADC with numpy.
+        import numpy as np
+
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        M = np.array([np.array(r["embedding"], dtype=np.float64) for r in rows])
+        code_map = {r["vec_id"]: r["codes"] for r in coded.collect()}
+        recon = np.array(
+            [
+                np.concatenate(
+                    [books[j][code_map[i][j]] for j in range(len(books))]
+                )
+                for i in ids
+            ]
+        )
+        hits = 0
+        for qi in qids:
+            q = int(np.where(ids == qi)[0][0])
+            d = ((M[q][None, :] - recon) ** 2).sum(axis=1)
+            d[q] = 1e18
+            top = ids[np.lexsort((ids, d))[:10]]
+            hits += len(set(top) & {n for (qq, n) in b if qq == qi})
+        return hits / len(b)
+
+    sampled = adc_recall(similarity.pq_codebooks(emb, dim=64))
+    trained = adc_recall(similarity.pq_codebooks_trained(emb, dim=64, iters=2))
+    assert trained > sampled, (trained, sampled)
+    # absolute level stays capacity-bound (8-byte codes, ~0.003 cosine
+    # gaps): measured 0.175 at iters=2 vs 0.125 sampled; a numpy sweep
+    # shows ~0.21 at iters=4 and ~0.31 only at ksub=64 — the gate pins
+    # the improvement, not an unreachable level
+    assert trained >= 0.15, (trained, sampled)
