@@ -277,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine re-rank; the oracle composes both stages).
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
         "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
+        # Trained-codebook PQ (per-sub-space Lloyd's; the oracle
+        # unrolls all m sub-space fits as CTE chains).
+        "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
         # vacated from the window late round 5 (driver-certified green
         # in round 4; pytest oracle gate keeps them regression-checked)
         "cube_sales": relational.cube_sales,

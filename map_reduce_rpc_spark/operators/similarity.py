@@ -807,6 +807,7 @@ def pq_adc_topk(
     ksub: int = PQ_KSUB,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Top-k by ADC distance: the EXACT query vector scored against
     each candidate's codebook reconstruction — sum over sub-spaces of
@@ -829,7 +830,10 @@ def pq_adc_topk(
     arithmetic step is IEEE-deterministic in scan order-independent
     form, so the DuckDB oracle matches bit-for-bit."""
     dsub = dim // m
-    codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
+    if codebooks is None:
+        # default: the md5-sampled (zero-iteration) codebooks; pass
+        # pq_codebooks_trained(...) for the Lloyd-trained index
+        codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
     if not codebooks or not codebooks[0]:
         # empty corpus: no codebooks, no candidates — degrade to an
         # empty, correctly-typed result instead of a plan type error

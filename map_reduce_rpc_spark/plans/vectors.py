@@ -760,3 +760,161 @@ def _pq_oracle_sql(shortlist: int | None = None) -> str:
 
 VECTORS_ORACLES["ann_pq_adc_topk"] = _pq_oracle_sql()
 VECTORS_ORACLES["ann_pq_rerank_topk"] = _pq_oracle_sql(shortlist=PQ_SHORTLIST)
+
+
+PQ_TRAIN_ITERS = 2
+
+# Trained-codebook cache — same rationale as _CENTROID_CACHE: the fit
+# is deterministic (md5 init, exact-integer updates), so the m x ksub x
+# dsub matrix is a pure value of its key, safe across session recycling.
+_PQ_BOOKS_CACHE: dict[tuple[str, int, int, int], list[list[list[float]]]] = {}
+
+
+def _trained_books(emb, sf_dir: str) -> list[list[list[float]]]:
+    key = (sf_dir, similarity.PQ_M, similarity.PQ_KSUB, PQ_TRAIN_ITERS)
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books = similarity.pq_codebooks_trained(
+            emb, dim=EMB_DIM, iters=PQ_TRAIN_ITERS
+        )
+        _PQ_BOOKS_CACHE[key] = books
+    return books
+
+
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10 over TRAINED codebooks — per-sub-space Lloyd's
+    k-means (pq_codebooks_trained, reusing the exact-integer kmeans_fit
+    machinery), the faiss ProductQuantizer training the md5-sampled
+    query approximates at zero iterations. FULLY oracled: the DuckDB
+    replay unrolls ALL {m} sub-space fits x {iters} Lloyd iterations as
+    CTE chains (md5-ordered init, argmin assignment with
+    lowest-cell ties, quantized-integer centroid updates, empty cells
+    inheriting), then encodes, reconstructs, and ADC-scores exactly as
+    the sampled-codebook oracle does. Trained-beats-sampled recall is
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb,
+        QUERY_IDS,
+        k=TOP_K,
+        dim=EMB_DIM,
+        codebooks=_trained_books(emb, sf_dir),
+    )
+
+
+def _pq_trained_oracle_sql(
+    m: int = similarity.PQ_M,
+    ksub: int = similarity.PQ_KSUB,
+    iters: int = PQ_TRAIN_ITERS,
+) -> str:
+    """Unrolled per-sub-space Lloyd replay + encode + ADC: the trained
+    twin of _pq_oracle_sql, generated (never hand-edited) so the SQL
+    always mirrors the fit's constants."""
+    dsub = EMB_DIM // m
+    Q = similarity.SRP_QUANT
+
+    def subd2(b: str, c: str) -> str:
+        diff = f"({b}.sub[t2.d] - {c}.cent[t2.d])"
+        return (
+            f"(SELECT sum({diff} * {diff}) FROM unnest(range(1, {dsub} + 1))"
+            f" AS t2(d))"
+        )
+
+    ctes = ["v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"]
+    for j in range(1, m + 1):
+        lo = (j - 1) * dsub + 1
+        ctes.append(
+            f"b{j} AS (SELECT vec_id AS id, e[{lo}:{lo + dsub - 1}] AS sub FROM v)"
+        )
+        ctes.append(
+            f"""c{j}_0 AS (
+            SELECT cell, cent FROM (
+                SELECT row_number() OVER (
+                           ORDER BY md5(CAST(id AS VARCHAR)), id
+                       ) - 1 AS cell,
+                       sub AS cent
+                FROM b{j}
+            ) WHERE cell < {ksub})"""
+        )
+        for it in range(1, iters + 1):
+            prev = f"c{j}_{it - 1}"
+            ctes.append(
+                f"""a{j}_{it} AS (
+                SELECT id, sub, cell FROM (
+                    SELECT b.id, b.sub, c.cell,
+                           row_number() OVER (
+                               PARTITION BY b.id
+                               ORDER BY {subd2('b', 'c')}, c.cell
+                           ) AS rn
+                    FROM b{j} b, {prev} c
+                ) WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""c{j}_{it} AS (
+                SELECT cell, list(mn ORDER BY pos) AS cent FROM (
+                    SELECT a.cell, t.i - 1 AS pos,
+                           (CAST(sum(CAST(floor(a.sub[t.i] * {Q})
+                                          AS BIGINT)) AS DOUBLE)
+                            / count(*)) / {Q} AS mn
+                    FROM a{j}_{it} a, unnest(range(1, {dsub} + 1)) AS t(i)
+                    GROUP BY a.cell, t.i
+                ) GROUP BY cell
+                UNION ALL
+                SELECT p.cell, p.cent FROM {prev} p
+                WHERE p.cell NOT IN (SELECT DISTINCT cell FROM a{j}_{it}))"""
+            )
+    book_list = ", ".join(
+        f"(SELECT list(cent ORDER BY cell) FROM c{j}_{iters})"
+        for j in range(1, m + 1)
+    )
+    ctes.append(f"books AS (SELECT list_value({book_list}) AS bks)")
+
+    def encd2(j: str, i: str) -> str:
+        diff = f"(e[({j}-1)*{dsub}+d] - bks[{j}][{i}][d])"
+        return (
+            f"list_aggregate(list_transform(range(1, {dsub} + 1), "
+            f"d -> {diff} * {diff}), 'sum')"
+        )
+
+    ctes.append(
+        f"""codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {m} + 1), j ->
+                   list_position(
+                       list_transform(range(1, {ksub} + 1),
+                                      i -> {encd2('j', 'i')}),
+                       list_min(
+                           list_transform(range(1, {ksub} + 1),
+                                          i -> {encd2('j', 'i')}))
+                   ) - 1) AS c
+        FROM v CROSS JOIN books)"""
+    )
+    ctes.append(
+        f"""q AS (
+        SELECT vec_id AS query_id, e AS qe FROM v
+        WHERE vec_id IN ({_QID_LIST}))"""
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT q.query_id, codes.vec_id AS neighbor_id,
+               list_aggregate(list_transform(range(1, {EMB_DIM} + 1), i ->
+                   (qe[i] - bks[((i-1)//{dsub})+1][c[((i-1)//{dsub})+1] + 1]
+                            [((i-1) % {dsub}) + 1])
+                   * (qe[i] - bks[((i-1)//{dsub})+1][c[((i-1)//{dsub})+1] + 1]
+                              [((i-1) % {dsub}) + 1])), 'sum') AS adist
+        FROM codes CROSS JOIN books, q
+        WHERE codes.vec_id <> q.query_id)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, adist FROM (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+VECTORS_ORACLES["ann_pq_trained_topk"] = _pq_trained_oracle_sql()
