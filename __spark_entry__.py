@@ -42,133 +42,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering contract: the correctness checker records rows for the
-    FIRST 50 entries only, so slots 1-50 hold one fully-oracled query
-    per distinct operator family. LATE round 5: five round-4-certified
-    queries (cube_sales, grouping_sets_sales, window_kitchen_sink,
-    hypertable_rollup, salted_user_counts) vacated to the tail for the
-    five riskiest never-certified round-5 additions (q2/q8/q21 of the
-    completed TPC-H set, ann_sq8_topk, stream_late_data_drop). Earlier
-    in round 5 the window ROTATED per the round-4 verdict: the 15 queries that had never held a recorded
-    driver CORRECTNESS row (ann_ivf_topk, ann_kmeans_topk,
-    approx_percentile_bounds, audio_features_mm, chunk_documents,
-    doc_repetition, domain_mix_sample, global_shuffle,
-    image_features_mm, image_resize_mm, inverted_index_topn,
-    quality_filter, stream_click_attribution, stream_session_stats,
-    stream_sliding_counts) moved IN; 15 queries certified green in all
-    of rounds 1-4 (file_counts, file_meta_concat, udtf_first_tokens,
-    region_revenue, customer_order_stats, customers_without_orders,
-    scalar_kitchen_sink, segment_setops, order_price_percentiles,
-    events_hourly, events_json_extract, user_sessions,
-    approx_distinct_users, range_join_hot_windows, dedup_exact) moved
-    to the tail — each vacated family stays covered in-window by a
-    sibling (wordcount/kv_pipeline for the parity scan+UDF path,
-    stream_hourly_counts for hourly aggregation, q18's IN-subquery +
-    purchase_asof_click for joins, approx_percentile_bounds for the
-    sketch family, minhash/simhash/containment for dedup). Rotated-out
-    queries stay hash-checked by the pytest oracle replicas
-    (tests/oracle.py, auto-parametrized over every oracle_sql entry).
-    Every registered query is fully DuckDB-oracled (since late round
-    4) — zero rows-only entries.
+    FIRST 50 entries only, so slots 1-50 are the driver-certified
+    window for this round and everything after is the pytest-oracled
+    tail (tests/test_relational.py auto-parametrizes the same
+    Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
+    tail, so rotated-out queries stay hash-checked each round).
+
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~129 registered
+    queries and 50 slots, disjoint windows cover the registry in
+    ceil(129/50) = 3 rounds; a small always-in core holds the flagship
+    parity path plus one sentinel per operator family. Cohorts:
+
+      CORE  (~12, in every window): wordcount, kv_pipeline,
+            inverted_index_topn, events_variant_stats,
+            q6_clustered_scan, minhash_dups, semantic_dedup_cells,
+            stream_stateful_sessions, stream_late_data_drop,
+            similarity_topk, frame_checksums_mm, integrity_report.
+      COHORT-A (round 6, this window): the 22 queries that had never
+            held a driver CORRECTNESS row after round 5 — the 16
+            TPC-H completions q3/q4/q5/q7/q9/q10/q11/q12/q13/q14/
+            q15/q16/q17/q19/q20/q22, the PQ trio (adc/rerank/
+            trained), click_next_purchase, revenue_trailing_window,
+            frequent_brands_sketch — plus any query newly registered
+            this round (new queries always join the current window).
+      COHORT-B (round 7): the round-5-certified set that vacated this
+            round — order_ship_calendar, chunk_documents,
+            quality_filter, doc_repetition, containment_dups,
+            gopher_rules, fuzzy_part_names, dup_clusters_star,
+            curation_pipeline, q2_min_cost_supplier, q8_market_share,
+            q21_waiting_suppliers, order_value_robust_stats,
+            global_shuffle, stream_purchase_click_join,
+            stream_static_hourly, stream_events_etl,
+            stream_sliding_counts, stream_session_stats,
+            stream_click_attribution, srp_near_dups, ann_kmeans_topk,
+            image_resize_mm, audio_features_mm, ann_sq8_topk,
+            semantic_dedup, simhash_dups, funnel_conversion,
+            q18_large_volume, domain_mix_sample,
+            incremental_dedup_manifest, stream_click_purchase_full,
+            stream_dedup_events, ann_ivf_topk, image_features_mm,
+            lateral_top_lines, recursive_month_spine,
+            approx_percentile_bounds.
+      COHORT-C (round 8): everything else (the r1-r4 certified tail:
+            file_counts ... stream_hourly_counts). Round 9 restarts
+            at COHORT-A.
+
+    Every query is certified at least once per 3 rounds; every query
+    is hash-checked by pytest every round regardless of cohort. All
+    registered queries are fully DuckDB-oracled — zero rows-only.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # —— reference parity (SURVEY.md §2.2) ——
+        # ========== round-6 window: CORE ==========
         "wordcount": parity.wordcount,
-        # (LATE-r5 window swap 2: inverted_index, q1_pricing_summary,
-        # purchase_asof_click, pack_sequences, stream_hourly_counts —
-        # all r1-r4-certified, families still in-window via
-        # inverted_index_topn / q6_clustered_scan / click-family
-        # streams / domain_mix+integrity / stream_sliding+late_drop —
-        # vacate for the five newest never-certified queries.)
-        "events_variant_stats": events.events_variant_stats,
-        "inverted_index_topn": parity.inverted_index_topn,
         "kv_pipeline": parity.kv_pipeline,
-        # —— relational surface (SURVEY.md §2.4 — built-ins the reference lacks) ——
-        "lateral_top_lines": relational.lateral_top_lines,
-        # NEW round 5: Q6 over a range-clustered layout — the file-level
-        # skipping lever exercised end-to-end in a certified query
-        # (vacates ngram_jaccard_dups to the tail; minhash/simhash/
-        # containment keep the dedup family in-window).
+        "inverted_index_topn": parity.inverted_index_topn,
+        "events_variant_stats": events.events_variant_stats,
         "q6_clustered_scan": relational.q6_clustered_scan,
-        # NEW round 5: the one join type nothing else exercised
-        # (vacates parts_top3_per_brand, certified r1-r4, to the tail;
-        # window_kitchen_sink keeps rank windows in-window).
-        "order_ship_calendar": relational.order_ship_calendar,
-        "approx_percentile_bounds": relational.approx_percentile_bounds,
-        # —— events / time-series ——
+        "minhash_dups": textops.minhash_dups,
+        "semantic_dedup_cells": vectors.semantic_dedup_cells,
+        "stream_stateful_sessions": streams.stream_stateful_sessions,
+        "stream_late_data_drop": streams.stream_late_data_drop,
+        "similarity_topk": vectors.similarity_topk,
+        "frame_checksums_mm": multimodal.frame_checksums_mm,
+        "integrity_report": sampling.integrity_report,
+        # ========== round-6 window: COHORT-A (never driver-certified
+        # before this round — round-5 verdict item 1) ==========
+        # 16 TPC-H completions (adapted where the spec needs columns
+        # the synthetic tables lack; each docstring states the
+        # adaptation):
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q4_order_priority": relational.q4_order_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_brands": relational.q11_important_brands,
+        "q12_ship_latency": relational.q12_ship_latency,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q14_promo_effect": relational.q14_promo_effect,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q17_small_quantity": relational.q17_small_quantity,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q22_dormant_rich": relational.q22_dormant_rich,
+        # forward as-of join + value-based RANGE frame + heavy hitters
+        # (the three certified-family gaps named in the round-5
+        # verdict items 1 and 6):
+        "click_next_purchase": events.click_next_purchase,
+        "revenue_trailing_window": relational.revenue_trailing_window,
+        "frequent_brands_sketch": relational.frequent_brands_sketch,
+        # PQ compression tier (sampled codebook ADC, ADC->exact
+        # rerank serving shape, trained per-sub-space Lloyd codebook):
+        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
+        "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
+        "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
+        # ========== round-6 window: round-5-certified holdovers
+        # keeping each §2.4 family in-window alongside COHORT-A (all
+        # vacate to COHORT-B next round) ==========
+        "lateral_top_lines": relational.lateral_top_lines,
         "recursive_month_spine": relational.recursive_month_spine,
-        # —— training-data pipeline: text ops (north-star extensions) ——
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
+        "q18_large_volume": relational.q18_large_volume,
+        "simhash_dups": textops.simhash_dups,
+        "semantic_dedup": vectors.semantic_dedup,
+        "funnel_conversion": events.funnel_conversion,
+        "domain_mix_sample": sampling.domain_mix_sample,
+        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
+        "stream_click_purchase_full": streams.stream_click_purchase_full,
+        "stream_dedup_events": streams.stream_dedup_events,
+        "ann_sq8_topk": vectors.ann_sq8_topk,
+        "ann_ivf_topk": vectors.ann_ivf_topk,
+        "image_features_mm": multimodal.image_features_mm,
+        # round-6 window slots 49-50 are held by curation_pipeline and
+        # stream_sliding_counts until this round's new queries land
+        # (new queries always take window slots on registration).
+        "curation_pipeline": textops.curation_pipeline,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        # ================= end of the 50-slot checked window =================
+        # COHORT-B remainder (round-5 certified, window next round):
+        "order_ship_calendar": relational.order_ship_calendar,
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,
         "doc_repetition": textops.doc_repetition,
-        "minhash_dups": textops.minhash_dups,
-        "simhash_dups": textops.simhash_dups,
         "containment_dups": textops.containment_dups,
         "gopher_rules": textops.gopher_rules,
-        "semantic_dedup": vectors.semantic_dedup,
         "fuzzy_part_names": textops.fuzzy_part_names,
-        "funnel_conversion": events.funnel_conversion,
         "dup_clusters_star": textops.dup_clusters_star,
-        "curation_pipeline": textops.curation_pipeline,
-        # —— relational tail families rotated into the window (round 4) ——
-        "q18_large_volume": relational.q18_large_volume,
-        # LATE round 5 window swap: cube_sales, grouping_sets_sales,
-        # window_kitchen_sink, hypertable_rollup, salted_user_counts
-        # (all driver-certified green in round 4, families still
-        # covered by rollup/pivot/revenue_trailing_window/events
-        # siblings in the pytest oracle gate) vacate to the tail; the
-        # five RISKIEST never-certified round-5 additions take their
-        # slots: the two hardest new TPC-H subquery shapes, the SQ8
-        # quantizer, and the watermark late-drop gate.
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "ann_sq8_topk": vectors.ann_sq8_topk,
-        "stream_late_data_drop": streams.stream_late_data_drop,
-        # —— training-data pipeline: dataset management ——
         "order_value_robust_stats": relational.order_value_robust_stats,
-        # NEW round 5: declarative data-quality gate (PK/FK/null/domain
-        # checks, one row per constraint) — vacates table_profile
-        # (certified r1-r4; profiling family stays represented here).
-        "integrity_report": sampling.integrity_report,
-        # —— training-data pipeline: dataset management (tail rotated in) ——
-        "domain_mix_sample": sampling.domain_mix_sample,
         "global_shuffle": sampling.global_shuffle,
-        # —— structured streaming (stream/batch parity) ——
-        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "stream_purchase_click_join": streams.stream_purchase_click_join,
-        "stream_stateful_sessions": streams.stream_stateful_sessions,
         "stream_static_hourly": streams.stream_static_hourly,
-        "stream_dedup_events": streams.stream_dedup_events,
         "stream_events_etl": streams.stream_events_etl,
-        "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,
-        # NEW round 5: full-outer stream-stream interval join —
-        # completes the inner/left-outer/full-outer family (vacates
-        # embedding_near_dups, certified r1-r4 and 0 rows at sf0.01;
-        # its blocked-exact pair path stays certified through
-        # semantic_dedup and semantic_dedup_cells, which share
-        # blocked_near_dup_pairs and emit real pairs).
-        "stream_click_purchase_full": streams.stream_click_purchase_full,
-        # —— training-data pipeline: similarity search ——
-        "similarity_topk": vectors.similarity_topk,
         "srp_near_dups": vectors.srp_near_dups,
-        "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
-        # NEW round 5: SemDeDup over LEARNED k-means cells (the
-        # no-natural-blocks 100 TB form), Lloyd-replay + closure oracle
-        # (vacates tfidf_top_terms, certified r1-r4, to the tail).
-        "semantic_dedup_cells": vectors.semantic_dedup_cells,
-        # —— training-data pipeline: multimodal columns ——
-        "frame_checksums_mm": multimodal.frame_checksums_mm,
         "image_resize_mm": multimodal.image_resize_mm,
-        "image_features_mm": multimodal.image_features_mm,
         "audio_features_mm": multimodal.audio_features_mm,
-        # ================= end of the 50-slot checked window =================
-        # Oracled queries past the driver window (each hash-checked by
-        # the pytest oracle replicas in tests/; every query below holds
-        # at least one driver-certified green CORRECTNESS row from
-        # rounds 1-4 before rotating out):
+        # COHORT-C (r1-r4 certified; window in round 8):
         "file_counts": parity.file_counts,
         "file_meta_concat": parity.file_meta_concat,
         "udtf_first_tokens": parity.udtf_first_tokens,
@@ -214,50 +228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_moving": relational.daily_revenue_moving,
         "pivot_line_status": relational.pivot_line_status,
         "orders_topk": relational.orders_topk,
-        # NEW round 5 (late): four more classic TPC-H shapes the
-        # surface lacked — Q3 top-k join-agg, Q14 conditional agg over
-        # a join, Q7 role-played dimension, Q22 scalar-subquery
-        # threshold + anti join. Tail slots: pytest-oracled now,
-        # rotation candidates for the round-6 window.
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q14_promo_effect": relational.q14_promo_effect,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "q22_dormant_rich": relational.q22_dormant_rich,
-        # Q17: correlated per-group scalar subquery, decorrelated as
-        # aggregate-then-join; Q19: OR-of-ANDs spanning both join sides.
-        "q17_small_quantity": relational.q17_small_quantity,
-        "q19_discounted_revenue": relational.q19_discounted_revenue,
-        # Forward as-of join (time-to-convert): mirror of the certified
-        # backward purchase_asof_click.
-        "click_next_purchase": events.click_next_purchase,
-        # VALUE-based (RANGE) window frame over a gapped calendar — the
-        # frame kind the ROWS window queries can't express.
-        "revenue_trailing_window": relational.revenue_trailing_window,
-        # Heavy hitters (Karp/Misra-Gries freqItems) — third sketch
-        # family, bound-asserted like the HLL and t-digest queries.
-        "frequent_brands_sketch": relational.frequent_brands_sketch,
-        # Completing the 22 classic TPC-H shapes (adapted to the
-        # available columns where the spec needs partsupp/shipmode —
-        # each docstring states the adaptation): correlated EXISTS
-        # (Q4), two-conjunct local-supplier join (Q5), returned-item
-        # top-k (Q10), scalar-subquery HAVING (Q11), derived-category
-        # conditional counts (Q12), outer-join-count distribution
-        # (Q13), view + scalar-max (Q15).
-        "q4_order_priority": relational.q4_order_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q10_returned_items": relational.q10_returned_items,
-        "q11_important_brands": relational.q11_important_brands,
-        "q12_ship_latency": relational.q12_ship_latency,
-        "q13_order_distribution": relational.q13_order_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        # ... and the subquery-heavy half: joined-cost profit (Q9),
-        # NOT-IN distinct counts (Q16), nested correlated quantity
-        # threshold (Q20). (Q2, Q8, Q21 sit in the certified window
-        # above.) With these the catalog covers all 22 classic TPC-H
-        # query shapes.
-        "q9_product_profit": relational.q9_product_profit,
-        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
-        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "cube_sales": relational.cube_sales,
+        "grouping_sets_sales": relational.grouping_sets_sales,
+        "window_kitchen_sink": relational.window_kitchen_sink,
+        "hypertable_rollup": events.hypertable_rollup,
+        "salted_user_counts": events.salted_user_counts,
+        "inverted_index": parity.inverted_index,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "purchase_asof_click": events.purchase_asof_click,
+        "pack_sequences": sampling.pack_sequences,
+        "stream_hourly_counts": streams.stream_hourly_counts,
         # Spark 4 transformWithStateInPandas: the sessionizer through
         # the new arbitrary-state API (typed handles + named timers,
         # RocksDB provider), hash-checked against the same oracle as
@@ -270,30 +250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if streams.HAS_PROTOBUF
             else {}
         ),
-        # PQ/ADC — the second compression tier after SQ8: 4-bit
-        # sub-space codes (32x scan-byte cut), asymmetric distance
-        # scoring, md5-sampled codebooks replayed by the oracle —
-        # plus the production serving shape (ADC shortlist -> exact
-        # cosine re-rank; the oracle composes both stages).
-        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
-        "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
-        # Trained-codebook PQ (per-sub-space Lloyd's; the oracle
-        # unrolls all m sub-space fits as CTE chains).
-        "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
-        # vacated from the window late round 5 (driver-certified green
-        # in round 4; pytest oracle gate keeps them regression-checked)
-        "cube_sales": relational.cube_sales,
-        "grouping_sets_sales": relational.grouping_sets_sales,
-        "window_kitchen_sink": relational.window_kitchen_sink,
-        "hypertable_rollup": events.hypertable_rollup,
-        "salted_user_counts": events.salted_user_counts,
-        # vacated in late-r5 window swap 2 (r1-r4-certified; pytest
-        # oracle gate keeps them regression-checked)
-        "inverted_index": parity.inverted_index,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "purchase_asof_click": events.purchase_asof_click,
-        "pack_sequences": sampling.pack_sequences,
-        "stream_hourly_counts": streams.stream_hourly_counts,
     }
     return q
 

@@ -172,6 +172,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Both timing definitions in every artifact (round-5 verdict item
+    # 4): warm_total is the steady-state sum (the headline since round
+    # 5), cold_total sums each query's FIRST run in its session — the
+    # number comparable to rounds 1-4. Carrying both in the parsed
+    # final line means no future round compares a warm number against
+    # a cold one.
+    cold_total = round(sum(first_run.values()), 3) if first_run else None
+    warm_total = round(total, 3)
     # Full per-query map: stderr + an EARLY stdout line (not the final
     # one) + a complete on-disk artifact. The driver's tail capture
     # truncated BENCH_r04's early stdout line mid-dict, so per-query
@@ -179,6 +187,8 @@ def main() -> None:
     full = {
         "sf": sf_val,
         "total_sec": round(total, 3),
+        "warm_total_sec": warm_total,
+        **({"cold_total_sec": cold_total} if cold_total is not None else {}),
         "warm_runs": WARM_RUNS,
         "per_query_sec": timings,
         **({"first_run_sec": first_run} if first_run else {}),
@@ -207,6 +217,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "warm_runs": WARM_RUNS,
+                "warm_total_sec": warm_total,
+                **(
+                    {"cold_total_sec": cold_total}
+                    if cold_total is not None
+                    else {}
+                ),
                 "queries": slow10,
             }
         )
