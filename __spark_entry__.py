@@ -153,10 +153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": vectors.ann_sq8_topk,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "image_features_mm": multimodal.image_features_mm,
-        # round-6 window slots 49-50 are held by curation_pipeline and
-        # stream_sliding_counts until this round's new queries land
-        # (new queries always take window slots on registration).
-        "curation_pipeline": textops.curation_pipeline,
+        # NEW round 6 (verdict item 5): incremental near-dup dedup —
+        # new batches probe the persisted MinHash band manifest; the
+        # corpus side is never re-signatured.
+        "incremental_neardup_manifest": textops.incremental_neardup_manifest,
+        # round-6 window slot 50 is held by stream_sliding_counts until
+        # this round's compacted/bucketed-read query lands (new queries
+        # always take window slots on registration).
         "stream_sliding_counts": streams.stream_sliding_counts,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
@@ -168,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": textops.gopher_rules,
         "fuzzy_part_names": textops.fuzzy_part_names,
         "dup_clusters_star": textops.dup_clusters_star,
+        "curation_pipeline": textops.curation_pipeline,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,

@@ -102,6 +102,30 @@ def _warm_streaming(spark) -> None:
     core.run_available_now(stateful.sessionize(ev), spark).count()
 
 
+def _warm_text_machinery(spark) -> None:
+    """Run the dedup/text operator stack on an 8-row in-memory frame so
+    the FIRST text-heavy query after a session recycle doesn't pay
+    engine bring-up inside its timing. Round-6 root-cause of the
+    round-5 minhash_dups cold anomaly (9.73 s at sf0.1, 5.8 s at
+    sf0.001 — i.e. row-count-INDEPENDENT): the cost is classloading +
+    expression-class setup for machinery these queries uniquely
+    exercise (lambda/HOF interpreted eval, md5+conv, collect_set
+    buffers, window-count exec, array set ops), verified by (a)
+    per-stage timing spreading the delta evenly and (b) the delta
+    surviving spark.sql.codegen.wholeStage=false AND
+    factoryMode=NO_CODEGEN. Production executors are long-lived, so
+    this is JVM bring-up, not query cost — same argument as
+    _warm_streaming below; a few-row run loads the same classes."""
+    from map_reduce_rpc_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    dedup.minhash_lsh_pairs(docs, "doc_id", "text").count()
+    dedup.simhash_pairs(docs, "doc_id", "text").count()
+
+
 def _fresh_session():
     """Start a session and pay the one-time warmup outside any timing."""
     from map_reduce_rpc_spark.session import get_spark
@@ -109,6 +133,10 @@ def _fresh_session():
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    try:
+        _warm_text_machinery(spark)
+    except Exception as exc:
+        print(f"  text warmup skipped: {exc}", file=sys.stderr)
     # Pre-build the streaming replay dir (test scaffolding: replays the
     # events table as an arriving-files stream; production sources are
     # Kafka/landing dirs that already exist). Disk-cached across

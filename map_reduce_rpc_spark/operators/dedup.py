@@ -295,6 +295,58 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Per-document MinHash index row — the PERSISTABLE form of the
+    minhash_lsh_pairs intermediate, for incremental (new-batch vs
+    stored-corpus) near-dup probing:
+
+      (doc, sh: array<long>, bands: array<struct<band_idx, band_key>>)
+
+    ``sh`` is the distinct 60-bit shingle-hash set (enough to verify
+    exact jaccard against any candidate without re-reading text);
+    ``bands`` are the LSH bucket keys (explode + store them keyed by
+    (band_idx, band_key) and a new batch probes the corpus with a
+    keyed join instead of a full re-signature). One scan, one shuffle:
+    the signature mins and the shingle set come out of a single
+    groupBy — index builds run per ingestion batch, so the
+    ObjectHashAggregate path (collect_set drags the mins along) costs
+    O(batch), never O(corpus).
+    """
+    r = num_perm // bands
+    assert bands * r == num_perm, "bands must divide num_perm"
+    shingles = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+        .select("doc", portable_hash60(F.col("shingle")).alias("sh_hash"))
+    )
+    h = F.col("sh_hash") % F.lit(_P)
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig = shingles.groupBy("doc").agg(*mins, F.collect_set("sh_hash").alias("sh"))
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *[F.col(f"m{bi * r + j}") for j in range(r)]).alias(
+                "band_key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select("doc", "sh", F.array(*band_cols).alias("bands"))
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------

@@ -1449,3 +1449,231 @@ def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "content_hash", "keeper_id", "arrival_batch", "n_batch_copies"
     )
+
+
+ARRIVAL_STRIDE = 1 << 40  # arrival_key = batch * STRIDE + doc_id
+
+
+def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) NEAR-dup dedup — the ingestion form of
+    minhash_dups (round-5 verdict item 5): documents arrive in two
+    batches (doc_id parity stands in for arrival order); each batch is
+    MinHash-signatured ONCE and probed against the band signatures the
+    manifest already holds, so the corpus side is never re-tokenized,
+    re-hashed, or re-signatured. A document is a duplicate iff it
+    verifies (exact jaccard >= 0.5 over the stored shingle-hash sets)
+    against ANY earlier arrival — earlier = smaller (batch, doc_id) —
+    which is non-recursive, so a DuckDB oracle replays the decision
+    globally and the driver hash-checks the whole incremental path.
+
+    Store layout (two parquet MERGE manifests, both partitioned by
+    arrival_batch so each increment writes ONLY its own partition —
+    per-batch write cost is O(batch), old partitions are never
+    rewritten):
+      bands/  (band_idx, band_key, doc, arrival_key)  — the LSH probe
+              index; a new batch joins it on (band_idx, band_key).
+      docs/   (doc, arrival_key, sh, dup_of_key)      — shingle-hash
+              sets for candidate-only jaccard verify + the decision.
+    Every arrived doc is stored (kept or dup), so later batches dedup
+    against first arrivals transitively without recursion.
+
+    Scale: per-batch compute is O(new batch) text work + a keyed join
+    whose corpus side reads only the 3-column band index (at 100 TB,
+    bucket bands/ by band_key — sources/sinks.write_bucketed — and the
+    probe shuffles only the batch side); verify touches candidate
+    pairs only. Re-running a batch is idempotent (MERGE on key within
+    the batch's own partition)."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from ..sources.sinks import merge_upsert_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        (F.col("doc_id") % 2).cast("int").alias("arrival_batch"),
+    )
+    tag = hashlib.md5(f"neardup:{sf_dir}".encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_neardup_{tag}_*"):
+        m = re.search(r"_(\d+)$", stale)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+    root = f"/tmp/spark_graft_neardup_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    bands_path = os.path.join(root, "bands")
+    docs_path = os.path.join(root, "docs")
+
+    for b in (0, 1):
+        batch = docs.where(F.col("arrival_batch") == b)
+        idx = dedup.minhash_index(
+            batch, "doc_id", "text", n=NGRAM_N,
+            num_perm=MINHASH_PERMS, bands=MINHASH_BANDS,
+        ).withColumn(
+            "arrival_key", F.lit(b) * F.lit(ARRIVAL_STRIDE) + F.col("doc")
+        ).persist()
+        bands_b = idx.select(
+            "doc", "arrival_key", F.explode("bands").alias("band")
+        ).select(
+            "doc",
+            "arrival_key",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+        )
+        late = bands_b.select(
+            F.col("doc").alias("late_doc"),
+            F.col("arrival_key").alias("late_key"),
+            "band_idx",
+            "band_key",
+        )
+        early_in = bands_b.select(
+            F.col("doc").alias("early_doc"),
+            F.col("arrival_key").alias("early_key"),
+            "band_idx",
+            "band_key",
+        )
+        cand = late.join(early_in, ["band_idx", "band_key"]).where(
+            F.col("early_key") < F.col("late_key")
+        )
+        if b > 0:
+            prior_bands = spark.read.parquet(bands_path).select(
+                F.col("doc").alias("early_doc"),
+                F.col("arrival_key").alias("early_key"),
+                "band_idx",
+                "band_key",
+            )
+            cand = cand.unionByName(late.join(prior_bands, ["band_idx", "band_key"]))
+        # No distinct: a pair surfacing from several bands just adds
+        # redundant verify rows (arrays are already joined in) that the
+        # min-key aggregation absorbs — cheaper than a dedup shuffle.
+        cand = cand.select("late_doc", "early_doc", "early_key")
+        late_sets = idx.select(F.col("doc").alias("late_doc"), F.col("sh").alias("sh_late"))
+        early_sets = idx.select(F.col("doc").alias("early_doc"), F.col("sh").alias("sh_early"))
+        if b > 0:
+            early_sets = early_sets.unionByName(
+                spark.read.parquet(docs_path).select(
+                    F.col("doc").alias("early_doc"), F.col("sh").alias("sh_early")
+                )
+            )
+        verified = (
+            F.broadcast(cand)
+            .join(late_sets, "late_doc")
+            .join(early_sets, "early_doc")
+            .where(
+                F.size(F.array_intersect("sh_late", "sh_early")).cast("double")
+                / F.size(F.array_union("sh_late", "sh_early")).cast("double")
+                >= F.lit(JACCARD_THRESHOLD)
+            )
+        )
+        dup = verified.groupBy("late_doc").agg(F.min("early_key").alias("dup_of_key"))
+        doc_rows = (
+            batch.select(
+                F.col("doc_id").alias("doc"),
+                (F.lit(b) * F.lit(ARRIVAL_STRIDE) + F.col("doc_id")).alias("arrival_key"),
+            )
+            .join(idx.select("doc", "sh"), "doc", "left")
+            .join(dup.withColumnRenamed("late_doc", "doc"), "doc", "left")
+            .select(
+                "doc",
+                "arrival_key",
+                "sh",
+                F.lit(b).cast("int").alias("arrival_batch"),
+                "dup_of_key",
+            )
+        )
+        merge_upsert_parquet(
+            spark, docs_path, doc_rows, ("doc",), partition_cols=("arrival_batch",)
+        )
+        merge_upsert_parquet(
+            spark,
+            bands_path,
+            bands_b.withColumn("arrival_batch", F.lit(b).cast("int")),
+            ("band_idx", "band_key", "doc"),
+            partition_cols=("arrival_batch",),
+        )
+        idx.unpersist()
+    return spark.read.parquet(docs_path).select(
+        F.col("doc").alias("doc_id"),
+        F.col("arrival_batch").cast("int").alias("arrival_batch"),
+        F.col("dup_of_key").isNull().alias("is_kept"),
+        F.coalesce(F.col("dup_of_key") % F.lit(ARRIVAL_STRIDE), F.lit(-1))
+        .cast("long")
+        .alias("dup_of"),
+    )
+
+
+# Incremental near-dup oracle: the arrival rule (dup iff a verified
+# match with ANY smaller (batch, doc_id) arrival exists, batch =
+# doc_id % 2) is non-recursive, so the whole two-batch incremental
+# run collapses to one global pair query: the minhash_dups pipeline
+# with candidate ordering by arrival_key instead of doc_id, then a
+# per-document min-earlier-match aggregation.
+TEXTOPS_ORACLES["incremental_neardup_manifest"] = f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM toks, unnest(range(1, len(ts) - {NGRAM_N} + 2)) AS u(i)
+        WHERE len(ts) >= {NGRAM_N}
+    ),
+    hashed AS (
+        SELECT DISTINCT doc,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h60
+        FROM sh
+    ),
+    perms(i, a, b) AS (VALUES {_PERM_VALUES}),
+    sig AS (
+        SELECT doc, p.i,
+               min((p.a * (h.h60 % 2147483647) + p.b) % 2147483647) AS m
+        FROM hashed h CROSS JOIN perms p
+        GROUP BY doc, p.i
+    ),
+    banded AS (
+        SELECT doc, i // {_BAND_R} AS band_idx,
+               string_agg(m::VARCHAR, ',' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc, i // {_BAND_R}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc AS late_doc, e.doc AS early_doc
+        FROM banded l
+        JOIN banded e ON l.band_idx = e.band_idx
+                     AND l.band_key = e.band_key
+                     AND (e.doc % 2) * {ARRIVAL_STRIDE} + e.doc
+                       < (l.doc % 2) * {ARRIVAL_STRIDE} + l.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM hashed GROUP BY doc),
+    inter AS (
+        SELECT c.late_doc, c.early_doc, count(*) AS inter
+        FROM cand c
+        JOIN hashed hl ON hl.doc = c.late_doc
+        JOIN hashed he ON he.doc = c.early_doc AND he.h60 = hl.h60
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.late_doc, i.early_doc
+        FROM inter i
+        JOIN sizes sl ON sl.doc = i.late_doc
+        JOIN sizes se ON se.doc = i.early_doc
+        WHERE CAST(i.inter AS DOUBLE) / (sl.sz + se.sz - i.inter)
+              >= {JACCARD_THRESHOLD}
+    ),
+    dup AS (
+        SELECT late_doc,
+               min((early_doc % 2) * {ARRIVAL_STRIDE} + early_doc) AS dup_of_key
+        FROM pairs GROUP BY late_doc
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(d.doc_id % 2 AS INT) AS arrival_batch,
+           dup_of_key IS NULL AS is_kept,
+           CAST(coalesce(dup_of_key % {ARRIVAL_STRIDE}, -1) AS BIGINT) AS dup_of
+    FROM documents d LEFT JOIN dup ON dup.late_doc = d.doc_id
+"""

@@ -463,3 +463,53 @@ def test_cbo_reorders_joins_by_stats(spark, sf_dir):
     assert top_join_key(plan_on) == "orderkey", plan_on[:1500]
     assert top_join_key(plan_off) == "custkey", plan_off[:1500]
     assert got == want and got
+
+
+def test_incremental_neardup_probe_cost_tracks_batch_not_corpus(spark, sf_dir, tmp_path):
+    """Soak row for incremental_neardup_manifest: probing a fixed new
+    batch against an 8x larger band manifest must not cost ~8x — the
+    probe is a keyed join whose batch side is constant and whose
+    corpus side is a 3-column columnar scan, never re-signatured text.
+    Corpus copies get distinct band keys so the matched-candidate set
+    (the legitimately size-dependent part) stays identical."""
+    import time
+
+    from map_reduce_rpc_spark.operators.dedup import minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = minhash_index(docs, "doc_id", "text")
+    bands = idx.select(
+        "doc", F.explode("bands").alias("b")
+    ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+    small, big = str(tmp_path / "small"), str(tmp_path / "big")
+    bands.write.parquet(small)
+    copies = [
+        bands.select(
+            (F.col("doc") + F.lit(i * 1_000_000)).alias("doc"),
+            "band_idx",
+            (
+                F.col("band_key")
+                if i == 0
+                else F.concat_ws("#", "band_key", F.lit(str(i)))
+            ).alias("band_key"),
+        )
+        for i in range(8)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.parquet(big)
+
+    batch = bands  # the fixed "new batch" probe side
+
+    def probe(path):
+        store = spark.read.parquet(path).withColumnRenamed("doc", "store_doc")
+        return batch.join(store, ["band_idx", "band_key"]).count()
+
+    # warm both paths once (JIT/classload outside the measurement)
+    n_small, n_big = probe(small), probe(big)
+    assert n_small == n_big  # distinct copy keys: no extra matches
+    t0 = time.perf_counter(); probe(small); t_small = time.perf_counter() - t0
+    t0 = time.perf_counter(); probe(big); t_big = time.perf_counter() - t0
+    assert t_big < 3 * max(t_small, 0.05), (t_small, t_big)
