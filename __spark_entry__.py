@@ -157,10 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new batches probe the persisted MinHash band manifest; the
         # corpus side is never re-signatured.
         "incremental_neardup_manifest": textops.incremental_neardup_manifest,
-        # round-6 window slot 50 is held by stream_sliding_counts until
-        # this round's compacted/bucketed-read query lands (new queries
-        # always take window slots on registration).
-        "stream_sliding_counts": streams.stream_sliding_counts,
+        # NEW round 6 (verdict item 7): the compact-then-bucket layout
+        # pipeline certified end-to-end — fragmented write ->
+        # compact_parquet_dir -> bucketed tables -> exchange-free join,
+        # hash-matched against the plain-layout oracle.
+        "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
         "order_ship_calendar": relational.order_ship_calendar,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_etl": streams.stream_events_etl,
         "stream_session_stats": streams.stream_session_stats,
         "stream_click_attribution": streams.stream_click_attribution,
+        "stream_sliding_counts": streams.stream_sliding_counts,
         "srp_near_dups": vectors.srp_near_dups,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "image_resize_mm": multimodal.image_resize_mm,

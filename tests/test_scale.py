@@ -513,3 +513,60 @@ def test_incremental_neardup_probe_cost_tracks_batch_not_corpus(spark, sf_dir, t
     t0 = time.perf_counter(); probe(small); t_small = time.perf_counter() - t0
     t0 = time.perf_counter(); probe(big); t_big = time.perf_counter() - t0
     assert t_big < 3 * max(t_small, 0.05), (t_small, t_big)
+
+
+def test_compacted_bucketed_query_layout(spark, sf_dir):
+    """The segment_order_stats_compacted layout pipeline: compaction
+    actually reduced the fragmented 64-file write to a handful of
+    files, and the bucketed customer-orders join plans with no
+    Exchange upstream of the join (the only shuffle is the final
+    5-row segment aggregation)."""
+    import glob
+    import os
+
+    from map_reduce_rpc_spark.plans.relational import (
+        _compacted_bucketed_tables,
+        segment_order_stats_compacted,
+    )
+
+    ct, ot = _compacted_bucketed_tables(spark, sf_dir)
+    # the bucketed orders table was built FROM the compacted dir; its
+    # source fragment dir must have been compacted below 64 files
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {ot}")
+        .where(F.col("col_name") == "Location")
+        .collect()[0][1]
+    )
+    frag = os.path.join(os.path.dirname(loc.replace("file:", "")), "orders_frag")
+    n_files = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert 0 < n_files < 64, f"compaction left {n_files} files"
+
+    # At tiny SF the optimizer rightly broadcasts (also shuffle-free);
+    # force sort-merge so the bucket spec must carry the partitioning —
+    # any missing bucket alignment would surface as an Exchange.
+    joined = spark.table(ct).hint("merge").join(
+        spark.table(ot), F.col("c_custkey") == F.col("o_custkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:3000]
+    # and the registered query's rows match the plain layout
+    got = {
+        tuple(r)
+        for r in segment_order_stats_compacted(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    want = {
+        tuple(r)
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
