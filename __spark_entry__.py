@@ -152,7 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": streams.stream_dedup_events,
         "ann_sq8_topk": vectors.ann_sq8_topk,
         "ann_ivf_topk": vectors.ann_ivf_topk,
-        "image_features_mm": multimodal.image_features_mm,
+        # NEW round 6: the composed faiss-IndexIVFPQ serving shape —
+        # coarse probe -> 4-bit ADC shortlist -> exact rerank, each
+        # tier already certified alone; this certifies the composition.
+        "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         # NEW round 6 (verdict item 5): incremental near-dup dedup —
         # new batches probe the persisted MinHash band manifest; the
         # corpus side is never re-signatured.
@@ -164,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "image_features_mm": multimodal.image_features_mm,
         "order_ship_calendar": relational.order_ship_calendar,
         "chunk_documents": textops.chunk_documents,
         "quality_filter": textops.quality_filter,
@@ -244,18 +248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_click": events.purchase_asof_click,
         "pack_sequences": sampling.pack_sequences,
         "stream_hourly_counts": streams.stream_hourly_counts,
-        # Spark 4 transformWithStateInPandas: the sessionizer through
-        # the new arbitrary-state API (typed handles + named timers,
-        # RocksDB provider), hash-checked against the same oracle as
-        # the applyInPandasWithState form. Registered only where the
-        # python protobuf package (its state protocol) exists — absent
-        # in this container, so the processor is mock-unit-tested and
-        # the applyInPandasWithState form stays the certified one.
-        **(
-            {"stream_tws_sessions": streams.stream_tws_sessions}
-            if streams.HAS_PROTOBUF
-            else {}
-        ),
+        # NOT registered: streams.stream_tws_sessions (Spark 4
+        # transformWithStateInPandas). Its state protocol needs the
+        # python protobuf runtime, permanently absent in this
+        # container, so the applyInPandasWithState form
+        # (stream_stateful_sessions, CORE cohort) is the permanent
+        # certified sessionization path; the tws form stays as a
+        # documented deployment recipe sharing the same oracle
+        # (plans/streams.py:stream_tws_sessions docstring), with its
+        # processor unit-tested against mock handles.
     }
     return q
 

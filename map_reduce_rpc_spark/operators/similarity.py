@@ -157,6 +157,38 @@ def blocked_near_dup_pairs(
     return pairs.where(F.col("cos") >= threshold)
 
 
+def _exact_block_centroids(base: DataFrame) -> DataFrame:
+    """``blk -> mean centroid`` via EXACT-INTEGER derivation: elements
+    are floor-quantized at 2^20 (SRP_QUANT) and summed as longs — the
+    sum is order-independent, so the centroid (s/c, one IEEE double
+    division of exact integers) is bit-identical in any engine and the
+    whole IVF probe becomes oracle-able. Cosine is scale-invariant, so
+    the 2^20 factor needs no unscaling. A float avg() here would differ
+    across partition orders and engines in the last ulp — enough to
+    flip a probe ranking. Dimension-free shape: posexplode ->
+    (blk, pos) partial-agg'd sums -> re-assemble (same exchange volume
+    as a wide per-element avg, O(1) plan nodes instead of O(dim))."""
+    return (
+        base.select("blk", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("blk", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.lit(float(SRP_QUANT))).cast("long")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .groupBy("blk")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -202,33 +234,7 @@ def ivf_topk(
             "blk int, cent array<double>",
         )
     else:
-        # EXACT-INTEGER centroid derivation: elements are floor-
-        # quantized at 2^20 (SRP_QUANT) and summed as longs — the sum
-        # is order-independent, so the centroid (s/c, one IEEE double
-        # division of exact integers) is bit-identical in any engine
-        # and the whole IVF query becomes oracle-able. Cosine is
-        # scale-invariant, so the 2^20 factor needs no unscaling. A
-        # float avg() here would differ across partition orders and
-        # engines in the last ulp — enough to flip a probe ranking.
-        centroids_df = (
-            base.select("blk", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("blk", "pos")
-            .agg(
-                F.sum(F.floor(F.col("x") * F.lit(float(SRP_QUANT))).cast("long")).alias("s"),
-                F.count("*").alias("c"),
-            )
-            .groupBy("blk")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
-                        )
-                    ),
-                    lambda s: s["m"],
-                ).alias("cent")
-            )
-        )
+        centroids_df = _exact_block_centroids(base)
     queries = base.where(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("_qv"),
@@ -763,18 +769,22 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ-encode each vector: per sub-space, the index of the nearest
     codebook entry (squared L2, ties to the lowest index — the
     assign_cells convention). The codebooks ride the plan as ONE
     nested literal, so encoding is a narrow codegen map: no join, no
-    shuffle, no Python."""
+    shuffle, no Python. ``extra_cols`` pass through unchanged (e.g.
+    the IVF block column, so ivfpq_topk needs no re-join to recover
+    block membership)."""
     m = len(codebooks)
     if not codebooks or not codebooks[0]:
         # empty corpus -> empty codebooks: no rows can be encoded (an
         # untyped [] literal would not even type-check in the plan)
         return emb.select(
             F.col(id_col),
+            *[F.col(c) for c in extra_cols],
             F.lit(None).cast("array<int>").alias(out_col),
         ).limit(0)
     dsub = dim // m
@@ -794,7 +804,9 @@ def pq_encode(
         return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
     return emb.select(
-        F.col(id_col), F.array(*[sub_code(j) for j in range(m)]).alias(out_col)
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.array(*[sub_code(j) for j in range(m)]).alias(out_col),
     )
 
 
@@ -919,6 +931,139 @@ def pq_rerank_topk(
             (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias(
                 "cos"
             ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full FAISS-IVFPQ serving shape (IndexIVFPQ), composing the
+    two ANN tiers this module already certifies separately:
+
+      1. COARSE PROBE — per-block exact-integer centroids
+         (:func:`_exact_block_centroids`, the ivf_topk quantizer);
+         each query scans only its ``nprobe`` best blocks. Scan
+         fraction = nprobe/nlist before a single vector byte is read.
+      2. ADC SHORTLIST — within probed blocks, vectors are scanned as
+         ``m`` 4-bit PQ codes (32x fewer bytes than float32) and
+         scored asymmetrically against the exact query subvectors;
+         top-``shortlist`` per query survive.
+      3. EXACT RERANK — float vectors are fetched ONLY for shortlist
+         candidates (broadcast semi-join back to the corpus) and exact
+         cosine picks the final top-k.
+
+    At 1B vectors the three stages touch, respectively: k_blocks
+    centroids (driver-size), (nprobe/nlist) x N x m bytes of codes,
+    and shortlist x |queries| float vectors — the multiplicative
+    cost cut that makes billion-scale ANN serveable, here as one
+    declarative plan (broadcast probe -> codegen encode of the pruned
+    fraction only -> windowed top-k -> semi-join rerank; no Python,
+    no shuffle beyond the two windows).
+
+    Every stage is IEEE-deterministic (exact-integer centroids,
+    md5-sampled codebooks, literal-argmin encode, sequential folds),
+    so the DuckDB oracle (plans/vectors.py::ann_ivfpq_topk) replays
+    probe rankings, codes, ADC distances, and the rerank bit-for-bit.
+    Output (query_id, neighbor_id, cos), identical schema to
+    pq_rerank_topk so recall comparisons are direct.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("blk"),
+        _as_double(vec_col).alias("_v"),
+    )
+    if codebooks is None:
+        # the index's codebooks train on the FULL corpus (an offline
+        # build artifact, same contract as pq_adc_topk's default)
+        codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
+    queries = base.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("blk")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(_exact_block_centroids(base)))
+        .select(
+            "query_id",
+            "_qv",
+            "blk",
+            cosine(F.col("_qv"), F.col("cent")).alias("cent_cos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("blk").alias("_pblk"))
+    )
+    # prune FIRST, encode the surviving fraction once: a broadcast
+    # semi-join on the distinct probed blocks keeps the (up to
+    # |queries| x nprobe)-way probe fan-out from re-encoding a row per
+    # matching query. (In the deployed index the codes are of course
+    # precomputed; encoding here stands in for the code-column scan.)
+    pruned = base.join(
+        F.broadcast(probed.select("_pblk").distinct()),
+        base["blk"] == F.col("_pblk"),
+        "leftsemi",
+    )
+    coded = pq_encode(
+        pruned, codebooks, dim, id_col="_id", vec_col="_v", extra_cols=("blk",)
+    )
+    cb_lit = F.lit([[[float(x) for x in c] for c in book] for book in codebooks])
+    recon = F.flatten(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.element_at(cb_lit, j + 1), c + 1),
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(F.col("_qv"), recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = coded.join(
+        F.broadcast(probed),
+        (F.col("blk") == F.col("_pblk")) & (F.col("_id") != F.col("query_id")),
+    ).select("query_id", F.col("_id").alias("neighbor_id"), adist.alias("adist"))
+    sl_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(sl_w))
+        .where(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: float vectors fetched only for shortlist candidates
+    vecs = base.select("_id", "_v").withColumn("_n", l2_norm(F.col("_v")))
+    qn = queries.select(
+        F.col("query_id").alias("_qid"),
+        F.col("_qv").alias("_qv2"),
+        l2_norm(F.col("_qv")).alias("_qn"),
+    )
+    exact = (
+        cand.join(vecs, cand["neighbor_id"] == F.col("_id"))
+        .join(F.broadcast(qn), cand["query_id"] == F.col("_qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("_qv2"), F.col("_v")) / (F.col("_qn") * F.col("_n"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -128,32 +128,26 @@ def stream_events_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.run_available_now(out, spark)
 
 
-# transformWithStateInPandas speaks a protobuf-based state protocol;
-# the python `protobuf` package is not installed in this container (no
-# pip allowed), so the query registers only where it can actually run.
-# The processor logic itself is pure pandas and unit-tested with mock
-# handles either way (tests/test_streaming.py).
-import importlib.util as _ilu  # noqa: E402
-
-try:
-    # find_spec on a dotted name imports the parent package, which
-    # raises (not returns None) when `google` itself is absent
-    HAS_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:
-    HAS_PROTOBUF = False
-
-
 def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_stateful_sessions through Spark 4's
     transformWithStateInPandas (typed state handles + named event-time
-    timers, the applyInPandasWithState successor) — SAME batch-SQL
-    oracle, so the two stateful APIs are hash-checked against each
-    other. Runs under the RocksDB state store provider, which
+    timers, the applyInPandasWithState successor). NOT REGISTERED:
+    transformWithState speaks a protobuf-based state-server protocol
+    and this container permanently lacks the python ``protobuf``
+    runtime (no pip; vendoring is infeasible because pyspark's
+    generated ``*_pb2`` modules need the full runtime, not a shim).
+    The applyInPandasWithState form (``stream_stateful_sessions``) is
+    therefore the PERMANENT certified sessionization path; this
+    function is kept as the deployment recipe for clusters that do
+    ship protobuf — it shares the exact batch-SQL oracle, so on such a
+    cluster the two stateful APIs hash-check against each other. The
+    ``_SessionProcessor`` logic itself is pure pandas and unit-tested
+    against mock state/timer handles either way
+    (tests/test_streaming.py::test_tws_session_processor_logic_with_mock_handles).
+    Runs under the RocksDB state store provider, which
     transformWithState requires and which is the 100 TB deployment
     choice anyway (disk-backed, changelog-checkpointed state); the
-    conf is scoped to this run and restored. Requires the python
-    ``protobuf`` package (the API's state-server protocol) — gated out
-    of the registry where absent."""
+    conf is scoped to this run and restored."""
     key = "spark.sql.streaming.stateStore.providerClass"
     saved = spark.conf.get(key)
     spark.conf.set(
@@ -336,14 +330,8 @@ STREAMS_ORACLES: dict[str, str] = {
     """,
 }
 
-if HAS_PROTOBUF:
-    # identical oracle: the transformWithState form must produce the
-    # byte-same sessions as the applyInPandasWithState form
-    STREAMS_ORACLES["stream_tws_sessions"] = _SESSION_CTE + """
-        SELECT user_id,
-               min(us) AS session_start_us,
-               max(us) AS session_end_us,
-               count(*) AS n_events,
-               CAST(sum(cents) AS BIGINT) AS value_cents
-        FROM sess GROUP BY user_id, sid
-    """
+# stream_tws_sessions is deliberately absent from STREAMS_ORACLES: it
+# cannot run in this container (see its docstring) and a conditional
+# registration would be a silently-skipped entry. On a protobuf-enabled
+# cluster it reuses stream_stateful_sessions' oracle verbatim.
+TWS_SESSIONS_ORACLE = STREAMS_ORACLES["stream_stateful_sessions"]

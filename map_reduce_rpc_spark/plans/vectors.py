@@ -918,3 +918,113 @@ def _pq_trained_oracle_sql(
 
 
 VECTORS_ORACLES["ann_pq_trained_topk"] = _pq_trained_oracle_sql()
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale ANN serving shape (faiss IndexIVFPQ):
+    IVF coarse probe (exact-integer label-block centroids, probe
+    {IVF_NPROBE} of 10 blocks) prunes the scan BEFORE any vector byte
+    is read; within probed blocks the scan reads 4-bit PQ codes (32x
+    fewer bytes) and ADC builds a {PQ_SHORTLIST}-candidate shortlist;
+    exact cosine re-ranks only those candidates to the top-{TOP_K}.
+    Multiplicative cost cut: (nprobe/nlist) x (1/32 bytes) x
+    (shortlist-only float fetch) — each tier already certified alone
+    (ann_ivf_topk, ann_pq_adc_topk, ann_pq_rerank_topk); this query
+    certifies the COMPOSITION, where the bugs live (block pruning must
+    not leak into codebook training; the shortlist window must rank
+    within the pruned candidate set only). FULLY oracled: probe
+    rankings, codes, ADC distances, and the rerank all replay
+    bit-for-bit in DuckDB below."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        nprobe=IVF_NPROBE,
+        shortlist=PQ_SHORTLIST,
+        dim=EMB_DIM,
+    )
+
+
+# Composes the ann_ivf_topk oracle's probe CTEs with the
+# _pq_oracle_sql encode/ADC/rerank CTEs. Codebooks sample the FULL
+# corpus (offline index-build contract — pruning must not change the
+# codebooks); codes are materialized only for probed blocks (mirroring
+# the plan's prune-then-encode order; a per-vector argmin is unaffected
+# by which other blocks survive).
+VECTORS_ORACLES["ann_ivfpq_topk"] = f"""
+    WITH base AS (
+        SELECT vec_id AS id, label AS blk, embedding::DOUBLE[] AS e
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT id, blk, t.i - 1 AS pos,
+               CAST(floor(e[t.i] * {similarity.SRP_QUANT}) AS BIGINT) AS qx
+        FROM base, unnest(range(1, len(e) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT blk, list(m ORDER BY pos) AS cent FROM (
+            SELECT blk, pos, CAST(sum(qx) AS DOUBLE) / count(*) AS m
+            FROM quant GROUP BY blk, pos
+        ) GROUP BY blk
+    ),
+    q AS (
+        SELECT id AS query_id, e AS qe FROM base WHERE id IN ({_QID_LIST})
+    ),
+    probed AS (
+        SELECT query_id, qe, blk FROM (
+            SELECT q.query_id, q.qe, cent.blk,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos("q.qe", "cent.cent")} DESC, cent.blk
+                   ) AS pr
+            FROM q, cent
+        ) WHERE pr <= {IVF_NPROBE}
+    ),
+    cb AS (
+        SELECT list(e ORDER BY h, vec_id) AS books FROM (
+            SELECT id AS vec_id, e, md5(CAST(id AS VARCHAR)) AS h
+            FROM base ORDER BY h, vec_id LIMIT {similarity.PQ_KSUB}
+        )
+    ),
+    codes AS (
+        SELECT id, blk,
+               list_transform(range(1, {similarity.PQ_M} + 1), j ->
+                   list_position(
+                       list_transform(range(1, {similarity.PQ_KSUB} + 1),
+                                      i -> {_pq_d2('j', 'i')}),
+                       list_min(
+                           list_transform(range(1, {similarity.PQ_KSUB} + 1),
+                                          i -> {_pq_d2('j', 'i')}))
+                   ) - 1) AS c
+        FROM base CROSS JOIN cb
+        WHERE blk IN (SELECT DISTINCT blk FROM probed)
+    ),
+    scored AS (
+        SELECT p.query_id, codes.id AS neighbor_id,
+               list_aggregate(list_transform(range(1, {EMB_DIM} + 1), i ->
+                   (qe[i] - books[c[((i-1)//8)+1] + 1][i])
+                   * (qe[i] - books[c[((i-1)//8)+1] + 1][i])), 'sum') AS adist
+        FROM codes CROSS JOIN cb, probed p
+        WHERE codes.blk = p.blk AND codes.id <> p.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id, {_cos("q.qe", "n.e")} AS cos
+        FROM shortlist s
+        JOIN q ON q.query_id = s.query_id
+        JOIN base n ON n.id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rr
+        FROM rerank
+    ) WHERE rr <= {TOP_K}
+"""

@@ -350,3 +350,32 @@ def test_pq_trained_codebooks_beat_sampled(spark, emb):
     # shows ~0.21 at iters=4 and ~0.31 only at ksub=64 — the gate pins
     # the improvement, not an unreachable level
     assert trained >= 0.15, (trained, sampled)
+
+
+def test_ivfpq_composition_pruned_exact_and_deterministic(spark, emb):
+    """ivfpq_topk = IVF probe -> ADC shortlist -> exact rerank. The
+    composition gates: (1) PRUNING — every returned neighbor must live
+    in one of its query's probed blocks (the exact-within-probed IVF
+    candidate set at k=N is the universe); (2) EXACTNESS — for pairs
+    both paths return, the reranked cosine must equal IVF's exact
+    cosine bit-for-bit (both are the same sequential fold over floats);
+    (3) recall vs the exact-within-probed top-10 beats the PQ
+    data-bound floor (shortlist-50 rerank measures ~0.5 on this
+    near-random corpus); (4) determinism run-to-run."""
+    qids = list(range(8))
+    n = emb.count()
+    ivf_all = similarity.ivf_topk(emb, qids, k=n, nprobe=5).collect()
+    universe = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in ivf_all}
+    ivf_top10 = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf_all if r["rnk"] <= 10
+    }
+    got = similarity.ivfpq_topk(emb, qids, k=10, nprobe=5, shortlist=50).collect()
+    assert len(got) == len(qids) * 10
+    pairs = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in got}
+    assert set(pairs) <= set(universe), "neighbor outside probed blocks"
+    for p, c in pairs.items():
+        assert c == universe[p], f"rerank cosine != exact IVF cosine at {p}"
+    recall = len(set(pairs) & ivf_top10) / len(ivf_top10)
+    assert recall >= 0.3, f"ivfpq recall vs exact-within-probed: {recall}"
+    again = similarity.ivfpq_topk(emb, qids, k=10, nprobe=5, shortlist=50).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

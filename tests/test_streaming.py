@@ -370,8 +370,9 @@ def test_stream_dedup_state_is_watermark_bounded(spark, sf_dir, tmp_path):
 
 def test_tws_session_processor_logic_with_mock_handles():
     """transformWithStateInPandas cannot run in this container (its
-    state protocol needs the python protobuf package — see
-    plans/streams.HAS_PROTOBUF gating), so the StatefulProcessor is
+    state protocol needs the python protobuf package, permanently
+    absent here — see plans/streams.stream_tws_sessions, which is
+    deliberately unregistered for that reason), so the StatefulProcessor is
     exercised directly against mock state/timer handles: three
     micro-batches with an advancing watermark plus a fired timer must
     reproduce exactly the sessions a pure-python gap sessionizer
