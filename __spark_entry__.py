@@ -141,7 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vacate to COHORT-B next round) ==========
         "lateral_top_lines": relational.lateral_top_lines,
         "recursive_month_spine": relational.recursive_month_spine,
-        "approx_percentile_bounds": relational.approx_percentile_bounds,
+        # NEW round 6: multi-dimension Z-order clustered layout — the
+        # Morton-key completion of q6_clustered_scan's 1-D range
+        # layout; both filter dimensions prune files via footer stats.
+        "q6_zorder_scan": relational.q6_zorder_scan,
         "q18_large_volume": relational.q18_large_volume,
         "simhash_dups": textops.simhash_dups,
         "semantic_dedup": vectors.semantic_dedup,
@@ -167,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
         "image_features_mm": multimodal.image_features_mm,
         "order_ship_calendar": relational.order_ship_calendar,
         "chunk_documents": textops.chunk_documents,

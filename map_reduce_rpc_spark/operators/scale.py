@@ -92,30 +92,35 @@ def salted_join(
     return fact_s.join(dim_rep, [on, "_salt"]).drop("_salt")
 
 
-def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
-    """Morton (Z-order) interleave of two non-negative ints, each
-    truncated to ``bits`` bits: bit i of x lands at position 2i, bit i
-    of y at 2i+1.
+def morton_key(cols: list[Column], bits: int = 16) -> Column:
+    """N-column Morton (Z-order) interleave of non-negative ints, each
+    truncated to ``bits`` bits: bit b of column j lands at position
+    ``b*N + j``, so sorting by the key bounds every file in a compact
+    N-D hyper-rectangle and a predicate on ANY clustered column prunes
+    via footer stats — the mechanism behind Delta/Iceberg OPTIMIZE
+    ZORDER, here as a plain codegen expression (N*bits shift-or terms,
+    no UDF, no shuffle of its own). Scale continuous domains to
+    [0, 2^bits) upstream (or use ``sinks.zorder_key``, which builds
+    the min-max scaling in). ``bits*N`` must stay <= 63."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*ncols = {bits * n} overflows a long key")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftrightunsigned(cl, b).bitwiseAND(F.lit(1)), b * n + j)
+            )
+    return key
 
-    Use as the cluster key for ``sinks.write_clustered_parquet`` when
-    queries filter on BOTH columns: sorting by a single column gives
-    each file a narrow range in that column but the FULL domain in the
-    other, so only one predicate can skip files; sorting by the
-    interleaved key bounds every file in both dimensions (a compact
-    2-D bounding box), so either predicate prunes — the mechanism
-    behind Delta/Iceberg OPTIMIZE ZORDER, here as a plain codegen
-    expression (2*bits shift-and-or terms, no UDF, no shuffle of its
-    own). Scale continuous domains to [0, 2^bits) upstream.
-    """
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ints — the 2-D
+    case of :func:`morton_key` (bit i of x at position 2i, of y at
+    2i+1), kept as the named convenience for the common
+    two-predicate layout. See morton_key for the pruning rationale;
+    scale continuous domains to [0, 2^bits) upstream."""
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
-    xl = xc.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    yl = yc.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        key = key.bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(xl, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftrightunsigned(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return key
+    return morton_key([xc, yc], bits)

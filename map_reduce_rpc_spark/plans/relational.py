@@ -161,6 +161,86 @@ def q6_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_EPOCH = "1992-01-01"
+
+
+def _zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached by source mtime+size like
+    ``_clustered_lineitem_path``) a Z-ORDERED lineitem copy clustered
+    on (l_shipdate, l_quantity): the Morton-key layout
+    (``sources/sinks.write_zordered_parquet``) gives BOTH columns
+    footer-stat locality, where the 1-D range layout serves only
+    l_shipdate. The min/max calibration is one tiny agg collected to
+    the driver (4 scalars — the offline index-build contract)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import write_zordered_parquet
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"z:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_zorder_{tag}/lineitem"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        days = F.datediff(F.col("l_shipdate"), F.lit(ZORDER_EPOCH))
+        lo = li.agg(
+            F.min(days).alias("d0"),
+            F.max(days).alias("d1"),
+            F.min("l_quantity").alias("q0"),
+            F.max("l_quantity").alias("q1"),
+        ).first()
+        staging = f"{path}.stage.{os.getpid()}"
+        write_zordered_parquet(
+            li,
+            staging,
+            zcols=[days, F.col("l_quantity")],
+            mins=[float(lo["d0"]), float(lo["q0"])],
+            maxs=[float(lo["d1"]), float(lo["q1"])],
+            bits=16,
+            files=16,
+            mode="overwrite",
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def q6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 over a Z-ORDERED lineitem layout — the multi-dimension
+    completion of q6_clustered_scan: the Morton key interleaves
+    (l_shipdate, l_quantity), so the scan's pushed predicates on BOTH
+    dimensions skip files via footer min/max stats. With the 1-D range
+    layout the quantity predicate filters after IO in every file; here
+    each file covers a hyper-rectangle, so the 2-D predicate opens
+    only the files whose rectangle intersects it — at 100 TB the
+    difference between pruning on one column and pruning on every
+    clustered column (Delta/Iceberg OPTIMIZE ZORDER, as plain
+    parquet). Skip ratios for both dimensions are pytest-measured in
+    tests/test_scale.py::test_zorder_beats_range_clustering_on_second_dim.
+    Identical rows -> identical aggregates -> the plain-layout oracle."""
+    li = spark.read.parquet(_zordered_lineitem_path(spark, sf_dir))
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def _compacted_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session+sf_dir) the compact-then-bucket layout
     pipeline of a long-lived ingestion table, and return the two
@@ -1874,6 +1954,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
     # Same logical answer as q6: the clustered copy holds the same rows,
     # so the plain-layout SQL is the oracle for the clustered scan too.
     "q6_clustered_scan": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    # Same rows again under the Z-ordered layout -> same plain oracle.
+    "q6_zorder_scan": """
         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
                count(*) AS n_items

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -171,6 +171,81 @@ def write_clustered_parquet(
         df.repartitionByRange(*cluster_by)
     )
     parts.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
+
+
+def zorder_key(
+    cols: tuple[Column, ...] | list[Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) interleaved key over N numeric columns: each
+    value is min-max scaled to a ``bits``-bit integer, then the bit
+    planes are interleaved (bit b of column j lands at position
+    ``b*N + j``), so sorting by the key gives every column
+    simultaneous spatial locality — the Delta/Iceberg OPTIMIZE ZORDER
+    primitive, as one pure codegen expression.
+
+    ``mins``/``maxs`` are caller-supplied literals (one tiny agg
+    upstream — the index-build contract, like IVF centroids riding the
+    plan as literals), so the key is a narrow map: no join, no
+    shuffle, no Python, and deterministic/engine-replayable (floor on
+    exact scaled doubles). Values outside [min, max] clamp to the edge
+    cells — new data beyond the calibrated range degrades locality,
+    never correctness. The interleave itself is
+    ``operators/scale.morton_key`` (bits*N <= 63)."""
+    from ..operators.scale import morton_key
+
+    if not (len(mins) == len(maxs) == len(cols)):
+        raise ValueError("cols, mins, maxs must align")
+    top = (1 << bits) - 1
+    scaled_cols = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        if hi > lo:
+            scaled = F.floor(
+                (c.cast("double") - F.lit(float(lo)))
+                * F.lit(float(top) / (float(hi) - float(lo)))
+            ).cast("long")
+        else:
+            scaled = F.lit(0).cast("long")
+        scaled_cols.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(F.lit(0).cast("long"), scaled),
+            )
+        )
+    return morton_key(scaled_cols, bits)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zcols: tuple[Column, ...] | list[Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+    files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Multi-dimension clustered layout: range-partition + sort by the
+    Morton key of ``zcols`` (see :func:`zorder_key`), drop the key,
+    write. Each output file then covers a small HYPER-RECTANGLE of the
+    key space, so parquet footer min/max stats prune files for
+    predicates on ANY of the clustered columns — where
+    write_clustered_parquet (1-D range) prunes only its leading
+    column. The measured 2-D skip ratios are pinned in
+    tests/test_scale.py::test_zorder_beats_range_clustering_on_second_dim.
+
+    ``zcols`` are expressions (e.g. ``F.datediff(col, lit(epoch))``
+    for dates), so any orderable type reduces to the numeric contract.
+    """
+    keyed = df.withColumn("_zkey", zorder_key(zcols, mins, maxs, bits))
+    parts = (
+        keyed.repartitionByRange(files, "_zkey")
+        if files
+        else keyed.repartitionByRange("_zkey")
+    )
+    parts.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(path)
 
 
 def compact_parquet_dir(
