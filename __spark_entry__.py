@@ -149,7 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": textops.simhash_dups,
         "semantic_dedup": vectors.semantic_dedup,
         "funnel_conversion": events.funnel_conversion,
-        "domain_mix_sample": sampling.domain_mix_sample,
+        # NEW round 6: SCD2 dimension history built through the
+        # incremental CDC MERGE path, hash-matched against the
+        # one-shot window-SQL recompute.
+        "scd2_customer_priority": relational.scd2_customer_priority,
         "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "stream_click_purchase_full": streams.stream_click_purchase_full,
         "stream_dedup_events": streams.stream_dedup_events,
@@ -170,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "domain_mix_sample": sampling.domain_mix_sample,
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         "image_features_mm": multimodal.image_features_mm,
         "order_ship_calendar": relational.order_ship_calendar,

@@ -241,6 +241,84 @@ def q6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_SPLIT = "1995-01-01"
+
+
+def _scd2_history_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, mtime-cached like the layout builders) the SCD2
+    customer-priority history by INCREMENTALLY applying two change
+    batches (orders split at {SCD2_SPLIT}) through
+    ``operators/scd.scd2_merge_batch`` — so the certified artifact is
+    the product of the CDC apply path, not a one-shot recompute; the
+    oracle IS the one-shot recompute, which is the whole point."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.scd import scd2_merge_batch
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"scd2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_scd2_{tag}/history"
+    # the dynamic-partition-overwrite committer writes no root _SUCCESS
+    # (see merge_upsert_parquet), so completion gets an explicit marker
+    # touched in staging BEFORE the atomic rename
+    marker = "_SCD2_COMPLETE"
+    if not os.path.exists(os.path.join(path, marker)):
+        ch = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        )
+        staging = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        for batch in (
+            ch.where(F.col("o_orderdate") < SCD2_SPLIT),
+            ch.where(F.col("o_orderdate") >= SCD2_SPLIT),
+        ):
+            scd2_merge_batch(
+                spark,
+                staging,
+                batch,
+                key="o_custkey",
+                attr="o_orderpriority",
+                ts="o_orderdate",
+                seq="o_orderkey",
+                partitions=8,
+            )
+        open(os.path.join(staging, marker), "w").close()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) history of each
+    customer's order priority, built INCREMENTALLY: two change batches
+    (orders before/after {SCD2_SPLIT}) applied through the CDC MERGE
+    path (``operators/scd.scd2_merge_batch`` — re-expand affected
+    keys, union, collapse, merge-upsert), then read back. The DuckDB
+    oracle recomputes the history ONE-SHOT with window SQL over all
+    orders, so a hash match certifies the incremental apply ==
+    batch recompute identity — the correctness property every
+    dimension-table CDC pipeline rests on. Per-batch cost is
+    O(batch + touched keys' history), never O(history): the
+    incremental-cost soak is tests/test_scd.py."""
+    hist = spark.read.parquet(_scd2_history_path(spark, sf_dir))
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "effective_from",
+        "effective_seq",
+        "effective_to",
+        "is_current",
+    )
+
+
 def _compacted_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session+sf_dir) the compact-then-bucket layout
     pipeline of a long-lived ingestion table, and return the two
@@ -1962,6 +2040,32 @@ RELATIONAL_ORACLES: dict[str, str] = {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.03 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    # One-shot window-SQL recompute of the SCD2 history the Spark side
+    # builds incrementally (collapse no-op changes, runs open at their
+    # change and close at the next run's start). lag() against the raw
+    # previous row is equivalent to against the previous surviving run:
+    # a dropped row's attr equals its predecessor's by construction.
+    "scd2_customer_priority": """
+        WITH ch AS (
+            SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                   o_orderdate AS d, o_orderkey AS s
+            FROM orders
+        ),
+        runs AS (
+            SELECT custkey, priority, d, s FROM (
+                SELECT ch.*,
+                       lag(priority) OVER (PARTITION BY custkey
+                                           ORDER BY d, s) AS prev
+                FROM ch
+            ) WHERE prev IS NULL OR prev <> priority
+        )
+        SELECT custkey, priority, d AS effective_from, s AS effective_seq,
+               lead(d) OVER (PARTITION BY custkey ORDER BY d, s)
+                   AS effective_to,
+               (lead(d) OVER (PARTITION BY custkey ORDER BY d, s)) IS NULL
+                   AS is_current
+        FROM runs
     """,
     # Same rows again under the Z-ordered layout -> same plain oracle.
     "q6_zorder_scan": """
