@@ -155,7 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_priority": relational.scd2_customer_priority,
         "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "stream_click_purchase_full": streams.stream_click_purchase_full,
-        "stream_dedup_events": streams.stream_dedup_events,
+        # NEW round 6: CDC-from-a-stream — foreachBatch maintains the
+        # SCD2 user-state history micro-batch by micro-batch; oracle
+        # recomputes one-shot, so batch boundaries must not leak.
+        "stream_scd2_user_state": streams.stream_scd2_user_state,
         "ann_sq8_topk": vectors.ann_sq8_topk,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         # NEW round 6: the composed faiss-IndexIVFPQ serving shape —
@@ -173,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "stream_dedup_events": streams.stream_dedup_events,
         "domain_mix_sample": sampling.domain_mix_sample,
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         "image_features_mm": multimodal.image_features_mm,

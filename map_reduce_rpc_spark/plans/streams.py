@@ -163,6 +163,77 @@ def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("user_id") != core.SENTINEL_USER)
 
 
+def stream_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance FROM A STREAM: each micro-batch of
+    the events replay (4 time-ordered chunks, one batch per chunk) is
+    applied to a type-2 history of every user's event_type state via
+    ``foreachBatch`` -> ``operators/scd.scd2_merge_batch`` — the
+    production shape where a CDC feed continuously maintains the
+    dimension table the fact pipeline joins against. The batch oracle
+    recomputes the history one-shot with window SQL over all events,
+    so the hash match certifies micro-batch-incremental == batch
+    recompute THROUGH the streaming engine (batch boundaries must not
+    leak into the result; foreachBatch retries are covered by the
+    apply's idempotence, tests/test_scd.py). Contract: chunks arrive
+    in event-time order with same-timestamp ties never straddling a
+    chunk (build_time_split_replay_dir guarantees both), matching the
+    CDC apply's non-decreasing-event-time contract."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.scd import scd2_merge_batch
+
+    replay = core.build_time_split_replay_dir(spark, sf_dir, n_chunks=4)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"sscd2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_sscd2_{tag}"
+    marker = "_SCD2_COMPLETE"
+    if not os.path.exists(os.path.join(path, marker)):
+        staging = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        hist_dir = os.path.join(staging, "hist")
+        ev = core.read_events_stream(spark, replay).select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        q = (
+            ev.writeStream.foreachBatch(
+                lambda batch, _id: scd2_merge_batch(
+                    spark,
+                    hist_dir,
+                    batch,
+                    key="user_id",
+                    attr="event_type",
+                    ts="ts",
+                    seq="event_id",
+                    partitions=4,
+                )
+            )
+            .option("checkpointLocation", os.path.join(staging, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(os.path.join(staging, marker), "w").close()
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    hist = spark.read.parquet(os.path.join(path, "hist"))
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "effective_from",
+        "effective_seq",
+        "effective_to",
+        "is_current",
+    )
+
+
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP semantics as a hash-checked gate (not
     a doc claim): after the whole month has been aggregated, emitted,
@@ -329,6 +400,30 @@ STREAMS_ORACLES: dict[str, str] = {
         FROM sess GROUP BY user_id, sid
     """,
 }
+
+# One-shot window-SQL recompute of the SCD2 history the streaming side
+# maintains micro-batch by micro-batch through foreachBatch (see
+# plans/relational.scd2_customer_priority for the batch twin).
+STREAMS_ORACLES["stream_scd2_user_state"] = """
+    WITH ch AS (
+        SELECT user_id, event_type, ts AS d, event_id AS s FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, d, s FROM (
+            SELECT ch.*,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY d, s) AS prev
+            FROM ch
+        ) WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, d AS effective_from,
+           s AS effective_seq,
+           lead(d) OVER (PARTITION BY user_id ORDER BY d, s)
+               AS effective_to,
+           (lead(d) OVER (PARTITION BY user_id ORDER BY d, s)) IS NULL
+               AS is_current
+    FROM runs
+"""
 
 # stream_tws_sessions is deliberately absent from STREAMS_ORACLES: it
 # cannot run in this container (see its docstring) and a conditional

@@ -212,6 +212,60 @@ def build_late_replay_dir(
     return out
 
 
+def build_time_split_replay_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Replay dir with the real events split into ``n_chunks``
+    TIME-ORDERED chunks (uniform event-time ranges, strict < upper
+    bound so same-timestamp ties never straddle a chunk): with
+    ``maxFilesPerTrigger=1`` each chunk becomes its own micro-batch,
+    arriving in event-time order — the shape a foreachBatch CDC apply
+    needs (its contract: batches non-decreasing in event time per key;
+    see operators/scd.py). No sentinels: foreachBatch receives every
+    batch unconditionally, nothing here is watermark-driven."""
+    cache_key = (sf_dir, "tsplit", n_chunks)
+    cached = _replay_cache.get(cache_key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_stream_{tag}_tsplit{n_chunks}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+        "props",
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    min_us = int(bounds[0]) if bounds[0] is not None else 0
+    max_us = int(bounds[1]) if bounds[1] is not None else 0
+    span = max(1, max_us - min_us + 1)
+    for i in range(n_chunks):
+        lo = min_us + (span * i) // n_chunks
+        hi = min_us + (span * (i + 1)) // n_chunks
+        chunk = ev.where((F.col("ts_us") >= lo) & (F.col("ts_us") < hi))
+        tmp = f"{out}_write{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(tmp, part), os.path.join(out, f"chunk{i}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+    base_mtime = os.stat(out).st_mtime - 3600
+    for i in range(n_chunks):
+        path = os.path.join(out, f"chunk{i}.parquet")
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    _replay_cache[cache_key] = out
+    return out
+
+
 def read_events_stream(
     spark: SparkSession, replay_dir: str, chunked: bool = True
 ) -> DataFrame:
