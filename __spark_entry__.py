@@ -159,7 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD2 user-state history micro-batch by micro-batch; oracle
         # recomputes one-shot, so batch boundaries must not leak.
         "stream_scd2_user_state": streams.stream_scd2_user_state,
-        "ann_sq8_topk": vectors.ann_sq8_topk,
+        # NEW round 6: quantized-deterministic PageRank — the second
+        # certified iterative algorithm; the oracle unrolls all
+        # iterations as a CTE chain (kmeans pattern on graphs).
+        "pagerank_suppliers": relational.pagerank_suppliers,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         # NEW round 6: the composed faiss-IndexIVFPQ serving shape —
         # coarse probe -> 4-bit ADC shortlist -> exact rerank, each
@@ -176,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "ann_sq8_topk": vectors.ann_sq8_topk,
         "stream_dedup_events": streams.stream_dedup_events,
         "domain_mix_sample": sampling.domain_mix_sample,
         "approx_percentile_bounds": relational.approx_percentile_bounds,

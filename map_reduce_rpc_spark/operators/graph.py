@@ -276,3 +276,74 @@ def dedup_keepers(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Dat
     to dedup a corpus given its near-dup pair list."""
     cc = connected_components(edges, src, dst)
     return cc.withColumn("is_keeper", F.col("node") == F.col("component"))
+
+
+PR_QUANT = 1 << 20
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Deterministic PageRank over the UNDIRECTED closure of the edge
+    list, the second iterative-algorithm surface next to connected
+    components. Per iteration: each node sends r/deg to every
+    neighbor, QUANTIZED to a long at 2^20 (PR_QUANT) so the incoming
+    sum is an exact integer — order-independent, hence bit-identical
+    across partitionings AND engines; the new rank
+    ``(1-d)/n + d * (sum/2^20)`` is then a fixed IEEE expression chain.
+    That makes an N-iteration run fully DuckDB-oracle-able as an
+    unrolled CTE chain (the kmeans_fit pattern applied to graph
+    iteration). The quantization floor loses < 2^-20 of each message's
+    mass — a deterministic leak, identically replayed by the oracle.
+
+    Undirected closure sidesteps dangling-node mass redistribution
+    (every node has out-degree >= 1), which keeps both engines'
+    replays local; directed PageRank with dangling handling would add
+    one global scalar per iteration.
+
+    Scale shape: per iteration one shuffle join (edges x ranks on the
+    source) + one partial-agg'd sum on the destination — the degree
+    join is folded into the edge list ONCE up front, and ranks are
+    localCheckpoint()ed per round so lineage stays O(1). At 100 TB
+    partition-persist the degree-annotated edge list and this is
+    textbook Pregel-on-DataFrames.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    # degree-annotated edges, built once, reused every iteration
+    ann = sym.join(deg, "a").persist()
+    nodes = ann.select(F.col("a").alias("node")).distinct().persist()
+    n = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
+    base = F.lit(1.0 - damping) / F.lit(float(n))
+    for _ in range(iters):
+        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            F.floor((F.col("r") / F.col("deg")) * F.lit(float(PR_QUANT)))
+            .cast("long")
+            .alias("c"),
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = _snapshot(
+            nodes.join(s, "node", "left").select(
+                "node",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(float(PR_QUANT))
+                    )
+                ).alias("r"),
+            )
+        )
+    ann.unpersist()
+    return ranks

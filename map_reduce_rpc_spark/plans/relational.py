@@ -319,6 +319,112 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 3
+PR_DAMPING = 0.85
+PR_TOPK = 20
+
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier interaction graph (edge =
+    customer ordered from supplier, via orders x lineitem; node ids
+    disjoint as 2*custkey / 2*suppkey+1), {PR_ITERS} iterations at
+    damping {PR_DAMPING}; top-{PR_TOPK} suppliers by rank. The second
+    ITERATIVE algorithm certified end-to-end (after connected
+    components): operators/graph.pagerank quantizes each message to an
+    exact long so every iteration is bit-reproducible, and the DuckDB
+    oracle replays all {PR_ITERS} iterations as an unrolled CTE chain
+    (the kmeans-oracle pattern applied to graph iteration)."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+        F.col("r").alias("rank"),
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+    return (
+        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
+        .select("s_suppkey", "s_name", "rank")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PR_TOPK)
+    )
+
+
+def _pagerank_oracle_sql(
+    iters: int = PR_ITERS, damping: float = PR_DAMPING, topk: int = PR_TOPK
+) -> str:
+    """Unrolled PageRank replay: sym edges -> degrees -> r0 ->
+    [quantized contribs -> exact sum -> new rank]*iters -> supplier
+    top-k. Generated (never hand-edited) so the SQL always mirrors the
+    operator's constants. The damping literal is written as
+    ``(1.0 - {damping})`` / ``{damping}`` so both engines evaluate the
+    identical IEEE expression the Spark plan does."""
+    from ..operators.graph import PR_QUANT
+
+    q = float(PR_QUANT)
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        "sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0)",
+        "deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """r0 AS (
+            SELECT node, 1.0 / (SELECT CAST(n AS DOUBLE) FROM nn) AS r
+            FROM nodes
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT sym.b AS node,
+                   CAST(floor((r.r / deg.deg) * {q!r}) AS BIGINT) AS c
+            FROM sym
+            JOIN r{i - 1} r ON r.node = sym.a
+            JOIN deg ON deg.a = sym.a
+        )"""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT nodes.node,
+                   (1.0 - {damping!r}) / (SELECT CAST(n AS DOUBLE) FROM nn)
+                   + {damping!r} * (CAST(coalesce(s{i}.s, 0) AS DOUBLE) / {q!r})
+                       AS r
+            FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT s_suppkey, s_name, rank, rnk FROM (
+            SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, r AS rank,
+                   row_number() OVER (ORDER BY r DESC, (node - 1) / 2) AS rnk
+            FROM r{iters} WHERE node % 2 = 1
+        ) t JOIN supplier USING (s_suppkey)
+        WHERE rnk <= {topk}
+    """
+    )
+
+
 def _compacted_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session+sf_dir) the compact-then-bucket layout
     pipeline of a long-lived ingestion table, and return the two
@@ -2493,3 +2599,6 @@ RELATIONAL_ORACLES["segment_order_stats_compacted"] = """
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
 """
+
+
+RELATIONAL_ORACLES["pagerank_suppliers"] = _pagerank_oracle_sql()

@@ -93,3 +93,33 @@ def test_components_within_blocks_matches_global_cc(spark):
     }
     assert blocked == global_cc
     assert (4, 1) in blocked and (12, 10) in blocked and (23, 20) in blocked
+
+
+def test_pagerank_star_center_dominates_and_mass_conserves(spark):
+    """On a 6-leaf star the center must out-rank every leaf and all
+    leaves must tie exactly (bit-equal doubles — the determinism
+    contract); total mass stays within the documented quantization
+    leak (< edges * 2^-20 per iteration) of 1."""
+    from map_reduce_rpc_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["r"] for r in pagerank(edges, iters=3).collect()}
+    center, leaves = ranks[0], [ranks[i] for i in range(1, 7)]
+    assert all(center > v for v in leaves)
+    assert len(set(leaves)) == 1, "leaves must be bit-identical"
+    assert 0.999 < sum(ranks.values()) <= 1.0
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    """The quantized-message design's point: the same graph shuffled
+    through a different partition count yields BIT-identical ranks."""
+    from map_reduce_rpc_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(40)], "src long, dst long"
+    ).where("src <> dst")
+    a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(7), iters=3).collect()))
+    assert a == b
