@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~129 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~134 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(129/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(134/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
