@@ -218,11 +218,26 @@ def stream_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # persist the EXECUTED streaming plan beside the artifact so
+        # the plan-shape gate (tests/test_plan_invariants.py) can
+        # inspect the plan that BUILT a cached history — foreachBatch
+        # queries never pass through run_available_now's recorder
+        try:
+            with open(os.path.join(staging, "plan.txt"), "w") as fh:
+                fh.write(q._jsq.explainInternal(True))
+        except Exception:
+            pass  # py4j surface drift must not fail the query itself
         open(os.path.join(staging, marker), "w").close()
         try:
             os.rename(staging, path)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)
+    try:
+        with open(os.path.join(path, "plan.txt")) as fh:
+            core.EXECUTED_PLANS.append(("stream_scd2_user_state", fh.read()))
+            del core.EXECUTED_PLANS[: -core._EXECUTED_PLANS_MAX]
+    except OSError:
+        pass
     hist = spark.read.parquet(os.path.join(path, "hist"))
     return hist.select(
         "user_id",

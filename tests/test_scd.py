@@ -132,3 +132,22 @@ def test_small_batch_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
         .collect()
     )
     assert len(cur) == 1 and cur[0]["o_orderpriority"] == "ZZ-NEW"
+
+
+def test_scd2_collapse_plan_is_single_exchange_no_python(spark, sf_dir):
+    """The collapse's two windows share one partitioning, so the plan
+    must carry exactly ONE shuffle Exchange (on the key) and none of
+    the globally-forbidden nodes — the merge path's inner plan is not
+    reachable from the registry gates (the registered queries return a
+    parquet read-back), so it is pinned here."""
+    ch = load_table(spark, sf_dir, "orders").select(*KW.values())
+    plan = (
+        scd2_collapse(ch, **KW)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 keyed exchange, got {n_exchanges}"
