@@ -106,6 +106,22 @@ def scd2_merge_batch(
     )
     if exists:
         hist = spark.read.parquet(path)
+        if partitions is not None:
+            # prune the history READ to touched buckets before the
+            # semi-join: the bucket list is <= `partitions` small ints
+            # (driver-safe collect), and the isin() lands on the _kb
+            # partition column, so the scan opens only touched bucket
+            # directories — read cost bounded by the batch's spread,
+            # like the write side
+            buckets = [
+                r["kb"]
+                for r in batch.select(
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(partitions)).alias("kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            hist = hist.where(F.col("_kb").isin(buckets))
         affected = batch.select(key).distinct()
         prior = (
             hist.join(affected, [key], "left_semi")
