@@ -58,15 +58,15 @@ def history_changes(spark, copies: int):
     return out
 
 
-def probe_batch(spark):
-    """1000 base-range keys, one fresh change each, dated after the
-    whole corpus (the non-decreasing-ts contract)."""
+def probe_batch(spark, nkeys):
+    """``nkeys`` base-range keys, one fresh change each, dated after
+    the whole corpus (the non-decreasing-ts contract)."""
     return (
         load_table(spark, SRC_SF, "orders")
         .select("o_custkey")
         .distinct()
         .orderBy("o_custkey")
-        .limit(BATCH_KEYS)
+        .limit(nkeys)
         .select(
             "o_custkey",
             F.lit("Z-SOAK").alias("o_orderpriority"),
@@ -92,32 +92,37 @@ def main():
         scd2_merge_batch(spark, path, history_changes(spark, n), **KW,
                          partitions=BUCKETS)
         total = dir_bytes(path)
-        batch = probe_batch(spark)
-        before = {
-            p: os.stat(p).st_mtime_ns
-            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        }
-        t0 = time.time()
-        scd2_merge_batch(spark, path, batch, **KW, partitions=BUCKETS)
-        wall = time.time() - t0
-        rewritten = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            if before.get(p) != os.stat(p).st_mtime_ns
-        )
-        print(
-            json.dumps(
-                {
-                    "scale": f"{n}x",
-                    "history_bytes": total,
-                    "apply_wall_s": round(wall, 2),
-                    "rewritten_bytes": rewritten,
-                    "batch_keys": BATCH_KEYS,
-                    "buckets": BUCKETS,
-                }
-            ),
-            flush=True,
-        )
+        for nkeys in (BATCH_KEYS, 10):
+            batch = probe_batch(spark, nkeys)
+            before = {
+                p: os.stat(p).st_mtime_ns
+                for p in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            }
+            t0 = time.time()
+            scd2_merge_batch(spark, path, batch, **KW, partitions=BUCKETS)
+            wall = time.time() - t0
+            rewritten = sum(
+                os.path.getsize(p)
+                for p in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+                if before.get(p) != os.stat(p).st_mtime_ns
+            )
+            print(
+                json.dumps(
+                    {
+                        "scale": f"{n}x",
+                        "history_bytes": total,
+                        "apply_wall_s": round(wall, 2),
+                        "rewritten_bytes": rewritten,
+                        "batch_keys": nkeys,
+                        "buckets": BUCKETS,
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
