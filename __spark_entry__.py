@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~134 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~135 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(134/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(135/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
@@ -63,8 +63,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TPC-H completions q3/q4/q5/q7/q9/q10/q11/q12/q13/q14/
             q15/q16/q17/q19/q20/q22, the PQ trio (adc/rerank/
             trained), click_next_purchase, revenue_trailing_window,
-            frequent_brands_sketch — plus any query newly registered
-            this round (new queries always join the current window).
+            frequent_brands_sketch — plus the 7 queries newly
+            registered this round (new queries always join the
+            current window): incremental_neardup_manifest,
+            segment_order_stats_compacted, ann_ivfpq_topk,
+            q6_zorder_scan, scd2_customer_priority,
+            stream_scd2_user_state, pagerank_suppliers. To make room,
+            5 round-5-certified holdovers moved early to COHORT-B:
+            image_features_mm, approx_percentile_bounds,
+            domain_mix_sample, stream_dedup_events, ann_sq8_topk.
       COHORT-B (round 7): the round-5-certified set that vacated this
             round — order_ship_calendar, chunk_documents,
             quality_filter, doc_repetition, containment_dups,
@@ -153,7 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental CDC MERGE path, hash-matched against the
         # one-shot window-SQL recompute.
         "scd2_customer_priority": relational.scd2_customer_priority,
-        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
+        # NEW round 6: point-in-time (feature-store) join against the
+        # SCD2 history — each fact joined to the state in force at its
+        # ship date; the leak-free temporal join training pipelines
+        # depend on.
+        "pit_priority_revenue": relational.pit_priority_revenue,
         "stream_click_purchase_full": streams.stream_click_purchase_full,
         # NEW round 6: CDC-from-a-stream — foreachBatch maintains the
         # SCD2 user-state history micro-batch by micro-batch; oracle
@@ -179,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "ann_sq8_topk": vectors.ann_sq8_topk,
         "stream_dedup_events": streams.stream_dedup_events,
         "domain_mix_sample": sampling.domain_mix_sample,

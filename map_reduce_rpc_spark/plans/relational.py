@@ -319,6 +319,57 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 history — the feature-store
+    join that keeps training data leak-free: each lineitem is joined to
+    the customer-priority state that was in force AT ITS SHIP DATE
+    (effective_from <= l_shipdate < effective_to), never to a later
+    state (label leakage) or an earlier one (stale features). Ships
+    after an order but before the customer's NEXT priority change keep
+    the order-time state; ships after it pick up the newer state — the
+    asymmetry that makes this a genuine temporal join rather than a
+    re-read of the order row. Items shipped before the customer's
+    first recorded state land in the 'NONE' bucket (left join).
+
+    Plan shape: equi-join on custkey with the interval predicate as a
+    residual — a keyed shuffle join, never a cartesian; SCD2 intervals
+    partition time per key, so each fact matches at most one history
+    row (no fan-out). Aggregated to revenue by then-current priority so
+    the certified result is schema-stable."""
+    hist = spark.read.parquet(_scd2_history_path(spark, sf_dir)).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("pit_priority"),
+        "effective_from",
+        "effective_to",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey", "l_shipdate", "l_extendedprice"
+    )
+    joined = facts.join(
+        hist,
+        (F.col("o_custkey") == F.col("h_custkey"))
+        & (F.col("effective_from") <= F.col("l_shipdate"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("l_shipdate") < F.col("effective_to"))
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("pit_priority"), F.lit("NONE")).alias("pit_priority")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
 PR_ITERS = 3
 PR_DAMPING = 0.85
 PR_TOPK = 20
@@ -2172,6 +2223,44 @@ RELATIONAL_ORACLES: dict[str, str] = {
                (lead(d) OVER (PARTITION BY custkey ORDER BY d, s)) IS NULL
                    AS is_current
         FROM runs
+    """,
+    # Point-in-time join replay: the SCD2 window CTE (as in
+    # scd2_customer_priority) joined to lineitem at ship date with the
+    # interval predicate, left-joined so pre-history ships keep NONE.
+    "pit_priority_revenue": """
+        WITH ch AS (
+            SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                   o_orderdate AS d, o_orderkey AS s
+            FROM orders
+        ),
+        runs AS (
+            SELECT custkey, priority, d, s FROM (
+                SELECT ch.*,
+                       lag(priority) OVER (PARTITION BY custkey
+                                           ORDER BY d, s) AS prev
+                FROM ch
+            ) WHERE prev IS NULL OR prev <> priority
+        ),
+        hist AS (
+            SELECT custkey, priority, d AS effective_from,
+                   lead(d) OVER (PARTITION BY custkey ORDER BY d, s)
+                       AS effective_to
+            FROM runs
+        ),
+        facts AS (
+            SELECT o_custkey AS custkey, l_shipdate, l_extendedprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT coalesce(h.priority, 'NONE') AS pit_priority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM facts f
+        LEFT JOIN hist h
+          ON h.custkey = f.custkey
+         AND h.effective_from <= f.l_shipdate
+         AND (h.effective_to IS NULL OR f.l_shipdate < h.effective_to)
+        GROUP BY 1
     """,
     # Same rows again under the Z-ordered layout -> same plain oracle.
     "q6_zorder_scan": """

@@ -151,3 +151,17 @@ def test_scd2_collapse_plan_is_single_exchange_no_python(spark, sf_dir):
         assert bad not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 keyed exchange, got {n_exchanges}"
+
+
+def test_pit_join_never_fans_out(spark, sf_dir):
+    """SCD2 intervals partition time per key, so the point-in-time
+    join must match each fact to AT MOST one history row: the joined
+    row count equals the fact row count exactly (a fan-out would
+    silently double-count revenue — the classic feature-store bug this
+    join family exists to prevent)."""
+    from map_reduce_rpc_spark.plans import relational
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_facts = li.count()
+    agg = relational.pit_priority_revenue(spark, sf_dir).collect()
+    assert sum(r["n_items"] for r in agg) == n_facts
