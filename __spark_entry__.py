@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~135 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~136 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(135/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(136/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
@@ -155,7 +155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": relational.q18_large_volume,
         "simhash_dups": textops.simhash_dups,
         "semantic_dedup": vectors.semantic_dedup,
-        "funnel_conversion": events.funnel_conversion,
         # NEW round 6: SCD2 dimension history built through the
         # incremental CDC MERGE path, hash-matched against the
         # one-shot window-SQL recompute.
@@ -170,6 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD2 user-state history micro-batch by micro-batch; oracle
         # recomputes one-shot, so batch boundaries must not leak.
         "stream_scd2_user_state": streams.stream_scd2_user_state,
+        # NEW round 6: stream-stream LEFT SEMI interval join — the
+        # fourth join-family member (did-it-convert gating, no
+        # fan-out, purchase columns never materialized).
+        "stream_converting_clicks": streams.stream_converting_clicks,
         # NEW round 6: quantized-deterministic PageRank — the second
         # certified iterative algorithm; the oracle unrolls all
         # iterations as a CTE chain (kmeans pattern on graphs).
@@ -190,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "funnel_conversion": events.funnel_conversion,
         "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "ann_sq8_topk": vectors.ann_sq8_topk,
         "stream_dedup_events": streams.stream_dedup_events,

@@ -163,6 +163,24 @@ def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("user_id") != core.SENTINEL_USER)
 
 
+def stream_converting_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (completes the join
+    family: inner / left-outer / full-outer / semi): clicks that
+    converted — followed by ANY purchase from the same user within 30
+    minutes — each emitted exactly once, purchase columns never
+    materialized. Chunked replay: semi emission is arrival-driven for
+    matches, but the dedup-on-first-match bookkeeping is
+    watermark-finalized, so the sentinel chunks guarantee a drained,
+    deterministic result under AvailableNow."""
+    replay_dir = core.build_replay_dir(spark, sf_dir)
+    clicks = core.read_events_stream(spark, replay_dir)
+    purchases = core.read_events_stream(spark, replay_dir)
+    out = core.run_available_now(
+        windows.converting_clicks_semi(clicks, purchases), spark
+    )
+    return out.where(F.col("user_id") != core.SENTINEL_USER)
+
+
 def stream_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance FROM A STREAM: each micro-batch of
     the events replay (4 time-ordered chunks, one batch per chunk) is
@@ -379,6 +397,20 @@ STREAMS_ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts < c.click_ts + INTERVAL '30 minutes'
+    """,
+    "stream_converting_clicks": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               epoch_us(c.ts) AS click_us
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = c.user_id
+                AND p.ts >= c.ts
+                AND p.ts < c.ts + INTERVAL '30 minutes'
+          )
     """,
     "stream_hourly_counts": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -175,6 +175,30 @@ def click_purchase_full_outer(
     )
 
 
+def converting_clicks_semi(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str = WATERMARK_DELAY,
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the fourth member of
+    the join family: each click emitted AT MOST ONCE iff any purchase
+    by the same user follows within ``horizon``; purchase columns
+    never surface. The semi form is the production shape for "did it
+    convert" gating (funnels, billing triggers) because it cannot fan
+    out on multiple matches — the engine emits the left row on its
+    FIRST match and drops the rest, where an inner join would emit one
+    row per matching purchase. State is bounded exactly as in the
+    inner case (the range condition lets a click evict at
+    click_ts + horizon)."""
+    joined = _interval_joined(clicks_src, purchases_src, watermark, horizon, "left_semi")
+    return joined.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 def _interval_joined(
     clicks_src: DataFrame,
     purchases_src: DataFrame,

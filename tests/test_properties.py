@@ -312,3 +312,67 @@ def test_sq8_quantized_dot_tracks_cosine(vecs):
                 for d in range(len(va))
             )
             assert abs(true - approx) <= bound * (1 + 1e-9) + 1e-9
+
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # key
+        st.sampled_from(["A", "B", "C"]),           # attr
+        st.integers(min_value=0, max_value=20),     # ts (day offset)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(changes=_changes, split=st.integers(min_value=0, max_value=21))
+def test_scd2_incremental_matches_pure_model(spark, tmp_path_factory, changes, split):
+    """scd2_collapse AND the two-batch incremental merge must both
+    reproduce a pure-python SCD2 fold over any change log (duplicate
+    timestamps allowed — seq breaks ties), for any batch split point
+    consistent with the non-decreasing-ts contract."""
+    import datetime as dt
+
+    from map_reduce_rpc_spark.operators.scd import scd2_collapse, scd2_merge_batch
+
+    rows = [
+        (k, a, dt.datetime(2000, 1, 1) + dt.timedelta(days=t), i)
+        for i, (k, a, t) in enumerate(changes)
+    ]
+
+    # pure-python reference: per key, order by (ts, seq), drop no-ops,
+    # close each run at the next run's start
+    want = []
+    for k in sorted({r[0] for r in rows}):
+        seq = sorted((r for r in rows if r[0] == k), key=lambda r: (r[2], r[3]))
+        runs = [r for i, r in enumerate(seq) if i == 0 or seq[i - 1][1] != r[1]]
+        for i, (kk, a, ts, s) in enumerate(runs):
+            to = runs[i + 1][2] if i + 1 < len(runs) else None
+            want.append((kk, a, ts, s, to, to is None))
+    want.sort()
+
+    schema = "k bigint, attr string, ts timestamp, seq bigint"
+    kw = dict(key="k", attr="attr", ts="ts", seq="seq")
+    one_shot = sorted(
+        map(tuple, scd2_collapse(spark.createDataFrame(rows, schema), **kw).collect())
+    )
+    assert one_shot == want
+
+    cut = dt.datetime(2000, 1, 1) + dt.timedelta(days=split)
+    b1 = [r for r in rows if r[2] < cut]
+    b2 = [r for r in rows if r[2] >= cut]
+    path = str(tmp_path_factory.mktemp("scd2prop") / "hist")
+    for b in (b1, b2):
+        if b:
+            scd2_merge_batch(spark, path, spark.createDataFrame(b, schema), **kw)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .select("k", "attr", "effective_from", "effective_seq",
+                    "effective_to", "is_current")
+            .collect(),
+        )
+    )
+    assert got == want
