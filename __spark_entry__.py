@@ -63,15 +63,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TPC-H completions q3/q4/q5/q7/q9/q10/q11/q12/q13/q14/
             q15/q16/q17/q19/q20/q22, the PQ trio (adc/rerank/
             trained), click_next_purchase, revenue_trailing_window,
-            frequent_brands_sketch — plus the 7 queries newly
+            frequent_brands_sketch — plus the 9 queries newly
             registered this round (new queries always join the
             current window): incremental_neardup_manifest,
             segment_order_stats_compacted, ann_ivfpq_topk,
             q6_zorder_scan, scd2_customer_priority,
-            stream_scd2_user_state, pagerank_suppliers. To make room,
-            5 round-5-certified holdovers moved early to COHORT-B:
+            stream_scd2_user_state, pagerank_suppliers,
+            pit_priority_revenue, stream_converting_clicks. To make
+            room, round-5-certified holdovers moved early to COHORT-B:
             image_features_mm, approx_percentile_bounds,
-            domain_mix_sample, stream_dedup_events, ann_sq8_topk.
+            domain_mix_sample, stream_dedup_events, ann_sq8_topk,
+            incremental_dedup_manifest, funnel_conversion.
       COHORT-B (round 7): the round-5-certified set that vacated this
             round — order_ship_calendar, chunk_documents,
             quality_filter, doc_repetition, containment_dups,
