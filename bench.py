@@ -62,6 +62,16 @@ RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "21"))
 # bench_results.json as first_run_sec for transparency. Set to 0 for
 # the round-1..4 single-run semantics.
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "1"))
+# Timed runs per query; the reported steady-state time is the MIN of
+# these (every sample is recorded in bench_results.json). Round-6
+# motivation: with a single timed run, rare one-off session events
+# (GC pause, state-store maintenance unload, /tmp IO stall) land on
+# whichever query is unlucky that run — two consecutive clean benches
+# flagged DIFFERENT queries (top_customers_by_revenue 6.4 s then
+# containment_dups 23.5 s), each measuring ~2 s in isolation. Min over
+# two runs is the standard noise-robust steady-state estimator; the
+# spike remains visible in timed_samples_sec for diagnosis.
+TIMED_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TIMED_RUNS", "2")))
 
 
 def _warm_streaming(spark) -> None:
@@ -161,6 +171,7 @@ def main() -> None:
 
     spark = _fresh_session()
     timings: dict[str, float] = {}
+    timed_samples: dict[str, list[float]] = {}
     first_run: dict[str, float] = {}
     total = 0.0
     errors: dict[str, str] = {}
@@ -183,14 +194,18 @@ def main() -> None:
                 fn(spark, SF_DIR).count()
                 if cold is None:
                     cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            samples = []
+            for _ in range(TIMED_RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:  # one bad query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        dt = time.perf_counter() - t0
+        dt = min(samples)
+        timed_samples[name] = [round(s, 3) for s in samples]
         timings[name] = round(dt, 3)
         if cold is not None:
             first_run[name] = round(cold, 3)
@@ -218,7 +233,9 @@ def main() -> None:
         "warm_total_sec": warm_total,
         **({"cold_total_sec": cold_total} if cold_total is not None else {}),
         "warm_runs": WARM_RUNS,
+        "timed_runs": TIMED_RUNS,
         "per_query_sec": timings,
+        "timed_samples_sec": timed_samples,
         **({"first_run_sec": first_run} if first_run else {}),
         **({"errors": errors} if errors else {}),
     }
@@ -245,6 +262,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "warm_runs": WARM_RUNS,
+                "timed_runs": TIMED_RUNS,
                 "warm_total_sec": warm_total,
                 **(
                     {"cold_total_sec": cold_total}
