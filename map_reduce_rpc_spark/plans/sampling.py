@@ -74,6 +74,49 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 25
+_U_DENOM = float(16**13 + 1)  # 13 hex chars = 52 bits, exact in a double
+
+
+def weighted_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, {WEIGHTED_SAMPLE_K} docs
+    per source, inclusion probability increasing with document length —
+    the importance-sampling primitive of corpus curation (sample long /
+    high-quality docs preferentially while keeping every domain
+    represented). Algorithm A-ES (Efraimidis-Spirakis): each doc draws
+    key = -ln(u)/w with u a deterministic md5-derived uniform and
+    w = token count; the K SMALLEST keys per source win — provably a
+    weighted sample without replacement. Determinism: u is built from
+    the first 13 md5 hex chars (52 bits, exactly representable), so
+    both engines evaluate the identical IEEE expression; keys are
+    never output (ranks are), so a last-ulp ln() divergence could only
+    matter if two keys collided to ~1e-16 — probability ~1e-9 on this
+    corpus, and fixed engine binaries make a passing dataset pass
+    forever. One shuffle on source; rank > K rows are discarded at the
+    window, so skewed sources stay bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")),
+    ).cast("double")
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long").cast("double")
+    key = -F.log((h52 + F.lit(1.0)) / F.lit(_U_DENOM)) / ntok
+    w = Window.partitionBy("source").orderBy(F.col("_k"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            ntok.cast("long").alias("weight_tokens"),
+            key.alias("_k"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .drop("_k")
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-fill sequence packing: docs in doc_id order are
     packed into PACK_BUDGET-token sequences; a doc belongs to the
@@ -361,6 +404,31 @@ SAMPLING_ORACLES: dict[str, str] = {
                ) AS INT) AS sample_rank
         FROM documents
         QUALIFY sample_rank <= {STRATUM_CAP}
+    """,
+    "weighted_source_sample": f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   greatest(1, len(list_filter(
+                       regexp_split_to_array(text, '\\s+'), t -> t <> '')))
+                       AS wt,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                       AS h
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, source, wt,
+                   -ln((CAST(h AS DOUBLE) + 1.0) / {_U_DENOM!r})
+                       / CAST(wt AS DOUBLE) AS kk
+            FROM w
+        )
+        SELECT doc_id, source, CAST(wt AS BIGINT) AS weight_tokens,
+               sample_rank
+        FROM (
+            SELECT doc_id, source, wt,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY kk, doc_id) AS sample_rank
+            FROM k
+        ) WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
     """,
     "pack_sequences": f"""
         WITH t AS (

@@ -63,3 +63,38 @@ def test_pack_sequences_invariants(spark, sf_dir):
     for r in rows:
         assert r.seq_id == cum // PACK_BUDGET
         cum += r.n_tok
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-ES must actually bias by weight: the mean token-weight of the
+    sampled docs exceeds the corpus mean (inclusion probability grows
+    with w), while every source still contributes and no source
+    exceeds K rows. Runs at sf0.1 — the only shipped SF where
+    K x n_sources is well below the corpus, so selection is real (at
+    smaller SFs the sample is the whole corpus and the bias property
+    is vacuous; correctness there is covered by the oracle compare)."""
+    sf_dir = "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.plans.sampling import (
+        WEIGHTED_SAMPLE_K,
+        weighted_source_sample,
+    )
+    from map_reduce_rpc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")),
+    )
+    corpus_mean = docs.agg(F.avg(ntok)).first()[0]
+    got = weighted_source_sample(spark, sf_dir)
+    rows = got.collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    n_sources = docs.select("source").distinct().count()
+    assert len(by_source) == n_sources
+    assert all(len(v) <= WEIGHTED_SAMPLE_K for v in by_source.values())
+    sample_mean = sum(r["weight_tokens"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
