@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~137 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~138 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(137/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(138/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
@@ -70,11 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q6_zorder_scan, scd2_customer_priority,
             stream_scd2_user_state, pagerank_suppliers,
             pit_priority_revenue, stream_converting_clicks,
-            weighted_source_sample. To make
+            weighted_source_sample, embedding_gram. To make
             room, round-5-certified holdovers moved early to COHORT-B:
             image_features_mm, approx_percentile_bounds,
             domain_mix_sample, stream_dedup_events, ann_sq8_topk,
-            incremental_dedup_manifest, funnel_conversion, semantic_dedup.
+            incremental_dedup_manifest, funnel_conversion, semantic_dedup,
+            q18_large_volume.
       COHORT-B (round 7): the round-5-certified set that vacated this
             round — order_ship_calendar, chunk_documents,
             quality_filter, doc_repetition, containment_dups,
@@ -155,7 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Morton-key completion of q6_clustered_scan's 1-D range
         # layout; both filter dimensions prune files via footer stats.
         "q6_zorder_scan": relational.q6_zorder_scan,
-        "q18_large_volume": relational.q18_large_volume,
         "simhash_dups": textops.simhash_dups,
         # NEW round 6: SCD2 dimension history built through the
         # incremental CDC MERGE path, hash-matched against the
@@ -183,6 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the importance-sampling curation primitive (length-weighted,
         # K per source, deterministic md5 uniforms).
         "weighted_source_sample": sampling.weighted_source_sample,
+        # NEW round 6: distributed Gram matrix (X^T X) — the PCA /
+        # whitening / OPQ-rotation kernel; map-side combine means only
+        # n_partitions x dim^2 longs ever shuffle.
+        "embedding_gram": vectors.embedding_gram,
         "ann_ivf_topk": vectors.ann_ivf_topk,
         # NEW round 6: the composed faiss-IndexIVFPQ serving shape —
         # coarse probe -> 4-bit ADC shortlist -> exact rerank, each
@@ -199,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "q18_large_volume": relational.q18_large_volume,
         "semantic_dedup": vectors.semantic_dedup,
         "funnel_conversion": events.funnel_conversion,
         "incremental_dedup_manifest": textops.incremental_dedup_manifest,

@@ -1028,3 +1028,52 @@ VECTORS_ORACLES["ann_ivfpq_topk"] = f"""
         FROM rerank
     ) WHERE rr <= {TOP_K}
 """
+
+
+GRAM_QUANT = 1 << 10  # |x| <= ~1 -> q <= 1024; q*q*N_rows stays << 2^63
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed Gram matrix X^T X over the embedding corpus —
+    the kernel under PCA / whitening / OPQ-rotation training, as one
+    declarative plan. Elements are floor-quantized to longs at 2^10
+    (GRAM_QUANT), each row's outer product materializes as a flat
+    dim^2 long array inside codegen, and the element-wise sum runs as
+    posexplode -> groupBy(pos): Spark's partial (map-side) hash
+    aggregation collapses each partition to dim^2 cells BEFORE the
+    exchange, so only n_partitions x dim^2 longs ever shuffle — the
+    same sum regardless of row count. Exact integer sums are
+    order-independent, hence bit-identical to the DuckDB replay; at
+    1e9 rows the accumulators stay < 2^51. Output (i, j, s) with
+    0-based dimension indices — N and the dequant scale ride with the
+    consumer (covariance = s / (N * GRAM_QUANT^2) minus mean terms).
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.transform(v, lambda x: F.floor(x * F.lit(float(GRAM_QUANT))).cast("long"))
+    outer = F.flatten(F.transform(q, lambda qi: F.transform(q, lambda qj: qi * qj)))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode(outer).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("s"))
+        .select(
+            (F.col("pos") / EMB_DIM).cast("long").alias("i"),
+            (F.col("pos") % EMB_DIM).alias("j"),
+            "s",
+        )
+    )
+
+
+VECTORS_ORACLES["embedding_gram"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, t.i AS i,
+               CAST(floor(e[t.i] * {GRAM_QUANT}) AS BIGINT) AS qv
+        FROM v, unnest(range(1, {EMB_DIM} + 1)) AS t(i)
+    )
+    SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+"""
