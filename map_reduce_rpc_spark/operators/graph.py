@@ -322,6 +322,10 @@ def pagerank(
     ann = sym.join(deg, "a").persist()
     nodes = ann.select(F.col("a").alias("node")).distinct().persist()
     n = nodes.count()
+    if n == 0:
+        # empty edge list: no nodes, no ranks — typed empty result
+        ann.unpersist()
+        return nodes.withColumn("r", F.lit(0.0)).limit(0)
     ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     base = F.lit(1.0 - damping) / F.lit(float(n))
     for _ in range(iters):

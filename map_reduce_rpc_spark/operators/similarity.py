@@ -994,6 +994,14 @@ def ivfpq_topk(
         # the index's codebooks train on the FULL corpus (an offline
         # build artifact, same contract as pq_adc_topk's default)
         codebooks = pq_codebooks(emb, dim, m, ksub, id_col, vec_col)
+    if not codebooks or not codebooks[0]:
+        # empty corpus -> empty codebooks: degrade to a typed empty
+        # result (an untyped [] literal would not even type-check)
+        return emb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+        ).limit(0)
     queries = base.where(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"), F.col("_v").alias("_qv")
     )

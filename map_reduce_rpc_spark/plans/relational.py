@@ -198,8 +198,10 @@ def _zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
             li,
             staging,
             zcols=[days, F.col("l_quantity")],
-            mins=[float(lo["d0"]), float(lo["q0"])],
-            maxs=[float(lo["d1"]), float(lo["q1"])],
+            # empty corpus: min/max are NULL — calibrate to a zero
+            # range (every row, i.e. none, clamps to cell 0)
+            mins=[float(lo["d0"] or 0), float(lo["q0"] or 0)],
+            maxs=[float(lo["d1"] or 0), float(lo["q1"] or 0)],
             bits=16,
             files=16,
             mode="overwrite",
@@ -225,7 +227,16 @@ def q6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet). Skip ratios for both dimensions are pytest-measured in
     tests/test_scale.py::test_zorder_beats_range_clustering_on_second_dim.
     Identical rows -> identical aggregates -> the plain-layout oracle."""
-    li = spark.read.parquet(_zordered_lineitem_path(spark, sf_dir))
+    import glob
+    import os
+
+    path = _zordered_lineitem_path(spark, sf_dir)
+    if glob.glob(os.path.join(path, "*.parquet")):
+        li = spark.read.parquet(path)
+    else:
+        # empty corpus: the writer produced no data files (nothing to
+        # cluster) — the plain table is the same zero rows
+        li = load_table(spark, sf_dir, "lineitem")
     f = li.where(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
@@ -273,6 +284,9 @@ def _scd2_history_path(spark: SparkSession, sf_dir: str) -> str:
         )
         staging = f"{path}.stage.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
+        # an empty corpus writes no files at all — the dir must still
+        # exist for the completion marker
+        os.makedirs(staging, exist_ok=True)
         for batch in (
             ch.where(F.col("o_orderdate") < SCD2_SPLIT),
             ch.where(F.col("o_orderdate") >= SCD2_SPLIT),
@@ -296,6 +310,24 @@ def _scd2_history_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_SCD2_HIST_DDL = (
+    "o_custkey bigint, o_orderpriority string, effective_from timestamp, "
+    "effective_seq bigint, effective_to timestamp, is_current boolean"
+)
+
+
+def _read_scd2_history(spark: SparkSession, path: str) -> DataFrame:
+    """Read the SCD2 history artifact, degrading to a typed empty
+    frame when the builder had zero changes to apply (an empty corpus
+    leaves no readable parquet — there is no schema to infer)."""
+    import glob
+    import os
+
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], _SCD2_HIST_DDL)
+
+
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2 slowly-changing dimension) history of each
     customer's order priority, built INCREMENTALLY: two change batches
@@ -308,7 +340,7 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-table CDC pipeline rests on. Per-batch cost is
     O(batch + touched keys' history), never O(history): the
     incremental-cost soak is tests/test_scd.py."""
-    hist = spark.read.parquet(_scd2_history_path(spark, sf_dir))
+    hist = _read_scd2_history(spark, _scd2_history_path(spark, sf_dir))
     return hist.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("priority"),
@@ -336,7 +368,7 @@ def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition time per key, so each fact matches at most one history
     row (no fan-out). Aggregated to revenue by then-current priority so
     the certified result is schema-stable."""
-    hist = spark.read.parquet(_scd2_history_path(spark, sf_dir)).select(
+    hist = _read_scd2_history(spark, _scd2_history_path(spark, sf_dir)).select(
         F.col("o_custkey").alias("h_custkey"),
         F.col("o_orderpriority").alias("pit_priority"),
         "effective_from",

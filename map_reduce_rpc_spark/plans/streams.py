@@ -256,7 +256,19 @@ def stream_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             del core.EXECUTED_PLANS[: -core._EXECUTED_PLANS_MAX]
     except OSError:
         pass
-    hist = spark.read.parquet(os.path.join(path, "hist"))
+    import glob
+
+    hist_dir = os.path.join(path, "hist")
+    if glob.glob(os.path.join(hist_dir, "**", "*.parquet"), recursive=True):
+        hist = spark.read.parquet(hist_dir)
+    else:
+        # empty corpus: every micro-batch was empty, the merge wrote
+        # no readable parquet — degrade to the typed empty history
+        hist = spark.createDataFrame(
+            [],
+            "user_id bigint, event_type string, effective_from timestamp, "
+            "effective_seq bigint, effective_to timestamp, is_current boolean",
+        )
     return hist.select(
         "user_id",
         F.col("event_type").alias("state"),

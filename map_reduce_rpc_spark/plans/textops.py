@@ -1510,6 +1510,9 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _neardup_manifest_read(spark, os.path.join(root, "docs"))
     staging = f"{root}.stage.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
+    # an empty corpus writes no files at all — the dir must still
+    # exist for the completion marker
+    os.makedirs(staging, exist_ok=True)
     bands_path = os.path.join(staging, "bands")
     docs_path = os.path.join(staging, "docs")
 
@@ -1545,7 +1548,12 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("early_key") < F.col("late_key")
         )
         if b > 0:
-            prior_bands = spark.read.parquet(bands_path).select(
+            prior_bands = _read_parquet_or_empty(
+                spark,
+                bands_path,
+                "doc long, arrival_key long, band_idx int, band_key string, "
+                "arrival_batch int",
+            ).select(
                 F.col("doc").alias("early_doc"),
                 F.col("arrival_key").alias("early_key"),
                 "band_idx",
@@ -1560,7 +1568,12 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         early_sets = idx.select(F.col("doc").alias("early_doc"), F.col("sh").alias("sh_early"))
         if b > 0:
             early_sets = early_sets.unionByName(
-                spark.read.parquet(docs_path).select(
+                _read_parquet_or_empty(
+                    spark,
+                    docs_path,
+                    "doc long, arrival_key long, sh array<bigint>, "
+                    "arrival_batch int, dup_of_key long",
+                ).select(
                     F.col("doc").alias("early_doc"), F.col("sh").alias("sh_early")
                 )
             )
@@ -1610,7 +1623,29 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_manifest_read(spark, os.path.join(root, "docs"))
 
 
+def _read_parquet_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Read a manifest directory, degrading to a typed empty frame when
+    an empty increment left no readable parquet behind (no schema to
+    infer)."""
+    import glob
+    import os
+
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
 def _neardup_manifest_read(spark: SparkSession, docs_path: str) -> DataFrame:
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(docs_path, "**", "*.parquet"), recursive=True):
+        # empty corpus: both batches were empty, the manifests hold no
+        # readable parquet — degrade to the typed empty decision table
+        return spark.createDataFrame(
+            [],
+            "doc_id long, arrival_batch int, is_kept boolean, dup_of long",
+        )
     return spark.read.parquet(docs_path).select(
         F.col("doc").alias("doc_id"),
         F.col("arrival_batch").cast("int").alias("arrival_batch"),

@@ -97,6 +97,20 @@ _CASES = {
     "stream_late_data_drop": 0,
     "incremental_dedup_manifest": 0,
     "order_value_robust_stats": 0,
+    # round-6 additions: layout pipelines, CDC/SCD2 (batch + stream +
+    # point-in-time), composed IVFPQ, PageRank, weighted sampling,
+    # Gram matrix, incremental near-dup, stream semi join
+    "q6_zorder_scan": None,  # global agg: one (NULL, 0) row
+    "scd2_customer_priority": 0,
+    "stream_scd2_user_state": 0,
+    "pit_priority_revenue": None,  # left-join agg over empty facts
+    "pagerank_suppliers": 0,  # no edges -> no nodes -> no ranks
+    "ann_ivfpq_topk": 0,
+    "weighted_source_sample": 0,
+    "embedding_gram": 0,  # no rows -> no outer products -> no cells
+    "incremental_neardup_manifest": 0,
+    "stream_converting_clicks": 0,
+    "segment_order_stats_compacted": 0,
 }
 
 
