@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~138 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~139 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(138/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(139/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
@@ -70,12 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q6_zorder_scan, scd2_customer_priority,
             stream_scd2_user_state, pagerank_suppliers,
             pit_priority_revenue, stream_converting_clicks,
-            weighted_source_sample, embedding_gram. To make
+            weighted_source_sample, embedding_gram,
+            pagerank_directed_suppliers. To make
             room, round-5-certified holdovers moved early to COHORT-B:
             image_features_mm, approx_percentile_bounds,
             domain_mix_sample, stream_dedup_events, ann_sq8_topk,
             incremental_dedup_manifest, funnel_conversion, semantic_dedup,
-            q18_large_volume.
+            q18_large_volume, simhash_dups.
       COHORT-B (round 7): the round-5-certified set that vacated this
             round — order_ship_calendar, chunk_documents,
             quality_filter, doc_repetition, containment_dups,
@@ -156,7 +157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Morton-key completion of q6_clustered_scan's 1-D range
         # layout; both filter dimensions prune files via footer stats.
         "q6_zorder_scan": relational.q6_zorder_scan,
-        "simhash_dups": textops.simhash_dups,
         # NEW round 6: SCD2 dimension history built through the
         # incremental CDC MERGE path, hash-matched against the
         # one-shot window-SQL recompute.
@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certified iterative algorithm; the oracle unrolls all
         # iterations as a CTE chain (kmeans pattern on graphs).
         "pagerank_suppliers": relational.pagerank_suppliers,
+        # NEW round 6: directed PageRank with dangling-mass
+        # redistribution — the general form; the oracle replays the
+        # per-iteration dangling scalar too.
+        "pagerank_directed_suppliers": relational.pagerank_directed_suppliers,
         # NEW round 6: A-ES weighted sampling without replacement —
         # the importance-sampling curation primitive (length-weighted,
         # K per source, deterministic md5 uniforms).
@@ -203,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "simhash_dups": textops.simhash_dups,
         "q18_large_volume": relational.q18_large_volume,
         "semantic_dedup": vectors.semantic_dedup,
         "funnel_conversion": events.funnel_conversion,

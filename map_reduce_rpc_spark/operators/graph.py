@@ -351,3 +351,79 @@ def pagerank(
         )
     ann.unpersist()
     return ranks
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """DIRECTED PageRank with dangling-mass redistribution — the
+    general form :func:`pagerank`'s undirected closure sidesteps. Per
+    iteration each node sends r/out_deg along its OUT edges (quantized
+    longs, exact sums, as in pagerank); the rank mass sitting on
+    dangling nodes (out-degree 0) is summed EXACTLY (floor-quantized
+    longs, one driver scalar per iteration — the kmeans collect
+    contract) and redistributed uniformly:
+
+        r' = (1-d)/n + d * (in_sum/Q + (dangling_q/Q)/n)
+
+    a fixed IEEE expression chain, so the DuckDB oracle replays every
+    iteration (including the dangling scalar) bit-for-bit. Without the
+    redistribution a directed graph leaks mass every round and ranks
+    drift toward zero — the classic implementation bug this operator
+    exists to pin down."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+    )
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    ann = e.join(out_deg, "a").persist()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        ann.unpersist()
+        return nodes.withColumn("r", F.lit(0.0)).limit(0)
+    dangling = nodes.join(
+        out_deg.select(F.col("a").alias("node")), "node", "left_anti"
+    ).persist()
+    q = float(PR_QUANT)
+    ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
+    base = F.lit(1.0 - damping) / F.lit(float(n))
+    for _ in range(iters):
+        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            F.floor((F.col("r") / F.col("deg")) * F.lit(q))
+            .cast("long")
+            .alias("c"),
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        dm = (
+            dangling.join(ranks, "node")
+            .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
+            .first()[0]
+            or 0
+        )
+        ranks = _snapshot(
+            nodes.join(s, "node", "left").select(
+                "node",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(q)
+                        + (F.lit(float(dm)) / F.lit(q)) / F.lit(float(n))
+                    )
+                ).alias("r"),
+            )
+        )
+    ann.unpersist()
+    dangling.unpersist()
+    return ranks

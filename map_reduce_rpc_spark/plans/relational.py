@@ -508,6 +508,113 @@ def _pagerank_oracle_sql(
     )
 
 
+def pagerank_directed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED PageRank over customer -> supplier edges with
+    dangling-mass redistribution (suppliers have no out-edges, so ALL
+    rank mass reaching them would otherwise leak every round —
+    see operators/graph.pagerank_directed). Same node encoding,
+    iterations, and top-{PR_TOPK} output as pagerank_suppliers, so the
+    two queries certify the undirected and the general directed form
+    side by side; the oracle additionally replays the per-iteration
+    dangling scalar as a CTE."""
+    from ..operators.graph import pagerank_directed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_directed(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+        F.col("r").alias("rank"),
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+    return (
+        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
+        .select("s_suppkey", "s_name", "rank")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PR_TOPK)
+    )
+
+
+def _pagerank_directed_oracle_sql(
+    iters: int = PR_ITERS, damping: float = PR_DAMPING, topk: int = PR_TOPK
+) -> str:
+    """Unrolled DIRECTED PageRank replay: out-degrees, per-iteration
+    quantized in-sums AND the exact dangling-mass scalar, then the
+    supplier top-k. Generated alongside _pagerank_oracle_sql so the
+    two stay structurally comparable."""
+    from ..operators.graph import PR_QUANT
+
+    q = float(PR_QUANT)
+    n_dbl = "(SELECT CAST(n AS DOUBLE) FROM nn)"
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        "deg AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a)",
+        """nodes AS (
+            SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0
+        )""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """dang AS (
+            SELECT node FROM nodes
+            WHERE node NOT IN (SELECT a FROM e0)
+        )""",
+        f"r0 AS (SELECT node, 1.0 / {n_dbl} AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e0.b AS node,
+                   CAST(floor((r.r / deg.deg) * {q!r}) AS BIGINT) AS c
+            FROM e0
+            JOIN r{i - 1} r ON r.node = e0.a
+            JOIN deg ON deg.a = e0.a
+        )"""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"""dm{i} AS (
+            SELECT coalesce(sum(CAST(floor(r.r * {q!r}) AS BIGINT)), 0) AS dm
+            FROM r{i - 1} r JOIN dang d ON d.node = r.node
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT nodes.node,
+                   (1.0 - {damping!r}) / {n_dbl}
+                   + {damping!r} * (
+                       CAST(coalesce(s{i}.s, 0) AS DOUBLE) / {q!r}
+                       + CAST((SELECT dm FROM dm{i}) AS DOUBLE) / {q!r} / {n_dbl}
+                   ) AS r
+            FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT s_suppkey, s_name, rank, rnk FROM (
+            SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, r AS rank,
+                   row_number() OVER (ORDER BY r DESC, (node - 1) / 2) AS rnk
+            FROM r{iters} WHERE node % 2 = 1
+        ) t JOIN supplier USING (s_suppkey)
+        WHERE rnk <= {topk}
+    """
+    )
+
+
 def _compacted_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session+sf_dir) the compact-then-bucket layout
     pipeline of a long-lived ingestion table, and return the two
@@ -2723,3 +2830,6 @@ RELATIONAL_ORACLES["segment_order_stats_compacted"] = """
 
 
 RELATIONAL_ORACLES["pagerank_suppliers"] = _pagerank_oracle_sql()
+
+
+RELATIONAL_ORACLES["pagerank_directed_suppliers"] = _pagerank_directed_oracle_sql()

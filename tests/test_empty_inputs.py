@@ -105,6 +105,7 @@ _CASES = {
     "stream_scd2_user_state": 0,
     "pit_priority_revenue": None,  # left-join agg over empty facts
     "pagerank_suppliers": 0,  # no edges -> no nodes -> no ranks
+    "pagerank_directed_suppliers": 0,
     "ann_ivfpq_topk": 0,
     "weighted_source_sample": 0,
     "embedding_gram": 0,  # no rows -> no outer products -> no cells

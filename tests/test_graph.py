@@ -123,3 +123,22 @@ def test_pagerank_is_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     b = sorted(map(tuple, pagerank(edges.repartition(7), iters=3).collect()))
     assert a == b
+
+
+def test_directed_pagerank_conserves_mass_and_ranks_sinks(spark):
+    """Directed star a->{b..g}: without dangling redistribution the
+    sinks' mass would leak every round (total -> ~(1-d) after a few
+    iters); with it, total mass stays within the quantization leak of
+    1 and every sink out-ranks the source (they receive, it only
+    dangles its share)."""
+    from map_reduce_rpc_spark.operators.graph import pagerank_directed
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["r"] for r in pagerank_directed(edges, iters=3).collect()}
+    total = sum(ranks.values())
+    assert 0.995 < total <= 1.0, total
+    assert all(ranks[i] > ranks[0] for i in range(1, 7))
+    # sinks must tie bit-exactly (determinism of the shared expression)
+    assert len({ranks[i] for i in range(1, 7)}) == 1
