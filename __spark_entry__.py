@@ -48,9 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Spark-vs-DuckDB compare over EVERY oracle_sql entry, window or
     tail, so rotated-out queries stay hash-checked each round).
 
-    ROTATION SCHEDULE (round-5 verdict item 1). With ~139 registered
+    ROTATION SCHEDULE (round-5 verdict item 1). With ~140 registered
     queries and 50 slots, disjoint windows cover the registry in
-    ceil(139/50) = 3 rounds; a small always-in core holds the flagship
+    ceil(140/50) = 3 rounds; a small always-in core holds the flagship
     parity path plus one sentinel per operator family. Cohorts:
 
       CORE  (~12, in every window): wordcount, kv_pipeline,
@@ -71,12 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream_scd2_user_state, pagerank_suppliers,
             pit_priority_revenue, stream_converting_clicks,
             weighted_source_sample, embedding_gram,
-            pagerank_directed_suppliers. To make
+            pagerank_directed_suppliers, canonical_part_names. To make
             room, round-5-certified holdovers moved early to COHORT-B:
             image_features_mm, approx_percentile_bounds,
             domain_mix_sample, stream_dedup_events, ann_sq8_topk,
             incremental_dedup_manifest, funnel_conversion, semantic_dedup,
-            q18_large_volume, simhash_dups.
+            q18_large_volume, simhash_dups, stream_click_purchase_full.
       COHORT-B (round 7): the round-5-certified set that vacated this
             round — order_ship_calendar, chunk_documents,
             quality_filter, doc_repetition, containment_dups,
@@ -166,7 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ship date; the leak-free temporal join training pipelines
         # depend on.
         "pit_priority_revenue": relational.pit_priority_revenue,
-        "stream_click_purchase_full": streams.stream_click_purchase_full,
+        # NEW round 6: entity resolution end-to-end — fuzzy pairs
+        # closed into clusters (string-labeled CC) and emitted as the
+        # applicable canonical mapping with cluster sizes.
+        "canonical_part_names": textops.canonical_part_names,
         # NEW round 6: CDC-from-a-stream — foreachBatch maintains the
         # SCD2 user-state history micro-batch by micro-batch; oracle
         # recomputes one-shot, so batch boundaries must not leak.
@@ -207,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "stream_click_purchase_full": streams.stream_click_purchase_full,
         "simhash_dups": textops.simhash_dups,
         "q18_large_volume": relational.q18_large_volume,
         "semantic_dedup": vectors.semantic_dedup,

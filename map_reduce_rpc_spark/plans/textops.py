@@ -162,6 +162,48 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end: the fuzzy pair list
+    (fuzzy_part_names) closed into clusters via connected components
+    (string labels — min-label propagation is type-agnostic, the
+    component is the lexicographically smallest member) and turned
+    into the canonical mapping a cleanup pipeline applies: every
+    distinct name -> its canonical representative, singletons mapping
+    to themselves, plus the cluster size. This is the step that makes
+    fuzzy matching USEFUL — pairs alone cannot be applied to a column;
+    the canonical map can (one broadcast join). Fully oracled: the
+    DuckDB replay recloses the same pairs with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup.fuzzy_name_pairs(
+        load_table(spark, sf_dir, "part"),
+        "p_name",
+        max_dist=FUZZY_MAX_DIST,
+        len_band=FUZZY_LEN_BAND,
+    )
+    cc = connected_components(pairs, "name_a", "name_b")
+    names = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    asg = names.join(
+        cc.select(F.col("node").alias("name"), F.col("component")),
+        "name",
+        "left",
+    ).select(
+        "name", F.coalesce(F.col("component"), F.col("name")).alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    return asg.select(
+        "name",
+        "canonical",
+        (F.col("name") == F.col("canonical")).alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 # Containment windows are LONG (8 tokens): coincidental collisions are
 # rare, so shared windows ~ shared verbatim spans; min_shared=2 filters
 # single-window noise; the max_df prune mirrors the jaccard family.
@@ -896,6 +938,42 @@ TEXTOPS_ORACLES: dict[str, str] = {
           ON abs(length(a.name) - length(b.name)) <= {FUZZY_LEN_BAND}
              AND a.name < b.name
         WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+    # Recloses the fuzzy pair list with a recursive CTE (string nodes;
+    # component = lexicographic min member), left-joins every distinct
+    # name so singletons keep themselves, window-counts cluster size.
+    "canonical_part_names": f"""
+        WITH RECURSIVE n AS (
+            SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        ),
+        pairs AS (
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM n a JOIN n b
+              ON abs(length(a.name) - length(b.name)) <= {FUZZY_LEN_BAND}
+                 AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+        ),
+        edges AS (
+            SELECT name_a AS a, name_b AS b FROM pairs
+            UNION
+            SELECT name_b AS a, name_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a AS node, a AS r FROM edges
+            UNION
+            SELECT e.a AS node, reach.r AS r
+            FROM reach JOIN edges e ON e.b = reach.node
+        ),
+        comp AS (
+            SELECT node, min(r) AS canonical FROM reach GROUP BY node
+        ),
+        asg AS (
+            SELECT n.name, coalesce(comp.canonical, n.name) AS canonical
+            FROM n LEFT JOIN comp ON comp.node = n.name
+        )
+        SELECT name, canonical, name = canonical AS is_canonical,
+               count(*) OVER (PARTITION BY canonical) AS cluster_size
+        FROM asg
     """,
     # Replays every Gopher rule: whitespace words, '#'/'...' symbol
     # counts via non-overlapping replace, newline-split line ratios,

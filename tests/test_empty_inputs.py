@@ -50,6 +50,7 @@ _CASES = {
     "minhash_dups": 0,
     "gopher_rules": 0,
     "fuzzy_part_names": 0,
+    "canonical_part_names": 0,
     "dup_clusters_star": 0,
     # dataset management
     "split_assign": 0,
