@@ -194,7 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whitening / OPQ-rotation kernel; map-side combine means only
         # n_partitions x dim^2 longs ever shuffle.
         "embedding_gram": vectors.embedding_gram,
-        "ann_ivf_topk": vectors.ann_ivf_topk,
+        # NEW round 6: right-to-be-forgotten certified end-to-end —
+        # hash-bucketed events, cohort deleted via merge_delete_parquet
+        # (bounded rewrite, emptied buckets removed), read back and
+        # hash-matched against the logical complement.
+        "forget_users_events": events.forget_users_events,
         # NEW round 6: the composed faiss-IndexIVFPQ serving shape —
         # coarse probe -> 4-bit ADC shortlist -> exact rerank, each
         # tier already certified alone; this certifies the composition.
@@ -210,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": relational.segment_order_stats_compacted,
         # ================= end of the 50-slot checked window =================
         # COHORT-B remainder (round-5 certified, window next round):
+        "ann_ivf_topk": vectors.ann_ivf_topk,
         "stream_click_purchase_full": streams.stream_click_purchase_full,
         "simhash_dups": textops.simhash_dups,
         "q18_large_volume": relational.q18_large_volume,

@@ -404,7 +404,75 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORGET_MOD = 97  # delete every user_id % 97 == 0 — a deterministic cohort
+
+
+def forget_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, certified end-to-end: the events table is
+    materialized hash-bucket partitioned (16 buckets on user_id), a
+    deterministic user cohort (user_id % {FORGET_MOD} == 0) is deleted
+    through ``sources/sinks.merge_delete_parquet`` — dynamic partition
+    overwrite rewrites ONLY buckets containing a victim; a
+    fully-emptied bucket is removed rather than silently kept (the
+    delete-verb bug the test pins byte-level) — and the surviving
+    table is read back. The oracle is the logical complement (all
+    events whose user survives), so a hash match certifies the
+    PHYSICAL delete path produced exactly the logical answer: no
+    victim row retained, no survivor lost. Artifact is mtime-cached
+    like the other layout pipelines."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import merge_delete_parquet
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"forget:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_forget_{tag}/events"
+    marker = "_FORGET_COMPLETE"
+    root = os.path.dirname(path)
+    if not os.path.exists(os.path.join(path, marker)):
+        staging = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "_ub", F.pmod(F.xxhash64(F.col("user_id")), F.lit(16))
+        )
+        ev.write.mode("overwrite").partitionBy("_ub").parquet(staging)
+        victims = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") % FORGET_MOD == 0)
+            .select("user_id")
+            .distinct()
+        )
+        merge_delete_parquet(
+            spark, staging, victims, key_cols=("user_id",), partition_cols=("_ub",)
+        )
+        open(os.path.join(staging, marker), "w").close()
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    import glob
+
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        out = spark.read.parquet(path)
+    else:
+        out = load_table(spark, sf_dir, "events").limit(0)
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
 EVENTS_ORACLES: dict[str, str] = {
+    # the logical complement of the physical delete: every event whose
+    # user is NOT in the forgotten cohort, nothing else
+    "forget_users_events": f"""
+        SELECT event_id, user_id, event_type, ts
+        FROM events
+        WHERE user_id % {FORGET_MOD} <> 0
+    """,
     # missing-path typed get -> NULL in both engines, so n_missing is
     # just the row count; sum of ints cast BIGINT to match Spark long
     "events_variant_stats": """

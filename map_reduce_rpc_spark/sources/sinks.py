@@ -126,6 +126,79 @@ def merge_upsert_parquet(
     w.parquet(path)
 
 
+def merge_delete_parquet(
+    spark,
+    path: str,
+    deletes: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Batch DELETE by key from a plain-parquet table — the
+    right-to-be-forgotten verb completing the mutation family
+    (merge_upsert_parquet, compact_parquet_dir): every row whose
+    ``key_cols`` appear in ``deletes`` is removed; all other rows
+    survive byte-identical. Idempotent (re-deleting absent keys is a
+    no-op rewrite of the same survivors).
+
+    With ``partition_cols``, only partitions CONTAINING a deleted key
+    are rewritten (dynamic partition overwrite over the touched
+    slice); untouched partitions' files are never opened for write —
+    at 100 TB a delete's cost is bounded by the victims' partition
+    spread, never the table. A touched partition whose rows are ALL
+    deleted is removed explicitly after the overwrite: dynamic mode
+    only rewrites partitions present in the OUTPUT, so a fully-emptied
+    partition would otherwise silently keep its old files — the
+    classic delete-verb bug, pinned in tests/test_scale.py.
+
+    Same plain-parquet contract as the other verbs: single writer, no
+    transaction log; Delta/Iceberg get the same end state with
+    snapshot isolation on top.
+    """
+    import os
+    import shutil
+
+    existing = spark.read.parquet(path)
+    keys = deletes.select(*key_cols).distinct()
+    if partition_cols:
+        victims = existing.join(keys, list(key_cols), "left_semi")
+        touched = [
+            tuple(r) for r in victims.select(*partition_cols).distinct().collect()
+        ]
+        if not touched:
+            return  # nothing to delete
+        # partition filter as an OR of equality conjunctions (touched
+        # list is driver-small by contract: the victims' spread)
+        cond = None
+        for t in touched:
+            c = None
+            for col, val in zip(partition_cols, t):
+                eq = F.col(col) == F.lit(val)
+                c = eq if c is None else (c & eq)
+            cond = c if cond is None else (cond | c)
+        scope = existing.where(cond)
+        survivors = scope.join(keys, list(key_cols), "left_anti").localCheckpoint()
+        kept_parts = {
+            tuple(r)
+            for r in survivors.select(*partition_cols).distinct().collect()
+        }
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        for t in touched:
+            if t not in kept_parts:
+                sub = os.path.join(
+                    path,
+                    *[f"{col}={val}" for col, val in zip(partition_cols, t)],
+                )
+                shutil.rmtree(sub, ignore_errors=True)
+        return
+    survivors = existing.join(keys, list(key_cols), "left_anti").localCheckpoint()
+    survivors.write.mode("overwrite").parquet(path)
+
+
 def read_parquet_evolving(spark, path: str) -> DataFrame:
     """Read a parquet directory whose SCHEMA EVOLVED across writes
     (later files added columns): ``mergeSchema`` unions all file

@@ -705,3 +705,52 @@ def test_rank_zorder_beats_minmax_under_skew(spark, tmp_path):
     rows_mm = sorted(map(tuple, spark.read.parquet(mm).collect()))
     rows_rk = sorted(map(tuple, spark.read.parquet(rk).collect()))
     assert rows_mm == rows_rk
+
+
+def test_merge_delete_bounds_rewrite_and_removes_emptied_partitions(spark, tmp_path):
+    """The delete verb's two scale gates, byte-level: (1) deleting one
+    key rewrites ONLY that key's bucket — every other bucket's files
+    keep their inode+mtime; (2) a bucket whose rows are ALL deleted is
+    REMOVED — dynamic overwrite only rewrites partitions present in
+    the output, so without the explicit cleanup the emptied bucket
+    would silently keep its old files (the classic delete-verb bug)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.sources.sinks import merge_delete_parquet
+
+    path = str(tmp_path / "t")
+    # bucket = user id itself -> one user per partition, so "delete all
+    # of user 3" empties partition _b=3 exactly
+    df = spark.range(200).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 8).alias("user_id"),
+        (F.col("id") % 8).alias("_b"),
+    )
+    df.write.partitionBy("_b").parquet(path)
+
+    def stat_map():
+        return {
+            p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(path, "_b=*", "*.parquet"))
+        }
+
+    before = stat_map()
+    victims = spark.createDataFrame([(3,)], "user_id long")
+    merge_delete_parquet(spark, path, victims, ("user_id",), ("_b",))
+    after = stat_map()
+    # (2) bucket 3 is gone entirely
+    assert not os.path.exists(os.path.join(path, "_b=3"))
+    # (1) every other bucket untouched on disk
+    for p, st in before.items():
+        if f"_b=3{os.sep}" in p:
+            continue
+        assert after.get(p) == st, f"rewrote untouched {p}"
+    got = spark.read.parquet(path)
+    assert got.where("user_id = 3").count() == 0
+    assert got.count() == 200 - 25  # 200/8 rows per user
+    # idempotence: re-deleting is a no-op for untouched buckets
+    merge_delete_parquet(spark, path, victims, ("user_id",), ("_b",))
+    assert spark.read.parquet(path).count() == 175
