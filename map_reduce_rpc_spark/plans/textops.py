@@ -1561,6 +1561,17 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe shuffles only the batch side); verify touches candidate
     pairs only. Re-running a batch is idempotent (MERGE on key within
     the batch's own partition)."""
+    import os
+
+    root = _neardup_manifest_root(spark, sf_dir)
+    return _neardup_manifest_read(spark, os.path.join(root, "docs"))
+
+
+def _neardup_manifest_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, mtime-cached) the two-batch near-dup manifests and
+    return the artifact root. Extracted from incremental_neardup_manifest
+    so forget_docs_neardup_manifest can reuse the SAME base artifact
+    (copy-then-delete) without a second 21 s ingestion build."""
     import hashlib
     import os
     import shutil
@@ -1585,7 +1596,7 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/spark_graft_neardup_{tag}"
     marker = "_NEARDUP_COMPLETE"
     if os.path.exists(os.path.join(root, marker)):
-        return _neardup_manifest_read(spark, os.path.join(root, "docs"))
+        return root
     staging = f"{root}.stage.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     # an empty corpus writes no files at all — the dir must still
@@ -1698,7 +1709,7 @@ def incremental_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         # a concurrent builder won the rename; its artifact is complete
         shutil.rmtree(staging, ignore_errors=True)
-    return _neardup_manifest_read(spark, os.path.join(root, "docs"))
+    return root
 
 
 def _read_parquet_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
@@ -1805,3 +1816,171 @@ TEXTOPS_ORACLES["incremental_neardup_manifest"] = f"""
            CAST(coalesce(dup_of_key % {ARRIVAL_STRIDE}, -1) AS BIGINT) AS dup_of
     FROM documents d LEFT JOIN dup ON dup.late_doc = d.doc_id
 """
+
+
+FORGET_DOC_MOD = 7  # forget every doc_id % 7 == 0 — a deterministic cohort
+
+
+def forget_docs_neardup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten PROPAGATED INTO DERIVED STATE (round-6
+    verdict item 6): deleting a document from the corpus is not enough
+    when a persisted near-dup manifest still holds its shingle hashes,
+    band keys, and docs pointing at it as their ``dup_of``. This query
+    certifies the full propagation path end-to-end:
+
+      1. the base two-batch manifests (bands/ + docs/, the
+         incremental_neardup_manifest artifact) are copied to a
+         forget-specific root;
+      2. the victim cohort (doc_id % {FORGET_DOC_MOD} == 0) is deleted
+         from BOTH manifests via sources/sinks.merge_delete_parquet —
+         the same partition-bounded rewrite as the base-table verb;
+      3. surviving docs whose stored ``dup_of_key`` references a victim
+         are RE-DECIDED against the surviving manifests only: re-probe
+         their bands against the (now victim-free) band index, verify
+         exact jaccard on the stored shingle sets, take the new
+         min-earlier match (or become kept) — then merge-upserted back.
+         Only the affected docs are re-probed: removal of a doc can
+         never create a match, so docs whose pointer survives (or that
+         were kept) are provably unchanged — the recompute is bounded
+         by the victims' fan-in, never the corpus.
+
+    The DuckDB oracle recomputes the ENTIRE incremental decision from
+    scratch over the complement corpus (documents with the cohort
+    filtered out), so a hash match certifies the strongest forget
+    semantics: the manifests are indistinguishable from ones built on
+    a corpus that never contained the victims.
+
+    Scale: the copy is test scaffolding (production deletes in place);
+    the deletes rewrite only partitions containing victims; the
+    re-decide probe joins |affected| docs' bands against the band
+    index — the same keyed-join shape (and cost bound) as one
+    incremental ingest batch of size |affected|."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import merge_delete_parquet, merge_upsert_parquet
+
+    base_root = _neardup_manifest_root(spark, sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"neardup_forget:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = f"/tmp/spark_graft_neardup_forget_{tag}"
+    marker = "_FORGET_COMPLETE"
+    if not os.path.exists(os.path.join(root, marker)):
+        staging = f"{root}.stage.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(base_root, staging)
+        docs_path = os.path.join(staging, "docs")
+        bands_path = os.path.join(staging, "bands")
+        have_rows = bool(
+            glob.glob(os.path.join(docs_path, "**", "*.parquet"), recursive=True)
+        )
+        victims = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % FORGET_DOC_MOD == 0)
+            .select(F.col("doc_id").cast("long").alias("doc"))
+            .distinct()
+        )
+        if have_rows:
+            merge_delete_parquet(
+                spark, docs_path, victims, ("doc",), ("arrival_batch",)
+            )
+            if glob.glob(
+                os.path.join(bands_path, "**", "*.parquet"), recursive=True
+            ):
+                merge_delete_parquet(
+                    spark, bands_path, victims, ("doc",), ("arrival_batch",)
+                )
+        surv = _read_parquet_or_empty(
+            spark,
+            docs_path,
+            "doc long, arrival_key long, sh array<bigint>, "
+            "arrival_batch int, dup_of_key long",
+        )
+        victim_keys = victims.select(
+            ((F.col("doc") % 2) * F.lit(ARRIVAL_STRIDE) + F.col("doc")).alias(
+                "dup_of_key"
+            )
+        )
+        affected = surv.join(victim_keys, ["dup_of_key"], "left_semi").select(
+            "doc", "arrival_key", "sh", "arrival_batch"
+        )
+        if affected.limit(1).count() > 0:
+            surv_bands = _read_parquet_or_empty(
+                spark,
+                bands_path,
+                "doc long, arrival_key long, band_idx int, band_key string, "
+                "arrival_batch int",
+            )
+            late = surv_bands.join(
+                affected.select("doc"), ["doc"], "left_semi"
+            ).select(
+                F.col("doc").alias("late_doc"),
+                F.col("arrival_key").alias("late_key"),
+                "band_idx",
+                "band_key",
+            )
+            early = surv_bands.select(
+                F.col("doc").alias("early_doc"),
+                F.col("arrival_key").alias("early_key"),
+                "band_idx",
+                "band_key",
+            )
+            cand = (
+                late.join(early, ["band_idx", "band_key"])
+                .where(F.col("early_key") < F.col("late_key"))
+                .select("late_doc", "early_doc", "early_key")
+            )
+            late_sets = affected.select(
+                F.col("doc").alias("late_doc"), F.col("sh").alias("sh_late")
+            )
+            early_sets = surv.select(
+                F.col("doc").alias("early_doc"), F.col("sh").alias("sh_early")
+            )
+            verified = (
+                F.broadcast(cand)
+                .join(late_sets, "late_doc")
+                .join(early_sets, "early_doc")
+                .where(
+                    F.size(F.array_intersect("sh_late", "sh_early")).cast("double")
+                    / F.size(F.array_union("sh_late", "sh_early")).cast("double")
+                    >= F.lit(JACCARD_THRESHOLD)
+                )
+            )
+            redecided = verified.groupBy(
+                F.col("late_doc").alias("doc")
+            ).agg(F.min("early_key").alias("dup_of_key"))
+            updates = (
+                affected.join(redecided, ["doc"], "left")
+                .select("doc", "arrival_key", "sh", "arrival_batch", "dup_of_key")
+            )
+            merge_upsert_parquet(
+                spark, docs_path, updates, ("doc",), ("arrival_batch",)
+            )
+        open(os.path.join(staging, marker), "w").close()
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return _neardup_manifest_read(spark, os.path.join(root, "docs"))
+
+
+# Forget-propagation oracle: the SAME global replay as
+# incremental_neardup_manifest, but over the complement corpus — the
+# strongest semantics ("the victims never existed"). The bounded
+# implementation (delete + re-decide only victim-pointing docs) must
+# hash-match this full recompute.
+TEXTOPS_ORACLES["forget_docs_neardup_manifest"] = TEXTOPS_ORACLES[
+    "incremental_neardup_manifest"
+].replace(
+    "FROM documents\n",
+    f"FROM documents WHERE doc_id % {FORGET_DOC_MOD} <> 0\n",
+).replace(
+    "FROM documents d LEFT JOIN",
+    f"FROM (SELECT * FROM documents WHERE doc_id % {FORGET_DOC_MOD} <> 0) d "
+    "LEFT JOIN",
+)

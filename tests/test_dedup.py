@@ -262,3 +262,84 @@ def test_fuzzy_qgram_matches_plain_on_part_names(spark, sf_dir):
         ).collect()
     }
     assert blocked == plain and len(plain) > 0
+
+
+def test_forget_neardup_repoints_and_purges(spark, tmp_path):
+    """forget_docs_neardup_manifest's bounded re-decide, pinned on a
+    corpus built to exercise all four decision fates:
+      doc 0  victim (0%7==0)          -> absent from both manifests
+      doc 2  pointed at victim 0      -> re-decided: still dups doc
+                                         nothing earlier -> KEPT
+      doc 3  (batch 1) pointed at 0   -> re-decided: RE-POINTED to the
+                                         older surviving twin doc 2
+      doc 8  pointed at survivor 4    -> pointer untouched
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_rpc_spark.plans import textops
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "entirely different words compose this second document body text"
+    c = "completely unrelated third text with its own unique vocabulary"
+    rows = {
+        0: a,  # victim, batch 0, arrival_key 0
+        2: a,  # batch 0, key 2: base dup_of 0 (victim)
+        3: a,  # batch 1, key STRIDE+3: base dup_of 0 (victim)
+        4: b,  # batch 0, key 4: kept
+        8: b,  # batch 0, key 8: base dup_of 4 (survivor) - untouched
+        5: c,  # kept, unrelated
+        7: c,  # victim (7%7==0), batch 1 - must vanish too
+    }
+    sfd = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sfd)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(sfd, "documents.parquet"),
+    )
+
+    base = {
+        r["doc_id"]: (r["is_kept"], r["dup_of"])
+        for r in textops.incremental_neardup_manifest(spark, sfd).collect()
+    }
+    # base sanity: 2 and 3 point at the doomed doc 0, 8 at survivor 4
+    assert base[2] == (False, 0) and base[3] == (False, 0)
+    assert base[8] == (False, 4)
+
+    out = {
+        r["doc_id"]: (r["is_kept"], r["dup_of"])
+        for r in textops.forget_docs_neardup_manifest(spark, sfd).collect()
+    }
+    assert set(out) == {2, 3, 4, 5, 8}  # victims 0 and 7 gone
+    assert out[2] == (True, -1)  # only match was the victim -> kept
+    assert out[3] == (False, 2)  # re-pointed to the older survivor
+    assert out[8] == (False, 4)  # survivor pointer untouched
+    assert out[4] == (True, -1) and out[5] == (True, -1)
+
+    # and the manifests physically forgot: no victim row anywhere
+    import glob
+
+    forget_roots = {
+        p.split("/docs/")[0]
+        for p in glob.glob(
+            "/tmp/spark_graft_neardup_forget_*/docs/**/*.parquet",
+            recursive=True,
+        )
+    }
+    newest = max(forget_roots, key=os.path.getmtime)
+    for sub in ("docs", "bands"):
+        files = glob.glob(
+            os.path.join(newest, sub, "**", "*.parquet"), recursive=True
+        )
+        if files:
+            got = spark.read.parquet(os.path.join(newest, sub))
+            assert got.where("doc % 7 = 0").count() == 0, sub

@@ -754,3 +754,28 @@ def test_merge_delete_bounds_rewrite_and_removes_emptied_partitions(spark, tmp_p
     # idempotence: re-deleting is a no-op for untouched buckets
     merge_delete_parquet(spark, path, victims, ("user_id",), ("_b",))
     assert spark.read.parquet(path).count() == 175
+
+
+def test_bench_regression_gate():
+    """bench.py's round-over-round gate (round-6 verdict item 3):
+    >1.25x AND >0.5s absolute at the same sf flags; different sf or
+    sub-threshold drift does not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {"fast": 0.2, "slow": 2.0, "mid": 1.0}
+    now = {"fast": 0.5, "slow": 2.9, "mid": 1.2, "new_query": 9.0}
+    # fast: 2.5x but only +0.3s -> jitter floor holds it back
+    # slow: 1.45x and +0.9s -> flagged
+    # mid: +0.2s, 1.2x -> clean;  new_query: no previous -> skipped
+    got = bench.compute_regressions(now, prev, 0.1, 0.1)
+    assert set(got) == {"slow"}
+    assert got["slow"] == {"prev_sec": 2.0, "now_sec": 2.9}
+    # different scale factor -> gate disarmed entirely
+    assert bench.compute_regressions(now, prev, 0.01, 0.1) == {}
