@@ -146,12 +146,24 @@ def blocked_near_dup_pairs(
         a = base.alias("a")
         b = base.hint("merge").alias("b")
     extra = [F.col("a.blk").alias("blk")] if keep_block_col else []
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    # The cosine rides behind a single-element explode: a Generate node
+    # is a predicate-pushdown barrier, so the threshold filter below
+    # CANNOT be collapsed into the projection — without it Catalyst
+    # rewrites the filter through the alias and the interpreted HOF dot
+    # (zip_with/aggregate never enters codegen, and interpreted eval
+    # has no common-subexpression elimination) runs TWICE per
+    # candidate pair. Round-7 profiling at sf0.1: 2.78 s -> 1.73 s for
+    # the 250k-candidate pair stage, values bit-identical (same
+    # expression, evaluated once instead of twice). At 100 TB the pair
+    # stage is exactly this expression times sum(block^2) — factor two
+    # matters.
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("cos"),
+        F.explode(F.array(cos)).alias("cos"),
         *extra,
     )
     return pairs.where(F.col("cos") >= threshold)
@@ -455,7 +467,15 @@ def srp_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            # explode barrier: single evaluation of the interpreted HOF
+            # cosine under the threshold filter (see
+            # blocked_near_dup_pairs for the measured rationale)
+            F.explode(
+                F.array(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                )
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
