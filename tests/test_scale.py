@@ -779,3 +779,63 @@ def test_bench_regression_gate():
     assert got["slow"] == {"prev_sec": 2.0, "now_sec": 2.9}
     # different scale factor -> gate disarmed entirely
     assert bench.compute_regressions(now, prev, 0.01, 0.1) == {}
+
+
+def test_merge_delete_torn_write_rerun_converges(spark, tmp_path, monkeypatch):
+    """Crash-under-write for the delete verb (the reference's whole
+    test philosophy, test-mr.sh crash suite): merge_delete_parquet
+    runs [dynamic overwrite of touched partitions] THEN [sweep of
+    fully-emptied partition dirs]. Inject a crash BETWEEN the two —
+    the torn state keeps an emptied bucket's OLD files (victims
+    visible again!) — and assert a plain re-run converges to the
+    correct table and removes the stale dir (idempotence, the same
+    at-least-once -> exactly-once story as the MERGE sinks)."""
+    import glob
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.sources.sinks import merge_delete_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 8).alias("user_id"),
+        (F.col("id") % 8).alias("_b"),
+    )
+    df.write.partitionBy("_b").parquet(path)
+    victims = spark.createDataFrame([(3,)], "user_id long")
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def torn_rmtree(p, *a, **kw):
+        # the sweep's first rmtree is the injected crash point; every
+        # other rmtree (e.g. unrelated temp cleanup) passes through
+        if f"_b=3" in str(p):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("injected crash between overwrite and sweep")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", torn_rmtree)
+    try:
+        merge_delete_parquet(spark, path, victims, ("user_id",), ("_b",))
+        raise AssertionError("injection did not fire")
+    except OSError as exc:
+        assert "injected crash" in str(exc)
+
+    # TORN STATE: bucket dir survived the crash with its old files —
+    # a read sees the victims again (plain parquet has no snapshot
+    # isolation; this is exactly why the verb must be re-runnable)
+    assert os.path.isdir(os.path.join(path, "_b=3"))
+    assert glob.glob(os.path.join(path, "_b=3", "*.parquet"))
+    assert spark.read.parquet(path).where("user_id = 3").count() == 25
+
+    # plain re-run: same call, no special recovery mode
+    merge_delete_parquet(spark, path, victims, ("user_id",), ("_b",))
+    assert not os.path.exists(os.path.join(path, "_b=3"))
+    got = spark.read.parquet(path)
+    assert got.where("user_id = 3").count() == 0
+    assert got.count() == 175
