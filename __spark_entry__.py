@@ -66,15 +66,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           daily_revenue_moving, distinct_parts_per_flag,
           doc_fingerprints, order_line_arrays, order_priority_counts,
           q6_forecast_revenue, returnflag_measures_unpivot)
-        + all 36 last-certified-r5 (COHORT-B of the round-6 verdict:
-          order_ship_calendar ... audio_features_mm)
-        + round-7 new registrations in the remaining slots.
+        + 31 of the 36 last-certified-r5 (COHORT-B of the round-6
+          verdict) — the other 5 (approx_percentile_bounds,
+          q18_large_volume, global_shuffle, stream_sliding_counts,
+          stream_static_hourly) are displaced by this round's 7 new
+          registrations and move to round 8 (r5 -> r8 = exactly the
+          3-round bound)
+        + 7 new round-7 registrations (never-certified = stalest):
+          forget_docs_neardup_manifest, forget_customers_scd2,
+          events_skew_profile, early_user_activity,
+          snapshot_diff_orders, triangle_count_suppliers,
+          leakage_safe_split.
       round-8 window = wordcount + the 14 last-certified-r3 + the 30
-          last-certified-r4 + round-8 new registrations (= 45+,
-          fits), leaving the freshly r6/r7-certified tail for round 9.
+          last-certified-r4 + the 5 displaced r5 queries (= 50,
+          fits exactly), leaving the freshly r6/r7-certified tail
+          for round 9.
 
-    With 141 queries and 50 slots every query is certified at least
-    once per ceil(141/50) = 3 rounds, and every query — window or
+    With 148 queries and 50 slots every query is certified at least
+    once per ceil(148/50) = 3 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -101,7 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "ann_sq8_topk": vectors.ann_sq8_topk,
-        "approx_percentile_bounds": relational.approx_percentile_bounds,
         "audio_features_mm": multimodal.audio_features_mm,
         "chunk_documents": textops.chunk_documents,
         "containment_dups": textops.containment_dups,
@@ -111,14 +119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": textops.dup_clusters_star,
         "funnel_conversion": events.funnel_conversion,
         "fuzzy_part_names": textops.fuzzy_part_names,
-        "global_shuffle": sampling.global_shuffle,
         "gopher_rules": textops.gopher_rules,
         "image_features_mm": multimodal.image_features_mm,
         "image_resize_mm": multimodal.image_resize_mm,
         "incremental_dedup_manifest": textops.incremental_dedup_manifest,
         "order_ship_calendar": relational.order_ship_calendar,
         "order_value_robust_stats": relational.order_value_robust_stats,
-        "q18_large_volume": relational.q18_large_volume,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q8_market_share": relational.q8_market_share,
@@ -132,8 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_etl": streams.stream_events_etl,
         "stream_purchase_click_join": streams.stream_purchase_click_join,
         "stream_session_stats": streams.stream_session_stats,
-        "stream_sliding_counts": streams.stream_sliding_counts,
-        "stream_static_hourly": streams.stream_static_hourly,
         # ===== round-7 window: new round-7 registrations =====
         # NEW round 7 (verdict item 6): right-to-be-forgotten
         # propagated into DERIVED state — the near-dup band/doc
@@ -143,9 +147,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complement corpus ("the victims never existed").
         "forget_docs_neardup_manifest": textops.forget_docs_neardup_manifest,
         "forget_customers_scd2": relational.forget_customers_scd2,
+        # NEW round 7 (the skew + data-management set):
+        # - events_skew_profile: heavy-hitter/skew diagnostics (the
+        #   measurement that decides when the salting levers apply)
+        # - early_user_activity: fact-to-derived-dim join routed
+        #   through operators/scale.split_hot_key_join (hot keys
+        #   broadcast, cold keys shuffle; oracle = the plain join)
+        # - snapshot_diff_orders: two-snapshot added/removed/changed
+        #   diff via one co-partitioned full-outer join
+        # - triangle_count_suppliers: triangle counting on the
+        #   supplier co-occurrence graph (3rd graph-family algorithm)
+        # - leakage_safe_split: train/val/test split by near-dup
+        #   CLUSTER so eval leakage is structurally impossible
+        "events_skew_profile": events.events_skew_profile,
+        "early_user_activity": events.early_user_activity,
+        "snapshot_diff_orders": relational.snapshot_diff_orders,
+        "triangle_count_suppliers": relational.triangle_count_suppliers,
+        "leakage_safe_split": textops.leakage_safe_split,
         # ================= end of the 50-slot checked window =================
         # Tail (pytest-oracled every round; round-8 window takes the
         # r3/r4-certified block below, per the rotation policy):
+        "stream_static_hourly": streams.stream_static_hourly,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        "global_shuffle": sampling.global_shuffle,
+        "q18_large_volume": relational.q18_large_volume,
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
         "decontaminate_docs": textops.decontaminate_docs,
         "dup_clusters": textops.dup_clusters,
         "events_hourly_filled": events.events_hourly_filled,

@@ -305,6 +305,24 @@ def main() -> None:
     # a cold one.
     cold_total = round(sum(first_run.values()), 3) if first_run else None
     warm_total = round(total, 3)
+    # Scale-ladder block (round-6 verdict item 5): scripts/scale_ladder.py
+    # times one representative per family at sf0.001/0.01/0.1 and writes
+    # ladder.json; the bench embeds the compact exponent map so
+    # BENCH_r{N} carries the ladder without re-running it per-bench.
+    ladder_exponents: dict[str, float | None] = {}
+    ladder_superlinear: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "ladder.json")
+        ) as fh:
+            lad = json.load(fh)
+        ladder_superlinear = lad.get("superlinear", [])
+        ladder_exponents = {
+            fam: d.get("exponent_corrected", d.get("exponent_raw"))
+            for fam, d in lad.get("families", {}).items()
+        }
+    except (OSError, ValueError):
+        pass
     # Full per-query map: stderr + an EARLY stdout line (not the final
     # one) + a complete on-disk artifact. The driver's tail capture
     # truncated BENCH_r04's early stdout line mid-dict, so per-query
@@ -321,6 +339,14 @@ def main() -> None:
         "regressions": regressions,
         **({"first_run_sec": first_run} if first_run else {}),
         **({"errors": errors} if errors else {}),
+        **(
+            {
+                "ladder_exponents": ladder_exponents,
+                "ladder_superlinear": ladder_superlinear,
+            }
+            if ladder_exponents
+            else {}
+        ),
     }
     try:
         with open(art, "w") as fh:
@@ -353,6 +379,14 @@ def main() -> None:
                 "n_errors": len(errors),
                 "n_regressions": len(regressions),
                 **({"regressions": regressions} if regressions else {}),
+                **(
+                    {
+                        "ladder_exponents": ladder_exponents,
+                        "ladder_superlinear": ladder_superlinear,
+                    }
+                    if ladder_exponents
+                    else {}
+                ),
                 "warm_runs": WARM_RUNS,
                 "timed_runs": TIMED_RUNS,
                 "warm_total_sec": warm_total,

@@ -92,6 +92,47 @@ def salted_join(
     return fact_s.join(dim_rep, [on, "_salt"]).drop("_salt")
 
 
+def split_hot_key_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_threshold: int,
+) -> DataFrame:
+    """Skew-proof fact-to-dim equi-join by hot/cold key routing.
+
+    ``salted_join`` replicates the WHOLE dim n_salts times; this form
+    replicates NOTHING and instead routes each fact row by whether its
+    key is hot:
+
+      1. one partial-agg pass over the fact counts keys; keys with
+         >= hot_threshold rows form the hot set. By construction
+         |hot set| <= n_fact_rows / hot_threshold, so with a threshold
+         sized to ~rows-per-task the hot set is always broadcastable
+         (at 100 TB / 10^6-row threshold: <= 10^8/1 ~ a few thousand
+         keys, KBs on the wire).
+      2. hot fact rows join the hot slice of the dim via BROADCAST —
+         no shuffle ever sees the hot key, so no reducer drowns;
+      3. cold fact rows take the ordinary shuffle join, whose keys are
+         uniform-enough by definition of cold.
+
+    Equivalent to the plain inner join row-for-row (routing is a
+    partition of the fact by key; certified by early_user_activity's
+    DuckDB oracle, which is the plain join). Prefer AQE's skew split
+    when it can see the skew; this explicit form also covers shuffles
+    AQE won't re-plan (window-feeding exchanges, first-shot stats
+    misses) and keeps working when the dim side is itself too big to
+    broadcast whole — only its hot slice must fit.
+    """
+    counts = fact.groupBy(on).count()
+    hot_keys = counts.where(F.col("count") >= hot_threshold).select(on)
+    hot_fact = fact.join(F.broadcast(hot_keys), on, "semi")
+    cold_fact = fact.join(F.broadcast(hot_keys), on, "anti")
+    hot_dim = dim.join(F.broadcast(hot_keys), on, "semi")
+    return hot_fact.join(F.broadcast(hot_dim), on).unionByName(
+        cold_fact.join(dim, on)
+    )
+
+
 def morton_key(cols: list[Column], bits: int = 16) -> Column:
     """N-column Morton (Z-order) interleave of non-negative ints, each
     truncated to ``bits`` bits: bit b of column j lands at position

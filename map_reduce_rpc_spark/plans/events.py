@@ -465,6 +465,85 @@ def forget_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "ts")
 
 
+SKEW_TOP_K = 10
+HOT_JOIN_THRESHOLD = 200  # rows per key before the split-join routes it hot
+EARLY_WINDOW_HOURS = 1
+
+
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the event stream: the top-10 heavy
+    hitters by user with exact integer shares (ppm) plus the global
+    key cardinality on every row. This is the operator a pipeline runs
+    BEFORE choosing a salting/split strategy — the measurement half of
+    the skew levers (salted_user_counts, split_hot_key_join): a
+    max share over ~1/n_salts ppm says the hot key will drown one
+    reducer and the skew-proof form is required.
+
+    Plan shape at 100 TB: one partial-agg pass over the fact (one row
+    per key survives the map side), a TakeOrdered top-k (no global
+    sort), and two scalar aggregates broadcast back via cross join —
+    nothing driver-side beyond k rows + 2 scalars. Integer ppm (div,
+    not /) keeps the result hash-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    totals = counts.agg(
+        F.sum("n_events").alias("_total"),
+        F.count("*").alias("n_users_total"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "user_id",
+        "n_events",
+        F.expr("n_events * 1000000 div _total").alias("share_ppm"),
+        "n_users_total",
+    )
+
+
+def early_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many events happened inside each user's
+    first {EARLY_WINDOW_HOURS} h (onboarding window) vs overall — the
+    canonical fact-to-derived-dim self-join on user_id, which is
+    exactly where a power-law user distribution melts one reducer.
+
+    Runs through operators/scale.split_hot_key_join: users with >=
+    {HOT_JOIN_THRESHOLD} events take a broadcast path (their dim rows
+    never enter a shuffle keyed on the hot id), the cold tail takes
+    the normal shuffle join. The DuckDB oracle is the PLAIN join —
+    the hash match certifies the routed plan is row-for-row equivalent.
+    tests/test_skew.py re-certifies on data where one user holds 20 %
+    of the corpus.
+    """
+    from ..operators.scale import split_hot_key_join
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    joined = split_hot_key_join(
+        ev.select("user_id", "event_type", "ts"),
+        first_seen,
+        on="user_id",
+        hot_threshold=HOT_JOIN_THRESHOLD,
+    )
+    early = (
+        F.col("ts").cast("long") - F.col("t0").cast("long")
+        < EARLY_WINDOW_HOURS * 3600
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum(early.cast("long")).alias("n_early"),
+        F.count("*").alias("n_events"),
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
     # the logical complement of the physical delete: every event whose
     # user is NOT in the forgotten cohort, nothing else
@@ -518,6 +597,39 @@ EVENTS_ORACLES: dict[str, str] = {
         SELECT 'view>click>purchase', count(*),
                CASE WHEN count(*) = 0 THEN NULL
                     ELSE CAST(sum(t2 - t1) // count(*) AS BIGINT) END FROM p
+    """,
+    "events_skew_profile": f"""
+        WITH counts AS (
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        ),
+        totals AS (
+            SELECT CAST(sum(n_events) AS BIGINT) AS _total,
+                   count(*) AS n_users_total FROM counts
+        ),
+        top AS (
+            SELECT user_id, n_events,
+                   CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+                        AS INT) AS rank
+            FROM counts ORDER BY n_events DESC, user_id LIMIT {SKEW_TOP_K}
+        )
+        SELECT rank, user_id, n_events,
+               n_events * 1000000 // _total AS share_ppm,
+               n_users_total
+        FROM top CROSS JOIN totals
+    """,
+    # plain join == the split-routed plan, row for row
+    "early_user_activity": f"""
+        WITH first_seen AS (
+            SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+        )
+        SELECT e.event_type,
+               CAST(sum(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+                                  - CAST(floor(epoch(f.t0)) AS BIGINT)
+                                  < {EARLY_WINDOW_HOURS} * 3600
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+               count(*) AS n_events
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY e.event_type
     """,
     # The salted two-phase plan must equal a plain exact distinct.
     "salted_user_counts": """

@@ -473,6 +473,119 @@ def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_DELETE_MOD = 13  # snapshot v2 drops these keys
+DIFF_UPDATE_MOD = 7  # ... reprices these
+DIFF_INSERT_MOD = 11  # ... and adds a shifted twin of these
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the operator behind dataset versioning /
+    CDC backfills: given two snapshots of the orders table, classify
+    every key as added / removed / changed / unchanged and report
+    per-class counts with key-range bounds. v2 is derived
+    deterministically from v1 in BOTH engines (delete keys %
+    {DIFF_DELETE_MOD}, reprice keys % {DIFF_UPDATE_MOD}, insert a
+    key-shifted twin of keys % {DIFF_INSERT_MOD}), so the query stays
+    a pure function of sf_dir.
+
+    Plan shape: ONE full-outer join hash-partitioned on the key, then
+    a partial-agged classify-and-count — at 100 TB both snapshots
+    shuffle once (zero exchange if the snapshots are bucketed on the
+    key, operators/scale.write_bucketed_table), and the changed-row
+    test is a column compare inside codegen, no Python. Cents (exact
+    ints) rather than float totals, so the hash match is exact.
+    """
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        "o_orderstatus",
+    )
+    v2 = (
+        v1.where(F.col("o_orderkey") % DIFF_DELETE_MOD != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % DIFF_UPDATE_MOD == 0,
+                F.col("cents") + 100,
+            ).otherwise(F.col("cents")),
+        )
+        .unionByName(
+            v1.where(F.col("o_orderkey") % DIFF_INSERT_MOD == 0).select(
+                (F.col("o_orderkey") + F.lit(10**9)).alias("o_orderkey"),
+                "cents",
+                "o_orderstatus",
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    change_type = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.cents") != F.col("b.cents"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    key = F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+    return (
+        j.select(change_type.alias("change_type"), key.alias("okey"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("okey").alias("min_key"),
+            F.max("okey").alias("max_key"),
+        )
+    )
+
+
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-occurrence graph (edge = two
+    suppliers appear in the same order) — the classic MapReduce graph
+    workload, third member of the graph family after connected
+    components and PageRank. Output: one row (n_nodes, n_edges,
+    n_triangles).
+
+    Plan shape: edges are built from one orders-keyed self-join of the
+    per-order supplier list (a < b kills mirror/self pairs), then the
+    standard two-path + closing-edge count: E(a,b) JOIN E(b,c) forms
+    wedges, semi-checked against E(a,c). Every join is an equi-join on
+    a node id — hash-shuffled, AQE-skew-splittable. The production
+    lever at 100 TB is DEGREE ORIENTATION (orient each edge from its
+    lower-degree endpoint so every wedge pivot has small out-degree,
+    bounding the wedge blowup at O(m^1.5) total); here id-orientation
+    is kept because the co-supply graph's degrees are near-uniform and
+    the id-oriented DuckDB oracle is exactly the same three-way join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.distinct()
+    a, b = per_order.alias("a"), per_order.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    triangles = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")), "semi"
+    )
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(triangles.agg(F.count("*").alias("n_triangles")))
+    )
+
+
 PR_ITERS = 3
 PR_DAMPING = 0.85
 PR_TOPK = 20
@@ -2929,3 +3042,60 @@ RELATIONAL_ORACLES["pagerank_suppliers"] = _pagerank_oracle_sql()
 
 
 RELATIONAL_ORACLES["pagerank_directed_suppliers"] = _pagerank_directed_oracle_sql()
+
+
+# v2 derived from v1 with the same three deterministic mutations; the
+# diff itself is one full-outer join + classify, in both engines.
+RELATIONAL_ORACLES["snapshot_diff_orders"] = f"""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {DIFF_UPDATE_MOD} = 0
+                    THEN cents + 100 ELSE cents END AS cents,
+               o_orderstatus
+        FROM v1 WHERE o_orderkey % {DIFF_DELETE_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, cents, o_orderstatus
+        FROM v1 WHERE o_orderkey % {DIFF_INSERT_MOD} = 0
+    ),
+    j AS (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.cents <> b.cents
+                         OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               coalesce(a.o_orderkey, b.o_orderkey) AS okey
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_rows,
+           min(okey) AS min_key, max(okey) AS max_key
+    FROM j GROUP BY change_type
+"""
+
+
+# id-oriented edges make each triangle exactly ONE ordered wedge
+# (a<b<c) plus its closing edge, so the 3-way join counts it once.
+RELATIONAL_ORACLES["triangle_count_suppliers"] = """
+    WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+"""

@@ -418,6 +418,48 @@ def dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_BUCKETS = 10
+SPLIT_TRAIN_MAX = 7  # buckets 0-7 train, 8 val, 9 test
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits — the assignment unit is the NEAR-DUP CLUSTER, not the
+    document. A plain random split puts two near-identical documents
+    on opposite sides of the train/eval boundary, which inflates every
+    benchmark it touches; splitting by the connected component of the
+    dup graph makes cross-split leakage structurally impossible.
+
+    Composition: exact-jaccard dup pairs -> large-star/small-star
+    connected components (O(log n) rounds); docs outside any pair are
+    their own singleton cluster (coalesce to doc_id). The split is
+    component % {SPLIT_BUCKETS} — deterministic, engine-portable, and
+    constant per component by construction. Scale shape: the dup
+    machinery is the certified dup_clusters_star path; the extra cost
+    is one doc_id-keyed left join of labels onto the corpus (the label
+    side holds only docs appearing in some dup pair — AQE broadcasts
+    it when small, shuffles when the dup rate is high) and a codegen
+    CASE. Output: (doc_id, component, split).
+    """
+    from ..operators.graph import connected_components_star
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    comp = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    bucket = F.pmod(F.col("component"), F.lit(SPLIT_BUCKETS))
+    return labeled.withColumn(
+        "split",
+        F.when(bucket <= SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(bucket == SPLIT_TRAIN_MAX + 1, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_TOPK terms per document.
 
@@ -1464,6 +1506,40 @@ TEXTOPS_ORACLES["dup_clusters"] = f"""
 
 # Identical output contract, different iteration strategy — same oracle.
 TEXTOPS_ORACLES["dup_clusters_star"] = TEXTOPS_ORACLES["dup_clusters"]
+
+# Same transitive closure, right-joined onto the corpus (singletons =
+# own component), then the identical bucket CASE on component.
+TEXTOPS_ORACLES["leakage_safe_split"] = f"""
+    WITH RECURSIVE pairs AS (
+        {TEXTOPS_ORACLES["ngram_jaccard_dups"]}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.a AS node, reach.r AS r
+        FROM reach JOIN edges e ON e.b = reach.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(r) AS component
+        FROM reach GROUP BY node
+    ),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN component % {SPLIT_BUCKETS} <= {SPLIT_TRAIN_MAX}
+                THEN 'train'
+                WHEN component % {SPLIT_BUCKETS} = {SPLIT_TRAIN_MAX + 1}
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+"""
 
 
 def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Scale ladder: per-family scaling exponents over sf0.001 -> 0.01 ->
+0.1 (round-6 verdict item 5).
+
+One representative query per operator family is timed at each of the
+driver's three scale factors (1 warmup + min of 2 timed, fresh-session
+-free: one session, families interleaved by sf so session aging cannot
+masquerade as superlinearity). The naive exponent log10(t(0.1)/t(0.01))
+understates growth because every query carries ~constant session/plan
+overhead, so the ladder also reports an overhead-corrected exponent
+using the sf0.001 time as the fixed-cost estimate:
+
+    p = log10( (t(0.1) - c) / (t(0.01) - c) ),  c = min(t) across sfs
+        (clamped: corrected only when both numerators are positive)
+
+A family is flagged superlinear when the corrected exponent exceeds
+1.15 AND the sf0.1 time exceeds 1 s (below that, noise dominates).
+The sf0.1 -> sf1 extension for the heavy families lives in the
+dedicated soak scripts (scripts/soak_*_sf1.py, numbers in SCALE.md) —
+this ladder is the consolidated artifact the bench embeds.
+
+Writes ladder.json at the repo root (read by bench.py into BENCH_r{N})
+and rewrites the LADDER-AUTOGEN block in SCALE.md.
+
+Usage: python scripts/scale_ladder.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from map_reduce_rpc_spark.session import get_spark  # noqa: E402
+
+SFS = ("0.001", "0.01", "0.1")
+
+# family -> registered query name (resolved through __spark_entry__ so
+# the ladder can never drift from the certified plans)
+FAMILIES = {
+    "tpch_agg": "q1_pricing_summary",
+    "tpch_join": "q9_product_profit",
+    "window_sessionize": "user_sessions",
+    "events_rollup": "events_hourly",
+    "dedup_minhash": "minhash_dups",
+    "dedup_ngram": "ngram_jaccard_dups",
+    "similarity_brute": "similarity_topk",
+    "ann_ivf": "ann_ivf_topk",
+    "semantic_dedup": "semantic_dedup_cells",
+    "graph_cc": "dup_clusters_star",
+    "graph_pagerank": "pagerank_suppliers",
+    "text_curation": "curation_pipeline",
+    "sampling_shuffle": "global_shuffle",
+    "stream_etl": "stream_events_etl",
+}
+
+SUPERLINEAR_EXP = 1.15
+SUPERLINEAR_MIN_SEC = 1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("ladder", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    times: dict[str, dict[str, float]] = {f: {} for f in FAMILIES}
+    # interleave by sf so any session aging hits every family equally
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for fam, qname in FAMILIES.items():
+            fn = qs[qname]
+            fn(spark, sf_dir).count()  # warmup
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            times[fam][sf] = round(min(samples), 3)
+            print(f"  sf{sf} {fam} ({qname}): {times[fam][sf]:.3f}s", file=sys.stderr)
+    spark.stop()
+
+    ladder: dict[str, dict[str, object]] = {}
+    superlinear: list[str] = []
+    for fam, ts in times.items():
+        t1, t2, t3 = ts["0.001"], ts["0.01"], ts["0.1"]
+        raw = round(math.log10(t3 / t2), 3) if t2 > 0 else None
+        c = min(t1, t2, t3)
+        corrected = None
+        if t2 - c > 0.01 and t3 - c > 0.01:
+            corrected = round(math.log10((t3 - c) / (t2 - c)), 3)
+        flag = (
+            corrected is not None
+            and corrected > SUPERLINEAR_EXP
+            and t3 > SUPERLINEAR_MIN_SEC
+        )
+        if flag:
+            superlinear.append(fam)
+        ladder[fam] = {
+            "query": FAMILIES[fam],
+            "sec": ts,
+            "exponent_raw": raw,
+            "exponent_corrected": corrected,
+            "superlinear": flag,
+        }
+
+    out = {"families": ladder, "superlinear": superlinear}
+    with open(os.path.join(REPO, "ladder.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    _regen_scale_md(ladder, superlinear)
+    print(json.dumps({"superlinear": superlinear, "n_families": len(ladder)}))
+
+
+def _regen_scale_md(ladder: dict, superlinear: list[str]) -> None:
+    rows = [
+        "| family | query | sf0.001 | sf0.01 | sf0.1 | exp (raw) | exp (corrected) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for fam, d in sorted(ladder.items()):
+        ts = d["sec"]
+        corr = d["exponent_corrected"]
+        mark = " **SUPERLINEAR**" if d["superlinear"] else ""
+        rows.append(
+            f"| {fam} | `{d['query']}` | {ts['0.001']:.2f} | {ts['0.01']:.2f} "
+            f"| {ts['0.1']:.2f} | {d['exponent_raw']} "
+            f"| {corr if corr is not None else '—'}{mark} |"
+        )
+    verdict_line = (
+        "Zero superlinear families."
+        if not superlinear
+        else f"Superlinear: {', '.join(superlinear)}."
+    )
+    block = (
+        "<!-- LADDER-AUTOGEN-START (rewritten by scripts/scale_ladder.py) -->\n"
+        + "\n".join(rows)
+        + "\n\n"
+        + "Exponent 1.0 = linear in rows; corrected form subtracts the\n"
+        "cross-sf minimum as the fixed session/plan overhead estimate\n"
+        "(sf0.001 work is negligible, so min(t) ~ overhead). "
+        + verdict_line
+        + "\n<!-- LADDER-AUTOGEN-END -->"
+    )
+    path = os.path.join(REPO, "SCALE.md")
+    with open(path) as fh:
+        md = fh.read()
+    pat = re.compile(
+        r"<!-- LADDER-AUTOGEN-START.*?LADDER-AUTOGEN-END -->", re.DOTALL
+    )
+    if pat.search(md):
+        md = pat.sub(block, md)
+    else:
+        anchor = "<!-- BENCH-AUTOGEN-END -->"
+        md = md.replace(anchor, anchor + "\n\n## Scale ladder (sf0.001 -> 0.1)\n\n" + block)
+    with open(path, "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -343,3 +343,25 @@ def test_forget_neardup_repoints_and_purges(spark, tmp_path):
         if files:
             got = spark.read.parquet(os.path.join(newest, sub))
             assert got.where("doc % 7 = 0").count() == 0, sub
+
+
+def test_leakage_safe_split_no_cluster_spans_splits(spark):
+    """The structural guarantee: every near-dup cluster lands wholly
+    inside ONE split, and every document is assigned exactly once."""
+    from map_reduce_rpc_spark.plans import textops
+
+    sf = "/root/testdata/sf0.01"
+    out = textops.leakage_safe_split(spark, sf)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_comp: dict[int, set[str]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values()), (
+        "a dup cluster spans train/eval: "
+        f"{[c for c, s in by_comp.items() if len(s) > 1][:5]}"
+    )
+    # and the split is non-degenerate on this corpus
+    splits = {r.split for r in rows}
+    assert "train" in splits and len(splits) >= 2

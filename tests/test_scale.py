@@ -839,3 +839,43 @@ def test_merge_delete_torn_write_rerun_converges(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(path)
     assert got.where("user_id = 3").count() == 0
     assert got.count() == 175
+
+
+def test_split_hot_key_join_matches_plain_under_extreme_skew(spark):
+    """The hot/cold routed join must equal the plain inner join
+    row-for-row on data where one key holds half the fact — including
+    keys exactly AT the threshold and dim keys with no fact rows."""
+    n = 2000
+    fact = spark.range(n).select(
+        F.when(F.col("id") < n // 2, F.lit(7))  # key 7: 50% of rows
+        .otherwise(F.pmod(F.col("id"), F.lit(50)))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )  # keys 50-59 never appear in the fact
+    plain = fact.join(dim, "k")
+    routed = scale.split_hot_key_join(fact, dim, on="k", hot_threshold=20)
+    assert routed.count() == plain.count()
+    assert (
+        routed.exceptAll(plain).count() == 0
+        and plain.exceptAll(routed).count() == 0
+    )
+    # and the hot path actually engaged: key 7 exceeds the threshold,
+    # and its joined row count equals its fact row count (dim is unique)
+    hot_fact_rows = fact.where(F.col("k") == 7).count()
+    assert hot_fact_rows >= 20
+    assert routed.where(F.col("k") == 7).count() == hot_fact_rows
+
+
+def test_split_hot_key_join_all_cold_and_all_hot_edges(spark):
+    fact = spark.range(100).select(
+        F.pmod(F.col("id"), F.lit(10)).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    plain_n = fact.join(dim, "k").count()
+    # threshold larger than any key count -> pure cold path
+    assert scale.split_hot_key_join(fact, dim, "k", 10**6).count() == plain_n
+    # threshold 1 -> every key hot -> pure broadcast path
+    assert scale.split_hot_key_join(fact, dim, "k", 1).count() == plain_n
