@@ -280,11 +280,19 @@ def main() -> None:
     # exits 0 — the driver must always get its JSON line — but the
     # regressions list is empty on a clean round and that is asserted
     # by tests/test_scale.py::test_bench_regression_gate.
+    # bench_results.json is the sf0.1 steady-state baseline the gate
+    # diffs against; a smoke run at another sf must NOT clobber it, so
+    # non-headline sfs get their own artifact file.
+    art_dir = os.path.dirname(os.path.abspath(__file__))
     art = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+        art_dir,
+        "bench_results.json"
+        if sf_val == 0.1
+        else f"bench_results_sf{sf_val}.json",
     )
+    baseline = os.path.join(art_dir, "bench_results.json")
     try:
-        with open(art) as fh:
+        with open(baseline) as fh:
             prev = json.load(fh)
         prev_q = prev.get("per_query_sec", {})
         prev_sf = prev.get("sf")

@@ -104,7 +104,15 @@ def test_fixture_is_actually_skewed(skew_duck) -> None:
 
 
 @pytest.mark.parametrize(
-    "qname", ["salted_user_counts", "user_sessions", "funnel_conversion"]
+    "qname",
+    [
+        "salted_user_counts",
+        "user_sessions",
+        "funnel_conversion",
+        # the split-routed join (hot keys broadcast, cold shuffle) must
+        # stay row-identical to the plain-join oracle when key 0 is hot
+        "early_user_activity",
+    ],
 )
 def test_skew_sensitive_ops_match_oracle_on_zipf_data(
     spark, skew_dir, skew_duck, qname
