@@ -568,6 +568,13 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
         .distinct()
+        # The edge list feeds FIVE plan sites (e1/e2/e3 + both scalar
+        # counts); Catalyst does not reuse the subtree (round-7 plan
+        # audit counted 12 parquet scans = 6 rebuilds of the
+        # lineitem self-join), so materialize it once — the DataFrame
+        # twin of caching the edge RDD in the classic formulation.
+        # Same lever pagerank uses; edge list is O(m), executor-local.
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
