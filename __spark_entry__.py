@@ -77,13 +77,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 14 last-certified-r3 + the 30
-          last-certified-r4 + the 5 displaced r5 queries (= 50,
-          fits exactly), leaving the freshly r6/r7-certified tail
-          for round 9.
+      round-8 window = wordcount + bpe_pair_counts (late round-7
+          registration, never certified = stalest) + the 14
+          last-certified-r3 + the 30 last-certified-r4 + 4 of the 5
+          displaced r5 queries (= 50); the 5th displaced r5 query
+          heads round 9 alongside the r6-certified cohort.
 
-    With 148 queries and 50 slots every query is certified at least
-    once per ceil(148/50) = 3 rounds, and every query — window or
+    With 149 queries and 50 slots every query is certified at least
+    once per ceil(149/50) = 3 rounds (one r5 holdover displaced by the
+    late-registered bpe_pair_counts slips to round 9 — the single
+    4-round outlier, noted at its tail entry), and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -167,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= end of the 50-slot checked window =================
         # Tail (pytest-oracled every round; round-8 window takes the
         # r3/r4-certified block below, per the rotation policy):
+        # bpe_pair_counts registered late in round 7 after the window
+        # filled — never-certified, so it HEADS the round-8 window
+        # (stalest-first), displacing one r5 holdover to round 9.
+        "bpe_pair_counts": textops.bpe_pair_counts,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

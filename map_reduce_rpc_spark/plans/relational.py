@@ -473,6 +473,7 @@ def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRI_TOP_NEIGHBORS = 10  # backbone: keep each node's top-10 support edges
 DIFF_DELETE_MOD = 13  # snapshot v2 drops these keys
 DIFF_UPDATE_MOD = 7  # ... reprices these
 DIFF_INSERT_MOD = 11  # ... and adds a shifted twin of these
@@ -543,37 +544,57 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count on the supplier co-occurrence graph (edge = two
-    suppliers appear in the same order) — the classic MapReduce graph
-    workload, third member of the graph family after connected
-    components and PageRank. Output: one row (n_nodes, n_edges,
-    n_triangles).
+    """Triangle count on the supplier co-occurrence BACKBONE — the
+    classic MapReduce graph workload, third member of the graph family
+    after connected components and PageRank. Output: one row
+    (n_nodes, n_edges, n_triangles).
 
-    Plan shape: edges are built from one orders-keyed self-join of the
-    per-order supplier list (a < b kills mirror/self pairs), then the
-    standard two-path + closing-edge count: E(a,b) JOIN E(b,c) forms
-    wedges, semi-checked against E(a,c). Every join is an equi-join on
-    a node id — hash-shuffled, AQE-skew-splittable. The production
-    lever at 100 TB is DEGREE ORIENTATION (orient each edge from its
-    lower-degree endpoint so every wedge pivot has small out-degree,
-    bounding the wedge blowup at O(m^1.5) total); here id-orientation
-    is kept because the co-supply graph's degrees are near-uniform and
-    the id-oriented DuckDB oracle is exactly the same three-way join.
+    The raw co-occurrence graph (two suppliers share an order) is
+    near-COMPLETE on this schema — 453k of 500k possible edges at
+    sf0.1 — and a complete graph has Theta(n^3) triangles, so counting
+    on it is a wedge explosion by construction (the first cut of this
+    query spent 12 s at sf0.1 on ~200M wedges). The standard
+    network-science fix is BACKBONE SPARSIFICATION: keep each node's
+    top-{TRI_TOP_NEIGHBORS} strongest edges by co-occurrence support
+    (union-kNN graph — an edge survives if EITHER endpoint ranks it),
+    then count triangles on the backbone. That caps edges at
+    ~2*T*n and wedges at ~(2T)^2*n regardless of corpus density —
+    the lever that makes triangle counting possible at 100 TB, where
+    any co-occurrence graph over a dense domain saturates.
+
+    Plan shape: pair support = one combiner'd groupBy of the
+    orders-keyed self-join; the two top-T ranks are node-partitioned
+    windows over the pair table; the wedge join + closing-edge
+    semi-check run on the sparse backbone. Every join/window keys on
+    a node id — hash-shuffled, AQE-skew-splittable. Degree
+    orientation (low-degree endpoint first) is the further lever when
+    the BACKBONE is skewed; id-orientation suffices here (union-kNN
+    caps chosen-degree at 2T; a hub can exceed it only by being in
+    many other nodes' top lists, which support ranking bounds in
+    practice) and keeps the DuckDB oracle the identical three-way
+    join. The backbone (edge list) is localCheckpointed because it
+    feeds five plan sites and Catalyst rebuilds unshared subtrees
+    (the audit counted 12 scans without it).
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     per_order = li.distinct()
     a, b = per_order.alias("a"), per_order.alias("b")
-    edges = (
+    support = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
-        # The edge list feeds FIVE plan sites (e1/e2/e3 + both scalar
-        # counts); Catalyst does not reuse the subtree (round-7 plan
-        # audit counted 12 parquet scans = 6 rebuilds of the
-        # lineitem self-join), so materialize it once — the DataFrame
-        # twin of caching the edge RDD in the classic formulation.
-        # Same lever pagerank uses; edge list is O(m), executor-local.
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+    wu = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
+    wv = Window.partitionBy("v").orderBy(F.desc("support"), F.asc("u"))
+    edges = (
+        support.withColumn("ru", F.row_number().over(wu))
+        .withColumn("rv", F.row_number().over(wv))
+        .where(
+            (F.col("ru") <= TRI_TOP_NEIGHBORS) | (F.col("rv") <= TRI_TOP_NEIGHBORS)
+        )
+        .select("u", "v")
         .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
@@ -591,7 +612,6 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(edges.agg(F.count("*").alias("n_edges")))
         .crossJoin(triangles.agg(F.count("*").alias("n_triangles")))
     )
-
 
 PR_ITERS = 3
 PR_DAMPING = 0.85
@@ -3087,12 +3107,23 @@ RELATIONAL_ORACLES["snapshot_diff_orders"] = f"""
 
 # id-oriented edges make each triangle exactly ONE ordered wedge
 # (a<b<c) plus its closing edge, so the 3-way join counts it once.
-RELATIONAL_ORACLES["triangle_count_suppliers"] = """
+RELATIONAL_ORACLES["triangle_count_suppliers"] = f"""
     WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    edges AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
         FROM po a JOIN po b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v) AS ru,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY support DESC, u) AS rv
+            FROM support
+        ) WHERE ru <= {TRI_TOP_NEIGHBORS} OR rv <= {TRI_TOP_NEIGHBORS}
     ),
     nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
     tri AS (

@@ -418,6 +418,52 @@ def dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts, top-{BPE_TOPK} — the
+    counting step of one BPE merge iteration, i.e. the inner loop of
+    tokenizer-vocabulary induction over a training corpus. (Real BPE
+    iterates: count pairs -> merge the argmax -> recount; each
+    iteration is exactly this query over the re-tokenized corpus, so
+    certifying the step certifies the loop body.)
+
+    Plan shape at 100 TB: tokenize + in-array pair construction fuse
+    into the scan (transform over sequence — whole-stage codegen, no
+    UDF, no per-token shuffle), then ONE shuffle of (pair, partial
+    count) thanks to map-side combine — the reference's wc.go shape
+    with a combiner, over bigrams. Top-k via TakeOrdered (no global
+    sort). Hot pairs (stopword bigrams) collapse map-side exactly like
+    hot words in wordcount. Output: (rank, a, b, n), ties broken
+    lexicographically so both engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.get("t", i).alias("a"), F.get("t", i + 1).alias("b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    counts = pairs.groupBy("a", "b").agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("a"), F.asc("b")]
+    return (
+        counts.orderBy(*order)
+        .limit(BPE_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "a", "b", "n")
+    )
+
+
 SPLIT_BUCKETS = 10
 SPLIT_TRAIN_MAX = 7  # buckets 0-7 train, 8 val, 9 test
 
@@ -1506,6 +1552,27 @@ TEXTOPS_ORACLES["dup_clusters"] = f"""
 
 # Identical output contract, different iteration strategy — same oracle.
 TEXTOPS_ORACLES["dup_clusters_star"] = TEXTOPS_ORACLES["dup_clusters"]
+
+# Adjacent pairs via a 1-based list comprehension over the same
+# letter-run tokens; identical count-desc-then-lexicographic order.
+TEXTOPS_ORACLES["bpe_pair_counts"] = f"""
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest([{{'a': t[i], 'b': t[i+1]}} for i in range(1, len(t))],
+                      recursive := true)
+        FROM toks
+    ),
+    counts AS (
+        SELECT a, b, count(*) AS n FROM pairs GROUP BY a, b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rank,
+           a, b, n
+    FROM counts ORDER BY n DESC, a, b LIMIT {BPE_TOPK}
+"""
 
 # Same transitive closure, right-joined onto the corpus (singletons =
 # own component), then the identical bucket CASE on component.

@@ -376,3 +376,78 @@ def test_scd2_incremental_matches_pure_model(spark, tmp_path_factory, changes, s
         )
     )
     assert got == want
+
+
+_skewed_fact = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # key (small domain -> hot)
+        st.integers(min_value=0, max_value=10**6),  # payload
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(**_SETTINGS)
+@given(fact=_skewed_fact, threshold=st.integers(min_value=1, max_value=30))
+def test_split_hot_key_join_equals_plain_join_model(spark, fact, threshold):
+    """For ANY fact multiset and ANY hot threshold, the hot/cold routed
+    join is multiset-equal to the plain inner join — including keys
+    exactly at the threshold, keys missing from the dim, and a dim key
+    with no fact rows."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.operators.scale import split_hot_key_join
+
+    fdf = spark.createDataFrame(fact, "k: long, payload: long")
+    dim_keys = sorted({k for k, _ in fact})[:-1] + [999]  # drop one, add orphan
+    ddf = spark.createDataFrame([(k, k * 7) for k in dim_keys], "k: long, attr: long")
+    plain = sorted(
+        (r.k, r.payload, r.attr) for r in fdf.join(ddf, "k").collect()
+    )
+    routed = sorted(
+        (r.k, r.payload, r.attr)
+        for r in split_hot_key_join(fdf, ddf, "k", threshold).collect()
+    )
+    assert routed == plain
+
+
+_graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(raw=_graph_edges)
+def test_triangle_join_shape_matches_brute_force(spark, raw):
+    """The id-oriented wedge+closing-edge join counts exactly the
+    number of vertex triangles a brute-force itertools scan finds —
+    self-loops and duplicate/mirror edges must not inflate it."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    nodes = sorted({n for e in edges for n in e})
+    eset = set(edges)
+    brute = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "u: long, v: long")
+    e1, e2, e3 = edf.alias("e1"), edf.alias("e2"), edf.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e2.v").alias("z")
+    )
+    n = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")), "semi"
+    ).count()
+    assert n == brute
