@@ -77,16 +77,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + bpe_pair_counts (late round-7
-          registration, never certified = stalest) + the 14
-          last-certified-r3 + the 30 last-certified-r4 + 4 of the 5
-          displaced r5 queries (= 50); the 5th displaced r5 query
-          heads round 9 alongside the r6-certified cohort.
+      round-8 window = wordcount + bpe_pair_counts +
+          user_sessions_skewproof (late round-7 registrations, never
+          certified = stalest) + the 14 last-certified-r3 + the 30
+          last-certified-r4 + 3 of the 5 displaced r5 queries (= 50);
+          the last 2 displaced r5 queries head round 9 alongside the
+          r6-certified cohort.
 
-    With 149 queries and 50 slots every query is certified at least
-    once per ceil(149/50) = 3 rounds (one r5 holdover displaced by the
-    late-registered bpe_pair_counts slips to round 9 — the single
-    4-round outlier, noted at its tail entry), and every query — window or
+    With 150 queries and 50 slots every query is certified at least
+    once per ceil(150/50) = 3 rounds (two r5 holdovers displaced by
+    the late round-7 registrations slip to round 9 — the only 4-round
+    outliers, noted at their tail entries), and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -174,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filled — never-certified, so it HEADS the round-8 window
         # (stalest-first), displacing one r5 holdover to round 9.
         "bpe_pair_counts": textops.bpe_pair_counts,
+        # user_sessions_skewproof: split-and-stitch sessionization
+        # (bucket-local windows + session-stub merge) — the window-skew
+        # lever; same oracle as user_sessions. Heads round 8 with bpe.
+        "user_sessions_skewproof": events.user_sessions_skewproof,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -130,6 +130,79 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_BUCKET_HOURS = 24
+
+
+def user_sessions_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_sessions re-derived WITHOUT a whole-user window partition —
+    the skew-proof form for power-law users (SCALE.md names window
+    skew as the one lever AQE does not cover; a user holding 20 % of
+    100 TB serializes one task in the plain form).
+
+    Two-phase split-and-stitch, exploiting that gap-sessionization is
+    an interval merge and therefore associative:
+
+      1. sessionize within (user_id, {SESSION_BUCKET_HOURS}h bucket) —
+         the hot user's rows spread across time buckets, so no window
+         partition exceeds one bucket's worth of one user;
+      2. the per-bucket SESSION STUBS (start, end, n_events — 3 longs,
+         not events) re-sessionize per user with the same gap rule:
+         stubs split by a bucket boundary but within the gap merge,
+         stubs already separated stay separate (bucket width >> gap,
+         so only boundary-adjacent stubs can fuse).
+
+    Phase 2 partitions by user over session stubs, reduced from events
+    by the mean session size; the residual worst case (a user whose
+    every event is its own session) is documented in SCALE.md rather
+    than hidden. Output schema and DuckDB oracle are IDENTICAL to
+    user_sessions — certifying that split-and-stitch equals the
+    single-window form row-for-row, which is the whole point.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sec = F.col("ts").cast("long")
+    bucketed = ev.withColumn("sec", sec).withColumn(
+        "bucket", F.floor(F.col("sec") / (SESSION_BUCKET_HOURS * 3600))
+    )
+    w1 = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    gap1 = F.col("sec") - F.lag("sec", 1).over(w1)
+    with_sid = bucketed.withColumn(
+        "new_s",
+        F.when(gap1.isNull() | (gap1 > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    stubs = with_sid.groupBy("user_id", "bucket", "sid").agg(
+        F.min("sec").alias("s"),
+        F.max("sec").alias("e"),
+        F.count("*").alias("n"),
+    )
+    # phase 2: same gap rule over the stubs (ordered by start; stubs of
+    # one user never overlap because buckets partition time)
+    w2 = Window.partitionBy("user_id").orderBy("s", "e")
+    gap2 = F.col("s") - F.lag("e", 1).over(w2)
+    merged = (
+        stubs.withColumn(
+            "new_m",
+            F.when(gap2.isNull() | (gap2 > SESSION_GAP_MIN * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "mid",
+            F.sum("new_m").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "mid")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.max("e") - F.min("s")).alias("duration_sec"),
+        )
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_sec").alias("max_session_sec"),
+    )
+
+
 def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase event picks up the same
     user's latest click at-or-before the purchase (tie on ts -> max
@@ -764,6 +837,9 @@ EVENTS_ORACLES: dict[str, str] = {
         FROM events c
         WHERE c.event_type = 'click'
     """,
+    # Split-and-stitch must equal the single-window form exactly —
+    # IDENTICAL oracle text to user_sessions, bound below after the
+    # dict literal.
     "user_sessions": """
         WITH evsec AS (
             -- whole-second epoch, matching Spark's cast(ts AS long)
@@ -798,3 +874,8 @@ EVENTS_ORACLES: dict[str, str] = {
         FROM per_session GROUP BY user_id
     """,
 }
+
+
+# The skew-proof sessionizer's whole contract is "same answer as the
+# plain window form" — one oracle, two physical strategies.
+EVENTS_ORACLES["user_sessions_skewproof"] = EVENTS_ORACLES["user_sessions"]

@@ -41,7 +41,12 @@ from map_reduce_rpc_spark.session import get_spark  # noqa: E402
 from tests.test_skew import HOT_SHARE_MOD, ZIPF_S, ZIPF_USERS  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ("salted_user_counts", "user_sessions", "funnel_conversion")
+QUERIES = (
+    "salted_user_counts",
+    "user_sessions",
+    "user_sessions_skewproof",
+    "funnel_conversion",
+)
 
 
 def build_variants(copies: int, base: str) -> tuple[str, str]:

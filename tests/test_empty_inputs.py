@@ -113,6 +113,18 @@ _CASES = {
     "incremental_neardup_manifest": 0,
     "stream_converting_clicks": 0,
     "segment_order_stats_compacted": 0,
+    # round-7 additions: skew diagnostics/levers, versioning diff,
+    # triangle backbone, cluster-aware split, BPE pair counting
+    "events_skew_profile": 0,
+    "early_user_activity": 0,
+    "snapshot_diff_orders": 0,  # empty v1 -> empty v2 -> empty diff
+    "triangle_count_suppliers": 1,  # scalar aggs: one (0, 0, 0) row
+    "leakage_safe_split": 0,
+    "bpe_pair_counts": 0,
+    "user_sessions_skewproof": 0,
+    "forget_users_events": 0,
+    "forget_customers_scd2": 0,
+    "forget_docs_neardup_manifest": 0,
 }
 
 

@@ -112,6 +112,10 @@ def test_fixture_is_actually_skewed(skew_duck) -> None:
         # the split-routed join (hot keys broadcast, cold shuffle) must
         # stay row-identical to the plain-join oracle when key 0 is hot
         "early_user_activity",
+        # split-and-stitch sessionization must equal the single-window
+        # oracle exactly when one user owns 20% of the event stream —
+        # the data shape this operator exists for
+        "user_sessions_skewproof",
     ],
 )
 def test_skew_sensitive_ops_match_oracle_on_zipf_data(
