@@ -78,16 +78,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
       round-8 window = wordcount + bpe_pair_counts +
-          user_sessions_skewproof (late round-7 registrations, never
-          certified = stalest) + the 14 last-certified-r3 + the 30
-          last-certified-r4 + 3 of the 5 displaced r5 queries (= 50);
-          the last 2 displaced r5 queries head round 9 alongside the
-          r6-certified cohort.
+          user_sessions_skewproof + bloom_pruned_urgent_revenue (late
+          round-7 registrations, never certified = stalest) + the 14
+          last-certified-r3 + the 30 last-certified-r4 + 2 of the 5
+          displaced r5 queries (= 50); the last 3 displaced r5 queries
+          head round 9 alongside the r6-certified cohort.
 
-    With 150 queries and 50 slots every query is certified at least
-    once per ceil(150/50) = 3 rounds (two r5 holdovers displaced by
-    the late round-7 registrations slip to round 9 — the only 4-round
-    outliers, noted at their tail entries), and every query — window or
+    With 151 queries and 50 slots every query is certified at least
+    once per ceil(151/50) = 4 rounds, in practice 3 for all but the
+    three r5 holdovers displaced by the late round-7 registrations
+    (they slip to round 9 — the only 4-round outliers, noted at their
+    tail entries), and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -179,6 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bucket-local windows + session-stub merge) — the window-skew
         # lever; same oracle as user_sessions. Heads round 8 with bpe.
         "user_sessions_skewproof": events.user_sessions_skewproof,
+        # bloom_pruned_urgent_revenue: explicit Bloom-bitmap join
+        # pruning (operators/scale.bloom_prefilter) — fact rows that
+        # cannot match drop BEFORE the join shuffle; oracle = the
+        # plain join. Late round-7 registration, heads round 8.
+        "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -133,6 +133,66 @@ def split_hot_key_join(
     )
 
 
+def bloom_prefilter(
+    fact: DataFrame,
+    build_keys: DataFrame,
+    on: str,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Drop fact rows whose join key CANNOT appear on the build side —
+    before the join's shuffle ever moves them.
+
+    This is the shuffle-volume lever behind Spark's own runtime
+    row-level filtering (``spark.sql.optimizer.runtime.bloomFilter``),
+    exposed as an explicit, certifiable operator because the built-in
+    injection is internal (`bloom_filter_agg` / `might_contain` are not
+    in the public function registry) and only fires when the optimizer's
+    stats happen to qualify the join. At 100 TB the difference between
+    shuffling the whole fact table and shuffling the ~20 % that can
+    match is the whole game for selective fact-dim joins.
+
+    Mechanics — one-hash Bloom bitmap built entirely as DataFrame ops:
+
+      1. build side: each key hashes to one of ``m_bits`` positions;
+         positions fold into 64-bit words via ``bit_or(1 << pos%64)``
+         grouped by word index — an ordinary partial-aggregating
+         groupBy, at most ``m_bits/64`` result rows (16 K rows = 256 KB
+         at the 2^20 default);
+      2. fact side: broadcast-join the word table on word index and
+         keep rows whose bit is set. A key absent from the build side
+         either finds no word row (inner join drops it) or finds a
+         word with its bit clear.
+
+    NO FALSE NEGATIVES by construction — every build key sets its bit,
+    so `bloom_prefilter(fact, keys, on)` followed by the real equi-join
+    equals the plain join row-for-row (the join removes the false
+    positives); that identity is exactly what the DuckDB oracle of
+    ``bloom_pruned_urgent_revenue`` certifies. False-positive rate with
+    one hash is ~n/m (0.3 % at n=3 K keys, m=2^20); size ``m_bits`` to
+    ~100-1000x the build-side key count. When the build side is itself
+    huge (>=10^8 keys, bitmap >=100 MB), stop — a bitmap that big should
+    not be broadcast; use a shuffle semi-join instead (same plan Spark
+    falls back to when its bloom threshold trips).
+    """
+    word = F.floor(F.col("_p") / F.lit(64)).alias("_widx")
+    # SQL shiftleft, not F.shiftleft: the Python wrapper only takes a
+    # literal int shift amount, the SQL form takes a column
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+    words = (
+        build_keys.select(F.pmod(F.xxhash64(F.col(on)), F.lit(m_bits)).alias("_p"))
+        .groupBy(word)
+        .agg(F.bit_or(bit).alias("_word"))
+    )
+    fact_p = fact.withColumn(
+        "_p", F.pmod(F.xxhash64(F.col(on)), F.lit(m_bits))
+    ).withColumn("_widx", word)
+    return (
+        fact_p.join(F.broadcast(words), "_widx")
+        .where(F.col("_word").bitwiseAND(bit) != 0)
+        .drop("_p", "_widx", "_word")
+    )
+
+
 def morton_key(cols: list[Column], bits: int = 16) -> Column:
     """N-column Morton (Z-order) interleave of non-negative ints, each
     truncated to ``bits`` bits: bit b of column j lands at position

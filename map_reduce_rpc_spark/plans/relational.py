@@ -2313,7 +2313,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_pruned_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of URGENT-priority order lines, with the lineitem scan
+    pruned through ``operators/scale.bloom_prefilter`` BEFORE the join
+    shuffle: a 1-hash Bloom bitmap built from the urgent orderkeys
+    (~20 % of orders) broadcast to the fact side drops ~80 % of
+    lineitem rows pre-shuffle at a ~0.3 % false-positive cost, which
+    the subsequent equi-join removes.
+
+    The DuckDB oracle is the PLAIN join — the hash match certifies
+    that bloom-prune-then-join is row-for-row identical to the
+    unpruned join (no false negatives). This is the explicit,
+    certifiable form of Spark's runtime row-level bloom filtering.
+    """
+    from ..operators.scale import bloom_prefilter
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    pruned = bloom_prefilter(li, urgent.select("o_orderkey"), on="o_orderkey")
+    disc = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    return (
+        pruned.join(urgent, "o_orderkey")
+        .groupBy("l_returnflag", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
+    # plain join/agg — certifies bloom-prune-then-join == join
+    "bloom_pruned_urgent_revenue": """
+        SELECT l_returnflag,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag, CAST(year(o_orderdate) AS INT)
+    """,
     # The exact SQL string the Spark query runs — one dialect, two
     # engines (the point of writing q18 through the SQL entrypoint).
     "q18_large_volume": _Q18_SQL,

@@ -122,6 +122,7 @@ _CASES = {
     "leakage_safe_split": 0,
     "bpe_pair_counts": 0,
     "user_sessions_skewproof": 0,
+    "bloom_pruned_urgent_revenue": 0,  # empty build side -> all pruned
     "forget_users_events": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
