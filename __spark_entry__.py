@@ -78,15 +78,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
       round-8 window = wordcount + bpe_pair_counts +
-          user_sessions_skewproof + bloom_pruned_urgent_revenue (late
-          round-7 registrations, never certified = stalest) + the 14
-          last-certified-r3 + the 30 last-certified-r4 + 2 of the 5
-          displaced r5 queries (= 50); the last 3 displaced r5 queries
-          head round 9 alongside the r6-certified cohort.
+          user_sessions_skewproof + bloom_pruned_urgent_revenue +
+          classifier_quality_scores (late round-7 registrations, never
+          certified = stalest) + the 14 last-certified-r3 + the 30
+          last-certified-r4 + 1 of the 5 displaced r5 queries (= 50);
+          the last 4 displaced r5 queries head round 9 alongside the
+          r6-certified cohort.
 
-    With 151 queries and 50 slots every query is certified at least
-    once per ceil(151/50) = 4 rounds, in practice 3 for all but the
-    three r5 holdovers displaced by the late round-7 registrations
+    With 152 queries and 50 slots every query is certified at least
+    once per ceil(152/50) = 4 rounds, in practice 3 for all but the
+    four r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers, noted at their
     tail entries), and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
@@ -185,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cannot match drop BEFORE the join shuffle; oracle = the
         # plain join. Late round-7 registration, heads round 8.
         "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
+        # classifier_quality_scores: hashed-linear-model (fastText-
+        # style) quality inference, zero-shuffle in-row F.aggregate
+        # fold. Late round-7 registration, heads round 8.
+        "classifier_quality_scores": textops.classifier_quality_scores,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -548,6 +548,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# classifier_quality_scores: hashed-feature linear model. Weights are
+# a deterministic function of the feature bucket (Knuth multiplicative
+# scramble into [-1000, 1000] milli-units) so both engines hold the
+# identical "trained" model without shipping a weights file; swapping
+# in real learned weights = replacing the weight expression with a
+# broadcast-joined (bucket, weight) table, nothing else changes.
+CLS_DIM = 4096
+CLS_WEIGHT_MULT = 2654435761
+CLS_WEIGHT_MOD = 2001
+
+
+def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality classifier INFERENCE over every document:
+    hashed bag-of-words features (md5-derived bucket in [0, {CLS_DIM}))
+    x per-bucket weights, mean-pooled into a logit.
+
+    The model-scoring stage of a curation pipeline (the FineWeb /
+    DCLM shape: score every doc with a cheap linear classifier, keep
+    the positive tail). Scoring at 100 TB must be embarrassingly
+    parallel, and this plan is: the token array folds into the logit
+    with ``F.aggregate`` IN-ROW — zero shuffles, zero Python, one
+    whole-stage-codegen narrow scan. Integer-exact milli-unit logit;
+    the only float op is one final IEEE division of exact integers
+    (bit-identical across engines, same contract as tfidf_top_terms),
+    so ``keep`` thresholds on the exact integer, never the float.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def _weight(t: F.Column) -> F.Column:
+        return (
+            dedup.portable_hash60(t) % F.lit(CLS_DIM)
+        ) * F.lit(CLS_WEIGHT_MULT) % F.lit(CLS_WEIGHT_MOD) - F.lit(1000)
+
+    logit = F.aggregate(
+        F.transform(toks, _weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        logit.alias("logit_milli"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "logit_milli",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("logit_milli").cast("double")
+            / (F.lit(1000) * F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )
+
+
 def _quality_reason(sig: dict[str, F.Column]) -> F.Column:
     """First failing quality rule (fixed precedence) or 'ok' — shared
     by quality_filter and curation_pipeline so both engines and both
@@ -1555,6 +1614,35 @@ TEXTOPS_ORACLES["dup_clusters_star"] = TEXTOPS_ORACLES["dup_clusters"]
 
 # Adjacent pairs via a 1-based list comprehension over the same
 # letter-run tokens; identical count-desc-then-lexicographic order.
+# hashed-linear-model inference: identical md5-derived bucket + Knuth
+# weight scramble, integer-exact milli logit; the one float is the
+# final division of exact integers (bit-identical across engines)
+TEXTOPS_ORACLES["classifier_quality_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    feat AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum((('0x' || substring(md5(term), 1, 15))::BIGINT % {CLS_DIM})
+                        * {CLS_WEIGHT_MULT} % {CLS_WEIGHT_MOD} - 1000) AS BIGINT)
+                   AS logit_milli
+        FROM feat GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.tk)::INT AS n_tokens,
+           COALESCE(a.logit_milli, 0) AS logit_milli,
+           CASE WHEN len(t.tk) > 0
+                THEN CAST(COALESCE(a.logit_milli, 0) AS DOUBLE)
+                     / (1000 * len(t.tk))
+                ELSE 0.0 END AS score,
+           COALESCE(a.logit_milli, 0) > 0 AS keep
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
 TEXTOPS_ORACLES["bpe_pair_counts"] = f"""
     WITH toks AS (
         SELECT list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
