@@ -79,15 +79,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           leakage_safe_split.
       round-8 window = wordcount + bpe_pair_counts +
           user_sessions_skewproof + bloom_pruned_urgent_revenue +
-          classifier_quality_scores (late round-7 registrations, never
-          certified = stalest) + the 14 last-certified-r3 + the 30
-          last-certified-r4 + 1 of the 5 displaced r5 queries (= 50);
-          the last 4 displaced r5 queries head round 9 alongside the
-          r6-certified cohort.
+          classifier_quality_scores + hll_sketch_rollup_users (late
+          round-7 registrations, never certified = stalest) + the 14
+          last-certified-r3 + the 30 last-certified-r4 (= 50); all 5
+          displaced r5 queries head round 9 alongside the r6-certified
+          cohort.
 
-    With 152 queries and 50 slots every query is certified at least
-    once per ceil(152/50) = 4 rounds, in practice 3 for all but the
-    four r5 holdovers displaced by the late round-7 registrations
+    With 153 queries and 50 slots every query is certified at least
+    once per ceil(153/50) = 4 rounds, in practice 3 for all but the
+    five r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers, noted at their
     tail entries), and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # style) quality inference, zero-shuffle in-row F.aggregate
         # fold. Late round-7 registration, heads round 8.
         "classifier_quality_scores": textops.classifier_quality_scores,
+        # hll_sketch_rollup_users: mergeable DataSketches HLL rollup
+        # (daily sketches -> union-merged estimate, 5% bound asserted
+        # in-query). Late round-7 registration, heads round 8.
+        "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

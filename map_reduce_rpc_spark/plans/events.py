@@ -325,6 +325,50 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HLL sketches: build
+    one Apache DataSketches HLL per (event_type, day) with
+    ``hll_sketch_agg``, then union the daily sketches per event type
+    with ``hll_union_agg`` and estimate.
+
+    The point vs ``approx_distinct_users`` (plain approx_count_distinct)
+    is RE-AGGREGATION: a 100 TB deployment pre-computes daily sketch
+    rows (KBs each) once, and any coarser rollup — weekly, monthly,
+    all-time, any event-type subset — merges the stored sketches
+    without touching raw data again. That storage/recompute trade is
+    the whole reason mergeable summaries exist; distinct COUNTS are
+    not mergeable, sketches are.
+
+    Oracle form: the estimate itself is engine-specific, so (same
+    contract as approx_distinct_users) the output asserts the error
+    bound — (event_type, n_days, exact_users, within_bound) with
+    within_bound = |merged-sketch estimate - exact| / exact <= 5 %
+    (lgConfigK=14 -> ~0.8 % rsd, so 5 % is a hard invariant, not a
+    hope). DuckDB computes the exact side and asserts TRUE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (rel_err <= F.lit(0.05)).alias("within_bound"),
+    )
+
+
 def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join, expressed the way it scales: derive the top
     HOT_WINDOWS_K busiest hours, widen each to an overlapping interval
@@ -756,6 +800,17 @@ EVENTS_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'week', event_type, bucket,
                CAST(n_events AS BIGINT), CAST(sum_cents AS BIGINT) FROM weekly
+    """,
+    # mergeable-sketch rollup: estimate is engine-specific, so the
+    # output asserts the 5% error bound (same contract as
+    # approx_distinct_users); DuckDB computes the exact side
+    "hll_sketch_rollup_users": """
+        SELECT event_type,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
     """,
     "approx_distinct_users": """
         SELECT event_type,

@@ -124,6 +124,7 @@ _CASES = {
     "user_sessions_skewproof": 0,
     "bloom_pruned_urgent_revenue": 0,  # empty build side -> all pruned
     "classifier_quality_scores": 0,
+    "hll_sketch_rollup_users": 0,
     "forget_users_events": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
