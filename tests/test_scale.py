@@ -879,3 +879,43 @@ def test_split_hot_key_join_all_cold_and_all_hot_edges(spark):
     assert scale.split_hot_key_join(fact, dim, "k", 10**6).count() == plain_n
     # threshold 1 -> every key hot -> pure broadcast path
     assert scale.split_hot_key_join(fact, dim, "k", 1).count() == plain_n
+
+
+def test_bloom_prefilter_no_false_negatives_and_join_identity(spark):
+    """prune-then-join == plain join row-for-row, and the pruned set is
+    a SUPERSET of the true matches (Bloom filters never drop a real
+    key) — checked both at the default sizing and at a deliberately
+    undersized m_bits=64 where false positives are rampant."""
+    fact = spark.range(5000).select(
+        F.pmod(F.col("id") * 37, F.lit(701)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(40).select((F.col("id") * 17).alias("k"))
+    plain = fact.join(build, "k")
+    for m in (1 << 20, 64):  # well-sized, then FP-saturated
+        pruned = scale.bloom_prefilter(fact, build, on="k", m_bits=m)
+        # superset of true matches: no real match was dropped
+        assert plain.select("k", "payload").exceptAll(
+            pruned.select("k", "payload")
+        ).count() == 0
+        # and the follow-up join removes every false positive
+        routed = pruned.join(build, "k")
+        assert (
+            routed.exceptAll(plain).count() == 0
+            and plain.exceptAll(routed).count() == 0
+        )
+
+
+def test_bloom_prefilter_fact_side_stays_shuffle_free(spark):
+    """The fact side must reach the bit-test join without any shuffle:
+    the only ShuffleExchange in the plan belongs to the (tiny) build
+    side's bitmap aggregation, and the word table arrives broadcast."""
+    fact = spark.range(10000).select(F.pmod(F.col("id"), F.lit(97)).alias("k"))
+    build = spark.range(10).select(F.col("id").alias("k"))
+    pruned = scale.bloom_prefilter(fact, build, on="k")
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in final, final[:2000]
+    n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
+    assert n_shuffles <= 1, final[:2000]  # build-side bitmap agg only
