@@ -154,9 +154,12 @@ def merge_delete_parquet(
     transaction log; Delta/Iceberg get the same end state with
     snapshot isolation on top.
     """
+    import glob
     import os
     import shutil
 
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return  # empty table (zero-row write leaves no footers): nothing to delete
     existing = spark.read.parquet(path)
     keys = deletes.select(*key_cols).distinct()
     if partition_cols:
