@@ -194,6 +194,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (daily sketches -> union-merged estimate, 5% bound asserted
         # in-query). Late round-7 registration, heads round 8.
         "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
+        # trigram_lm_scores: corpus-trained add-one trigram LM, per-doc
+        # mean probability (the CCNet perplexity-filter shape), sums
+        # exact via 2^30 floor-quantization. Late round-7 registration,
+        # heads round 8.
+        "trigram_lm_scores": textops.trigram_lm_scores,
+        # boilerplate_ratio: share of each doc's distinct 4-gram
+        # shingles recurring in >= 5 docs (cross-corpus boilerplate,
+        # complement of doc_repetition's within-doc signal). Late
+        # round-7 registration, heads round 8.
+        "boilerplate_ratio": textops.boilerplate_ratio,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -740,6 +740,145 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trigram LM scoring: add-one smoothing, probabilities floor-quantized
+# at 2^30 so per-doc sums are exact-integer (engine-portable hashing —
+# a float sum's value depends on reduction order, a long sum's does
+# not). Real pipelines score with a KenLM log-prob / perplexity; the
+# mean smoothed probability used here is the same monotone ranking
+# signal with every arithmetic step (int add, one IEEE divide, one
+# IEEE multiply, floor) correctly rounded and therefore bit-identical
+# across Spark and DuckDB.
+LM_QUANT = 1 << 30
+
+
+def trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed n-gram language-model scoring — the CCNet-style
+    "perplexity filter" of a pretraining pipeline: train a smoothed
+    trigram LM ON the corpus itself, then score every document by its
+    mean trigram probability (low score = out-of-distribution /
+    low-quality text, the standard cut for LM-based quality filtering).
+
+    Plan shape at 100 TB: trigram construction fuses into the scan
+    (in-array ``transform`` over ``sequence`` — whole-stage codegen,
+    no UDF). The model is built by ONE (w1,w2,w3) count shuffle with
+    map-side combine; the context totals c2 derive from the ALREADY
+    REDUCED c3 table (a second, far smaller shuffle — never recount
+    the raw corpus), and the vocabulary size is a 1-row broadcast.
+    Scoring joins doc trigrams to the model on the trigram key — a
+    hash join of two key-partitioned sides (AQE handles stopword-gram
+    skew) — then one per-doc aggregation of exact quantized longs.
+    Output: (doc_id, n_trigrams, lm_score) with
+    p(w3|w1,w2) = (c3+1)/(c2+V) and lm_score = mean p.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("t"))
+    tri = (
+        toks.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - F.lit(3)),
+                    lambda i: F.struct(
+                        F.get("t", i).alias("w1"),
+                        F.get("t", i + 1).alias("w2"),
+                        F.get("t", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    prob = (F.col("c3") + F.lit(1)).cast("double") / (
+        F.col("c2") + F.col("v")
+    ).cast("double")
+    model = (
+        c3.join(c2, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(prob * F.lit(float(LM_QUANT))).cast("long").alias("qp"),
+        )
+    )
+    return (
+        tri.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_trigrams"), F.sum("qp").alias("sqp"))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            (
+                F.col("sqp").cast("double")
+                / (F.col("n_trigrams") * F.lit(LM_QUANT)).cast("double")
+            ).alias("lm_score"),
+        )
+    )
+
+
+# Boilerplate detection: a shingle is "boilerplate" when it recurs in
+# >= BOILER_MIN_DF distinct documents (nav bars, license headers,
+# templated footers); a document's boilerplate ratio is the share of
+# its distinct shingles that are corpus-common — the Dolma/CCNet
+# "duplicate n-gram fraction" cleaning signal.
+BOILER_N = 4
+BOILER_MIN_DF = 5
+
+
+def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-boilerplate ratio: the fraction of each
+    document's distinct word {BOILER_N}-gram shingles that appear in
+    at least {BOILER_MIN_DF} distinct documents. Documents dominated
+    by corpus-recurring shingles are templated/boilerplate text — the
+    removal candidates of the C4/CCNet cleaning stage (the complement
+    of doc_repetition, which measures WITHIN-doc repetition).
+
+    Plan shape at 100 TB: shingles are distinct-per-doc in-array
+    (array_distinct before the explode — the per-doc dedup never
+    shuffles), document frequency is ONE (shingle) count shuffle with
+    map-side combine, and the common set is pruned to df >=
+    {BOILER_MIN_DF} BEFORE the join-back — at real thresholds that
+    set is orders of magnitude smaller than the shingle table, so AQE
+    broadcasts it and the scoring pass is shuffle-free on the doc
+    side. Per-doc rollup is a count of exact integers; the ratio is
+    one IEEE division, bit-identical in the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", BOILER_N))).alias("g"),
+    )
+    common = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= BOILER_MIN_DF)
+        .select("g")
+    )
+    hit = sh.join(common, "g", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
 # Decontamination shape: benchmark membership by doc_id % DECON_MOD == 0
 # (stands in for "the eval set"), overlap on distinct word DECON_N-grams.
 DECON_MOD = 100
@@ -1641,6 +1780,66 @@ TEXTOPS_ORACLES["classifier_quality_scores"] = f"""
                 ELSE 0.0 END AS score,
            COALESCE(a.logit_milli, 0) > 0 AS keep
     FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+# Replays the LM build arithmetic step-for-step: every count is an
+# exact integer, the smoothed probability is ONE correctly-rounded
+# IEEE division, and the per-doc sum runs over floor-quantized longs,
+# so both engines produce bit-identical lm_score doubles.
+TEXTOPS_ORACLES["trigram_lm_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+        FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, sum(c3) AS c2 FROM c3 GROUP BY 1, 2),
+    v AS (
+        SELECT count(DISTINCT t) AS v
+        FROM toks, unnest(ts) AS z(t)
+    ),
+    model AS (
+        SELECT w1, w2, w3,
+               CAST(floor(((c3.c3 + 1)::DOUBLE / (c2.c2 + v.v)::DOUBLE)
+                          * {float(LM_QUANT)}) AS BIGINT) AS qp
+        FROM c3 JOIN c2 USING (w1, w2), v
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(qp) AS DOUBLE)
+               / CAST(count(*) * {LM_QUANT} AS DOUBLE) AS lm_score
+    FROM tri t JOIN model m USING (w1, w2, w3)
+    GROUP BY t.doc_id
+"""
+
+TEXTOPS_ORACLES["boilerplate_ratio"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+        FROM toks, unnest(range(1, len(ts) - {BOILER_N} + 2)) AS u(i)
+        WHERE len(ts) >= {BOILER_N}
+    ),
+    common AS (
+        SELECT g FROM sh GROUP BY g HAVING count(*) >= {BOILER_MIN_DF}
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(c.g) AS BIGINT) AS n_common,
+           CAST(count(c.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
+    FROM sh s LEFT JOIN common c USING (g)
+    GROUP BY s.doc_id
 """
 
 TEXTOPS_ORACLES["bpe_pair_counts"] = f"""

@@ -126,6 +126,8 @@ _CASES = {
     "classifier_quality_scores": 0,
     "hll_sketch_rollup_users": 0,
     "forget_users_events": 0,
+    "trigram_lm_scores": 0,
+    "boilerplate_ratio": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
 }
