@@ -204,6 +204,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complement of doc_repetition's within-doc signal). Late
         # round-7 registration, heads round 8.
         "boilerplate_ratio": textops.boilerplate_ratio,
+        # ann_filtered_topk: filtered vector search (label predicate
+        # pushed into the scan BEFORE any distance work — the
+        # "ANN + metadata WHERE" serving shape). Late round-7
+        # registration, heads round 8.
+        "ann_filtered_topk": vectors.ann_filtered_topk,
+        # collocation_pmi: phrase mining — top adjacent pairs by PMI
+        # (frequency-normalized, unlike bpe_pair_counts' raw counts);
+        # totals derive from the reduced count tables, scoring joins
+        # are vocabulary-sized. Late round-7 registration, heads
+        # round 8.
+        "collocation_pmi": textops.collocation_pmi,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -85,6 +85,55 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    labels: tuple[int, ...],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search — exact cosine top-k restricted to
+    vectors whose metadata satisfies a predicate (here: label in
+    ``labels``). The production retrieval shape ("nearest docs WHERE
+    lang='en' AND source=..."), and the case where pre-filtering beats
+    post-filtering: applying the predicate BEFORE any distance work
+    both shrinks the scan (predicate reaches the parquet reader as a
+    PushedFilter on the label column) and guarantees exactly k valid
+    results — a post-filtered ANN shortlist can come back short when
+    the predicate is selective.
+
+    Queries are looked up in the UNFILTERED table (a query vector need
+    not satisfy its own predicate) and broadcast; candidates carry the
+    filter into the scan. Per-query top-k via one window over the
+    scored candidates, ties broken by neighbor_id.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        _as_double(vec_col).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    queries = base.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    cands = base.where(F.col("_lbl").isin(list(labels)))
+    scored = cands.join(F.broadcast(queries), F.col("_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        F.col("_lbl").alias("label"),
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "label", "cos", "rnk")
+    )
+
+
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's own size estimate for the optimized plan (the same
     statistic the broadcast-join planner consults). None if the py4j

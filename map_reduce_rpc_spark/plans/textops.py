@@ -464,6 +464,82 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_TOPK = 50
+PMI_MIN_COUNT = 5  # standard support floor: rare pairs have noisy PMI
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} adjacent-token collocations by pointwise mutual
+    information — phrase mining (the word2vec-phrases / tokenizer
+    multi-word-unit induction step). Where bpe_pair_counts ranks pairs
+    by RAW frequency (dominated by stopword bigrams), PMI normalizes
+    by unigram frequency: score = p(a,b) / (p(a) p(b)), so pairs that
+    co-occur far above chance surface. The classic log is dropped
+    (monotone, and ln is not correctly-rounded-guaranteed across
+    engines); every arithmetic step here — three exact-int casts, four
+    IEEE divides/multiplies in a pinned order — is deterministic, so
+    the oracle hash-matches the ratio bit-for-bit.
+
+    Plan shape at 100 TB: unigram and bigram counts are each ONE
+    shuffle with map-side combine; the totals N1/N2 derive from the
+    ALREADY REDUCED count tables as 1-row broadcasts (never a second
+    pass over the corpus). The scoring joins attach unigram counts to
+    the {PMI_MIN_COUNT}+-support bigrams — vocabulary-sized sides that
+    AQE broadcasts at real scale. Top-k via TakeOrdered, no global
+    sort. Output: (rank, a, b, n, pmi_ratio).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t"))
+    c1 = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = c1.agg(F.sum("c").alias("n1"))
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.get("t", i).alias("a"), F.get("t", i + 1).alias("b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n"))
+    n2 = cab.agg(F.sum("n").alias("n2"))
+    scored = (
+        cab.where(F.col("n") >= PMI_MIN_COUNT)
+        .join(c1.select(F.col("w").alias("a"), F.col("c").alias("ca")), "a")
+        .join(c1.select(F.col("w").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "a",
+            "b",
+            "n",
+            (
+                (F.col("n").cast("double") / F.col("n2").cast("double"))
+                / (
+                    (F.col("ca").cast("double") / F.col("n1").cast("double"))
+                    * (F.col("cb").cast("double") / F.col("n1").cast("double"))
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    order = [F.desc("pmi_ratio"), F.asc("a"), F.asc("b")]
+    return (
+        scored.orderBy(*order)
+        .limit(PMI_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "a", "b", "n", "pmi_ratio")
+    )
+
+
 SPLIT_BUCKETS = 10
 SPLIT_TRAIN_MAX = 7  # buckets 0-7 train, 8 val, 9 test
 
@@ -1780,6 +1856,44 @@ TEXTOPS_ORACLES["classifier_quality_scores"] = f"""
                 ELSE 0.0 END AS score,
            COALESCE(a.logit_milli, 0) > 0 AS keep
     FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+# Replays the PMI arithmetic in the identical pinned operation order
+# (cast -> divide -> multiply -> divide), so the ratio doubles are
+# bit-identical; counts and totals are exact integers in both engines.
+TEXTOPS_ORACLES["collocation_pmi"] = f"""
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    c1 AS (
+        SELECT t AS w, count(*) AS c
+        FROM toks, unnest(ts) AS z(t) GROUP BY 1
+    ),
+    n1 AS (SELECT sum(c) AS n1 FROM c1),
+    cab AS (
+        SELECT ts[i] AS a, ts[i+1] AS b, count(*) AS n
+        FROM toks, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+        GROUP BY 1, 2
+    ),
+    n2 AS (SELECT sum(n) AS n2 FROM cab),
+    scored AS (
+        SELECT cab.a, cab.b, cab.n,
+               (cab.n::DOUBLE / n2.n2::DOUBLE)
+               / ((ca.c::DOUBLE / n1.n1::DOUBLE)
+                  * (cb.c::DOUBLE / n1.n1::DOUBLE)) AS pmi_ratio
+        FROM cab
+        JOIN c1 ca ON ca.w = cab.a
+        JOIN c1 cb ON cb.w = cab.b, n1, n2
+        WHERE cab.n >= {PMI_MIN_COUNT}
+    )
+    SELECT rank, a, b, n, pmi_ratio FROM (
+        SELECT a, b, n, pmi_ratio,
+               row_number() OVER (ORDER BY pmi_ratio DESC, a, b) AS rank
+        FROM scored
+    ) WHERE rank <= {PMI_TOPK}
 """
 
 # Replays the LM build arithmetic step-for-step: every count is an

@@ -62,6 +62,26 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_LABELS = (0, 2, 4, 6, 8)  # metadata predicate: even label blocks
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (exact top-10 among even-label vectors)
+    — the "ANN + metadata WHERE clause" serving shape. PRE-filter
+    strategy: the label predicate reaches the parquet scan as a
+    PushedFilter, so at 100 TB only matching row groups are read and
+    no distance is ever computed for a non-matching vector; a
+    post-filter over an unfiltered shortlist would instead return
+    short result lists whenever the predicate is selective. Exact
+    within the filtered set, so fully oracled."""
+    return similarity.filtered_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        labels=FILTER_LABELS,
+        k=TOP_K,
+    )
+
+
 IVF_NPROBE = 5
 
 
@@ -426,6 +446,27 @@ VECTORS_ORACLES: dict[str, str] = {
         )
         SELECT query_id, neighbor_id, cos, rnk FROM (
             SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    "ann_filtered_topk": f"""
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN ({_QID_LIST})
+        ),
+        scored AS (
+            SELECT q.query_id, base.vec_id AS neighbor_id, base.label,
+                   {_cos("q.qv", "base.v")} AS cos
+            FROM base, q
+            WHERE base.vec_id <> q.query_id
+              AND base.label IN ({", ".join(str(b) for b in FILTER_LABELS)})
+        )
+        SELECT query_id, neighbor_id, label, cos, rnk FROM (
+            SELECT query_id, neighbor_id, label, cos,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id) AS rnk
             FROM scored

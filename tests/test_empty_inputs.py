@@ -128,6 +128,8 @@ _CASES = {
     "forget_users_events": 0,
     "trigram_lm_scores": 0,
     "boilerplate_ratio": 0,
+    "ann_filtered_topk": 0,
+    "collocation_pmi": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
 }
