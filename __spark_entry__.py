@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are vocabulary-sized. Late round-7 registration, heads
         # round 8.
         "collocation_pmi": textops.collocation_pmi,
+        # bpe_learn_merges: the FULL BPE tokenizer-induction loop — 3
+        # iterations of count -> argmax -> corpus-wide greedy merge
+        # (in-row, shuffle-free apply); oracle unrolls all iterations
+        # as a CTE chain. Late round-7 registration, heads round 8.
+        "bpe_learn_merges": textops.bpe_learn_merges,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -464,6 +464,127 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ITERS = 3
+
+
+def _bpe_apply_merge(tcol: F.Column, ma: F.Column, mb: F.Column) -> F.Column:
+    """Apply ONE BPE merge (ma, mb) -> ma||mb to a token array, exact
+    greedy left-to-right semantics, entirely in-row (codegen transform
+    + filter, no shuffle, no Python).
+
+    For a non-self pair (ma != mb, guaranteed by the selection rule)
+    occurrences cannot overlap — position i merges iff t[i]=ma and
+    t[i+1]=mb, and t[i] is consumed iff t[i]=mb and t[i-1]=ma (the
+    consumed predecessor is always a REAL merge: t[i-1]=mb would
+    require ma=mb) — so the greedy scan reduces to an index-local map.
+    ``F.get`` returns NULL out of bounds, which the `when` chain
+    treats as no-match, handling both array ends without guards.
+    """
+    n = F.size(tcol)
+    mapped = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.when(
+            (F.get(tcol, i) == ma) & (F.get(tcol, i + 1) == mb),
+            F.concat(ma, mb),
+        )
+        .when(
+            (F.get(tcol, i) == mb) & (F.get(tcol, i - 1) == ma),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.get(tcol, i)),
+    )
+    return F.when(n >= 2, F.filter(mapped, lambda x: x.isNotNull())).otherwise(tcol)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer-induction loop, {BPE_ITERS} iterations:
+    count adjacent pairs -> select the argmax pair -> apply the merge
+    corpus-wide -> recount. bpe_pair_counts certifies the loop BODY;
+    this certifies the LOOP — the learned merge table is exactly what
+    a tokenizer trainer persists, and each iteration's selection
+    depends on the previous iteration's rewrite, so batch-boundary or
+    merge-application bugs cannot hide.
+
+    Determinism contract: argmax ties break on (n desc, a, b); SELF
+    pairs (a = b) are excluded from selection — a self-pair's greedy
+    merge over token runs is inherently order-dependent (left-to-right
+    pairing inside a run), which would force a sequential scan where a
+    non-self merge needs only an index-local map (_bpe_apply_merge).
+    On natural text the top pair is never a self-pair; the deviation
+    is documented, not silent.
+
+    Plan shape at 100 TB: per iteration ONE (pair, partial-count)
+    shuffle with map-side combine + a 1-row broadcast of the selected
+    pair into the in-row rewrite — the merge application itself never
+    shuffles. Each iteration's rewrite is localCheckpoint'ed (lazy)
+    so the count/stats/vocab consumers and the next iteration read the
+    materialized corpus instead of recomputing tokenize+merges from
+    the scan — the same lineage-truncation lever as PageRank, with no
+    effect on values (measured 3.9 -> 3.2 s warm at sf0.1).
+    Output: (iter, a, b, pair_n, tokens_after, vocab_after) — one row
+    per learned merge with post-merge corpus stats, all exact
+    integers/strings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(tokens("text").alias("t"))
+    out: DataFrame | None = None
+    for it in range(1, BPE_ITERS + 1):
+        counts = (
+            cur.where(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                        lambda i: F.struct(
+                            F.get("t", i).alias("a"), F.get("t", i + 1).alias("b")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            counts.where(F.col("a") != F.col("b"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.col("a").alias("ma"),
+                F.col("b").alias("mb"),
+                F.col("n").cast("long").alias("mn"),
+            )
+        )
+        merged = cur.crossJoin(F.broadcast(best)).select(
+            _bpe_apply_merge(F.col("t"), F.col("ma"), F.col("mb")).alias("t")
+        )
+        toks_after = merged.agg(
+            F.sum(F.greatest(F.size("t"), F.lit(0))).cast("long").alias("tokens_after")
+        )
+        vocab_after = (
+            merged.select(F.explode("t").alias("w"))
+            .agg(F.countDistinct("w").cast("long").alias("vocab_after"))
+        )
+        row = (
+            best.crossJoin(F.broadcast(toks_after))
+            .crossJoin(F.broadcast(vocab_after))
+            .select(
+                F.lit(it).alias("iter"),
+                F.col("ma").alias("a"),
+                F.col("mb").alias("b"),
+                F.col("mn").alias("pair_n"),
+                "tokens_after",
+                "vocab_after",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        # Materialize each iteration's rewrite once (the PageRank
+        # lineage pattern): without it, iteration k's count, stats and
+        # vocab each recompute tokenization + all previous merges from
+        # the scan — O(k) redundant corpus passes per iteration.
+        cur = merged.localCheckpoint(eager=False)
+    return out
+
+
 PMI_TOPK = 50
 PMI_MIN_COUNT = 5  # standard support floor: rare pairs have noisy PMI
 
@@ -1857,6 +1978,68 @@ TEXTOPS_ORACLES["classifier_quality_scores"] = f"""
            COALESCE(a.logit_milli, 0) > 0 AS keep
     FROM toks t LEFT JOIN agg a USING (doc_id)
 """
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled {BPE_ITERS}-iteration replay of the BPE training loop
+    (same pattern as the k-means Lloyd-replay oracles): every block
+    recounts pairs over the PREVIOUS block's rewritten corpus, selects
+    the same (n desc, a, b) argmax, and applies the identical
+    index-local greedy merge via list_transform/list_filter — DuckDB
+    list OOB indexing returns NULL exactly like Spark's ``F.get``, so
+    the two rewrites agree token-for-token."""
+    ctes = [
+        f"""toks0 AS (
+        SELECT list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    )"""
+    ]
+    for k in range(1, BPE_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""cnt{k} AS (
+        SELECT ts[i] AS a, ts[i+1] AS b, count(*) AS n
+        FROM toks{p}, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""best{k} AS (
+        SELECT a, b, CAST(n AS BIGINT) AS n FROM cnt{k}
+        WHERE a <> b ORDER BY n DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""toks{k} AS (
+        SELECT CASE WHEN len(ts) >= 2 THEN
+            list_filter(
+                list_transform(range(1, len(ts) + 1),
+                    i -> CASE
+                        WHEN ts[i] = bk.a AND ts[i+1] = bk.b
+                            THEN ts[i] || ts[i+1]
+                        WHEN ts[i] = bk.b AND i > 1 AND ts[i-1] = bk.a
+                            THEN NULL
+                        ELSE ts[i] END),
+                x -> x IS NOT NULL)
+        ELSE ts END AS ts
+        FROM toks{p}, best{k} bk
+    )""")
+        ctes.append(
+            f"""stat{k} AS (
+        SELECT CAST(sum(len(ts)) AS BIGINT) AS tokens_after FROM toks{k}
+    )"""
+        )
+        ctes.append(f"""voc{k} AS (
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_after
+        FROM toks{k}, unnest(ts) AS z(t)
+    )""")
+    selects = [
+        f"""SELECT {k} AS iter, b.a, b.b, b.n AS pair_n,
+               s.tokens_after, v.vocab_after
+        FROM best{k} b, stat{k} s, voc{k} v"""
+        for k in range(1, BPE_ITERS + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+TEXTOPS_ORACLES["bpe_learn_merges"] = _bpe_oracle_sql()
+
 
 # Replays the PMI arithmetic in the identical pinned operation order
 # (cast -> divide -> multiply -> divide), so the ratio doubles are

@@ -130,6 +130,7 @@ _CASES = {
     "boilerplate_ratio": 0,
     "ann_filtered_topk": 0,
     "collocation_pmi": 0,
+    "bpe_learn_merges": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
 }
