@@ -220,6 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (in-row, shuffle-free apply); oracle unrolls all iterations
         # as a CTE chain. Late round-7 registration, heads round 8.
         "bpe_learn_merges": textops.bpe_learn_merges,
+        # pca_power_pc1: leading principal direction by power
+        # iteration on the distributed Gram matrix (in-row pinned
+        # folds on the single matrix row), corpus projected onto it —
+        # the embedding_gram kernel actually consumed; oracle unrolls
+        # all iterations. Late round-7 registration, heads round 8.
+        "pca_power_pc1": vectors.pca_power_pc1,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

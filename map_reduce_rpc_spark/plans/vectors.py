@@ -1105,6 +1105,137 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_ITERS = 6
+PCA_V0 = 0.125  # 1/sqrt(64): uniform unit start, exactly representable
+
+
+def pca_power_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding corpus by POWER
+    ITERATION on the distributed Gram matrix, then the corpus
+    projected onto it — the dimensionality-reduction / spectral-
+    outlier scoring step of an embedding pipeline, end-to-end in one
+    plan. (Uncentered PCA — the leading right-singular direction;
+    on unit-normalized embedding corpora the uncentered form is the
+    standard cosine-geometry choice. Centering adds one mean
+    outer-product correction to the same machinery.)
+
+    Three stages, each scale-shaped: (1) the certified embedding_gram
+    pipeline — only n_partitions x dim^2 exact-integer cells ever
+    shuffle, independent of row count; (2) {PCA_ITERS} power
+    iterations IN-ROW on the single collected matrix row (dim^2
+    doubles — KBs; the exact analog of the Lloyd-centroid driver-state
+    contract), each matvec a pinned sequential fold so every float op
+    is order-fixed; (3) one narrow broadcast-projection pass over the
+    corpus, dot(x, v) per row, no shuffle. Bit-identical in DuckDB:
+    integer Gram cells, folds in list order, correctly-rounded
+    sqrt/divide — the oracle unrolls all iterations as CTEs (the
+    PageRank replay pattern). Output: (vec_id, label, pc1).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.transform(v, lambda x: F.floor(x * F.lit(float(GRAM_QUANT))).cast("long"))
+    outer = F.flatten(F.transform(q, lambda qi: F.transform(q, lambda qj: qi * qj)))
+    cells = (
+        emb.select(F.posexplode(outer).alias("pos", "p"))
+        .groupBy("pos")
+        .agg(F.sum("p").alias("s"))
+    )
+    it = (
+        cells.agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("gs"))
+        .select(F.transform("gs", lambda e: e["s"].cast("double")).alias("g"))
+        .select("g", F.array_repeat(F.lit(PCA_V0), EMB_DIM).alias("v"))
+    )
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    for _ in range(PCA_ITERS):
+        w = F.transform(
+            idx,
+            lambda i: F.aggregate(
+                idx,
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.get("g", i * EMB_DIM + j) * F.get("v", j),
+            ),
+        )
+        it = it.select("g", w.alias("w"))
+        it = it.select(
+            "g",
+            "w",
+            F.sqrt(
+                F.aggregate("w", F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("nrm"),
+        )
+        it = it.select(
+            "g", F.transform("w", lambda x: x / F.col("nrm")).alias("v")
+        )
+    return (
+        emb.crossJoin(F.broadcast(it.select("v")))
+        .select(
+            "vec_id",
+            "label",
+            similarity.dot(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("v"),
+            ).alias("pc1"),
+        )
+    )
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power-iteration replay: the Gram cells are the
+    embedding_gram oracle keyed by row-major pos; every matvec and
+    norm is a list-order fold (list_aggregate 'sum' == F.aggregate's
+    sequential fold: 0.0 + t0 is exactly t0)."""
+    d = EMB_DIM
+    ctes = [
+        f"""base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    )""",
+        f"""qv AS (
+        SELECT vec_id, t.i AS i,
+               CAST(floor(e[t.i] * {GRAM_QUANT}) AS BIGINT) AS q
+        FROM base, unnest(range(1, {d} + 1)) AS t(i)
+    )""",
+        f"""cells AS (
+        SELECT (a.i - 1) * {d} + (b.i - 1) AS pos,
+               CAST(sum(a.q * b.q) AS BIGINT) AS s
+        FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+        GROUP BY 1
+    )""",
+        f"""it0 AS (
+        SELECT (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) FROM cells) AS g,
+               list_transform(range(1, {d} + 1), x -> {PCA_V0}) AS v
+    )""",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""w{k} AS (
+        SELECT g, list_transform(range(1, {d} + 1),
+            i -> list_aggregate(list_transform(range(1, {d} + 1),
+                     j -> g[(i - 1) * {d} + j] * v[j]), 'sum')) AS w
+        FROM it{p}
+    )""")
+        ctes.append(f"""it{k} AS (
+        SELECT g,
+               list_transform(w, x -> x /
+                   sqrt(list_aggregate(list_transform(w, y -> y * y), 'sum'))) AS v
+        FROM w{k}
+    )""")
+    proj = (
+        f"list_aggregate(list_transform(range(1, {d} + 1), "
+        f"i -> e[i] * v[i]), 'sum')"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT base.vec_id, base.label, {proj} AS pc1
+    FROM base, it{PCA_ITERS}"""
+    )
+
+
+VECTORS_ORACLES["pca_power_pc1"] = _pca_oracle_sql()
+
+
 VECTORS_ORACLES["embedding_gram"] = f"""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
