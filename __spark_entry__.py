@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the embedding_gram kernel actually consumed; oracle unrolls
         # all iterations. Late round-7 registration, heads round 8.
         "pca_power_pc1": vectors.pca_power_pc1,
+        # kcore_suppliers: truncated k-core peeling on the supplier
+        # co-occurrence backbone (4th graph algorithm); convergence
+        # within the fixed rounds asserted in tests/test_graph.py.
+        # Late round-7 registration, heads round 8.
+        "kcore_suppliers": relational.kcore_suppliers,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -427,3 +427,39 @@ def pagerank_directed(
     ann.unpersist()
     dangling.unpersist()
     return ranks
+
+
+def kcore_truncated(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Truncated k-core peeling: `rounds` iterations of "drop every
+    node with degree < k, restrict the edge set to survivors", then
+    per-node degrees of the surviving subgraph. Input: undirected
+    unique pairs (u, v); output: (u, core_deg) for surviving nodes.
+
+    A FIXED round count (instead of iterate-to-fixpoint) keeps the
+    computation replayable as an unrolled oracle CTE chain — the same
+    contract as the PageRank/Lloyd replays; convergence within the
+    configured rounds is asserted separately (tests/test_graph.py runs
+    one extra round and requires an identical result on the test
+    graphs, so where that holds the truncated result IS the exact
+    k-core). Each round is one combiner'd degree aggregation plus two
+    node-keyed semi joins — all hash-partitioned on node ids,
+    AQE-skew-splittable; localCheckpoint truncates the per-round
+    lineage exactly like pagerank's.
+    """
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = und
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            .localCheckpoint(eager=False)
+        )
+    return cur.groupBy("u").agg(F.count("*").cast("long").alias("core_deg"))

@@ -543,6 +543,60 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-kNN backbone of the supplier co-occurrence graph: keep
+    each node's top-{TRI_TOP_NEIGHBORS} edges by co-occurrence support
+    (an edge survives if EITHER endpoint ranks it). Shared by the
+    triangle and k-core queries; localCheckpointed because every
+    consumer feeds it into multiple plan sites. (u, v) with u < v."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.distinct()
+    a, b = per_order.alias("a"), per_order.alias("b")
+    support = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+    wu = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
+    wv = Window.partitionBy("v").orderBy(F.desc("support"), F.asc("u"))
+    return (
+        support.withColumn("ru", F.row_number().over(wu))
+        .withColumn("rv", F.row_number().over(wv))
+        .where(
+            (F.col("ru") <= TRI_TOP_NEIGHBORS) | (F.col("rv") <= TRI_TOP_NEIGHBORS)
+        )
+        .select("u", "v")
+        .localCheckpoint()
+    )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k={KCORE_K}) of the supplier co-occurrence
+    backbone — the fourth graph-family algorithm (after connected
+    components, PageRank, triangles): iteratively peel nodes of degree
+    < k, then report each surviving node's degree inside the core
+    subgraph. The community-density primitive under graph-based
+    curation (keep densely-connected entities, drop peripheral ones).
+
+    {KCORE_ROUNDS} FIXED peel rounds (operators/graph.kcore_truncated)
+    keep every round replayable in the oracle's unrolled CTE chain;
+    tests/test_graph.py runs one extra round and asserts an identical
+    result, so on this data the truncated peel IS the converged
+    k-core. Per round: one combiner'd degree count + two node-keyed
+    semi joins. Output: (suppkey, core_deg)."""
+    from ..operators.graph import kcore_truncated
+
+    return kcore_truncated(
+        _supplier_backbone(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
+    ).select(F.col("u").alias("suppkey"), "core_deg")
+
+
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the supplier co-occurrence BACKBONE — the
     classic MapReduce graph workload, third member of the graph family
@@ -576,27 +630,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds five plan sites and Catalyst rebuilds unshared subtrees
     (the audit counted 12 scans without it).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    per_order = li.distinct()
-    a, b = per_order.alias("a"), per_order.alias("b")
-    support = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-    )
-    wu = Window.partitionBy("u").orderBy(F.desc("support"), F.asc("v"))
-    wv = Window.partitionBy("v").orderBy(F.desc("support"), F.asc("u"))
-    edges = (
-        support.withColumn("ru", F.row_number().over(wu))
-        .withColumn("rv", F.row_number().over(wv))
-        .where(
-            (F.col("ru") <= TRI_TOP_NEIGHBORS) | (F.col("rv") <= TRI_TOP_NEIGHBORS)
-        )
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _supplier_backbone(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
         F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
@@ -3158,6 +3192,53 @@ RELATIONAL_ORACLES["snapshot_diff_orders"] = f"""
 
 # id-oriented edges make each triangle exactly ONE ordered wedge
 # (a<b<c) plus its closing edge, so the 3-way join counts it once.
+def _kcore_oracle_sql() -> str:
+    """Unrolled replay of the truncated k-core peel over the same
+    union-kNN backbone CTEs as the triangle oracle."""
+    ctes = [
+        """po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)""",
+        """support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    )""",
+        f"""edges AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v) AS ru,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY support DESC, u) AS rv
+            FROM support
+        ) WHERE ru <= {TRI_TOP_NEIGHBORS} OR rv <= {TRI_TOP_NEIGHBORS}
+    )""",
+        """und0 AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    )""",
+    ]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(f"""keep{r} AS (
+        SELECT u FROM (SELECT u, count(*) AS d FROM und{r} GROUP BY u)
+        WHERE d >= {KCORE_K}
+    )""")
+        ctes.append(f"""und{r + 1} AS (
+        SELECT e.u, e.v FROM und{r} e
+        JOIN keep{r} a ON a.u = e.u
+        JOIN keep{r} b ON b.u = e.v
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS suppkey, CAST(count(*) AS BIGINT) AS core_deg
+    FROM und{KCORE_ROUNDS} GROUP BY u"""
+    )
+
+
+RELATIONAL_ORACLES["kcore_suppliers"] = _kcore_oracle_sql()
+
+
 RELATIONAL_ORACLES["triangle_count_suppliers"] = f"""
     WITH po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     support AS (

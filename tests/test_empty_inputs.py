@@ -132,6 +132,7 @@ _CASES = {
     "collocation_pmi": 0,
     "bpe_learn_merges": 0,
     "pca_power_pc1": 0,
+    "kcore_suppliers": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
 }

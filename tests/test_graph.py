@@ -142,3 +142,41 @@ def test_directed_pagerank_conserves_mass_and_ranks_sinks(spark):
     assert all(ranks[i] > ranks[0] for i in range(1, 7))
     # sinks must tie bit-exactly (determinism of the shared expression)
     assert len({ranks[i] for i in range(1, 7)}) == 1
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """4-clique {0,1,2,3} + pendant chain 3-4-5: the 3-core is exactly
+    the clique (every member degree 3); the chain peels off over two
+    rounds (5 first, then 4) — exercising the iteration, not just the
+    first filter."""
+    from map_reduce_rpc_spark.operators.graph import kcore_truncated
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        clique + [(3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r["u"]: r["core_deg"] for r in kcore_truncated(edges, k=3, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_converges_within_configured_rounds(spark, sf_dir):
+    """The registered query's FIXED round count must be at fixpoint on
+    the real backbone: one extra round changes nothing, so the
+    truncated peel equals the exact k-core here."""
+    from map_reduce_rpc_spark.operators.graph import kcore_truncated
+    from map_reduce_rpc_spark.plans.relational import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _supplier_backbone,
+    )
+
+    edges = _supplier_backbone(spark, sf_dir)
+    a = sorted(
+        (r["u"], r["core_deg"])
+        for r in kcore_truncated(edges, KCORE_K, KCORE_ROUNDS).collect()
+    )
+    b = sorted(
+        (r["u"], r["core_deg"])
+        for r in kcore_truncated(edges, KCORE_K, KCORE_ROUNDS + 1).collect()
+    )
+    assert a == b and len(a) > 0
