@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within the fixed rounds asserted in tests/test_graph.py.
         # Late round-7 registration, heads round 8.
         "kcore_suppliers": relational.kcore_suppliers,
+        # keyword_search_topk: lexical retrieval (fixed multi-term
+        # query, rational tf-idf surrogate, fixed-order term sum) —
+        # the keyword complement of the ANN serving family. Late
+        # round-7 registration, heads round 8.
+        "keyword_search_topk": textops.keyword_search_topk,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -464,6 +464,65 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ("spark", "table", "query")  # the fixed search query
+SEARCH_TOPK = 20
+
+
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-{SEARCH_TOPK} documents for a fixed
+    multi-term query, ranked by a tf-idf surrogate — the LEXICAL
+    retrieval primitive complementing the ANN family (production
+    search is hybrid: BM25-style keyword + vector, fused downstream).
+    score(d) = sum_t tf(d,t) * (N+1)/(df_t+1), the same rational idf
+    surrogate as tfidf_top_terms (a single IEEE division of exact
+    integers is bit-identical across engines where ln() is not), with
+    the term sum written in FIXED query order so every float add is
+    order-pinned.
+
+    Plan shape at 100 TB: the token explode is filtered to the query
+    terms IMMEDIATELY (selectivity |query|/|vocab| — the inverted-
+    index access path expressed declaratively), so the per-doc tf
+    aggregation touches only matching tokens; document frequencies
+    and N reduce to ONE broadcast row; scoring is a codegen map and
+    the top-k is a TakeOrdered, no global sort. Nothing
+    document-sized shuffles. Output: (rank, doc_id, score, n_hits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    hits = toks.where(F.col("w").isin(list(SEARCH_TERMS)))
+    tf = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ],
+    )
+    stats = hits.groupBy().agg(
+        *[
+            F.countDistinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ]
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = None
+    for i in range(len(SEARCH_TERMS)):
+        term = F.col(f"tf{i}").cast("double") * (
+            (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col(f"df{i}") + F.lit(1)).cast("double")
+        )
+        score = term if score is None else score + term
+    order = [F.desc("score"), F.asc("doc_id")]
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "n_hits", score.alias("score"))
+        .orderBy(*order)
+        .limit(SEARCH_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "doc_id", "score", "n_hits")
+    )
+
+
 BPE_ITERS = 3
 
 
@@ -1978,6 +2037,60 @@ TEXTOPS_ORACLES["classifier_quality_scores"] = f"""
            COALESCE(a.logit_milli, 0) > 0 AS keep
     FROM toks t LEFT JOIN agg a USING (doc_id)
 """
+
+def _keyword_search_oracle_sql() -> str:
+    """Mirror of keyword_search_topk: same conditional-aggregation tf,
+    1-row df/N stats, and the term sum in the identical fixed order."""
+    terms = SEARCH_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n               ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        f"count(DISTINCT CASE WHEN w = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "\n             + ".join(
+        f"tf{i}::DOUBLE * ((nd.n_docs + 1)::DOUBLE / (stats.df{i} + 1)::DOUBLE)"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, t AS w FROM toks, unnest(ts) AS z(t)
+        WHERE t IN ({in_list})
+    ),
+    tf AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+               {tf_cols}
+        FROM hits GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT {df_cols}
+        FROM hits
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, n_hits,
+               {score} AS score
+        FROM tf, stats, nd
+    )
+    SELECT rank, doc_id, score, n_hits FROM (
+        SELECT doc_id, n_hits, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {SEARCH_TOPK}
+    """
+
+
+TEXTOPS_ORACLES["keyword_search_topk"] = _keyword_search_oracle_sql()
+
 
 def _bpe_oracle_sql() -> str:
     """Unrolled {BPE_ITERS}-iteration replay of the BPE training loop

@@ -133,6 +133,7 @@ _CASES = {
     "bpe_learn_merges": 0,
     "pca_power_pc1": 0,
     "kcore_suppliers": 0,
+    "keyword_search_topk": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
 }
