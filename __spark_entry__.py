@@ -77,19 +77,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + bpe_pair_counts +
-          user_sessions_skewproof + bloom_pruned_urgent_revenue +
-          classifier_quality_scores + hll_sketch_rollup_users (late
-          round-7 registrations, never certified = stalest) + the 14
-          last-certified-r3 + the 30 last-certified-r4 (= 50); all 5
-          displaced r5 queries head round 9 alongside the r6-certified
-          cohort.
+      round-8 window = wordcount + the 13 late round-7 registrations
+          (never certified = stalest: bpe_pair_counts,
+          user_sessions_skewproof, bloom_pruned_urgent_revenue,
+          classifier_quality_scores, hll_sketch_rollup_users,
+          trigram_lm_scores, boilerplate_ratio, ann_filtered_topk,
+          collocation_pmi, bpe_learn_merges, pca_power_pc1,
+          kcore_suppliers, keyword_search_topk) + the 14
+          last-certified-r3 + 22 of the 30 last-certified-r4 (= 50);
+          the remaining 8 r4 queries and the 5 displaced r5 queries
+          head round 9 alongside the r6-certified cohort.
 
-    With 153 queries and 50 slots every query is certified at least
-    once per ceil(153/50) = 4 rounds, in practice 3 for all but the
-    five r5 holdovers displaced by the late round-7 registrations
-    (they slip to round 9 — the only 4-round outliers, noted at their
-    tail entries), and every query — window or
+    With 161 queries and 50 slots every query is certified at least
+    once per ceil(161/50) = 4 rounds, in practice 3 for all but the
+    r4/r5 holdovers displaced by the late round-7 registrations
+    (they slip to round 9 — the only 4-round outliers), and every
+    query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
