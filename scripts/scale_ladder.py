@@ -60,6 +60,11 @@ FAMILIES = {
     "text_curation": "curation_pipeline",
     "sampling_shuffle": "global_shuffle",
     "stream_etl": "stream_events_etl",
+    # late round-7 families
+    "text_lm": "trigram_lm_scores",
+    "tokenizer_bpe": "bpe_learn_merges",
+    "vector_pca": "pca_power_pc1",
+    "graph_kcore": "kcore_suppliers",
 }
 
 SUPERLINEAR_EXP = 1.15
