@@ -463,3 +463,54 @@ def kcore_truncated(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return cur.groupBy("u").agg(F.count("*").cast("long").alias("core_deg"))
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007) for
+    COMMUNITY detection — the density-sensitive complement of
+    :func:`connected_components` (which only answers reachability):
+    within one connected component, LPA splits the loosely-bridged
+    dense regions apart. Input: undirected unique pairs (u, v);
+    output: (node, community) where community is the surviving label.
+
+    Every node starts labeled with its own id; each round every node
+    adopts the MODE of its neighbors' labels (pure neighbor vote,
+    ties broken toward the smallest label — the determinism pin that
+    replaces the randomized tie-break of the published algorithm, so
+    a FIXED round count is bit-replayable as an unrolled oracle CTE
+    chain, same contract as pagerank/kcore_truncated).
+
+    Per round: one shuffle join (edges x labels on the neighbor end),
+    one combiner'd (node, label) vote count, then a second combiner'd
+    per-node argmax via max(struct(votes, -label)) — an aggregation,
+    NOT a window, so map-side partial agg applies and no per-node
+    partition materializes (window-free = hot-node-safe; the vote
+    rows per node are bounded by degree anyway on a union-kNN
+    backbone). Labels are localCheckpoint()ed per round so lineage
+    stays O(1) deep.
+    """
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = _snapshot(
+        und.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy(F.col("u"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("u").alias("bnode"), (-F.col("m.nl")).alias("blabel"))
+        )
+        labels = _snapshot(
+            labels.join(best, labels["node"] == F.col("bnode"), "left").select(
+                "node", F.coalesce(F.col("blabel"), F.col("label")).alias("label")
+            )
+        )
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

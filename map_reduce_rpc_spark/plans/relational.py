@@ -543,12 +543,19 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _supplier_backbone(
+    spark: SparkSession, sf_dir: str, top_t: int | None = None
+) -> DataFrame:
     """Union-kNN backbone of the supplier co-occurrence graph: keep
-    each node's top-{TRI_TOP_NEIGHBORS} edges by co-occurrence support
-    (an edge survives if EITHER endpoint ranks it). Shared by the
-    triangle and k-core queries; localCheckpointed because every
-    consumer feeds it into multiple plan sites. (u, v) with u < v."""
+    each node's top-{top_t} (default {TRI_TOP_NEIGHBORS}) edges by
+    co-occurrence support (an edge survives if EITHER endpoint ranks
+    it). Shared by the triangle / k-core / LPA queries (LPA thins to
+    {LPA_TOP_NEIGHBORS} — on the denser default backbone mode-voting
+    floods everything into one community and the algorithm degenerates
+    to connected components); localCheckpointed because every consumer
+    feeds it into multiple plan sites. (u, v) with u < v."""
+    if top_t is None:
+        top_t = TRI_TOP_NEIGHBORS
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     per_order = li.distinct()
     a, b = per_order.alias("a"), per_order.alias("b")
@@ -564,9 +571,7 @@ def _supplier_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         support.withColumn("ru", F.row_number().over(wu))
         .withColumn("rv", F.row_number().over(wv))
-        .where(
-            (F.col("ru") <= TRI_TOP_NEIGHBORS) | (F.col("rv") <= TRI_TOP_NEIGHBORS)
-        )
+        .where((F.col("ru") <= top_t) | (F.col("rv") <= top_t))
         .select("u", "v")
         .localCheckpoint()
     )
@@ -595,6 +600,43 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_truncated(
         _supplier_backbone(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
     ).select(F.col("u").alias("suppkey"), "core_deg")
+
+
+LPA_ROUNDS = 3
+# LPA runs on a THINNER union-kNN backbone than triangles/k-core: at
+# top-10 the sf0.01 graph is dense enough that mode-voting floods all
+# 100 nodes into one community (= what CC already answers); at top-3
+# the same data yields 5 communities at sf0.01 / 47 at sf0.1, so the
+# certification actually distinguishes LPA from reachability.
+LPA_TOP_NEIGHBORS = 3
+
+
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation COMMUNITIES (k={LPA_ROUNDS} synchronous
+    rounds, min-label tie-break) on the supplier co-occurrence
+    backbone — the fifth graph-family algorithm, and the one that
+    answers a different question from all four others: connected
+    components say "reachable at all", k-core says "locally dense",
+    PageRank says "globally central"; LPA says "which dense REGION
+    do you belong to", splitting loosely-bridged clusters that CC
+    necessarily merges. The graph-curation use is sharding: training
+    docs/entities grouped by community can be co-partitioned so that
+    downstream pairwise passes (dedup, contrastive sampling) stay
+    intra-partition.
+
+    Determinism: ties broken toward the smallest label (replacing the
+    published algorithm's random tie-break) and a FIXED round count,
+    so the DuckDB oracle replays every round as an unrolled CTE chain
+    — the pagerank/kcore replay contract. Per-round plan shape: one
+    node-keyed shuffle join + two combiner'd aggregations, no window
+    (operators/graph.label_propagation docstring has the
+    hot-node-safety argument). Output: (suppkey, community)."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(
+        _supplier_backbone(spark, sf_dir, top_t=LPA_TOP_NEIGHBORS),
+        rounds=LPA_ROUNDS,
+    ).select(F.col("node").alias("suppkey"), "community")
 
 
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3237,6 +3279,65 @@ def _kcore_oracle_sql() -> str:
 
 
 RELATIONAL_ORACLES["kcore_suppliers"] = _kcore_oracle_sql()
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled replay of the synchronous label-propagation rounds
+    over the same union-kNN backbone CTEs as the kcore/triangle
+    oracles. The engine's per-node argmax is max(struct(c, -label));
+    the replay's row_number() OVER (ORDER BY c DESC, label ASC) = 1
+    is the identical selection — both pick most-votes-then-smallest-
+    label, so the two forms must agree bit-for-bit."""
+    ctes = [
+        """po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)""",
+        """support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    )""",
+        f"""edges AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v) AS ru,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY support DESC, u) AS rv
+            FROM support
+        ) WHERE ru <= {LPA_TOP_NEIGHBORS} OR rv <= {LPA_TOP_NEIGHBORS}
+    )""",
+        """und0 AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    )""",
+        """labels0 AS (SELECT DISTINCT u AS node, u AS label FROM und0)""",
+    ]
+    for r in range(LPA_ROUNDS):
+        ctes.append(f"""votes{r} AS (
+        SELECT e.u, l.label, count(*) AS c
+        FROM und0 e JOIN labels{r} l ON l.node = e.v
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""best{r} AS (
+        SELECT u, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM votes{r}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""labels{r + 1} AS (
+        SELECT l.node, coalesce(b.label, l.label) AS label
+        FROM labels{r} l LEFT JOIN best{r} b ON b.u = l.node
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS suppkey, label AS community FROM labels{LPA_ROUNDS}"""
+    )
+
+
+RELATIONAL_ORACLES["label_prop_communities"] = _lpa_oracle_sql()
 
 
 RELATIONAL_ORACLES["triangle_count_suppliers"] = f"""

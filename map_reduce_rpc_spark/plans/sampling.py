@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import NON_LETTER_RE, tokens
 from ..tables import load_table
 
 # train < 0xcc (204/256 = 79.7%), val < 0xe6 (26/256 = 10.2%), rest test.
@@ -355,7 +356,104 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKEN-DISTRIBUTION DRIFT between the train and
+    val splits of split_assign — the validation a pipeline runs after
+    splitting: a hash split should leave the two unigram
+    distributions statistically identical, and a large total-variation
+    distance flags a broken split (e.g. keyed on something correlated
+    with content) or a corpus whose languages are too small to split.
+    Metric: ppm-QUANTIZED total variation — each token's train/val
+    shares are floored to integer ppm (share * 1e6 div total, the
+    events_skew_profile idiom) before |diff| is summed and halved, so
+    the whole query is integer-exact end-to-end and the oracle hashes
+    bit-for-bit (per-token quantization error is < 1 ppm per split by
+    construction; at > 9.2e12 tokens/language the 1e6 scale constant
+    overflows BIGINT in the share product — widen to DECIMAL(38,0) or
+    drop the scale to 1e4 there, a one-line swap).
+
+    Plan shape at 100 TB: tokenize+explode feed ONE combiner'd
+    (lang, token) aggregation with the split membership folded into
+    two conditional sums — no train/val self-join anywhere; language
+    totals are a tiny second agg broadcast back; the final per-lang
+    reduce is exactly n_langs rows. Languages missing from either
+    split drop out (integer division by an empty split is undefined
+    in both engines; the inner join on the totals filter IS the
+    guard).
+
+    Output: (lang, train_tokens, val_tokens, distinct_tokens,
+    tv_ppm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(_hash_key(), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HEX, F.lit("train"))
+        .when(bucket < _VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tok = docs.select(
+        "lang", split.alias("split"), F.explode(tokens("text")).alias("token")
+    ).where(F.col("split") != "test")
+    counts = tok.groupBy("lang", "token").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+    )
+    totals = (
+        counts.groupBy("lang")
+        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        .where((F.col("ta") > 0) & (F.col("tb") > 0))
+    )
+    per_tok = counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "ta",
+        "tb",
+        F.abs(
+            F.expr("a * 1000000 div ta") - F.expr("b * 1000000 div tb")
+        ).alias("d_ppm"),
+    )
+    return per_tok.groupBy("lang").agg(
+        F.min("ta").cast("long").alias("train_tokens"),
+        F.min("tb").cast("long").alias("val_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.expr("sum(d_ppm) div 2").cast("long").alias("tv_ppm"),
+    )
+
+
 SAMPLING_ORACLES: dict[str, str] = {
+    "split_token_drift": f"""
+        WITH tok AS (
+            SELECT lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < '{_TRAIN_HEX}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < '{_VAL_HEX}' THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                       AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, token,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS b
+            FROM tok WHERE token <> '' AND split <> 'test'
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT lang, sum(a) AS ta, sum(b) AS tb FROM counts GROUP BY 1
+            HAVING sum(a) > 0 AND sum(b) > 0
+        ),
+        per_tok AS (
+            SELECT c.lang, t.ta, t.tb,
+                   abs(c.a * 1000000 // t.ta - c.b * 1000000 // t.tb) AS d_ppm
+            FROM counts c JOIN totals t ON c.lang = t.lang
+        )
+        SELECT lang,
+               CAST(min(ta) AS BIGINT) AS train_tokens,
+               CAST(min(tb) AS BIGINT) AS val_tokens,
+               CAST(count(*) AS BIGINT) AS distinct_tokens,
+               CAST(sum(d_ppm) // 2 AS BIGINT) AS tv_ppm
+        FROM per_tok GROUP BY 1
+    """,
     "integrity_report": """
         SELECT 'pk_customer_unique' AS check_name,
                CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)

@@ -180,3 +180,47 @@ def test_kcore_converges_within_configured_rounds(spark, sf_dir):
         for r in kcore_truncated(edges, KCORE_K, KCORE_ROUNDS + 1).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge (3,10): connected
+    components necessarily merges them; 3-round LPA must keep them as
+    two communities (labeled by each clique's min id after the vote
+    dynamics settle) — the exact behavior that distinguishes
+    community detection from reachability."""
+    from map_reduce_rpc_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+
+    edges = spark.createDataFrame(
+        clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)],
+        "u long, v long",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_lpa_query_finds_multiple_communities_in_one_component(spark, sf_dir):
+    """On the real thinned backbone the registered query must produce
+    MORE communities than connected components does — if the two
+    numbers are equal the backbone is too dense and LPA has
+    degenerated to reachability (the failure mode LPA_TOP_NEIGHBORS
+    exists to prevent)."""
+    from map_reduce_rpc_spark.operators.graph import connected_components
+    from map_reduce_rpc_spark.plans.relational import (
+        LPA_TOP_NEIGHBORS,
+        _supplier_backbone,
+        label_prop_communities,
+    )
+
+    lpa = label_prop_communities(spark, sf_dir).collect()
+    n_comm = len({r["community"] for r in lpa})
+    edges = _supplier_backbone(spark, sf_dir, top_t=LPA_TOP_NEIGHBORS)
+    cc = connected_components(edges, src="u", dst="v").collect()
+    n_comp = len({r["component"] for r in cc})
+    assert len(lpa) == len(cc) > 0
+    assert n_comm > n_comp

@@ -98,3 +98,28 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     assert all(len(v) <= WEIGHTED_SAMPLE_K for v in by_source.values())
     sample_mean = sum(r["weight_tokens"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_split_token_drift_bounds_and_self_consistency(spark, sf_dir):
+    """tv_ppm is a total-variation distance in ppm: bounded [0, 1e6];
+    every surviving language has tokens in BOTH splits (the totals
+    filter is the div-by-zero guard); and the token totals reconcile
+    with a direct count of the train+val token population."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.functions.text import tokens
+    from map_reduce_rpc_spark.plans.sampling import split_token_drift
+    from map_reduce_rpc_spark.tables import load_table
+
+    rows = split_token_drift(spark, sf_dir).collect()
+    assert rows, "no language survived the both-splits filter"
+    for r in rows:
+        assert 0 <= r["tv_ppm"] <= 1_000_000, r
+        assert r["train_tokens"] > 0 and r["val_tokens"] > 0, r
+        assert r["distinct_tokens"] > 0, r
+    docs = load_table(spark, sf_dir, "documents")
+    total_all = docs.select(
+        F.explode(tokens("text")).alias("t"), "lang"
+    ).count()
+    # train+val token mass can't exceed the corpus-wide token count
+    assert sum(r["train_tokens"] + r["val_tokens"] for r in rows) <= total_all
