@@ -1205,6 +1205,94 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# decontaminate_fuzzy uses a DENSER benchmark slice than the exact-gram
+# scrub (every 10th doc, not every 100th): fuzzy contamination needs
+# actual near-dup pairs crossing the corpus/bench boundary to certify
+# against, and at mod-100 the sf0.01 driver data has zero such pairs
+# (the check would be vacuous). Mod-10 yields cross pairs at every sf.
+FUZZY_DECON_MOD = 10
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAPHRASE-level benchmark decontamination — flag training
+    documents NEAR-duplicating any benchmark doc (MinHash/LSH band
+    collision, exact-jaccard verified at {JACCARD_THRESHOLD}), the
+    fuzzy complement of decontaminate_docs' exact 5-gram collision:
+    light rewording defeats exact grams but not shingle jaccard.
+
+    Plan shape is the ASYMMETRIC form of minhash_dups — the benchmark
+    side is indexed once (operators/dedup.minhash_index: signatures +
+    band keys + shingle sets in ONE groupBy) and the corpus probes it
+    with a band-keyed join. The bench side is broadcast: an eval
+    suite is small by definition (drop the hint and let AQE decide if
+    yours isn't), so the corpus never self-joins and never shuffles —
+    candidate generation touches one row per (corpus doc, band).
+    Verified pairs then aggregate per corpus doc. The oracle replays
+    the SYMMETRIC pair pipeline (the certified minhash_dups SQL) and
+    keeps the boundary-crossing pairs — same candidates, same verify,
+    so the asymmetric plan is certified against the symmetric
+    semantics. Output: (doc_id, n_bench_matches, max_jaccard,
+    contaminated) for every non-bench doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % FUZZY_DECON_MOD) == 0
+
+    def index(side: DataFrame) -> DataFrame:
+        return dedup.minhash_index(
+            side,
+            "doc_id",
+            "text",
+            n=NGRAM_N,
+            num_perm=MINHASH_PERMS,
+            bands=MINHASH_BANDS,
+        )
+
+    bench = index(docs.where(is_bench))
+    corpus = index(docs.where(~is_bench))
+    bb = bench.select(
+        F.col("doc").alias("bench_doc"), F.explode("bands").alias("b")
+    ).select("bench_doc", "b.band_idx", "b.band_key")
+    cb = corpus.select("doc", F.explode("bands").alias("b")).select(
+        "doc", "b.band_idx", "b.band_key"
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band_idx", "band_key"])
+        .select("doc", "bench_doc")
+        .distinct()
+    )
+    verified = (
+        F.broadcast(cand)
+        .join(corpus.select("doc", F.col("sh").alias("sh_a")), "doc")
+        .join(
+            bench.select(F.col("doc").alias("bench_doc"), F.col("sh").alias("sh_b")),
+            "bench_doc",
+        )
+        .select(
+            "doc",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    agg = verified.groupBy("doc").agg(
+        F.count("*").alias("n_bench_matches"), F.max("jaccard").alias("max_jaccard")
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id")
+        .join(agg.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_matches", F.lit(0)).cast("long").alias(
+                "n_bench_matches"
+            ),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # PII patterns. ASCII-only constructs (\b is the ASCII word boundary
 # in both Java regex and RE2, classes/quantifiers identical) so Spark
 # and DuckDB match byte-for-byte. Each document gets a deterministic
@@ -2824,3 +2912,33 @@ TEXTOPS_ORACLES["forget_docs_neardup_manifest"] = TEXTOPS_ORACLES[
     f"FROM (SELECT * FROM documents WHERE doc_id % {FORGET_DOC_MOD} <> 0) d "
     "LEFT JOIN",
 )
+
+
+# Fuzzy decontamination oracle: the certified minhash_dups pair
+# pipeline verbatim as a derived table, filtered to pairs crossing the
+# corpus/bench boundary (mod-FUZZY_DECON_MOD), aggregated per corpus
+# doc, left-joined back so every non-bench doc gets a row. The engine
+# runs the asymmetric probe-an-index plan; candidate generation and
+# verify criteria are identical, so symmetric-filtered == asymmetric.
+TEXTOPS_ORACLES["decontaminate_fuzzy"] = f"""
+    WITH pairs AS ({TEXTOPS_ORACLES["minhash_dups"]}),
+    cross_hits AS (
+        SELECT CASE WHEN id_a % {FUZZY_DECON_MOD} = 0 THEN id_b
+                    ELSE id_a END AS doc_id,
+               jaccard
+        FROM pairs
+        WHERE (id_a % {FUZZY_DECON_MOD} = 0) <> (id_b % {FUZZY_DECON_MOD} = 0)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_bench_matches,
+               max(jaccard) AS max_jaccard
+        FROM cross_hits GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+           coalesce(a.max_jaccard, 0.0) AS max_jaccard,
+           coalesce(a.n_bench_matches, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {FUZZY_DECON_MOD} <> 0) d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

@@ -365,3 +365,26 @@ def test_leakage_safe_split_no_cluster_spans_splits(spark):
     # and the split is non-degenerate on this corpus
     splits = {r.split for r in rows}
     assert "train" in splits and len(splits) >= 2
+
+
+def test_decontaminate_fuzzy_flags_cross_boundary_near_dups(spark, sf_dir):
+    """The fuzzy scrub must actually FIRE on the test corpus (planted
+    near-dups cross the mod-10 bench boundary at every sf — that is
+    why FUZZY_DECON_MOD is 10, not DECON_MOD's 100), and its evidence
+    columns must be internally consistent."""
+    from map_reduce_rpc_spark.plans.textops import (
+        FUZZY_DECON_MOD,
+        JACCARD_THRESHOLD,
+        decontaminate_fuzzy,
+    )
+
+    rows = decontaminate_fuzzy(spark, sf_dir).collect()
+    assert all(r["doc_id"] % FUZZY_DECON_MOD != 0 for r in rows)
+    hits = [r for r in rows if r["contaminated"]]
+    assert hits, "no contaminated doc flagged — certification is vacuous"
+    for r in hits:
+        assert r["n_bench_matches"] >= 1
+        assert r["max_jaccard"] >= JACCARD_THRESHOLD
+    for r in rows:
+        if not r["contaminated"]:
+            assert r["n_bench_matches"] == 0 and r["max_jaccard"] == 0.0
