@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 16 late round-7 registrations
+      round-8 window = wordcount + the 17 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -85,13 +85,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           collocation_pmi, bpe_learn_merges, pca_power_pc1,
           kcore_suppliers, keyword_search_topk,
           label_prop_communities, split_token_drift,
-          decontaminate_fuzzy) + the 14
-          last-certified-r3 + 19 of the 30 last-certified-r4 (= 50);
-          the remaining 11 r4 queries and the 5 displaced r5 queries
+          decontaminate_fuzzy, ppr_supplier_recs) + the 14
+          last-certified-r3 + 18 of the 30 last-certified-r4 (= 50);
+          the remaining 12 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 164 queries and 50 slots every query is certified at least
-    once per ceil(164/50) = 4 rounds, in practice 3 for all but the
+    With 165 queries and 50 slots every query is certified at least
+    once per ceil(165/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -259,6 +259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified; the fuzzy complement of decontaminate_docs' exact
         # 5-gram collision. Late round-7 registration, heads round 8.
         "decontaminate_fuzzy": textops.decontaminate_fuzzy,
+        # ppr_supplier_recs: personalized PageRank (random walk with
+        # restart to a seed customer cohort) on the bidirectional
+        # bipartite purchase graph — the P3 recommender, personalized
+        # complement of the global PageRank pair. Late round-7
+        # registration, heads round 8.
+        "ppr_supplier_recs": relational.ppr_supplier_recs,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -514,3 +514,85 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
         )
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: tuple[int, ...],
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart): teleport mass
+    lands uniformly on the SEED set instead of on every node, so the
+    stationary scores answer "how relevant is each node TO THESE
+    seeds" — the recommendation / graph-expansion primitive (P3-style
+    bipartite recommenders are exactly this walk), vs the global
+    centrality :func:`pagerank_directed` computes. Dangling mass also
+    teleports back to the seeds (the personalized form of the
+    redistribution):
+
+        r' = (1-d)*p(v) + d * (in_sum/Q + (dangling_q/Q) * p(v))
+
+    with p(v) = 1/|seeds| on seeds, 0 elsewhere, r0 = p. Same exact
+    quantized-long messages and per-iteration driver scalar as the
+    directed form, so the DuckDB oracle replays every iteration
+    bit-for-bit (seed membership is a literal IN list in both
+    engines). `seeds` is a tiny driver-side literal by contract —
+    it parameterizes the query like a constant, it is not data.
+    Scale shape identical to pagerank_directed: one shuffle join +
+    one partial-agg'd sum per iteration, lineage truncated per round.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    ann = e.join(out_deg, "a").persist()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if nodes.count() == 0:
+        ann.unpersist()
+        return nodes.withColumn("r", F.lit(0.0)).limit(0)
+    p_seed = 1.0 / len(seeds)
+    p = F.when(F.col("node").isin(list(seeds)), F.lit(p_seed)).otherwise(
+        F.lit(0.0)
+    )
+    dangling = nodes.join(
+        out_deg.select(F.col("a").alias("node")), "node", "left_anti"
+    ).persist()
+    q = float(PR_QUANT)
+    ranks = nodes.withColumn("r", p)
+    for _ in range(iters):
+        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            F.floor((F.col("r") / F.col("deg")) * F.lit(q))
+            .cast("long")
+            .alias("c"),
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        dm = (
+            dangling.join(ranks, "node")
+            .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
+            .first()[0]
+            or 0
+        )
+        ranks = _snapshot(
+            nodes.join(s, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * p
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(q)
+                        + (F.lit(float(dm)) / F.lit(q)) * p
+                    )
+                ).alias("r"),
+            )
+        )
+    ann.unpersist()
+    dangling.unpersist()
+    return ranks

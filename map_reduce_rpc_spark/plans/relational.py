@@ -831,6 +831,134 @@ def pagerank_directed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEED_CUSTS = (1, 2, 3)
+
+
+def ppr_supplier_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier RECOMMENDATIONS for a seed customer cohort via
+    personalized PageRank — random walk with restart on the
+    BIDIRECTIONAL customer<->supplier bipartite graph (each purchase
+    relation contributes both directed edges), teleporting to seed
+    customers {PPR_SEED_CUSTS}. This is the P3 bipartite recommender:
+    suppliers two hops out through shared purchasing patterns score
+    high, suppliers popular only globally don't — the personalized
+    complement of pagerank_directed_suppliers' global centrality.
+    Same node encoding (2c / 2s+1), iteration count, damping, and
+    top-{PR_TOPK} output shape as the other two PageRank queries;
+    the oracle replays every iteration with the seed-conditional
+    teleport as a literal IN list."""
+    from ..operators.graph import pagerank_personalized
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rel = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = rel.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        rel.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = tuple(2 * c for c in PPR_SEED_CUSTS)
+    ranks = pagerank_personalized(
+        edges, seeds=seeds, iters=PR_ITERS, damping=PR_DAMPING
+    )
+    supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+        F.col("r").alias("rank"),
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+    return (
+        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
+        .select("s_suppkey", "s_name", "rank")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PR_TOPK)
+    )
+
+
+def _ppr_oracle_sql(
+    iters: int = PR_ITERS, damping: float = PR_DAMPING, topk: int = PR_TOPK
+) -> str:
+    """Unrolled personalized-PageRank replay: bidirectional edge CTE,
+    seed-conditional teleport column, per-iteration quantized in-sums
+    and the exact dangling scalar (empty set on this graph — the CTE
+    stays so the replay matches the operator's machinery), supplier
+    top-k. Generated so constants always mirror the operator's."""
+    from ..operators.graph import PR_QUANT
+
+    q = float(PR_QUANT)
+    seeds = ", ".join(str(2 * c) for c in PPR_SEED_CUSTS)
+    p_seed = 1.0 / len(PPR_SEED_CUSTS)
+    base = 1.0 - damping
+    p_of = "CASE WHEN {alias}.node IN (" + seeds + f") THEN {p_seed!r} ELSE 0.0 END"
+    ctes = [
+        """rel AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        """e0 AS (
+            SELECT c AS a, s AS b FROM rel
+            UNION SELECT s AS a, c AS b FROM rel
+        )""",
+        "deg AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a)",
+        """nodes AS (
+            SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0
+        )""",
+        """dang AS (
+            SELECT node FROM nodes
+            WHERE node NOT IN (SELECT a FROM e0)
+        )""",
+        f"r0 AS (SELECT node, {p_of.format(alias='nodes')} AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e0.b AS node,
+                   CAST(floor((r.r / deg.deg) * {q!r}) AS BIGINT) AS c
+            FROM e0
+            JOIN r{i - 1} r ON r.node = e0.a
+            JOIN deg ON deg.a = e0.a
+        )"""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT node, sum(c) AS s FROM c{i} GROUP BY node)"
+        )
+        ctes.append(
+            f"""dm{i} AS (
+            SELECT coalesce(sum(CAST(floor(r.r * {q!r}) AS BIGINT)), 0) AS dm
+            FROM r{i - 1} r JOIN dang d ON d.node = r.node
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT nodes.node,
+                   {base!r} * {p_of.format(alias='nodes')}
+                   + {damping!r} * (
+                       CAST(coalesce(s{i}.s, 0) AS DOUBLE) / {q!r}
+                       + CAST((SELECT dm FROM dm{i}) AS DOUBLE) / {q!r}
+                         * {p_of.format(alias='nodes')}
+                   ) AS r
+            FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT s_suppkey, s_name, rank, rnk FROM (
+            SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey, r AS rank,
+                   row_number() OVER (ORDER BY r DESC, (node - 1) / 2) AS rnk
+            FROM r{iters} WHERE node % 2 = 1
+        ) t JOIN supplier USING (s_suppkey)
+        WHERE rnk <= {topk}
+    """
+    )
+
+
 def _pagerank_directed_oracle_sql(
     iters: int = PR_ITERS, damping: float = PR_DAMPING, topk: int = PR_TOPK
 ) -> str:
@@ -3196,6 +3324,7 @@ RELATIONAL_ORACLES["pagerank_suppliers"] = _pagerank_oracle_sql()
 
 
 RELATIONAL_ORACLES["pagerank_directed_suppliers"] = _pagerank_directed_oracle_sql()
+RELATIONAL_ORACLES["ppr_supplier_recs"] = _ppr_oracle_sql()
 
 
 # v2 derived from v1 with the same three deterministic mutations; the

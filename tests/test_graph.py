@@ -224,3 +224,34 @@ def test_lpa_query_finds_multiple_communities_in_one_component(spark, sf_dir):
     n_comp = len({r["component"] for r in cc})
     assert len(lpa) == len(cc) > 0
     assert n_comm > n_comp
+
+
+def test_ppr_ranks_seed_neighborhood_over_global_popularity(spark):
+    """Personalized PageRank must invert global popularity inside the
+    seed's neighborhood: supplier 5 has two customers (globally more
+    central), supplier 3 has only the seed customer — with restart to
+    the seed, supplier 3 must outrank supplier 5, and nodes outside
+    the seed's component must score 0 teleport mass only."""
+    from map_reduce_rpc_spark.operators.graph import (
+        pagerank_directed,
+        pagerank_personalized,
+    )
+
+    rel = [(2, 3), (4, 5), (6, 5)]
+    edges = spark.createDataFrame(
+        rel + [(b, a) for a, b in rel], "src long, dst long"
+    )
+    ppr = {
+        r["node"]: r["r"]
+        for r in pagerank_personalized(edges, seeds=(2,), iters=3).collect()
+    }
+    glob = {
+        r["node"]: r["r"]
+        for r in pagerank_directed(edges, iters=3).collect()
+    }
+    assert glob[5] > glob[3], "premise: supplier 5 is globally more central"
+    assert ppr[3] > ppr[5], "personalization must invert it for the seed"
+    # disconnected-from-seed nodes get no restart mass and no inflow
+    assert ppr[4] == 0.0 and ppr[5] == 0.0 and ppr[6] == 0.0
+    # all mass stays in the seed component (up to quantization leak)
+    assert 0.9 < sum(ppr.values()) <= 1.0 + 1e-9
