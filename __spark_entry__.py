@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 17 late round-7 registrations
+      round-8 window = wordcount + the 18 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -85,13 +85,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           collocation_pmi, bpe_learn_merges, pca_power_pc1,
           kcore_suppliers, keyword_search_topk,
           label_prop_communities, split_token_drift,
-          decontaminate_fuzzy, ppr_supplier_recs) + the 14
-          last-certified-r3 + 18 of the 30 last-certified-r4 (= 50);
-          the remaining 12 r4 queries and the 5 displaced r5 queries
+          decontaminate_fuzzy, ppr_supplier_recs,
+          covisitation_lift) + the 14
+          last-certified-r3 + 17 of the 30 last-certified-r4 (= 50);
+          the remaining 13 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 165 queries and 50 slots every query is certified at least
-    once per ceil(165/50) = 4 rounds, in practice 3 for all but the
+    With 166 queries and 50 slots every query is certified at least
+    once per ceil(166/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -265,6 +266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complement of the global PageRank pair. Late round-7
         # registration, heads round 8.
         "ppr_supplier_recs": relational.ppr_supplier_recs,
+        # covisitation_lift: item-to-item co-occurrence with exact
+        # integer-ppm lift over user baskets — the collaborative-
+        # filtering counting primitive; deterministic per-user cap
+        # bounds the quadratic pair term. Late round-7
+        # registration, heads round 8.
+        "covisitation_lift": events.covisitation_lift,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -661,7 +661,125 @@ def early_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVIS_USER_CAP = 30
+COVIS_MIN_SUPPORT = 5
+COVIS_TOPK = 20
+
+
+def covisitation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-visitation with LIFT — "users who touched X
+    also touched Y", the collaborative-filtering counting primitive
+    (and the events-side complement of collocation_pmi's text pairs).
+    Items are the props.k key; lift = P(X,Y)/(P(X)P(Y)) over user
+    baskets, computed as exact integer ppm
+    (n_both * n_users * 1e6 div (n_x * n_y)) so the oracle
+    hash-matches; top-{COVIS_TOPK} pairs with support >=
+    {COVIS_MIN_SUPPORT}, ties broken by item ids.
+
+    The quadratic term is per-user pair generation — a power-law user
+    with 10^5 items would emit 10^10 pairs. The lever is the
+    deterministic PER-USER CAP (row_number over md5 order, keep
+    {COVIS_USER_CAP}): pair blowup is bounded at cap^2/2 per user
+    regardless of basket size, recall loss is a uniform hash sample
+    of the hot basket, and the oracle replays the identical cap. The
+    self-join keys on user_id (hash-shuffled, AQE-splittable); item
+    marginals and the user count are tiny broadcasts; the top-k is
+    one global window over support-filtered pairs (bounded by the
+    item-vocabulary square, further cut by MIN_SUPPORT)."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.concat_ws(",", F.col("user_id"), F.col("item"))), F.col("item")
+    )
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= COVIS_USER_CAP)
+        .drop("rn")
+    )
+    n_users = capped.select(F.countDistinct("user_id").alias("nu"))
+    item_counts = capped.groupBy("item").agg(F.count("*").alias("n_item"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= COVIS_MIN_SUPPORT)
+    )
+    ia = item_counts.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * nu * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("lift_ppm"), F.asc("item_a"), F.asc("item_b"))
+    return scored.withColumn("rnk", F.row_number().over(w2)).where(
+        F.col("rnk") <= COVIS_TOPK
+    )
+
+
 EVENTS_ORACLES: dict[str, str] = {
+    "covisitation_lift": f"""
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        capped AS (
+            SELECT user_id, item FROM (
+                SELECT user_id, item,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY md5(CAST(user_id AS VARCHAR) || ',' ||
+                                        CAST(item AS VARCHAR)), item) AS rn
+                FROM ui
+            ) WHERE rn <= {COVIS_USER_CAP}
+        ),
+        nu AS (SELECT count(DISTINCT user_id) AS nu FROM capped),
+        ic AS (SELECT item, count(*) AS n_item FROM capped GROUP BY 1),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*) AS n_both
+            FROM capped a
+            JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= {COVIS_MIN_SUPPORT}
+        ),
+        scored AS (
+            SELECT p.item_a, p.item_b,
+                   CAST(p.n_both AS BIGINT) AS n_both,
+                   CAST(ia.n_item AS BIGINT) AS n_a,
+                   CAST(ib.n_item AS BIGINT) AS n_b,
+                   CAST(p.n_both * (SELECT nu FROM nu) * 1000000
+                        // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+            FROM pairs p
+            JOIN ic ia ON ia.item = p.item_a
+            JOIN ic ib ON ib.item = p.item_b
+        )
+        SELECT * FROM (
+            SELECT item_a, item_b, n_both, n_a, n_b, lift_ppm,
+                   row_number() OVER (ORDER BY lift_ppm DESC,
+                                      item_a, item_b) AS rnk
+            FROM scored
+        ) WHERE rnk <= {COVIS_TOPK}
+    """,
     # the logical complement of the physical delete: every event whose
     # user is NOT in the forgotten cohort, nothing else
     "forget_users_events": f"""

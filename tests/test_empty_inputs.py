@@ -136,6 +136,13 @@ _CASES = {
     "keyword_search_topk": 0,
     "forget_customers_scd2": 0,
     "forget_docs_neardup_manifest": 0,
+    # late round-7 additions: LPA communities, split drift, fuzzy
+    # decontamination, personalized PageRank, co-visitation lift
+    "label_prop_communities": 0,
+    "split_token_drift": 0,
+    "decontaminate_fuzzy": 0,
+    "ppr_supplier_recs": 0,  # no edges -> typed empty ranks
+    "covisitation_lift": 0,
 }
 
 
