@@ -1179,3 +1179,87 @@ def pq_codebooks_trained(
         cents, _ = kmeans_fit(sub, k=ksub, iters=iters, id_col="id", vec_col="sub")
         books.append(cents)
     return books
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    sims: DataFrame,
+    lam: float = 0.7,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — greedy diversity-aware selection over a per-query
+    shortlist: at each step pick the candidate maximizing
+
+        mmr(c) = lam * rel(c) - (1-lam) * max_{s in selected} sim(c, s)
+
+    (max over the empty set defined as 0.0). The serving shape that
+    keeps a RAG/recommendation result list from being k copies of the
+    same document — relevance alone returns near-duplicates; the
+    diversity term suppresses them.
+
+    Inputs: ``shortlist`` (query_id, neighbor_id, rel) — the top-N
+    relevance candidates per query (N is the shortlist bound, k <= N);
+    ``sims`` (query_id, a, b, sim) — pairwise similarities WITHIN each
+    query's shortlist. Output: (query_id, pick, doc, rel, mmr), pick =
+    1..k in selection order.
+
+    Greedy selection is inherently sequential in k, but each step is
+    one tiny grouped argmax over ALL queries at once (every frame here
+    is O(queries x shortlist) rows — KBs — localCheckpointed per step
+    so lineage stays O(1)); the heavy distributed work is producing
+    the shortlist and sims upstream. Determinism: ties broken by doc
+    id; both engines order by the identical IEEE mmr expression, so a
+    DuckDB oracle replays all k steps as an unrolled CTE chain."""
+    short = shortlist.select("query_id", "neighbor_id", "rel").localCheckpoint()
+    simsc = sims.select("query_id", "a", "b", "sim").localCheckpoint()
+    selected = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc"),
+        F.lit(0).alias("pick"),
+        "rel",
+        F.lit(0.0).alias("mmr"),
+    ).limit(0)
+    for t in range(1, k + 1):
+        cand = short.join(
+            selected.select("query_id", F.col("doc").alias("neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        div = (
+            simsc.join(
+                selected.select("query_id", F.col("doc").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = cand.join(
+            div.select("query_id", F.col("a").alias("neighbor_id"), "ms"),
+            ["query_id", "neighbor_id"],
+            "left",
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.coalesce(F.col("ms"), F.lit(0.0))
+            ).alias("mmr"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("doc"),
+                F.lit(t).alias("pick"),
+                "rel",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected

@@ -1249,3 +1249,133 @@ VECTORS_ORACLES["embedding_gram"] = f"""
     FROM q a JOIN q b ON a.vec_id = b.vec_id
     GROUP BY 1, 2
 """
+
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_SHORTLIST = 30
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware serving: exact cosine top-{MMR_SHORTLIST}
+    shortlist per query, then Maximal Marginal Relevance greedy
+    re-ranking down to {MMR_K} picks (operators/similarity.mmr_rerank,
+    lambda={MMR_LAMBDA}) — the result-list shape RAG retrieval and
+    recommendation actually serve, where pure relevance top-k returns
+    near-duplicates of one document. Distributed work = the shortlist
+    scan plus one pairwise-sim pass WITHIN each query's shortlist
+    (pairs are broadcast against the vector table — the corpus never
+    self-joins); the k greedy steps run over O(queries x shortlist)
+    rows. Oracle unrolls all {MMR_K} selection steps as a CTE chain
+    (the Lloyd/BPE replay pattern on a ranking loop)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = similarity.brute_force_topk(
+        emb, QUERY_IDS, k=MMR_SHORTLIST
+    ).select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+    base = emb.select(
+        F.col("vec_id"), similarity._as_double("embedding").alias("v")
+    ).withColumn("n", similarity.l2_norm(F.col("v")))
+    pairs = (
+        short.select("query_id", F.col("neighbor_id").alias("a"))
+        .join(short.select("query_id", F.col("neighbor_id").alias("b")), "query_id")
+        .where(F.col("a") != F.col("b"))
+    )
+    va = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sims = (
+        F.broadcast(pairs)
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+    )
+    return similarity.mmr_rerank(short, sims, lam=MMR_LAMBDA, k=MMR_K)
+
+
+def _mmr_oracle_sql(
+    lam: float = MMR_LAMBDA, k: int = MMR_K, shortlist: int = MMR_SHORTLIST
+) -> str:
+    """Unrolled MMR replay: shortlist CTE (the similarity_topk oracle
+    at rnk <= shortlist), pairwise sims within it, then one
+    (cand, div, scored, pick, running-union) CTE block per greedy
+    step. Both engines order by the identical IEEE mmr expression
+    with the same doc-id tie-break."""
+    lam_r = repr(lam)
+    one_m = repr(1.0 - lam)
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""q AS (
+            SELECT vec_id AS query_id, v AS qv FROM base
+            WHERE vec_id IN ({_QID_LIST})
+        )""",
+        f"""short AS (
+            SELECT query_id, neighbor_id, rel FROM (
+                SELECT query_id, neighbor_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, neighbor_id) AS rnk
+                FROM (
+                    SELECT q.query_id, base.vec_id AS neighbor_id,
+                           {_cos("q.qv", "base.v")} AS rel
+                    FROM base, q WHERE base.vec_id <> q.query_id
+                )
+            ) WHERE rnk <= {shortlist}
+        )""",
+        f"""sims AS (
+            SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+                   {_cos("v1.v", "v2.v")} AS sim
+            FROM short s1
+            JOIN short s2 ON s1.query_id = s2.query_id
+                         AND s1.neighbor_id <> s2.neighbor_id
+            JOIN base v1 ON v1.vec_id = s1.neighbor_id
+            JOIN base v2 ON v2.vec_id = s2.neighbor_id
+        )""",
+        """selall0 AS (
+            SELECT query_id, neighbor_id AS doc, 0 AS pick, rel, 0.0 AS mmr
+            FROM short WHERE 1 = 0
+        )""",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(f"""cand{t} AS (
+            SELECT s.query_id, s.neighbor_id, s.rel FROM short s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM selall{t - 1} x
+                WHERE x.query_id = s.query_id AND x.doc = s.neighbor_id)
+        )""")
+        ctes.append(f"""div{t} AS (
+            SELECT m.query_id, m.a, max(m.sim) AS ms
+            FROM sims m JOIN selall{t - 1} x
+              ON x.query_id = m.query_id AND x.doc = m.b
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""scored{t} AS (
+            SELECT c.query_id, c.neighbor_id, c.rel,
+                   {lam_r} * c.rel - {one_m} * coalesce(d.ms, 0.0) AS mmr
+            FROM cand{t} c LEFT JOIN div{t} d
+              ON d.query_id = c.query_id AND d.a = c.neighbor_id
+        )""")
+        ctes.append(f"""sel{t} AS (
+            SELECT query_id, neighbor_id AS doc, {t} AS pick, rel, mmr FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, neighbor_id) AS rn
+                FROM scored{t}
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""selall{t} AS (
+            SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t}
+        )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT query_id, doc, pick, rel, mmr FROM selall{k}"""
+    )
+
+
+VECTORS_ORACLES["ann_mmr_topk"] = _mmr_oracle_sql()

@@ -143,6 +143,7 @@ _CASES = {
     "decontaminate_fuzzy": 0,
     "ppr_supplier_recs": 0,  # no edges -> typed empty ranks
     "covisitation_lift": 0,
+    "ann_mmr_topk": 0,  # empty shortlist -> zero greedy picks
 }
 
 

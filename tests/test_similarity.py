@@ -379,3 +379,28 @@ def test_ivfpq_composition_pruned_exact_and_deterministic(spark, emb):
     assert recall >= 0.3, f"ivfpq recall vs exact-within-probed: {recall}"
     again = similarity.ivfpq_topk(emb, qids, k=10, nprobe=5, shortlist=50).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_mmr_rerank_suppresses_near_duplicate(spark):
+    """MMR must deviate from pure relevance order when the runner-up
+    near-duplicates the first pick: with rel(1)=.99, rel(2)=.98,
+    rel(3)=.60 and sim(1,2)=.99 (dups), greedy lambda=.7 selection is
+    1, 3, 2 — the duplicate is deferred below a much less relevant
+    but novel document. Pure relevance would return 1, 2, 3."""
+    from map_reduce_rpc_spark.operators.similarity import mmr_rerank
+
+    short = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.60)],
+        "query_id long, neighbor_id long, rel double",
+    )
+    sims = spark.createDataFrame(
+        [(0, a, b, s) for a, b, s in
+         [(1, 2, 0.99), (2, 1, 0.99), (1, 3, 0.0),
+          (3, 1, 0.0), (2, 3, 0.0), (3, 2, 0.0)]],
+        "query_id long, a long, b long, sim double",
+    )
+    picks = {
+        r["pick"]: r["doc"]
+        for r in mmr_rerank(short, sims, lam=0.7, k=3).collect()
+    }
+    assert picks == {1: 1, 2: 3, 3: 2}
