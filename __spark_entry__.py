@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 19 late round-7 registrations
+      round-8 window = wordcount + the 20 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -86,13 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           kcore_suppliers, keyword_search_topk,
           label_prop_communities, split_token_drift,
           decontaminate_fuzzy, ppr_supplier_recs,
-          covisitation_lift, ann_mmr_topk) + the 14
-          last-certified-r3 + 16 of the 30 last-certified-r4 (= 50);
-          the remaining 14 r4 queries and the 5 displaced r5 queries
+          covisitation_lift, ann_mmr_topk,
+          events_hourly_interp) + the 14
+          last-certified-r3 + 15 of the 30 last-certified-r4 (= 50);
+          the remaining 15 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 167 queries and 50 slots every query is certified at least
-    once per ceil(167/50) = 4 rounds, in practice 3 for all but the
+    With 168 queries and 50 slots every query is certified at least
+    once per ceil(168/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -277,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving shape; oracle unrolls all greedy steps. Late
         # round-7 registration, heads round 8.
         "ann_mmr_topk": vectors.ann_mmr_topk,
+        # events_hourly_interp: linear-interpolation resampling —
+        # the gauge/rate gap-handling form next to filled's
+        # forward-fill; integer-exact with pinned floor-division
+        # semantics. Late round-7 registration, heads round 8.
+        "events_hourly_interp": events.events_hourly_interp,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

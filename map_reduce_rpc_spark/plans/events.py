@@ -300,6 +300,90 @@ def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample with LINEAR INTERPOLATION — the missing member of the
+    gap-handling trio (events_hourly_filled carries the last value
+    forward; this one draws the line between the two nearest observed
+    hours), per event type. The metric-pipeline primitive for gauges
+    and rates, where forward-fill fabricates a plateau.
+
+    Integer-exact end-to-end so the oracle hash-matches: values are
+    summed as cents (the events_hourly_filled idiom); the interpolated
+    value at hour h between observations (ha, ca) and (hb, cb) is
+
+        ca + (cb - ca) * (h - ha) div (hb - ha)
+
+    where `div` is TRUNCATING integer division — Spark's `div` and
+    DuckDB's `//` both truncate toward zero (measured: -7 // 2 = -3
+    in DuckDB), so the two engines agree on negative slopes with no
+    remainder gymnastics (an earlier floor-emulation via pmod was
+    exactly one off the oracle on every falling segment). Numerator
+    magnitude is bounded by max-hourly-cents x spine-seconds (~2^43
+    here); past ~2^62 widen to DECIMAL(38,0) — one cast.
+
+    Plan shape: one combiner'd hourly rollup, a generated (never
+    shuffled wide) per-type spine, two window passes (prev/next
+    observed value+hour via last/first IGNORE NULLS) partitioned by
+    event_type — at 100 TB repartition the spine by (type, day) the
+    same way user_sessions_skewproof splits its window. Every missing
+    hour has both neighbors because the spine spans min..max OBSERVED
+    hours per type. Output: (event_type, hour, n_events, cents,
+    was_observed)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "h_sec", F.col("hour").cast("long")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_sec = F.when(F.col("cents").isNotNull(), F.col("h_sec"))
+    j = (
+        j.withColumn("ca", F.last("cents", ignorenulls=True).over(w_prev))
+        .withColumn("ha", F.last(obs_sec, ignorenulls=True).over(w_prev))
+        .withColumn("cb", F.first("cents", ignorenulls=True).over(w_next))
+        .withColumn("hb", F.first(obs_sec, ignorenulls=True).over(w_next))
+    )
+    # greatest(.., 1) only fires on OBSERVED rows (where ha = h_sec =
+    # hb and the branch below discards interp anyway); it exists
+    # because DuckDB's vectorized // evaluates both CASE branches and
+    # would raise on the zero denominator. Missing rows always have
+    # hb > ha (distinct observed neighbors), so it is a no-op there.
+    interp = F.expr(
+        "ca + ((cb - ca) * (h_sec - ha)) div greatest(hb - ha, 1)"
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("cents"),
+        F.col("cents").isNotNull().alias("was_observed"),
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimates per event type, emitted in an
     oracle-checkable form: the HLL estimate itself is engine-specific,
@@ -736,6 +820,50 @@ def covisitation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    "events_hourly_interp": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        j AS (
+            SELECT g.event_type, g.hour, h.n, h.cents,
+                   epoch_us(g.hour) // 1000000 AS h_sec
+            FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+        ),
+        wnd AS (
+            SELECT *,
+                   last_value(cents IGNORE NULLS) OVER w_prev AS ca,
+                   last_value(CASE WHEN cents IS NOT NULL THEN h_sec END
+                              IGNORE NULLS) OVER w_prev AS ha,
+                   first_value(cents IGNORE NULLS) OVER w_next AS cb,
+                   first_value(CASE WHEN cents IS NOT NULL THEN h_sec END
+                               IGNORE NULLS) OVER w_next AS hb
+            FROM j
+            WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hour,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                    ELSE ca + ((cb - ca) * (h_sec - ha))
+                         // greatest(hb - ha, 1)
+                    END AS BIGINT) AS cents,
+               cents IS NOT NULL AS was_observed
+        FROM wnd
+    """,
     "covisitation_lift": f"""
         WITH ui AS (
             SELECT DISTINCT user_id,

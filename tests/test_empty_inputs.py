@@ -144,6 +144,7 @@ _CASES = {
     "ppr_supplier_recs": 0,  # no edges -> typed empty ranks
     "covisitation_lift": 0,
     "ann_mmr_topk": 0,  # empty shortlist -> zero greedy picks
+    "events_hourly_interp": 0,  # no observed hours -> empty spine
 }
 
 
