@@ -300,6 +300,64 @@ def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly RETENTION COHORT matrix — the classic product-analytics
+    triangle: users grouped by ACTIVATION week (the week of their
+    first purchase — first-activity-of-any-kind puts every user in
+    cohort 1 on this corpus and the matrix degenerates to one row per
+    week), then for each later week the share of the cohort still
+    active at all. Pre-activation activity is excluded
+    (weeks_since >= 0); never-activated users are not in any cohort.
+    Complements the funnel (within-session ordering) and sessionization
+    (gap structure) queries with the long-horizon engagement view.
+
+    Integer-exact: retention is ppm (n_active * 1e6 div cohort_size).
+    Week arithmetic is date_trunc('week') in both engines (ISO Monday
+    start) and day-difference div 7, exact on week-aligned dates.
+
+    Plan shape at 100 TB: one distinct over (user, week) — the only
+    shuffle that scales with raw events, combiner'd; first-week is a
+    min-aggregate over it; the cohort matrix is a groupBy over
+    (cohort, offset) whose cardinality is WEEKS^2/2 regardless of user
+    count; cohort sizes broadcast back. Output: (cohort_week,
+    weeks_since, n_active, cohort_size, retention_ppm)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    first = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        uw.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .where(F.col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = act.where(F.col("weeks_since") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.expr("n_active * 1000000 div cohort_size").alias("retention_ppm"),
+    )
+
+
 def events_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample with LINEAR INTERPOLATION — the missing member of the
     gap-handling trio (events_hourly_filled carries the last value
@@ -820,6 +878,37 @@ def covisitation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    "retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        act AS (
+            SELECT f.cohort_week,
+                   date_diff('day', CAST(f.cohort_week AS DATE),
+                             CAST(u.week AS DATE)) // 7 AS weeks_since,
+                   count(*) AS n_active
+            FROM uw u JOIN first f ON f.user_id = u.user_id
+            WHERE date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(u.week AS DATE)) >= 0
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_week, n_active AS cohort_size
+            FROM act WHERE weeks_since = 0
+        )
+        SELECT a.cohort_week,
+               CAST(a.weeks_since AS BIGINT) AS weeks_since,
+               CAST(a.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT)
+                   AS retention_ppm
+        FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
+    """,
     "events_hourly_interp": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,

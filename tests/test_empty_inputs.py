@@ -145,6 +145,7 @@ _CASES = {
     "covisitation_lift": 0,
     "ann_mmr_topk": 0,  # empty shortlist -> zero greedy picks
     "events_hourly_interp": 0,  # no observed hours -> empty spine
+    "retention_cohorts": 0,  # no purchases -> no cohorts
 }
 
 
