@@ -563,6 +563,11 @@ def pagerank_personalized(
     dangling = nodes.join(
         out_deg.select(F.col("a").alias("node")), "node", "left_anti"
     ).persist()
+    # One count up front: a graph with no dangling nodes (e.g. the
+    # bidirectional bipartite walk) skips the per-iteration dangling
+    # scalar entirely — dm is identically 0, so result-identical, and
+    # it removes one driver round-trip + one join-agg per iteration.
+    has_dangling = dangling.count() > 0
     q = float(PR_QUANT)
     ranks = nodes.withColumn("r", p)
     for _ in range(iters):
@@ -578,7 +583,7 @@ def pagerank_personalized(
             .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
             .first()[0]
             or 0
-        )
+        ) if has_dangling else 0
         ranks = _snapshot(
             nodes.join(s, "node", "left").select(
                 "node",

@@ -65,6 +65,9 @@ FAMILIES = {
     "tokenizer_bpe": "bpe_learn_merges",
     "vector_pca": "pca_power_pc1",
     "graph_kcore": "kcore_suppliers",
+    "graph_lpa": "label_prop_communities",
+    "ann_mmr": "ann_mmr_topk",
+    "events_covis": "covisitation_lift",
 }
 
 SUPERLINEAR_EXP = 1.15
