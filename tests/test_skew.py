@@ -116,6 +116,10 @@ def test_fixture_is_actually_skewed(skew_duck) -> None:
         # oracle exactly when one user owns 20% of the event stream —
         # the data shape this operator exists for
         "user_sessions_skewproof",
+        # the per-user basket cap must truncate the hot user's basket
+        # IDENTICALLY in both engines (the cap is the quadratic-term
+        # lever; test_covis_cap_engages pins that it actually fires)
+        "covisitation_lift",
     ],
 )
 def test_skew_sensitive_ops_match_oracle_on_zipf_data(
@@ -126,3 +130,19 @@ def test_skew_sensitive_ops_match_oracle_on_zipf_data(
     window / join-chain machinery is correct under skew, not just fast."""
     fn = getattr(events, qname)
     assert_matches(fn(spark, skew_dir), skew_duck.execute(events.EVENTS_ORACLES[qname]))
+
+
+def test_covis_cap_engages_on_hot_basket(skew_duck) -> None:
+    """Non-vacuity guard for the covisitation certification above: the
+    hot user's distinct-item basket must exceed COVIS_USER_CAP on this
+    fixture, so the oracle match certifies the TRUNCATED plan (cap
+    actually firing), not just the easy uncapped case."""
+    from map_reduce_rpc_spark.plans.events import COVIS_USER_CAP
+
+    (basket,) = skew_duck.execute(
+        """
+        SELECT count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+        FROM events WHERE user_id = 0
+        """
+    ).fetchone()
+    assert basket > COVIS_USER_CAP, basket
