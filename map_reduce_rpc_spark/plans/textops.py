@@ -1097,41 +1097,41 @@ def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: shingles are distinct-per-doc in-array
     (array_distinct before the explode — the per-doc dedup never
-    shuffles), document frequency is ONE (shingle) count shuffle with
-    map-side combine, and the common set is pruned to df >=
-    {BOILER_MIN_DF} BEFORE the join-back — at real thresholds that
-    set is orders of magnitude smaller than the shingle table, so AQE
-    broadcasts it and the scoring pass is shuffle-free on the doc
-    side. Per-doc rollup is a count of exact integers; the ratio is
-    one IEEE division, bit-identical in the oracle.
+    shuffles); document frequency is a count window over the shingle
+    partition, so the scan+tokenize runs ONCE and there is no join
+    anywhere (the first cut recomputed the explode three times and
+    joined the pruned common set back — the window form is the
+    ngram_jaccard lesson applied here). The load is spread_partitions
+    wrapped: this query's per-row map (4-gram construction over full
+    documents) is the most compute-dense in the text family, and an
+    A/B at sf0.1 measured 3.5 -> 1.0 s warm from un-serializing the
+    one-split scan — while the SAME wrap was measured a net LOSS on
+    the lighter text queries (the repartition of raw text outweighs
+    parallelizing a cheap map), so they deliberately stay unspread. Per-doc rollup is then one combiner'd aggregation:
+    n_shingles = count, n_common = sum(df >= {BOILER_MIN_DF}). The
+    ratio is one IEEE division, bit-identical in the oracle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams("text", BOILER_N))).alias("g"),
     )
-    common = (
-        sh.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= BOILER_MIN_DF)
-        .select("g")
-    )
-    hit = sh.join(common, "g", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_common")
-    )
-    return (
-        sh.groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"))
-        .join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("boiler_ratio"),
+    wdf = Window.partitionBy("g")
+    per_doc = (
+        sh.withColumn("df", F.count("*").over(wdf))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= BOILER_MIN_DF).cast("long")).alias("n_common"),
         )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_common").cast("long").alias("n_common"),
+        (
+            F.col("n_common").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("boiler_ratio"),
     )
 
 
