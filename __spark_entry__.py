@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 21 late round-7 registrations
+      round-8 window = wordcount + the 22 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -87,13 +87,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           label_prop_communities, split_token_drift,
           decontaminate_fuzzy, ppr_supplier_recs,
           covisitation_lift, ann_mmr_topk,
-          events_hourly_interp, retention_cohorts) + the 14
-          last-certified-r3 + 14 of the 30 last-certified-r4 (= 50);
-          the remaining 16 r4 queries and the 5 displaced r5 queries
+          events_hourly_interp, retention_cohorts,
+          lm_quality_mix_sample) + the 14
+          last-certified-r3 + 13 of the 30 last-certified-r4 (= 50);
+          the remaining 17 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 169 queries and 50 slots every query is certified at least
-    once per ceil(169/50) = 4 rounds, in practice 3 for all but the
+    With 170 queries and 50 slots every query is certified at least
+    once per ceil(170/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -288,6 +289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retention; the long-horizon engagement view. Late
         # round-7 registration, heads round 8.
         "retention_cohorts": events.retention_cohorts,
+        # lm_quality_mix_sample: LM-score-decile mixture sampling —
+        # keep probability rises with trigram-LM quality via the
+        # deterministic md5 gate; oracle embeds the full LM replay.
+        # Late round-7 registration, heads round 8.
+        "lm_quality_mix_sample": textops.lm_quality_mix_sample,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

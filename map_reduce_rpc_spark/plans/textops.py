@@ -2942,3 +2942,65 @@ TEXTOPS_ORACLES["decontaminate_fuzzy"] = f"""
           WHERE doc_id % {FUZZY_DECON_MOD} <> 0) d
     LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+LM_MIX_DECILES = 10
+# 8-bit md5 gate: keep a decile-d doc when h8 * DECILES < (d+1) * 256,
+# i.e. keep probability ~ (d+1)/10 rising with LM quality.
+LM_MIX_GATE_BUCKETS = 256
+
+
+def lm_quality_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture sampling driven by the corpus-trained
+    LM — the FineWeb/CCNet rebalancing step where higher-scoring
+    documents are kept with higher probability instead of a hard
+    cutoff: rank docs by trigram_lm_scores, split into
+    {LM_MIX_DECILES} deciles, keep decile d with probability
+    (d+1)/{LM_MIX_DECILES} via the deterministic md5 gate (the
+    domain_mix_sample idiom — stable under re-execution, replayed by
+    the oracle). Composes two certified stages the way a real
+    curation pipeline does, so the oracle embeds the full trigram-LM
+    replay as a subquery.
+
+    Plan shape: the LM scoring is the dominant distributed cost (see
+    trigram_lm_scores); ranking is ONE global row_number over per-doc
+    rows — 1/1000th of the corpus rows; at 100 TB swap in the
+    two-phase bucketed rank (plans/sampling.global_shuffle machinery)
+    — and the gate is a pure map. Ties in lm_score break by doc_id,
+    so deciles are total-ordered and engine-identical. Output:
+    (doc_id, decile, lm_score) for kept docs."""
+    scored = trigram_lm_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("lm_score"), F.col("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    dec = ranked.select(
+        "doc_id",
+        "lm_score",
+        F.expr(f"((rn - 1) * {LM_MIX_DECILES}) div n").alias("decile"),
+    )
+    h8 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    return dec.where(
+        h8 * LM_MIX_DECILES < (F.col("decile") + 1) * LM_MIX_GATE_BUCKETS
+    ).select("doc_id", "decile", "lm_score")
+
+
+TEXTOPS_ORACLES["lm_quality_mix_sample"] = f"""
+    WITH lm AS ({TEXTOPS_ORACLES["trigram_lm_scores"]}),
+    ranked AS (
+        SELECT doc_id, lm_score,
+               row_number() OVER (ORDER BY lm_score, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM lm
+    ),
+    dec AS (
+        SELECT doc_id, lm_score,
+               CAST(((rn - 1) * {LM_MIX_DECILES}) // n AS BIGINT) AS decile
+        FROM ranked
+    )
+    SELECT doc_id, decile, lm_score FROM dec
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+          * {LM_MIX_DECILES} < (decile + 1) * {LM_MIX_GATE_BUCKETS}
+"""

