@@ -3004,3 +3004,125 @@ TEXTOPS_ORACLES["lm_quality_mix_sample"] = f"""
     WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
           * {LM_MIX_DECILES} < (decile + 1) * {LM_MIX_GATE_BUCKETS}
 """
+
+
+SPAN_K = 8
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-substring SPAN extraction — the actionable form
+    of substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): containment_dups
+    says WHICH DOCS share verbatim windows; this query says WHICH
+    TOKEN RANGES to cut. A token {SPAN_K}-gram window is "duplicated"
+    when it occurs >= 2 times corpus-wide (any doc, including twice in
+    the same doc); overlapping/adjacent duplicated windows merge into
+    maximal spans with the sessionization gap rule (windows at
+    positions p1 < p2 are one contiguous span iff p2 - p1 <= {SPAN_K}).
+
+    Plan shape at 100 TB: positioned windows are md5-hashed to 60-bit
+    longs at the scan (only (doc, pos, hash) longs shuffle — never
+    window text); the duplicated-hash set is one combiner'd count
+    filter; span merging is the per-doc window pass sessionization
+    already uses (partition = doc — bounded by doc length, never by
+    corpus). The suffix-array construction of the paper is replaced by
+    the windowed-hash form, which parallelizes trivially and loses
+    only spans shorter than {SPAN_K} tokens. Output per doc:
+    (doc_id, n_tokens, n_spans, dup_tokens, dup_ppm)."""
+    # measured: spread_partitions LOSES here (0.5 -> 0.8 s warm at
+    # sf0.1) — 8-gram window construction over these short docs is a
+    # light map, unlike boilerplate_ratio's; see the split-size note
+    # in SCALE.md.
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = docs.select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    wins = (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(word_ngrams("text", SPAN_K)).alias("pos", "w"),
+        )
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .select("doc_id", "pos", dedup.portable_hash60(F.col("w")).alias("h"))
+    )
+    duph = wins.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    marked = wins.join(duph.select("h"), "h", "semi").select("doc_id", "pos")
+    w1 = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos", 1).over(w1)
+    spans = (
+        marked.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > SPAN_K), 1).otherwise(0)
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_s").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg((F.max("pos") - F.min("pos") + SPAN_K).alias("span_tokens"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return n_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "coalesce(dup_tokens, 0) * 1000000 div greatest(n_tokens, 1)"
+        ).alias("dup_ppm"),
+    )
+
+
+TEXTOPS_ORACLES["repeated_spans"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substring(md5(
+                   array_to_string(list_slice(ts, i, i + {SPAN_K} - 1), ' ')
+               ), 1, 15))::BIGINT AS h
+        FROM toks, unnest(range(1, len(ts) - {SPAN_K} + 2)) AS u(i)
+        WHERE len(ts) >= {SPAN_K}
+    ),
+    duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    marked AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER w1 IS NULL
+                         OR pos - lag(pos) OVER w1 > {SPAN_K}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM marked
+        WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, span_id,
+               max(pos) - min(pos) + {SPAN_K} AS span_tokens
+        FROM sp GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+        FROM spans GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(p.dup_tokens, 0) * 1000000
+                // greatest(len(t.ts), 1) AS BIGINT) AS dup_ppm
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -388,3 +388,20 @@ def test_decontaminate_fuzzy_flags_cross_boundary_near_dups(spark, sf_dir):
     for r in rows:
         if not r["contaminated"]:
             assert r["n_bench_matches"] == 0 and r["max_jaccard"] == 0.0
+
+
+def test_repeated_spans_consistency(spark, sf_dir):
+    """Span accounting must be internally consistent: spans only on
+    docs with >= SPAN_K tokens, dup_tokens bounded by n_tokens, each
+    span at least SPAN_K tokens long (so dup_tokens >= n_spans *
+    SPAN_K), and the signal is non-vacuous on the corpus."""
+    from map_reduce_rpc_spark.plans.textops import SPAN_K, repeated_spans
+
+    rows = repeated_spans(spark, sf_dir).collect()
+    assert rows
+    flagged = [r for r in rows if r["n_spans"] > 0]
+    assert flagged, "no repeated span found — certification is vacuous"
+    for r in rows:
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"], r
+        assert r["dup_tokens"] >= r["n_spans"] * SPAN_K, r
+        assert 0 <= r["dup_ppm"] <= 1_000_000, r

@@ -147,6 +147,7 @@ _CASES = {
     "events_hourly_interp": 0,  # no observed hours -> empty spine
     "retention_cohorts": 0,  # no purchases -> no cohorts
     "lm_quality_mix_sample": 0,  # empty LM table -> nothing to gate
+    "repeated_spans": 0,  # no docs -> no windows, no spans
 }
 
 
