@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 23 late round-7 registrations
+      round-8 window = wordcount + the 24 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -88,13 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           decontaminate_fuzzy, ppr_supplier_recs,
           covisitation_lift, ann_mmr_topk,
           events_hourly_interp, retention_cohorts,
-          lm_quality_mix_sample, repeated_spans) + the 14
-          last-certified-r3 + 12 of the 30 last-certified-r4 (= 50);
-          the remaining 18 r4 queries and the 5 displaced r5 queries
+          lm_quality_mix_sample, repeated_spans,
+          dpp_quarter_revenue) + the 14
+          last-certified-r3 + 11 of the 30 last-certified-r4 (= 50);
+          the remaining 19 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 171 queries and 50 slots every query is certified at least
-    once per ceil(171/50) = 4 rounds, in practice 3 for all but the
+    With 172 queries and 50 slots every query is certified at least
+    once per ceil(172/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -300,6 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replacement for the suffix array. Late round-7
         # registration, heads round 8.
         "repeated_spans": textops.repeated_spans,
+        # dpp_quarter_revenue: dynamic partition pruning certified
+        # end-to-end — runtime IN-subquery from a filtered broadcast
+        # dim prunes the month-partitioned fact scan; answer checked
+        # against the plain unpartitioned oracle. Late round-7
+        # registration, heads round 8.
+        "dpp_quarter_revenue": relational.dpp_quarter_revenue,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -1030,6 +1030,80 @@ def _pagerank_directed_oracle_sql(
     )
 
 
+DPP_QUARTER = "1996-Q2"
+
+
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) a month-PARTITIONED copy of orders —
+    the layout a 100 TB fact table actually ships with (one directory
+    per ingestion month). Consumed by dpp_quarter_revenue, whose join
+    prunes these partitions at RUNTIME via dynamic partition pruning.
+    ~80 month partitions at any sf (the date domain is sf-invariant)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_dpp_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        ).write.partitionBy("o_month").mode("overwrite").parquet(path)
+    return path
+
+
+def dpp_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING certified end-to-end — the runtime
+    complement of the static PushedFilters the other layout queries
+    prove: the fact side is month-partitioned parquet, the month
+    dimension (derived, with a quarter attribute) is filtered to
+    {DPP_QUARTER} and broadcast, and Catalyst injects the dim's month
+    set into the fact scan as a runtime IN-subquery — only 3 of ~80
+    partition directories are read, without any static month literal
+    in the query. At 100 TB this is THE mechanism that makes
+    dim-filtered fact queries cheap on date-partitioned lakes. The
+    plan assertion (a `dynamicpruning` subquery on the fact scan +
+    a partition-count cap) lives in tests/test_scale.py; this
+    registered query certifies the ANSWER against the plain
+    unpartitioned oracle. Output: per-month order count and revenue
+    cents for the quarter."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        fact = spark.read.parquet(_month_partitioned_orders(spark, sf_dir))
+    except AnalysisException:
+        # zero-row source: partitionBy wrote only _SUCCESS (no footers
+        # to infer from) — degrade to the typed empty result, the same
+        # contract as merge_delete_parquet's footerless guard
+        return spark.createDataFrame(
+            [], "o_month string, n_orders long, revenue_cents long"
+        )
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("o_month", 1, 4),
+                F.lit("-Q"),
+                ((F.substring("o_month", 6, 2).cast("int") + 2) / 3)
+                .cast("int")
+                .cast("string"),
+            ),
+        )
+    )
+    dim = months.where(F.col("quarter") == DPP_QUARTER)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
 def _compacted_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build (once per session+sf_dir) the compact-then-bucket layout
     pipeline of a long-lived ingestion table, and return the two
@@ -3498,4 +3572,25 @@ RELATIONAL_ORACLES["triangle_count_suppliers"] = f"""
            (SELECT count(*) FROM edges) AS n_edges,
            n_triangles
     FROM tri
+"""
+
+
+RELATIONAL_ORACLES["dpp_quarter_revenue"] = f"""
+    WITH m AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+    ),
+    dim AS (
+        SELECT o_month FROM m
+        WHERE substring(o_month, 1, 4) || '-Q' ||
+              CAST((CAST(substring(o_month, 6, 2) AS INT) + 2) // 3
+                   AS VARCHAR) = '{DPP_QUARTER}'
+    )
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS o_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN dim
+      ON strftime(o.o_orderdate, '%Y-%m') = dim.o_month
+    GROUP BY 1
 """

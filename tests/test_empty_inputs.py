@@ -148,6 +148,7 @@ _CASES = {
     "retention_cohorts": 0,  # no purchases -> no cohorts
     "lm_quality_mix_sample": 0,  # empty LM table -> nothing to gate
     "repeated_spans": 0,  # no docs -> no windows, no spans
+    "dpp_quarter_revenue": 0,  # no orders -> no partitions, no months
 }
 
 

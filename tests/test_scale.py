@@ -919,3 +919,18 @@ def test_bloom_prefilter_fact_side_stays_shuffle_free(spark):
     assert "BroadcastExchange" in final, final[:2000]
     n_shuffles = final.count("Exchange") - final.count("BroadcastExchange")
     assert n_shuffles <= 1, final[:2000]  # build-side bitmap agg only
+
+
+def test_registered_dpp_query_prunes_at_runtime(spark, sf_dir):
+    """The REGISTERED dpp_quarter_revenue (driver-certified against
+    the plain oracle) must actually exercise the mechanism the test
+    above pins in isolation: its executed plan carries a
+    dynamicpruning expression on the month-partitioned fact scan, and
+    the quarter resolves to exactly 3 month rows."""
+    from map_reduce_rpc_spark.plans.relational import dpp_quarter_revenue
+
+    df = dpp_quarter_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = df.collect()
+    assert len(rows) == 3 and all(r["n_orders"] > 0 for r in rows)
