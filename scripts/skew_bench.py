@@ -46,6 +46,10 @@ QUERIES = (
     "user_sessions",
     "user_sessions_skewproof",
     "funnel_conversion",
+    # the per-user basket cap is the quadratic-term lever: without it
+    # the hot user's pair blowup would dominate; with it the ratio
+    # should stay near 1.0 (late round 7)
+    "covisitation_lift",
 )
 
 
