@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           events_skew_profile, early_user_activity,
           snapshot_diff_orders, triangle_count_suppliers,
           leakage_safe_split.
-      round-8 window = wordcount + the 24 late round-7 registrations
+      round-8 window = wordcount + the 25 late round-7 registrations
           (never certified = stalest: bpe_pair_counts,
           user_sessions_skewproof, bloom_pruned_urgent_revenue,
           classifier_quality_scores, hll_sketch_rollup_users,
@@ -89,13 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           covisitation_lift, ann_mmr_topk,
           events_hourly_interp, retention_cohorts,
           lm_quality_mix_sample, repeated_spans,
-          dpp_quarter_revenue) + the 14
-          last-certified-r3 + 11 of the 30 last-certified-r4 (= 50);
-          the remaining 19 r4 queries and the 5 displaced r5 queries
+          dpp_quarter_revenue, session_paths) + the 14
+          last-certified-r3 + 10 of the 30 last-certified-r4 (= 50);
+          the remaining 20 r4 queries and the 5 displaced r5 queries
           head round 9 alongside the r6-certified cohort.
 
-    With 172 queries and 50 slots every query is certified at least
-    once per ceil(172/50) = 4 rounds, in practice 3 for all but the
+    With 173 queries and 50 slots every query is certified at least
+    once per ceil(173/50) = 4 rounds, in practice 3 for all but the
     r4/r5 holdovers displaced by the late round-7 registrations
     (they slip to round 9 — the only 4-round outliers), and every
     query — window or
@@ -307,6 +307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the plain unpartitioned oracle. Late round-7
         # registration, heads round 8.
         "dpp_quarter_revenue": relational.dpp_quarter_revenue,
+        # session_paths: top in-session event-type trigram journeys
+        # — the path-mining complement of the fixed-sequence funnel.
+        # Late round-7 registration, heads round 8.
+        "session_paths": events.session_paths,
         "stream_static_hourly": streams.stream_static_hourly,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "global_shuffle": sampling.global_shuffle,

@@ -300,6 +300,53 @@ def events_hourly_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_N = 3
+PATH_TOPK = 15
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-JOURNEY paths: the most frequent {PATH_N}-step
+    event-type sequences WITHIN sessions — the path-mining view every
+    product-analytics stack ships, and the free-order complement of
+    funnel_conversion's fixed view->click->purchase sequence. Sessions
+    come from the same 30-min gap rule as user_sessions; steps are
+    consecutive events inside one session (lead() windows partitioned
+    by (user, session), so paths never span a session boundary).
+
+    Plan shape at 100 TB: two window passes over user-partitioned
+    events (the skew lever is user_sessions_skewproof's
+    split-and-stitch, unchanged), then ONE combiner'd path count —
+    path cardinality is |event_types|^{PATH_N}, tiny regardless of
+    corpus — and a top-{PATH_TOPK} over it. Output:
+    (path, n_paths, rnk), ties broken by path string."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gap = sec - F.lag(sec, 1).over(w)
+    sess = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = sess.select(
+        "event_type",
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counts = steps.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count("*").alias("n_paths"))
+    wtop = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return counts.withColumn("rnk", F.row_number().over(wtop)).where(
+        F.col("rnk") <= PATH_TOPK
+    )
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly RETENTION COHORT matrix — the classic product-analytics
     triangle: users grouped by ACTIVATION week (the week of their
@@ -878,6 +925,48 @@ def covisitation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ORACLES: dict[str, str] = {
+    "session_paths": f"""
+        WITH evsec AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN sec - lag(sec) OVER w IS NULL
+                                OR sec - lag(sec) OVER w
+                                   > {SESSION_GAP_MIN * 60}
+                           THEN 1 ELSE 0 END AS new_s
+            FROM evsec
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        ),
+        steps AS (
+            SELECT event_type,
+                   lead(event_type, 1) OVER ws AS e2,
+                   lead(event_type, 2) OVER ws AS e3
+            FROM sess
+            WINDOW ws AS (PARTITION BY user_id, session_id
+                          ORDER BY ts, event_id)
+        ),
+        counts AS (
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   count(*) AS n_paths
+            FROM steps WHERE e3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, CAST(n_paths AS BIGINT) AS n_paths, rnk FROM (
+            SELECT path, n_paths,
+                   row_number() OVER (ORDER BY n_paths DESC, path) AS rnk
+            FROM counts
+        ) WHERE rnk <= {PATH_TOPK}
+    """,
     "retention_cohorts": """
         WITH uw AS (
             SELECT DISTINCT user_id, date_trunc('week', ts) AS week

@@ -149,6 +149,7 @@ _CASES = {
     "lm_quality_mix_sample": 0,  # empty LM table -> nothing to gate
     "repeated_spans": 0,  # no docs -> no windows, no spans
     "dpp_quarter_revenue": 0,  # no orders -> no partitions, no months
+    "session_paths": 0,  # no events -> no sessions, no paths
 }
 
 
