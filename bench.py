@@ -71,7 +71,13 @@ WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "1"))
 # containment_dups 23.5 s), each measuring ~2 s in isolation. Min over
 # two runs is the standard noise-robust steady-state estimator; the
 # spike remains visible in timed_samples_sec for diagnosis.
-TIMED_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TIMED_RUNS", "2")))
+# Round-8 (round-7 verdict item 3): raised 2 -> 3. The round-7 gate
+# flagged three queries at +29..57% that the isolated min-of-3
+# protocol later adjudicated as session noise; min-of-2 leaves a
+# ±25-30% cross-run envelope ABOVE the 1.25x gate (the gate flaps),
+# min-of-3 pulls the envelope below it. Cost: ~+70 s of bench wall
+# time at sf0.1, well inside the driver budget.
+TIMED_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TIMED_RUNS", "3")))
 
 
 def _warm_streaming(spark) -> None:
@@ -325,10 +331,14 @@ def main() -> None:
         ) as fh:
             lad = json.load(fh)
         ladder_superlinear = lad.get("superlinear", [])
-        ladder_exponents = {
-            fam: d.get("exponent_corrected", d.get("exponent_raw"))
-            for fam, d in lad.get("families", {}).items()
-        }
+        # exponent_corrected is written as an EXPLICIT null for
+        # families with no correction, so dict.get's default never
+        # fires — fall back to exponent_raw on None, not key-absence.
+        for fam, d in lad.get("families", {}).items():
+            c = d.get("exponent_corrected")
+            ladder_exponents[fam] = (
+                c if c is not None else d.get("exponent_raw")
+            )
     except (OSError, ValueError):
         pass
     # Full per-query map: stderr + an EARLY stdout line (not the final

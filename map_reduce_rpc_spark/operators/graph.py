@@ -324,7 +324,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         # empty edge list: no nodes, no ranks — typed empty result
+        # (unpersist before returning: the derived limit(0) frame
+        # recomputes trivially, and a 173-query bench session must
+        # not accumulate orphaned cached node sets)
         ann.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("r", F.lit(0.0)).limit(0)
     ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     base = F.lit(1.0 - damping) / F.lit(float(n))
@@ -350,6 +354,9 @@ def pagerank(
             )
         )
     ann.unpersist()
+    # ranks is localCheckpoint'd by _snapshot, so dropping the nodes
+    # cache here cannot trigger a recompute of the returned frame
+    nodes.unpersist()
     return ranks
 
 
@@ -390,6 +397,7 @@ def pagerank_directed(
     n = nodes.count()
     if n == 0:
         ann.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("r", F.lit(0.0)).limit(0)
     dangling = nodes.join(
         out_deg.select(F.col("a").alias("node")), "node", "left_anti"
@@ -426,6 +434,7 @@ def pagerank_directed(
         )
     ann.unpersist()
     dangling.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -555,6 +564,7 @@ def pagerank_personalized(
     )
     if nodes.count() == 0:
         ann.unpersist()
+        nodes.unpersist()
         return nodes.withColumn("r", F.lit(0.0)).limit(0)
     p_seed = 1.0 / len(seeds)
     p = F.when(F.col("node").isin(list(seeds)), F.lit(p_seed)).otherwise(
@@ -600,4 +610,5 @@ def pagerank_personalized(
         )
     ann.unpersist()
     dangling.unpersist()
+    nodes.unpersist()
     return ranks

@@ -558,6 +558,135 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HDR_SUBBITS = 10  # values < 2^10 cents stored exactly; else rel err <= 2^-9
+
+
+def _hdr_bucket(col: str):
+    """HDR-histogram bucket index of a positive bigint column (by
+    NAME) — INTEGER-EXACT (no float log anywhere, so Spark and DuckDB
+    compute bit-identical indexes): values below 2^SUBBITS are their
+    own bucket; larger values keep their top SUBBITS significant bits
+    (bit_length via base-2 ``conv`` string length, mantissa via a
+    variable shiftright — Spark SQL's shiftright takes a column bit
+    count even though the Python wrapper only takes an int).
+    Order-preserving, so histogram-rank quantiles land in the bucket
+    containing the true quantile."""
+    m = HDR_SUBBITS
+    blen = f"length(conv(cast({col} as string), 10, 2))"
+    return F.expr(
+        f"CASE WHEN {blen} <= {m} THEN {col} "
+        f"ELSE {1 << m} + ({blen} - {m + 1}) * {1 << (m - 1)} "
+        f"   + (shiftright({col}, {blen} - {m}) - {1 << (m - 1)}) END"
+    )
+
+
+def _hdr_bounds(col: str):
+    """(lo, hi) cents bounds of an HDR bucket-index column (by name)
+    — the exact integer inverse of ``_hdr_bucket``."""
+    m = HDR_SUBBITS
+    shift = f"(({col} - {1 << m}) div {1 << (m - 1)}) + 1"
+    mant = f"({1 << (m - 1)} + (({col} - {1 << m}) % {1 << (m - 1)}))"
+    lo = F.expr(
+        f"CASE WHEN {col} < {1 << m} THEN {col} "
+        f"ELSE shiftleft({mant}, {shift}) END"
+    )
+    hi = F.expr(
+        f"CASE WHEN {col} < {1 << m} THEN {col} "
+        f"ELSE shiftleft({mant} + 1, {shift}) - 1 END"
+    )
+    return lo, hi
+
+
+def hdr_quantile_rollup_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p95/p99 of event value via MERGEABLE quantile
+    sketches: one HDR histogram per (day) is the stored artifact,
+    monthly percentiles come from count-summing the daily sketches —
+    never from raw rows. The quantile-sketch complement of
+    ``hll_sketch_rollup_users``'s distinct-count rollup; together they
+    are the two halves of every pre-aggregated metrics pipeline.
+
+    Sketch choice: the HDR-histogram design (Tene's HdrHistogram;
+    same log-bucket family as DataDog's DDSketch, VLDB'19) instead of
+    KLL/t-digest, deliberately: its bucket function is INTEGER-EXACT
+    (bit tricks, no float log, see ``_hdr_bucket``), so it is
+    deterministic and the DuckDB oracle replays the ENTIRE sketch
+    pipeline hash-identically — a strictly stronger certification
+    than the bound-only check a randomized KLL compaction would
+    allow. Accuracy is a hard guarantee, not an expectation: the
+    estimate's bucket contains the true rank-q value, so relative
+    error <= 2^-(SUBBITS-1) ~ 0.2 %. ``within_bound`` re-asserts that
+    in-query against the exact rank-q value.
+
+    100 TB: the daily sketch is <= a-few-hundred rows (one per
+    occupied bucket) regardless of raw volume — the pre-aggregate-once
+    pattern. Any coarser rollup (week, month, all-time, any dimension
+    subset) is a groupBy-sum over stored sketch rows; raw data is
+    touched exactly once, ever. The merge agg shuffles
+    #days x #buckets rows; the certification-only exact side (one
+    distinct-cents shuffle) would be dropped in production."""
+    m = HDR_SUBBITS
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("cents") >= 1)
+    )
+    # the stored artifact: one histogram row per (day, bucket)
+    daily = ev.groupBy(
+        "month", "day", _hdr_bucket("cents").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    # merge step: month <- sum of daily sketches (counts just add)
+    monthly = daily.groupBy("month", "bucket").agg(F.sum("cnt").alias("cnt"))
+    n_days = daily.groupBy("month").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    tot = monthly.groupBy("month").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("month").orderBy("bucket")
+    cum = monthly.withColumn("cum", F.sum("cnt").over(w)).join(tot, "month")
+    qcols = {}
+    for tag, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        r = F.ceil(F.lit(q) * F.col("n"))
+        qcols[tag] = F.min(
+            F.when(F.col("cum") >= r, F.col("bucket"))
+        ).alias(f"{tag}_bucket")
+    est = cum.groupBy("month", "n").agg(*qcols.values())
+    # certification-only exact side: rank-q value from raw cents
+    wx = Window.partitionBy("month").orderBy("cents")
+    exact_cum = (
+        ev.groupBy("month", "cents")
+        .agg(F.count("*").alias("c"))
+        .withColumn("xcum", F.sum("c").over(wx))
+        .join(tot, "month")
+    )
+    xcols = {}
+    for tag, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        r = F.ceil(F.lit(q) * F.col("n"))
+        xcols[tag] = F.min(
+            F.when(F.col("xcum") >= r, F.col("cents"))
+        ).alias(f"{tag}_exact")
+    exact = exact_cum.groupBy("month").agg(*xcols.values())
+    out = est.join(exact, "month").join(n_days, "month")
+    checks = []
+    sel = [
+        F.col("month"),
+        F.col("n_days"),
+        F.col("n").cast("long").alias("n_events"),
+    ]
+    for tag in ("p50", "p95", "p99"):
+        lo, hi = _hdr_bounds(f"{tag}_bucket")
+        sel.append(lo.cast("long").alias(f"{tag}_cents"))
+        checks.append(
+            F.col(f"{tag}_exact").between(lo, hi)
+        )
+    sel.append(
+        checks[0] & checks[1] & checks[2],
+    )
+    return out.select(*sel[:-1], sel[-1].alias("within_bound"))
+
+
 def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join, expressed the way it scales: derive the top
     HOT_WINDOWS_K busiest hours, widen each to an overlapping interval
@@ -1044,10 +1173,17 @@ EVENTS_ORACLES: dict[str, str] = {
     """,
     "covisitation_lift": f"""
         WITH ui AS (
-            SELECT DISTINCT user_id,
-                   CAST(json_extract_string(props, '$.k') AS INT) AS item
-            FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            -- TRY_CAST, not CAST: Spark's cast yields NULL on a
+            -- non-numeric props.k and the row is filtered; DuckDB's
+            -- CAST would hard-error — TRY_CAST + the IS NOT NULL
+            -- filter on the CAST RESULT makes both engines drop
+            -- unparsable items identically.
+            SELECT DISTINCT user_id, item FROM (
+                SELECT user_id,
+                       TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                           AS item
+                FROM events
+            ) WHERE item IS NOT NULL
         ),
         capped AS (
             SELECT user_id, item FROM (
@@ -1243,6 +1379,99 @@ EVENTS_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    # HDR quantile-sketch rollup: the bucket function is integer-exact
+    # (bit tricks, no float log), so DuckDB replays the WHOLE sketch
+    # pipeline hash-identically — daily histograms, count-sum merge,
+    # rank-from-cumulative quantiles, bucket decode — and the exact
+    # rank-q side proves within_bound structurally TRUE.
+    "hdr_quantile_rollup_values": f"""
+        WITH ev AS (
+            SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE CAST(floor(value * 100) AS BIGINT) >= 1
+        ),
+        bk AS (
+            SELECT month, day,
+                   CASE WHEN length(bin(cents)) <= {HDR_SUBBITS} THEN cents
+                        ELSE {1 << HDR_SUBBITS}
+                             + (length(bin(cents)) - {HDR_SUBBITS + 1})
+                               * {1 << (HDR_SUBBITS - 1)}
+                             + ((cents >> (length(bin(cents)) - {HDR_SUBBITS}))
+                                - {1 << (HDR_SUBBITS - 1)})
+                   END AS bucket
+            FROM ev
+        ),
+        daily AS (
+            SELECT month, day, bucket, count(*) AS cnt
+            FROM bk GROUP BY 1, 2, 3
+        ),
+        monthly AS (
+            SELECT month, bucket, sum(cnt) AS cnt FROM daily GROUP BY 1, 2
+        ),
+        nd AS (
+            SELECT month, count(DISTINCT day) AS n_days FROM daily GROUP BY 1
+        ),
+        tot AS (SELECT month, sum(cnt) AS n FROM monthly GROUP BY 1),
+        cum AS (
+            SELECT m.month, m.bucket, t.n,
+                   sum(m.cnt) OVER (PARTITION BY m.month
+                                    ORDER BY m.bucket) AS cum
+            FROM monthly m JOIN tot t USING (month)
+        ),
+        est AS (
+            SELECT month, n,
+                   min(CASE WHEN cum >= ceil(0.5  * n) THEN bucket END)
+                       AS p50_bucket,
+                   min(CASE WHEN cum >= ceil(0.95 * n) THEN bucket END)
+                       AS p95_bucket,
+                   min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END)
+                       AS p99_bucket
+            FROM cum GROUP BY month, n
+        ),
+        xcum AS (
+            SELECT x.month, x.cents, t.n,
+                   sum(x.c) OVER (PARTITION BY x.month
+                                  ORDER BY x.cents) AS xcum
+            FROM (SELECT month, cents, count(*) AS c
+                  FROM ev GROUP BY 1, 2) x
+            JOIN tot t USING (month)
+        ),
+        exact AS (
+            SELECT month,
+                   min(CASE WHEN xcum >= ceil(0.5  * n) THEN cents END)
+                       AS p50_exact,
+                   min(CASE WHEN xcum >= ceil(0.95 * n) THEN cents END)
+                       AS p95_exact,
+                   min(CASE WHEN xcum >= ceil(0.99 * n) THEN cents END)
+                       AS p99_exact
+            FROM xcum GROUP BY month
+        )
+        SELECT e.month, nd.n_days, CAST(e.n AS BIGINT) AS n_events,
+               CAST(CASE WHEN p50_bucket < {1 << HDR_SUBBITS} THEN p50_bucket
+                    ELSE ({1 << (HDR_SUBBITS - 1)}
+                          + (p50_bucket - {1 << HDR_SUBBITS})
+                            % {1 << (HDR_SUBBITS - 1)})
+                         << ((p50_bucket - {1 << HDR_SUBBITS})
+                             // {1 << (HDR_SUBBITS - 1)} + 1)
+                    END AS BIGINT) AS p50_cents,
+               CAST(CASE WHEN p95_bucket < {1 << HDR_SUBBITS} THEN p95_bucket
+                    ELSE ({1 << (HDR_SUBBITS - 1)}
+                          + (p95_bucket - {1 << HDR_SUBBITS})
+                            % {1 << (HDR_SUBBITS - 1)})
+                         << ((p95_bucket - {1 << HDR_SUBBITS})
+                             // {1 << (HDR_SUBBITS - 1)} + 1)
+                    END AS BIGINT) AS p95_cents,
+               CAST(CASE WHEN p99_bucket < {1 << HDR_SUBBITS} THEN p99_bucket
+                    ELSE ({1 << (HDR_SUBBITS - 1)}
+                          + (p99_bucket - {1 << HDR_SUBBITS})
+                            % {1 << (HDR_SUBBITS - 1)})
+                         << ((p99_bucket - {1 << HDR_SUBBITS})
+                             // {1 << (HDR_SUBBITS - 1)} + 1)
+                    END AS BIGINT) AS p99_cents,
+               TRUE AS within_bound
+        FROM est e JOIN exact USING (month) JOIN nd USING (month)
+    """,
     "events_hourly_filled": """
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS hour,
@@ -1280,8 +1509,10 @@ EVENTS_ORACLES: dict[str, str] = {
                count(*) AS n,
                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         FROM (
+            -- TRY_CAST: match Spark's null-on-unparsable cast instead
+            -- of DuckDB CAST's hard error (same fix as covisitation)
             SELECT event_type,
-                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+                   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
         )
         GROUP BY event_type

@@ -694,6 +694,26 @@ PR_DAMPING = 0.85
 PR_TOPK = 20
 
 
+def _supplier_topk(supp_ranks: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Shared (s_suppkey, s_name, rank, rnk) top-k tail of the three
+    PageRank-family queries. Round-8 (round-7 verdict item 6): top-k
+    via orderBy().limit(k) = TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge), NOT a global row_number window —
+    the window form funnels EVERY ranked supplier through one
+    partition before filtering; harmless at dimension cardinality, a
+    straggler at 100x. The rnk column is then assigned over the
+    already-limited k-row frame, so the one single-partition window
+    that remains touches exactly k rows by construction."""
+    top = (
+        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
+        .select("s_suppkey", "s_name", "rank")
+        .orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+        .limit(PR_TOPK)
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer-supplier interaction graph (edge =
     customer ordered from supplier, via orders x lineitem; node ids
@@ -724,13 +744,7 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("r").alias("rank"),
     )
-    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
-    return (
-        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
-        .select("s_suppkey", "s_name", "rank")
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= PR_TOPK)
-    )
+    return _supplier_topk(supp_ranks, supplier)
 
 
 def _pagerank_oracle_sql(
@@ -822,13 +836,7 @@ def pagerank_directed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("r").alias("rank"),
     )
-    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
-    return (
-        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
-        .select("s_suppkey", "s_name", "rank")
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= PR_TOPK)
-    )
+    return _supplier_topk(supp_ranks, supplier)
 
 
 PPR_SEED_CUSTS = (1, 2, 3)
@@ -871,13 +879,7 @@ def ppr_supplier_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("r").alias("rank"),
     )
-    w = Window.orderBy(F.col("rank").desc(), F.col("s_suppkey"))
-    return (
-        supp_ranks.join(F.broadcast(supplier), "s_suppkey")
-        .select("s_suppkey", "s_name", "rank")
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= PR_TOPK)
-    )
+    return _supplier_topk(supp_ranks, supplier)
 
 
 def _ppr_oracle_sql(
@@ -1038,16 +1040,42 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     the layout a 100 TB fact table actually ships with (one directory
     per ingestion month). Consumed by dpp_quarter_revenue, whose join
     prunes these partitions at RUNTIME via dynamic partition pruning.
-    ~80 month partitions at any sf (the date domain is sf-invariant)."""
+    ~80 month partitions at any sf (the date domain is sf-invariant).
+
+    Cache tag includes a size+mtime fingerprint of the source orders
+    parquet (not just the sf_dir path), so regenerating testdata in
+    place invalidates the copy instead of serving stale rows; the
+    build goes to a temp dir + atomic rename so a concurrent session
+    (bench + pytest) never reads a half-written directory — whoever
+    loses the rename race just reuses the winner's finished copy."""
     import hashlib
     import os
+    import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_dpp_{tag}"
+    src = os.path.join(sf_dir, "orders.parquet")
+    fp = hashlib.md5(sf_dir.encode())
+    try:
+        entries = (
+            sorted(os.listdir(src)) if os.path.isdir(src) else [src]
+        )
+        for e in entries:
+            p = e if os.path.isabs(e) else os.path.join(src, e)
+            st = os.stat(p)
+            fp.update(f"{e}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass  # unreadable source: fall back to the path-only tag
+    path = f"/tmp/spark_graft_dpp_{fp.hexdigest()[:12]}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
         load_table(spark, sf_dir, "orders").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
-        ).write.partitionBy("o_month").mode("overwrite").parquet(path)
+        ).write.partitionBy("o_month").mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the race to a concurrent builder: its finished
+            # copy is equivalent (same fingerprint) — discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
