@@ -230,6 +230,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reversed":
         qs.reverse()
         print("  (registry order REVERSED for diagnosis)", file=sys.stderr)
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — run just the named queries (the
+    # isolated fresh-session adjudication protocol for regression-gate
+    # flags, SCALE.md "similarity warm regression"); a filtered run
+    # never writes the gate baseline (guarded below by sf/order checks
+    # plus this flag).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        qs = [(n, f) for n, f in qs if n in keep]
+        print(f"  (filtered to {len(qs)} queries: {sorted(keep)})", file=sys.stderr)
 
     spark = _fresh_session()
     timings: dict[str, float] = {}
@@ -296,6 +306,10 @@ def main() -> None:
         if sf_val == 0.1
         else f"bench_results_sf{sf_val}.json",
     )
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # a filtered adjudication run must never clobber the full-
+        # registry gate baseline
+        art = os.path.join(art_dir, "bench_results_isolated.json")
     baseline = os.path.join(art_dir, "bench_results.json")
     try:
         with open(baseline) as fh:
