@@ -99,6 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile complement of hll_sketch_rollup_users, with a
         # hash-exact full-replay oracle instead of a bound check.
         "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
+        # avro_events_roundtrip: pure-python Avro container sink +
+        # source (round-7 verdict item 7) — events written to .avro
+        # (deflate) and read back through the pyavro DataSource;
+        # equality with the parquet-side oracle proves the wire
+        # format lossless.
+        "avro_events_roundtrip": parity.avro_events_roundtrip,
         # ===== round-8 window: the 25 late round-7 registrations
         # (never driver-certified; round-7 verdict item 1) =====
         "bpe_pair_counts": textops.bpe_pair_counts,

@@ -230,7 +230,56 @@ def udtf_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table through the pure-python Avro container
+    sink/source (``sources/avro_py.py`` — byte format per the public
+    Avro 1.11 spec, deflate codec), then aggregated per event type.
+    Certifies the wire format end-to-end: any encode/decode defect —
+    varint boundary, zigzag sign, block framing, timestamp epoch math,
+    union branch indexes — lands in the per-type counts, value sums,
+    or the corrupt-row count (asserted zero by inclusion: a
+    dead-letter row would null event_type and change the groups).
+
+    The avro mirror is built once per sf_dir into a fingerprinted
+    /tmp cache (``tables.derived_cache_dir``); the oracle aggregates
+    the source parquet directly — equality proves the roundtrip is
+    lossless. 100 TB: the sink writes one container per partition
+    executor-side, the read plans one task per file; this Python
+    codec is the ingest-compatibility path (JVM spark-avro is the
+    drop-in fast path when its jar ships), exactly the kvtext
+    contract."""
+    import os
+
+    from ..sources import avro_py
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        avro_py.write_avro(ev, tmp, mode="overwrite", codec="deflate")
+
+    path = derived_cache_dir(sf_dir, "avro_events", ("events",), build)
+    back = avro_py.read_avro(spark, path).drop(avro_py.CORRUPT_COL)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 PARITY_ORACLES: dict[str, str] = {
+    "avro_events_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               count(DISTINCT user_id) AS n_users,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY event_type
+    """,
     "udtf_first_tokens": f"""
         WITH toks AS (
             SELECT doc_id,

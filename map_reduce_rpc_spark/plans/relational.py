@@ -1042,41 +1042,16 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     prunes these partitions at RUNTIME via dynamic partition pruning.
     ~80 month partitions at any sf (the date domain is sf-invariant).
 
-    Cache tag includes a size+mtime fingerprint of the source orders
-    parquet (not just the sf_dir path), so regenerating testdata in
-    place invalidates the copy instead of serving stale rows; the
-    build goes to a temp dir + atomic rename so a concurrent session
-    (bench + pytest) never reads a half-written directory — whoever
-    loses the rename race just reuses the winner's finished copy."""
-    import hashlib
-    import os
-    import shutil
+    Stale-serve/race safety via ``tables.derived_cache_dir``
+    (source-fingerprinted tag + atomic rename)."""
+    from ..tables import derived_cache_dir
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    fp = hashlib.md5(sf_dir.encode())
-    try:
-        entries = (
-            sorted(os.listdir(src)) if os.path.isdir(src) else [src]
-        )
-        for e in entries:
-            p = e if os.path.isabs(e) else os.path.join(src, e)
-            st = os.stat(p)
-            fp.update(f"{e}:{st.st_size}:{st.st_mtime_ns}".encode())
-    except OSError:
-        pass  # unreadable source: fall back to the path-only tag
-    path = f"/tmp/spark_graft_dpp_{fp.hexdigest()[:12]}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = f"{path}.build.{os.getpid()}"
+    def build(tmp: str) -> None:
         load_table(spark, sf_dir, "orders").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
         ).write.partitionBy("o_month").mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # lost the race to a concurrent builder: its finished
-            # copy is equivalent (same fingerprint) — discard ours
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return derived_cache_dir(sf_dir, "dpp", ("orders",), build)
 
 
 def dpp_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

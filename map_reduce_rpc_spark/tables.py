@@ -103,3 +103,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def derived_cache_dir(sf_dir: str, name: str, tables: tuple[str, ...], build) -> str:
+    """Build-once /tmp cache for a query's derived copy of the
+    testdata (month-partitioned orders, avro mirror, ...), safe
+    against the two failure modes a naive path-keyed cache has:
+
+    - **stale serves**: the tag fingerprints size+mtime of the source
+      parquet(s), so regenerating testdata in place invalidates the
+      copy instead of silently serving old rows;
+    - **concurrent builders** (bench + pytest): ``build`` writes to a
+      pid-suffixed temp dir that is atomically renamed into place;
+      the rename loser discards its copy and reuses the winner's
+      (same fingerprint => equivalent contents).
+
+    ``build(tmp_path)`` must create ``tmp_path`` with a ``_SUCCESS``
+    marker inside.
+    """
+    import hashlib
+    import shutil
+
+    fp = hashlib.md5(f"{name}:{sf_dir}".encode())
+    for tbl in tables:
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        try:
+            entries = sorted(os.listdir(src)) if os.path.isdir(src) else [src]
+            for e in entries:
+                p = e if os.path.isabs(e) else os.path.join(src, e)
+                st = os.stat(p)
+                fp.update(f"{e}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass  # unreadable source: path-only tag
+    path = f"/tmp/spark_graft_{name}_{fp.hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path

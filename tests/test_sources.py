@@ -471,3 +471,75 @@ def test_compact_refuses_partitioned_directory(spark, sf_dir, tmp_path):
     ).write.partitionBy("pri").parquet(out)
     with _pytest.raises(ValueError, match="Hive-partitioned"):
         compact_parquet_dir(spark, out)
+
+
+def test_avro_roundtrip_all_types(spark, sf_dir, tmp_path):
+    """Pure-python Avro container sink -> pyavro source: byte-level
+    container format per the public Avro spec, value-exact roundtrip
+    of long/string/double/timestamp columns on the real events table."""
+    from map_reduce_rpc_spark.sources import avro_py
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = str(tmp_path / "events_avro")
+    avro_py.write_avro(ev, out, codec="deflate")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = avro_py.read_avro(spark, out)
+    assert back.where(F.col(avro_py.CORRUPT_COL).isNotNull()).count() == 0
+    back = back.drop(avro_py.CORRUPT_COL)
+    assert back.schema == ev.schema or [
+        (f.name, f.dataType.simpleString()) for f in back.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in ev.schema.fields]
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_avro_quarantine_resync_and_failfast(spark, tmp_path):
+    """A corrupted block dead-letters ONE _corrupt_record row and the
+    reader resyncs at the next sync marker; FAILFAST raises instead —
+    the same contract as the CSV/JSONL quarantine."""
+    import pytest
+
+    from map_reduce_rpc_spark.sources import avro_py
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    ).coalesce(1)
+    out = str(tmp_path / "q_avro")
+    avro_py.write_avro(df, out)
+    # shrink blocks: rewrite the single part as 3 small containers so
+    # corruption hits only the middle one
+    part = os.path.join(out, "part-00000.avro")
+    rows = [
+        {"k": r.k, "s": r.s} for r in spark.read.format("pyavro")
+        .option("path", out).load().drop(avro_py.CORRUPT_COL).collect()
+    ]
+    os.remove(part)
+    schema = avro_py._avro_schema_of(df)
+    for i in range(3):
+        avro_py._write_container(
+            rows[i * 1000 : (i + 1) * 1000],
+            schema,
+            os.path.join(out, f"part-{i:05d}.avro"),
+            "null",
+        )
+    victim = os.path.join(out, "part-00001.avro")
+    blob = bytearray(open(victim, "rb").read())
+    mid = len(blob) // 2
+    for off in range(mid, mid + 8):  # stomp 8 bytes mid-block
+        blob[off] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+
+    got = avro_py.read_avro(spark, out)
+    bad = got.where(F.col(avro_py.CORRUPT_COL).isNotNull())
+    good = got.where(F.col(avro_py.CORRUPT_COL).isNull())
+    assert bad.count() == 1  # one dead-letter row for the stomped block
+    # both intact files fully recovered; the victim loses <= one block
+    assert good.count() >= 2000
+    assert good.count() < 3000
+    row = bad.first()
+    assert row.k is None and len(row[avro_py.CORRUPT_COL]) > 0
+
+    with pytest.raises(Exception, match="malformed|FAILFAST|sync|avro"):
+        avro_py.read_avro(spark, out, mode="FAILFAST").count()
