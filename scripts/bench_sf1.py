@@ -8,14 +8,23 @@ sf1 soaks cover only headline families; this script closes the gap:
    — the soak scripts' strided-key recipe extended to EVERY table:
    fact keys strided far above the sf0.1 domain (more orders/events/
    docs against the same dimensions — the realistic growth axis),
-   dimensions kept at original cardinality. documents get a per-copy
-   suffix token (pure 10x exact-dup degeneracy would turn every
-   near-dup bucket into a 10x clique; a one-token tail keeps copies
-   as realistic high-jaccard near-dups instead); embeddings get a
-   per-copy +i*1e-4 component shift for the same reason. events
-   stride BOTH event_id and user_id (10x users with unchanged
-   per-user activity, so session/window work scales by user count,
-   not by partition depth).
+   dimensions kept at original cardinality. events stride BOTH
+   event_id and user_id (10x users with unchanged per-user activity,
+   so session/window work scales by user count, not by partition
+   depth).
+
+   Copies must NOT be near-duplicates of their originals: the first
+   replica build used a tiny perturbation (one suffix token / +1e-4
+   embedding shift), which made every item a 10-clique in the dup
+   graph — 45 extra pairs per original, a QUADRATIC pair term that
+   natural 10x growth does not have (measured: embedding_near_dups
+   exp 1.38, semantic_dedup 1.15; the pair stages are output-bound,
+   so the replica, not the plan, was superlinear). Fix: copy i
+   rotates each embedding by i positions (norm- and distribution-
+   preserving, cosine to the original ~0) and stride-permutes each
+   document's tokens with a per-copy prime (token multiset and
+   length preserved, n-gram shingle sets ~disjoint), so dup density
+   per item stays at its sf0.1 level.
 2. Run the FULL registry through bench.py against it (one warm + one
    timed run per query: at sf1 a min-of-3 would cost hours; the warm
    single run is the steady-state estimator, and any flag it raises
@@ -90,29 +99,44 @@ def build() -> None:
             "event_id", F.col("event_id") + F.lit(i * KEY_STRIDE)
         ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_STRIDE)),
     )
-    replicate(
-        "documents",
-        lambda df, i: df.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE)
-        ).withColumn(
-            "text",
-            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" c{i}")),
-        ).withColumn(
-            "n_chars",
-            F.col("n_chars") if i == 0 else F.col("n_chars") + F.lit(len(f" c{i}")),
-        ),
-    )
-    replicate(
-        "embeddings",
-        lambda df, i: df.withColumn(
-            "vec_id", F.col("vec_id") + F.lit(i * KEY_STRIDE)
-        ).withColumn(
-            "embedding",
+    primes = (1, 3, 7, 11, 13, 17, 19, 23, 29, 31)  # copy i -> stride
+
+    def permute_doc(df, i):
+        df = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
+        if i == 0:
+            return df
+        # stride-permute the token sequence: position j reads token
+        # (j * p) % n — token multiset ~preserved, n-gram shingles
+        # ~disjoint from the original, so copies are not near-dups
+        p = primes[i]
+        t = F.split(F.col("text"), " ")
+        n = F.size(t)
+        permuted = F.concat_ws(
+            " ",
             F.transform(
-                "embedding", lambda x: (x + F.lit(i * 1e-4)).cast("float")
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda j: F.get(t, (j * F.lit(p)) % n),
             ),
-        ),
-    )
+        )
+        return df.withColumn("text", permuted).withColumn(
+            "n_chars", F.length("text")
+        )
+
+    replicate("documents", permute_doc)
+
+    def rotate_emb(df, i):
+        df = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_STRIDE))
+        if i == 0:
+            return df
+        e = F.col("embedding")
+        return df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice(e, i + 1, 64 - i), F.slice(e, 1, i)
+            ),
+        )
+
+    replicate("embeddings", rotate_emb)
     spark.stop()
 
 
