@@ -60,20 +60,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green, zero historical reds):
 
       round-8 window (THIS round) = wordcount
-        + every NEW round-8 registration (inserted at the top of the
-          window as it lands, displacing the bottom r4 slot)
+        + the 10 NEW round-8 registrations
+          (hdr_quantile_rollup_values, avro_events_roundtrip,
+          mad_outlier_days, user_latest_state, bfs_hops_suppliers,
+          skipgram_cooc_topk, bm25_search_topk,
+          doc_outlier_embeddings, cross_split_contamination,
+          stream_hdr_quantiles)
         + the 25 late round-7 registrations that have never held a
           driver CORRECTNESS row (bpe_pair_counts ... session_paths,
           round-7 verdict item 1)
-        + the 14 last-certified-r3
-        + the first 10 (alphabetical) of the 30 last-certified-r4.
-      round-9 window = wordcount + round-9 registrations + the 20
-          remaining r4 holdovers + the 5 r5 holdovers displaced in
-          round 7 (approx_percentile_bounds, global_shuffle,
+        + the 14 last-certified-r3  (= exactly 50; the 10 new
+          registrations displaced the whole r4 tranche to round 9).
+      round-9 window = wordcount + round-9 registrations + the 30
+          r4 holdovers + the 5 r5 holdovers displaced in round 7
+          (approx_percentile_bounds, global_shuffle,
           q18_large_volume, stream_sliding_counts,
-          stream_static_hourly — the only 4-round-stale queries,
-          exactly as the round-7 verdict item 8 requires) + the
-          oldest r6-certified entries until full.
+          stream_static_hourly — with the r4s the only
+          4/5-round-stale queries, exactly as the round-7 verdict
+          item 8 requires) + the oldest r6-certified entries until
+          full.
       round-10+ = the r6 cohort remainder, then the r7/r8 cohorts,
           stalest first, forever.
 
@@ -105,6 +110,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equality with the parquet-side oracle proves the wire
         # format lossless.
         "avro_events_roundtrip": parity.avro_events_roundtrip,
+        # mad_outlier_days: robust (median/MAD) anomaly flags on the
+        # daily revenue series — integer-exact rank-based medians.
+        "mad_outlier_days": events.mad_outlier_days,
+        # user_latest_state: latest-wins CDC compaction of the event
+        # log to current per-user state (batch twin of
+        # stream_scd2_user_state's current rows).
+        "user_latest_state": events.user_latest_state,
+        # bfs_hops_suppliers: multi-source BFS hop distance from seed
+        # suppliers (6th graph algorithm — reachability WITH distance;
+        # frontier-only joins).
+        "bfs_hops_suppliers": relational.bfs_hops_suppliers,
+        # skipgram_cooc_topk: windowed (±2) skip-gram co-occurrence
+        # counts — the word2vec/GloVe (word, context) counting pass;
+        # in-row pair construction, one combiner'd shuffle.
+        "skipgram_cooc_topk": textops.skipgram_cooc_topk,
+        # bm25_search_topk: BM25 lexical retrieval (k1=1.2, b=0.75,
+        # rational idf surrogate) in exact DECIMAL(38)/HUGEINT integer
+        # arithmetic — the length-normalized, tf-saturating ranker
+        # next to keyword_search_topk's plain tf-idf.
+        "bm25_search_topk": textops.bm25_search_topk,
+        # doc_outlier_embeddings: prototypicality pruning — cosine to
+        # the own-label centroid (exact-integer quantized sums), flag
+        # the least-typical 10% per label; SemDeDup's data-pruning
+        # sibling.
+        "doc_outlier_embeddings": vectors.doc_outlier_embeddings,
+        # cross_split_contamination: quantify the eval leakage of the
+        # naive md5 split (near-dup pairs crossing split boundaries) —
+        # the audit complement of leakage_safe_split.
+        "cross_split_contamination": textops.cross_split_contamination,
+        # stream_hdr_quantiles: the streaming producer of the HDR
+        # quantile sketch — stateful daily histograms (state = occupied
+        # buckets, not events), finalized batch-side to p50/p95.
+        "stream_hdr_quantiles": streams.stream_hdr_quantiles,
         # ===== round-8 window: the 25 late round-7 registrations
         # (never driver-certified; round-7 verdict item 1) =====
         "bpe_pair_counts": textops.bpe_pair_counts,
@@ -147,8 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
         "token_counts": textops.token_counts,
-        # ===== round-8 window: first 10 (alphabetical) of the 30
-        # last-certified-in-ROUND-4; the other 20 head round 9 =====
+        # ================= end of the 50-slot checked window =================
+        # (the 10 new round-8 registrations displaced the whole r4
+        # tranche below — the r3 block above closes the 50 slots)
+        # ----- all 30 r4 holdovers (head round 9, oldest) -----
         "approx_distinct_users": events.approx_distinct_users,
         "cube_sales": relational.cube_sales,
         "customer_order_stats": relational.customer_order_stats,
@@ -159,8 +199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events.events_json_extract,
         "file_counts": parity.file_counts,
         "file_meta_concat": parity.file_meta_concat,
-        # ================= end of the 50-slot checked window =================
-        # ----- remaining 20 r4 holdovers (head round 9, oldest) -----
         "grouping_sets_sales": relational.grouping_sets_sales,
         "hypertable_rollup": events.hypertable_rollup,
         "inverted_index": parity.inverted_index,

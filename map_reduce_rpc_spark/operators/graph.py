@@ -612,3 +612,47 @@ def pagerank_personalized(
     dangling.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: tuple[int, ...], rounds: int
+) -> DataFrame:
+    """Multi-source BFS hop distance: ``rounds`` synchronous frontier
+    expansions from the seed set over undirected unique (u, v) pairs.
+    Output (node, hops) for every node reached within the horizon —
+    the reachability/radius primitive the other five graph algorithms
+    don't give (CC says "connected at all", this says "how far").
+
+    Scale shape: the per-round join is FRONTIER-only — last round's
+    newly-reached nodes against the adjacency, never the full reached
+    set — so per-round shuffle volume is proportional to the frontier,
+    the textbook Pregel BFS. The reached set participates only in one
+    left_anti per round (dedup against already-visited). Lineage is
+    truncated per round (localCheckpoint), same contract as PageRank.
+    Deterministic: hop numbers are unique per node (min hop by
+    construction — a node enters `reached` the first round it is
+    seen), so the oracle unrolls every round as a CTE chain.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    reached = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, hops int"
+    )
+    frontier = reached
+    for r in range(1, rounds + 1):
+        nxt = (
+            und.join(frontier, und["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .withColumn("hops", F.lit(r).cast("int"))
+        )
+        reached = _snapshot(reached.unionByName(nxt))
+        frontier = reached.where(F.col("hops") == r)
+    und.unpersist()
+    return reached

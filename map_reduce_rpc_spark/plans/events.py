@@ -687,6 +687,92 @@ def hdr_quantile_rollup_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*sel[:-1], sel[-1].alias("within_bound"))
 
 
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily revenue series: flag days
+    whose absolute deviation from the MEDIAN exceeds 3x the median
+    absolute deviation (MAD). Mean/stddev z-scores break exactly when
+    needed most — the outlier inflates the stddev that judges it; the
+    median/MAD pair has a 50 % breakdown point, which is why pipeline
+    health monitors use it for ingest-volume and revenue series.
+
+    Integer-exact end to end: cents are integers, and both medians use
+    the same rank-from-cumulative form as the HDR sketch's exact side
+    (min value whose cumulative count reaches ceil(n/2)) — no
+    interpolation, so DuckDB replays it hash-identically. The
+    consistency constant (1.4826 for normal data) is folded into the
+    3x threshold. 100 TB: one partial-agg'd day rollup shuffle; the
+    median machinery then runs on #days rows — bounded by the
+    calendar, not data volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").alias("revenue_cents"))
+    if daily.limit(1).count() == 0:
+        # empty corpus: no days, no medians — typed empty result
+        return spark.createDataFrame(
+            [],
+            "day date, revenue_cents long, median_cents long, "
+            "mad_cents long, is_outlier boolean",
+        )
+
+    def _median(df: DataFrame, col: str):
+        n = df.count()  # #days — calendar-bounded scalar
+        r = -(-n // 2)  # ceil(n/2)
+        wc = Window.orderBy(col)
+        # single-partition window over #days rows by construction
+        return (
+            df.withColumn("_cum", F.count("*").over(wc))
+            .where(F.col("_cum") >= F.lit(r))
+            .orderBy(col)
+            .limit(1)
+            .select(col)
+            .first()[0]
+        )
+
+    med = _median(daily, "revenue_cents")
+    devs = daily.withColumn(
+        "dev", F.abs(F.col("revenue_cents") - F.lit(med))
+    )
+    mad = _median(devs.select(F.col("dev").alias("d")), "d")
+    return devs.select(
+        "day",
+        "revenue_cents",
+        F.lit(med).cast("long").alias("median_cents"),
+        F.lit(mad).cast("long").alias("mad_cents"),
+        (F.col("dev") > F.lit(3) * F.lit(mad)).alias("is_outlier"),
+    )
+
+
+def user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction: collapse the event log to one row per
+    user holding the most recent event (ts desc, event_id desc as the
+    deterministic tiebreak) plus the lifetime event count — the CDC
+    "upsert-compaction" primitive that turns an append-only log into
+    current state, and the batch twin of stream_scd2_user_state's
+    current rows. 100 TB: one shuffle on user_id; the window writes no
+    intermediate state beyond the per-key frame, and at scale this is
+    the canonical compaction job run per ingest partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_events", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_cents"),
+        )
+    )
+
+
 def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join, expressed the way it scales: derive the top
     HOT_WINDOWS_K busiest hours, widen each to an overlapping interval
@@ -1378,6 +1464,53 @@ EVENTS_ORACLES: dict[str, str] = {
                TRUE AS within_bound
         FROM events
         GROUP BY event_type
+    """,
+    # median/MAD via the same rank-from-cumulative form as the Spark
+    # side — integer cents, no interpolation, hash-identical
+    "mad_outlier_days": """
+        WITH daily AS (
+            -- CAST around the sum: DuckDB sums BIGINT into HUGEINT,
+            -- which lands in pandas as float64 and breaks the
+            -- driver's stringified hash ('1815764.0' vs '1815764')
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM events GROUP BY 1
+        ),
+        nn AS (SELECT count(*) AS n FROM daily),
+        med AS (
+            SELECT min(revenue_cents) AS med FROM (
+                SELECT revenue_cents,
+                       count(*) OVER (ORDER BY revenue_cents) AS cum
+                FROM daily
+            ), nn WHERE cum >= (n + 1) // 2
+        ),
+        devs AS (
+            SELECT day, revenue_cents,
+                   abs(revenue_cents - med) AS dev, med
+            FROM daily, med
+        ),
+        mad AS (
+            SELECT min(dev) AS mad FROM (
+                SELECT dev, count(*) OVER (ORDER BY dev) AS cum FROM devs
+            ), nn WHERE cum >= (n + 1) // 2
+        )
+        SELECT day, revenue_cents,
+               CAST(med AS BIGINT) AS median_cents,
+               CAST(mad AS BIGINT) AS mad_cents,
+               dev > 3 * mad AS is_outlier
+        FROM devs, mad
+    """,
+    "user_latest_state": """
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               ts AS last_ts, event_type AS last_event_type,
+               CAST(floor(value * 100) AS BIGINT) AS last_cents
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        ) WHERE rn = 1
     """,
     # HDR quantile-sketch rollup: the bucket function is integer-exact
     # (bit tricks, no float log), so DuckDB replays the WHOLE sketch

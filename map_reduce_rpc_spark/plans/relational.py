@@ -602,6 +602,31 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("u").alias("suppkey"), "core_deg")
 
 
+BFS_SEED_SUPPS = (1, 2)
+BFS_ROUNDS = 3
+
+
+def bfs_hops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from a seed supplier set over the
+    co-occurrence backbone — the sixth graph-family algorithm, and the
+    REACHABILITY-with-distance question the other five don't answer
+    (CC: connected at all; k-core: locally dense; PageRank: central;
+    LPA: which region; triangles: how clustered). Curation use:
+    "everything within k hops of a trusted/poisoned seed set" is the
+    standard trust/contamination neighborhood query.
+
+    {BFS_ROUNDS} synchronous frontier rounds (operators/graph.bfs_hops
+    — frontier-only joins, so per-round shuffle tracks the frontier,
+    not the reached set); hop numbers are first-seen = minimal, so the
+    oracle unrolls every round as a CTE chain. Output: (suppkey, hops)
+    for the reached set."""
+    from ..operators.graph import bfs_hops
+
+    return bfs_hops(
+        _supplier_backbone(spark, sf_dir), seeds=BFS_SEED_SUPPS, rounds=BFS_ROUNDS
+    ).select(F.col("node").alias("suppkey"), "hops")
+
+
 LPA_ROUNDS = 3
 # LPA runs on a THINNER union-kNN backbone than triangles/k-core: at
 # top-10 the sf0.01 graph is dense enough that mode-voting floods all
@@ -3485,6 +3510,55 @@ def _kcore_oracle_sql() -> str:
 
 
 RELATIONAL_ORACLES["kcore_suppliers"] = _kcore_oracle_sql()
+
+
+def _bfs_oracle_sql() -> str:
+    """Unrolled replay of the synchronous BFS frontier rounds over the
+    same union-kNN backbone CTEs as the kcore/triangle oracles."""
+    seeds = ", ".join(f"({s}, 0)" for s in BFS_SEED_SUPPS)
+    ctes = [
+        """po AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)""",
+        """support AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS support
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    )""",
+        f"""edges AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY support DESC, v) AS ru,
+                   row_number() OVER (PARTITION BY v
+                                      ORDER BY support DESC, u) AS rv
+            FROM support
+        ) WHERE ru <= {TRI_TOP_NEIGHBORS} OR rv <= {TRI_TOP_NEIGHBORS}
+    )""",
+        """und AS (
+        SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    )""",
+        f"""reached0(node, hops) AS (VALUES {seeds})""",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        ctes.append(f"""nxt{r} AS (
+        SELECT DISTINCT e.v AS node FROM und e
+        JOIN reached{r - 1} f ON f.node = e.u AND f.hops = {r - 1}
+        WHERE e.v NOT IN (SELECT node FROM reached{r - 1})
+    )""")
+        ctes.append(f"""reached{r} AS (
+        SELECT node, hops FROM reached{r - 1}
+        UNION ALL SELECT node, {r} AS hops FROM nxt{r}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS suppkey, CAST(hops AS INT) AS hops
+    FROM reached{BFS_ROUNDS}"""
+    )
+
+
+RELATIONAL_ORACLES["bfs_hops_suppliers"] = _bfs_oracle_sql()
 
 
 def _lpa_oracle_sql() -> str:

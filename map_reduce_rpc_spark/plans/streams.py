@@ -335,7 +335,100 @@ _SESSION_CTE = """
     )
 """
 
+def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable QUANTILE sketch: the stream maintains one
+    daily HDR histogram (state = occupied buckets per open day, never
+    per event; streaming/windows.hdr_value_histogram), the drained
+    sketch rows are finalized batch-side to per-day p50/p95 — the
+    serving pattern where percentile dashboards read closed-day
+    sketches instead of replaying raw events. Streaming twin of
+    hdr_quantile_rollup_values; same integer-exact bucket function,
+    so the DuckDB oracle replays the whole pipeline hash-identically.
+    Output: (day, n_events, p50_cents, p95_cents)."""
+    from pyspark.sql import Window
+
+    from .events import _hdr_bounds
+
+    sk = core.run_available_now(
+        windows.hdr_value_histogram(_replay(spark, sf_dir)), spark
+    ).where(F.col("bucket") != -1)  # drop the sentinel bucket rows
+    # totals via a day-partitioned window (a tot-join back onto the
+    # same memory-sink view trips a self-join attribute conflict)
+    w = Window.partitionBy("day").orderBy("bucket")
+    cum = sk.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_events", F.sum("n").over(Window.partitionBy("day"))
+    )
+    est = cum.groupBy("day", "n_events").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n_events")), F.col("bucket"))
+        ).alias("p50_bucket"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.95) * F.col("n_events")), F.col("bucket"))
+        ).alias("p95_bucket"),
+    )
+    lo50, _ = _hdr_bounds("p50_bucket")
+    lo95, _ = _hdr_bounds("p95_bucket")
+    return est.select(
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        lo50.cast("long").alias("p50_cents"),
+        lo95.cast("long").alias("p95_cents"),
+    )
+
+
+def _hdr_stream_oracle_sql() -> str:
+    from .events import HDR_SUBBITS
+
+    m, top, half = HDR_SUBBITS, 1 << 10, 1 << 9
+
+    def decode(col: str) -> str:
+        return (
+            f"CAST(CASE WHEN {col} < {top} THEN {col} "
+            f"ELSE ({half} + ({col} - {top}) % {half})"
+            f" << (({col} - {top}) // {half} + 1) END AS BIGINT)"
+        )
+
+    return f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE CAST(floor(value * 100) AS BIGINT) >= 1
+        ),
+        bk AS (
+            SELECT day,
+                   CASE WHEN length(bin(cents)) <= {m} THEN cents
+                        ELSE {top} + (length(bin(cents)) - {m + 1}) * {half}
+                             + ((cents >> (length(bin(cents)) - {m}))
+                                - {half})
+                   END AS bucket
+            FROM ev
+        ),
+        sk AS (SELECT day, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+        tot AS (SELECT day, sum(n) AS n_events FROM sk GROUP BY 1),
+        cum AS (
+            SELECT s.day, s.bucket, t.n_events,
+                   sum(s.n) OVER (PARTITION BY s.day ORDER BY s.bucket)
+                       AS cum
+            FROM sk s JOIN tot t USING (day)
+        ),
+        est AS (
+            SELECT day, n_events,
+                   min(CASE WHEN cum >= ceil(0.5 * n_events)
+                            THEN bucket END) AS p50_bucket,
+                   min(CASE WHEN cum >= ceil(0.95 * n_events)
+                            THEN bucket END) AS p95_bucket
+            FROM cum GROUP BY day, n_events
+        )
+        SELECT day, CAST(n_events AS BIGINT) AS n_events,
+               {decode("p50_bucket")} AS p50_cents,
+               {decode("p95_bucket")} AS p95_cents
+        FROM est
+    """
+
+
 STREAMS_ORACLES: dict[str, str] = {
+    "stream_hdr_quantiles": _hdr_stream_oracle_sql(),
     "stream_events_etl": """
         SELECT event_id, user_id, event_type,
                date_trunc('hour', ts) AS hour,

@@ -464,6 +464,69 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 25
+
+
+def skipgram_cooc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window ±{SKIPGRAM_WINDOW},
+    unordered canonical pairs, self-pairs dropped), top-{SKIPGRAM_TOPK}
+    — the (word, context) counting pass every embedding-training
+    pipeline (word2vec/GloVe-style) runs over a corpus, and the
+    windowed generalization of ``bpe_pair_counts``'s adjacent pairs /
+    ``collocation_pmi``'s adjacent PMI.
+
+    Plan shape at 100 TB: identical to bpe_pair_counts — pair
+    construction is IN-ROW (nested transform over position sequences,
+    whole-stage codegen, no self-join: a positional self-join per doc
+    would shuffle every token w times), then ONE combiner'd
+    (pair, count) shuffle; hot pairs collapse map-side. Top-k via
+    TakeOrdered. Output: (rank, a, b, n), lexicographic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    last = F.size(F.col("t")) - F.lit(1)
+    pairs = (
+        docs.select(tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                        lambda i: F.filter(
+                            F.transform(
+                                F.sequence(
+                                    i + F.lit(1),
+                                    F.least(
+                                        i + F.lit(SKIPGRAM_WINDOW), last
+                                    ),
+                                ),
+                                lambda j: F.struct(
+                                    F.least(
+                                        F.get("t", i), F.get("t", j)
+                                    ).alias("a"),
+                                    F.greatest(
+                                        F.get("t", i), F.get("t", j)
+                                    ).alias("b"),
+                                ),
+                            ),
+                            lambda p: p["a"] != p["b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    counts = pairs.groupBy("a", "b").agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("a"), F.asc("b")]
+    return (
+        counts.orderBy(*order)
+        .limit(SKIPGRAM_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "a", "b", "n")
+    )
+
+
 SEARCH_TERMS = ("spark", "table", "query")  # the fixed search query
 SEARCH_TOPK = 20
 
@@ -520,6 +583,80 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SEARCH_TOPK)
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("rank", "doc_id", "score", "n_hits")
+    )
+
+
+BM25_TOPK = 20
+BM25_SCALE = 1_000_000
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-{BM25_TOPK} documents for the fixed query
+    {SEARCH_TERMS}, with k1=1.2, b=0.75 — the document-length-
+    normalized, tf-saturating ranking function production lexical
+    search actually runs (``keyword_search_topk``'s plain tf-idf has
+    neither property: long docs win on raw tf, and tf grows without
+    bound).
+
+    EXACT integer arithmetic end to end: with the rational idf
+    surrogate (2N-2df+1)/(2df+1) — the argument of BM25's log, halves
+    cleared; log-free like this repo's other retrieval scores because
+    a cross-engine ln() is not bit-stable — every per-term score is a
+    ratio of integers, and score_ppm = (10^6 * num) div den is
+    computed in DECIMAL(38) on the Spark side and HUGEINT on the
+    DuckDB side: identical floor quotients, no float anywhere.
+    Derivation (k1=6/5, b=3/4, avgdl=L/N):
+      term = idf_r * tf*(k1+1) / (tf + k1*(1-b+b*dl*N/L))
+           = 22*tf*L*(2N-2df+1) / [(2df+1)*(10*tf*L + 3*L + 9*dl*N)].
+
+    Plan shape at 100 TB: same as keyword_search_topk — the token
+    explode filters to the query terms immediately (the inverted-index
+    access path, declaratively), corpus stats (N, L, per-term df)
+    reduce to one broadcast row, scoring is a codegen map over
+    matching docs only, top-k via TakeOrdered.
+    Output: (rank, doc_id, score_ppm, n_hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), "t")
+    corpus = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    hits = base.select("doc_id", F.explode("t").alias("w")).where(
+        F.col("w").isin(list(SEARCH_TERMS))
+    )
+    tf = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ],
+    )
+    stats = hits.groupBy().agg(
+        *[
+            F.countDistinct(F.when(F.col("w") == t, F.col("doc_id"))).alias(f"df{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ]
+    )
+    terms = " + ".join(
+        f"CAST((CAST({22 * BM25_SCALE} AS DECIMAL(38,0)) * tf{i} * total_len"
+        f" * (2 * n_docs - 2 * df{i} + 1))"
+        f" div (CAST(2 * df{i} + 1 AS DECIMAL(38,0))"
+        f" * (10 * tf{i} * total_len + 3 * total_len + 9 * dl * n_docs))"
+        f" AS BIGINT)"
+        for i in range(len(SEARCH_TERMS))
+    )
+    order = [F.desc("score_ppm"), F.asc("doc_id")]
+    return (
+        tf.join(base.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "n_hits", F.expr(terms).alias("score_ppm"))
+        .orderBy(*order)
+        .limit(BM25_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "doc_id", "score_ppm", "n_hits")
     )
 
 
@@ -759,6 +896,58 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket <= SPLIT_TRAIN_MAX, F.lit("train"))
         .when(bucket == SPLIT_TRAIN_MAX + 1, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the eval leakage of the naive per-document split —
+    the audit complement of ``leakage_safe_split`` (which makes
+    leakage structurally impossible by splitting on dup clusters,
+    this one quantifies how much the plain md5 split actually leaks):
+    join the exact-jaccard near-dup pairs against ``split_assign``'s
+    assignments and count pairs per unordered split-pair cell, with
+    each cell's ppm share of all dup pairs. Cross-split cells
+    (is_leak) are benchmark-inflation risk; the report is the number
+    a dataset card should carry.
+
+    Scale shape: the pair machinery is the certified
+    ngram_jaccard_dups path (bounded posting lists); the split lookup
+    is two doc_id-keyed joins of a pure-map assignment (no shuffle on
+    the assignment side beyond the join), and the final agg is
+    3x3-bounded. Output: (split_lo, split_hi, n_pairs, share_ppm,
+    is_leak)."""
+    from .sampling import split_assign
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    sp = split_assign(spark, sf_dir).select("doc_id", "split")
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    cells = j.groupBy("split_lo", "split_hi").agg(
+        F.count("*").alias("n_pairs")
+    )
+    total = cells.agg(F.sum("n_pairs").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        F.expr("(n_pairs * 1000000) div total").alias("share_ppm"),
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
     )
 
 
@@ -2340,6 +2529,87 @@ TEXTOPS_ORACLES["boilerplate_ratio"] = f"""
     GROUP BY s.doc_id
 """
 
+def _bm25_oracle_sql() -> str:
+    """HUGEINT replay of the exact rational BM25 — same integer floor
+    quotients as the Spark DECIMAL(38) side."""
+    tf_cols = ",\n               ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"count(DISTINCT CASE WHEN w = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    terms = " + ".join(
+        f"(CAST({22 * BM25_SCALE} AS HUGEINT) * tf{i} * total_len"
+        f" * (2 * n_docs - 2 * df{i} + 1))"
+        f" // (CAST(2 * df{i} + 1 AS HUGEINT)"
+        f" * (10 * tf{i} * total_len + 3 * total_len + 9 * dl * n_docs))"
+        for i in range(len(SEARCH_TERMS))
+    )
+    in_list = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '{NON_LETTER_RE}'), x -> x <> '')) AS dl,
+                   list_filter(regexp_split_to_array(lower(text),
+                       '{NON_LETTER_RE}'), x -> x <> '') AS t
+            FROM documents
+        ),
+        corpus AS (
+            SELECT count(*) AS n_docs, sum(dl) AS total_len FROM base
+        ),
+        hits AS (
+            SELECT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM base)
+            WHERE w IN ({in_list})
+        ),
+        tf AS (
+            SELECT doc_id, count(*) AS n_hits,
+               {tf_cols}
+            FROM hits GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT {df_cols}
+            FROM hits
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.n_hits,
+                   CAST({terms} AS BIGINT) AS score_ppm
+            FROM tf JOIN base USING (doc_id), corpus, stats
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                    AS INT) AS rank,
+               doc_id, score_ppm, CAST(n_hits AS BIGINT) AS n_hits
+        FROM scored ORDER BY score_ppm DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+TEXTOPS_ORACLES["bm25_search_topk"] = _bm25_oracle_sql()
+
+TEXTOPS_ORACLES["skipgram_cooc_topk"] = """
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(text, '{re}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(
+            [{{'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])}}
+             for i in range(1, len(t))]
+            || [{{'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])}}
+                for i in range(1, len(t) - 1)],
+            recursive := true)
+        FROM toks WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT a, b, count(*) AS n FROM pairs WHERE a <> b GROUP BY a, b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INT) AS rank,
+           a, b, n
+    FROM counts ORDER BY n DESC, a, b LIMIT {k}
+""".format(re=NON_LETTER_RE, k=SKIPGRAM_TOPK)
+
 TEXTOPS_ORACLES["bpe_pair_counts"] = f"""
     WITH toks AS (
         SELECT list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
@@ -2361,6 +2631,43 @@ TEXTOPS_ORACLES["bpe_pair_counts"] = f"""
 
 # Same transitive closure, right-joined onto the corpus (singletons =
 # own component), then the identical bucket CASE on component.
+def _cross_split_oracle_sql() -> str:
+    """Pairs CTE (the ngram_jaccard_dups oracle, verbatim) joined to
+    the split_assign md5 replay, 3x3 cell counts + ppm shares."""
+    from .sampling import _TRAIN_HEX, _VAL_HEX
+
+    return f"""
+    WITH pairs AS (
+        {TEXTOPS_ORACLES["ngram_jaccard_dups"]}
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{_TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{_VAL_HEX}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    cells AS (
+        SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN sp a ON a.doc_id = pairs.id_a
+        JOIN sp b ON b.doc_id = pairs.id_b
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_pairs) AS total FROM cells)
+    SELECT split_lo, split_hi, n_pairs,
+           CAST((n_pairs * 1000000) // total AS BIGINT) AS share_ppm,
+           split_lo <> split_hi AS is_leak
+    FROM cells, tot
+    """
+
+
+TEXTOPS_ORACLES["cross_split_contamination"] = _cross_split_oracle_sql()
+
 TEXTOPS_ORACLES["leakage_safe_split"] = f"""
     WITH RECURSIVE pairs AS (
         {TEXTOPS_ORACLES["ngram_jaccard_dups"]}

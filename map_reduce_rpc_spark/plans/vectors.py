@@ -15,7 +15,7 @@ the exact brute-force baseline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
@@ -1379,3 +1379,145 @@ def _mmr_oracle_sql(
 
 
 VECTORS_ORACLES["ann_mmr_topk"] = _mmr_oracle_sql()
+
+
+OUTLIER_Q = 1 << 16  # exact power-of-two quantization (float*2^16 is exact)
+OUTLIER_PRUNE_PPM = 100_000  # prune the least-prototypical 10% per label
+
+
+def doc_outlier_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning: score every vector by cosine to its
+    OWN label's centroid and flag the least-typical 10 % per label —
+    the data-pruning signal (SemDeDup's sibling: that removes
+    near-identical points, this removes far-from-cluster points;
+    curation pipelines run both) and the embedding-space outlier
+    detector for mislabeled/garbage examples.
+
+    Determinism without a pinned fold order: the centroid is a
+    per-(label, dim) SUM of 2^16-quantized components — floor(x*2^16)
+    is EXACT (power-of-two scale), integer sums are order-free, and
+    cosine is scale-invariant so sum vs mean doesn't matter. Per-
+    vector dot/norms are then in-row exact-integer folds; the single
+    double division + correctly-rounded sqrt make cos bit-identical
+    across engines, ppm-floored for the output.
+
+    Plan shape at 100 TB: one (label, dim)-keyed partial-agg'd shuffle
+    of quantized components builds all centroids (64 x #labels rows);
+    centroids broadcast back; scoring is embarrassingly parallel
+    in-row; the prune flag is a per-label window over rank — per-label
+    cardinality-bounded, the same partition profile as any per-class
+    pass. Output: (vec_id, label, cos_ppm, is_pruned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(OUTLIER_Q))).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    cent = (
+        qv.select("label", F.posexplode("q").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("c"))
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label",
+            F.transform("pc", lambda s: s["c"]).alias("cq"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    scored = (
+        qv.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.aggregate(
+                F.transform("q", lambda x: x * x), zero, lambda acc, x: acc + x
+            ).alias("na"),
+            F.aggregate(
+                F.transform("cq", lambda x: x * x), zero, lambda acc, x: acc + x
+            ).alias("nc"),
+        )
+        .where((F.col("na") > 0) & (F.col("nc") > 0))
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nc").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_ppm"), F.asc("vec_id"))
+    wl = Window.partitionBy("label")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wl))
+        .select(
+            "vec_id",
+            "label",
+            "cos_ppm",
+            # integer ceil: rnk <= ceil(n * ppm / 1e6), all-int `div`
+            F.expr(
+                f"rnk <= (n * {OUTLIER_PRUNE_PPM} + 999999) div 1000000"
+            ).alias("is_pruned"),
+        )
+    )
+
+
+VECTORS_ORACLES["doc_outlier_embeddings"] = f"""
+    WITH qv AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {OUTLIER_Q})
+                             AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i AS pos, sum(q[i]) AS c
+        FROM qv, range(1, 65) r(i)
+        GROUP BY 1, 2
+    ),
+    carr AS (
+        SELECT label, list(CAST(c AS BIGINT) ORDER BY pos) AS cq
+        FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT vec_id, qv.label,
+               CAST(list_sum(list_transform(q, (x, i) -> x * cq[i]))
+                    AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS nc
+        FROM qv JOIN carr ON qv.label = carr.label
+    ),
+    ppm AS (
+        SELECT vec_id, label,
+               CAST(floor(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS cos_ppm
+        FROM scored WHERE na > 0 AND nc > 0
+    )
+    SELECT vec_id, label, cos_ppm,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY cos_ppm, vec_id)
+               <= (count(*) OVER (PARTITION BY label) * {OUTLIER_PRUNE_PPM}
+                   + 999999) // 1000000 AS is_pruned
+    FROM ppm
+"""

@@ -324,6 +324,11 @@ def write_avro(
 
     manifest = df.mapInPandas(write_part, "file string, n_records long")
     total = sum(r.n_records for r in manifest.collect())
+    if not any(f.endswith(".avro") for f in os.listdir(path)):
+        # zero-partition input: write one empty container driver-side
+        # so the directory stays self-describing (the reader takes its
+        # schema from a file header)
+        _write_container([], avro_schema, os.path.join(path, "part-00000.avro"), codec)
     with open(os.path.join(path, "_SUCCESS"), "w") as fh:
         fh.write(str(total))
 

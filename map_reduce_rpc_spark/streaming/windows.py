@@ -271,3 +271,38 @@ def session_stats(events: DataFrame, gap: str = SESSION_GAP, watermark: str = WA
             "value_cents",
         )
     )
+
+
+def hdr_value_histogram(events: DataFrame, watermark: str = WATERMARK_DELAY) -> DataFrame:
+    """Daily HDR-histogram sketch rows from the stream — the streaming
+    producer of the mergeable quantile sketch that
+    plans/events.hdr_quantile_rollup_values consumes in batch: state
+    per open day is one row per OCCUPIED BUCKET (a few hundred),
+    never per event, so the stateful footprint is the sketch itself.
+    That is the point of streaming a mergeable summary: the stream
+    maintains sketch state, sinks emit closed-day sketch rows, and any
+    later rollup (week/month/all-time) merges rows without replay.
+
+    Sentinel rows must reach the aggregation — a pre-agg filter that
+    drops them can be pushed below the EventTimeWatermark node, and
+    then nothing advances the clock that closes the final day window
+    (observed: the last day never emits). So sentinels ride through
+    the groupBy in a reserved bucket (-1) and the consumer drops that
+    bucket after the drain — the same filter-after-drain contract as
+    every other stream here, one level down."""
+    from ..plans.events import _hdr_bucket
+
+    is_sent = F.col("event_type") == "__sentinel__"
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .where((F.col("cents") >= 1) | is_sent)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.when(is_sent, F.lit(-1).cast("long"))
+            .otherwise(_hdr_bucket("cents"))
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("date").alias("day"), "bucket", "n")
+    )

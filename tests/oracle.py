@@ -27,6 +27,24 @@ def assert_matches(spark_df, duck_rel, float_tol: float = 1e-9) -> None:
     assert len(left) == len(right), f"row count: spark={len(left)} duck={len(right)}"
     for col in left.columns:
         ls, rs = left[col], right[col]
+        # a dtype-KIND split (one side integer, the other float) is a
+        # driver failure even when values are numerically equal: the
+        # driver hashes astype(str), so '1815764' != '1815764.0'.
+        # Round-8 find: DuckDB sums BIGINT into HUGEINT, which lands
+        # as float64 in pandas — cast the oracle's aggregate instead.
+        li, ri = (
+            pd.api.types.is_integer_dtype(ls),
+            pd.api.types.is_integer_dtype(rs),
+        )
+        lf, rf = (
+            pd.api.types.is_float_dtype(ls),
+            pd.api.types.is_float_dtype(rs),
+        )
+        assert not ((li and rf) or (lf and ri)), (
+            f"{col}: dtype kind split (spark={ls.dtype}, duck={rs.dtype})"
+            " — the driver's stringified hash WILL reject this; CAST the"
+            " oracle column (HUGEINT sums need CAST(... AS BIGINT))"
+        )
         if pd.api.types.is_float_dtype(ls) or pd.api.types.is_float_dtype(rs):
             for i, (a, b) in enumerate(zip(ls, rs)):
                 if pd.isna(a) and pd.isna(b):

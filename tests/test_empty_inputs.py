@@ -150,6 +150,23 @@ _CASES = {
     "repeated_spans": 0,  # no docs -> no windows, no spans
     "dpp_quarter_revenue": 0,  # no orders -> no partitions, no months
     "session_paths": 0,  # no events -> no sessions, no paths
+    # round-8 additions: sketch rollups (batch + stream), Avro
+    # roundtrip, robust outliers, compaction, BFS, retrieval,
+    # prototypicality, split audit
+    "hdr_quantile_rollup_values": 0,
+    "stream_hdr_quantiles": 0,
+    "avro_events_roundtrip": 0,  # empty container still self-describes
+    "mad_outlier_days": 0,
+    "user_latest_state": 0,
+    "bfs_hops_suppliers": len(
+        __import__(
+            "map_reduce_rpc_spark.plans.relational", fromlist=["x"]
+        ).BFS_SEED_SUPPS
+    ),  # seeds are ground truth: hops=0 rows survive an empty graph
+    "skipgram_cooc_topk": 0,
+    "bm25_search_topk": 0,
+    "doc_outlier_embeddings": 0,
+    "cross_split_contamination": 0,
 }
 
 

@@ -276,3 +276,37 @@ def test_lpa_is_partitioning_invariant(spark):
         map(tuple, label_propagation(edges.repartition(7), rounds=3).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_bfs_hops_on_path_graph(spark):
+    """Path 1-2-3-4-5, seed {1}, 3 rounds: hops are exact shortest
+    distances; node 5 is beyond the horizon and stays unreached; the
+    disconnected node 99 never appears; a seed absent from the graph
+    still reports hops=0 (the seed set is ground truth, not derived)."""
+    from map_reduce_rpc_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (99, 100)], "u long, v long"
+    )
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seeds=(1, 7), rounds=3).collect()
+    }
+    assert got == {1: 0, 7: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_undirected_and_multisource_min(spark):
+    """Edges are treated as undirected, and with two seeds every node
+    gets the MIN distance over seeds (first-seen = minimal)."""
+    from map_reduce_rpc_spark.operators.graph import bfs_hops
+
+    # star: 0 at center; seeds at two leaves -> center is 1 hop, other
+    # leaves 2 (via center), regardless of edge direction in the input
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 0), (0, 3), (4, 0)], "u long, v long"
+    )
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seeds=(1, 2), rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 0, 0: 1, 3: 2, 4: 2}

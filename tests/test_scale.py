@@ -934,3 +934,38 @@ def test_registered_dpp_query_prunes_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     rows = df.collect()
     assert len(rows) == 3 and all(r["n_orders"] > 0 for r in rows)
+
+
+def test_hdr_bucket_is_exact_inverse_and_order_preserving(spark):
+    """HDR sketch bucket function properties over an adversarial value
+    sweep (all small values, every power-of-two boundary ±1, random
+    large values): (1) decode bounds bracket the value, (2) bucketing
+    is weakly order-preserving, (3) relative bucket width — the hard
+    accuracy guarantee of the quantile estimate — is <= 2^-(m-1)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.plans.events import (
+        HDR_SUBBITS,
+        _hdr_bounds,
+        _hdr_bucket,
+    )
+
+    vals = set(range(1, 2100))
+    for e in range(11, 62):
+        vals |= {2**e - 1, 2**e, 2**e + 1}
+    vals |= {(37 * 10**k) // 7 + 1 for k in range(3, 18)}
+    df = spark.createDataFrame([(v,) for v in sorted(vals)], "cents long")
+    lo, hi = _hdr_bounds("bucket")
+    got = (
+        df.select("cents", _hdr_bucket("cents").alias("bucket"))
+        .select("cents", "bucket", lo.alias("lo"), hi.alias("hi"))
+        .orderBy("cents")
+        .collect()
+    )
+    prev_bucket = 0
+    for r in got:
+        assert r.lo <= r.cents <= r.hi, r
+        assert r.bucket >= prev_bucket, r  # order-preserving
+        prev_bucket = r.bucket
+        # hard accuracy bound: bucket width / lower bound
+        assert (r.hi - r.lo) <= r.lo * 2 ** -(HDR_SUBBITS - 1) + 1, r

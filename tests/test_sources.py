@@ -543,3 +543,27 @@ def test_avro_quarantine_resync_and_failfast(spark, tmp_path):
 
     with pytest.raises(Exception, match="malformed|FAILFAST|sync|avro"):
         avro_py.read_avro(spark, out, mode="FAILFAST").count()
+
+
+def test_avro_codec_edge_values(spark, tmp_path):
+    """Zigzag/varint edge cases roundtrip exactly: negative longs,
+    int64 extremes, empty strings, unicode, and NULLs in every
+    nullable column."""
+    from map_reduce_rpc_spark.sources import avro_py
+
+    rows = [
+        (-(2**62), "", None),
+        (2**62, "héllo wörld ☃", 1.5),
+        (None, None, float("inf")),
+        (0, "x" * 10_000, -0.0),
+        (-1, "newline\nand tab\t", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, d double")
+    out = str(tmp_path / "edge_avro")
+    avro_py.write_avro(df, out)
+    back = (
+        avro_py.read_avro(spark, out)
+        .drop(avro_py.CORRUPT_COL)
+        .collect()
+    )
+    assert sorted(map(tuple, back), key=str) == sorted(rows, key=str)
