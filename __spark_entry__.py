@@ -325,6 +325,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "triangle_count_suppliers": relational.triangle_count_suppliers,
+        # ----- LATE round-8 registrations (window was exactly full
+        # at 50 when these landed; never-certified = they HEAD the
+        # round-9 window, the same precedent as the 25 late-round-7
+        # registrations this round certified) -----
+        # hybrid_rrf_topk: reciprocal-rank fusion of the certified
+        # BM25 lexical list and exact-cosine semantic list — the
+        # hybrid-search serving shape; integer-exact RRF.
+        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
+        # dataset_card_report: the dataset-card stats block — per
+        # (split, lang) docs/tokens/chars/exact-dup ppm from the
+        # certified split + tokenizer + dedup building blocks.
+        "dataset_card_report": sampling.dataset_card_report,
+        # bpe_encode_corpus: the APPLY half of tokenizer induction —
+        # the learned merges applied corpus-wide, per-doc raw/encoded
+        # token counts + ppm savings.
+        "bpe_encode_corpus": textops.bpe_encode_corpus,
+        # media_exact_dups: exact-dup detection over opaque media
+        # bytes — only digests shuffle, never blobs; the first pass of
+        # a multimodal dedup stack.
+        "media_exact_dups": multimodal.media_exact_dups,
+        # forget_audit_report: the GDPR compliance audit — scan every
+        # forget-pipeline artifact for victim traces; oracle states
+        # the logical complement + zero victims.
+        "forget_audit_report": events.forget_audit_report,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

@@ -1722,3 +1722,86 @@ EVENTS_ORACLES: dict[str, str] = {
 # The skew-proof sessionizer's whole contract is "same answer as the
 # plain window form" — one oracle, two physical strategies.
 EVENTS_ORACLES["user_sessions_skewproof"] = EVENTS_ORACLES["user_sessions"]
+
+
+def forget_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR audit that closes the forget loop: after the three
+    certified right-to-be-forgotten pipelines run (base-table delete,
+    SCD2 history delete, near-dup manifest delete + re-decide), scan
+    each PHYSICAL artifact for victim traces and report per artifact —
+    total rows, victim rows (victim ids, or manifest rows whose
+    dup_of points at a victim), and the clean verdict. The oracle
+    states the LOGICAL expectation (complement recomputes, zero
+    victims, clean=true), so a hash match certifies the physical
+    artifacts hold exactly the complement — the compliance evidence a
+    deletion request actually requires, as one queryable row per
+    artifact. Scale: three independent artifact scans, each a
+    partial-agg'd count — no joins, no shuffles beyond the 1-row
+    aggs."""
+    from .relational import FORGET_CUST_MOD, forget_customers_scd2
+    from .textops import FORGET_DOC_MOD, forget_docs_neardup_manifest
+
+    def audit(name: str, df: DataFrame, victim) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("artifact"),
+            F.count("*").cast("long").alias("total_rows"),
+            F.sum(F.when(victim, 1).otherwise(0))
+            .cast("long")
+            .alias("victim_rows"),
+        )
+
+    ev = audit(
+        "events",
+        forget_users_events(spark, sf_dir),
+        F.col("user_id") % FORGET_MOD == 0,
+    )
+    scd = audit(
+        "scd2_history",
+        forget_customers_scd2(spark, sf_dir),
+        F.col("custkey") % FORGET_CUST_MOD == 0,
+    )
+    man = audit(
+        "neardup_manifest",
+        forget_docs_neardup_manifest(spark, sf_dir),
+        (F.col("doc_id") % FORGET_DOC_MOD == 0)
+        | ((F.col("dup_of") != -1) & (F.col("dup_of") % FORGET_DOC_MOD == 0)),
+    )
+    return (
+        ev.unionByName(scd)
+        .unionByName(man)
+        .select(
+            "artifact",
+            "total_rows",
+            "victim_rows",
+            (F.col("victim_rows") == 0).alias("clean"),
+        )
+    )
+
+
+def _forget_audit_oracle_sql() -> str:
+    """Logical expectation per artifact: complement row counts, zero
+    victim rows, clean verdicts — embedded from the three forget
+    oracles so the counts can never drift from the certified
+    pipelines."""
+    from .relational import RELATIONAL_ORACLES
+    from .textops import TEXTOPS_ORACLES
+
+    scd = RELATIONAL_ORACLES["forget_customers_scd2"]
+    man = TEXTOPS_ORACLES["forget_docs_neardup_manifest"]
+    return f"""
+        SELECT 'events' AS artifact,
+               (SELECT count(*) FROM events
+                WHERE user_id % {FORGET_MOD} <> 0) AS total_rows,
+               CAST(0 AS BIGINT) AS victim_rows, TRUE AS clean
+        UNION ALL
+        SELECT 'scd2_history',
+               (SELECT count(*) FROM ({scd})),
+               CAST(0 AS BIGINT), TRUE
+        UNION ALL
+        SELECT 'neardup_manifest',
+               (SELECT count(*) FROM ({man})),
+               CAST(0 AS BIGINT), TRUE
+    """
+
+
+EVENTS_ORACLES["forget_audit_report"] = _forget_audit_oracle_sql()

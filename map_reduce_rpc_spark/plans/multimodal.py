@@ -234,3 +234,51 @@ MULTIMODAL_ORACLES["image_resize_mm"] = f"""
     FROM mapped
     GROUP BY media_id
 """
+
+
+def media_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection over OPAQUE media bytes — the first
+    pass of any multimodal dedup stack (hash the blob, group, keep
+    one): per kind, the number of duplicate groups, duplicated items,
+    and reclaimable bytes ((multiplicity-1) x blob size per group).
+    Text dedup's dedup_exact, applied to the binary column: the blob
+    never shuffles — only its sha2 digest and byte length do, so at
+    100 TB the exchange carries ~70 bytes per object regardless of
+    object size. Output: (kind, n_objects, dup_groups, dup_items,
+    reclaimable_bytes)."""
+    media = mm.synthesize_media(spark, sf_dir)
+    groups = media.groupBy(
+        "kind", F.sha2(F.hex("data"), 256).alias("h")
+    ).agg(
+        F.count("*").alias("m"),
+        F.min(F.octet_length("data")).alias("nbytes"),
+    )
+    d = F.col("m") >= 2
+    return groups.groupBy("kind").agg(
+        F.sum("m").cast("long").alias("n_objects"),
+        F.sum(F.when(d, 1).otherwise(0)).cast("long").alias("dup_groups"),
+        F.sum(F.when(d, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("dup_items"),
+        F.sum(F.when(d, (F.col("m") - 1) * F.col("nbytes")).otherwise(0))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )
+
+
+MULTIMODAL_ORACLES["media_exact_dups"] = _MEDIA_CTE + """
+    , groups AS (
+        SELECT kind, sha256(hex(data)) AS h, count(*) AS m,
+               min(octet_length(data)) AS nbytes
+        FROM media GROUP BY 1, 2
+    )
+    SELECT kind,
+           CAST(sum(m) AS BIGINT) AS n_objects,
+           CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_groups,
+           CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT)
+               AS dup_items,
+           CAST(sum(CASE WHEN m >= 2 THEN (m - 1) * nbytes ELSE 0 END)
+                AS BIGINT) AS reclaimable_bytes
+    FROM groups GROUP BY kind
+"""

@@ -593,3 +593,88 @@ SAMPLING_ORACLES: dict[str, str] = {
         FROM orders
     """,
 }
+
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card stats block, one query: per (split, lang) —
+    document count, total tokens, total chars, exact-duplicate
+    document count and its ppm rate. This is the summary table every
+    released training corpus ships (what's in each split, how big in
+    tokens, how clean), composed from the certified building blocks:
+    split_assign's stable md5 split, the reference tokenizer's token
+    counts, and corpus-level exact-dup detection (a doc is dup-flagged
+    if its full text appears >= 2 times anywhere in the corpus).
+
+    Plan shape at 100 TB: one sha2-keyed groupBy for dup multiplicity
+    (count-only — text never shuffles twice: the join back to docs is
+    on the hash key), token counting fused into the scan, then a
+    partial-agg'd (split, lang) rollup — three shuffles total, each
+    carrying ids/counts. Output: (split, lang, n_docs, total_tokens,
+    total_chars, dup_docs, dup_ppm)."""
+    from ..functions.text import word_count_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(_hash_key(), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HEX, F.lit("train"))
+        .when(bucket < _VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        word_count_tokens(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    mult = base.groupBy("h").agg(F.count("*").alias("m"))
+    return (
+        base.join(mult, "h")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("m") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "dup_docs",
+            F.expr("(dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+SAMPLING_ORACLES["dataset_card_report"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{_TRAIN_HEX}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '{_VAL_HEX}' THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                               x -> x <> '')) AS n_tokens,
+               length(text) AS n_chars,
+               sha256(text) AS h
+        FROM documents
+    ),
+    mult AS (SELECT h, count(*) AS m FROM base GROUP BY h)
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           CAST((sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM base JOIN mult USING (h)
+    GROUP BY split, lang
+"""

@@ -3433,3 +3433,118 @@ TEXTOPS_ORACLES["repeated_spans"] = f"""
                 // greatest(len(t.ts), 1) AS BIGINT) AS dup_ppm
     FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of tokenizer induction: learn the {BPE_ITERS}
+    BPE merges exactly as ``bpe_learn_merges`` does (count -> argmax
+    -> corpus-wide in-row rewrite, each iteration one combiner'd
+    shuffle + a 1-row broadcast), but keep doc_id through the rewrites
+    and emit the PER-DOCUMENT encoding outcome — raw vs encoded token
+    counts and the ppm savings. In production this split is how
+    tokenization actually runs: induction once on a sample, then this
+    query's tail (broadcast merge table + in-row rewrite, shuffle-free
+    and embarrassingly parallel) over the full 100 TB corpus; here the
+    certified artifact covers both halves end to end.
+
+    Output: (doc_id, n_raw, n_bpe, saved_ppm); zero-token docs report
+    0 saved_ppm rather than dividing by zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", tokens("text").alias("t"))
+    for _ in range(BPE_ITERS):
+        counts = (
+            cur.where(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - F.lit(2)),
+                        lambda i: F.struct(
+                            F.get("t", i).alias("a"),
+                            F.get("t", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            counts.where(F.col("a") != F.col("b"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            _bpe_apply_merge(F.col("t"), F.col("ma"), F.col("mb")).alias("t"),
+        ).localCheckpoint(eager=False)
+    raw = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_raw")
+    )
+    enc = cur.select(
+        "doc_id", F.greatest(F.size("t"), F.lit(0)).cast("long").alias("n_bpe")
+    )
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        "n_raw",
+        "n_bpe",
+        F.when(F.col("n_raw") > 0,
+               F.expr("((n_raw - n_bpe) * 1000000) div n_raw"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("saved_ppm"),
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """The learn-loop replay of ``_bpe_oracle_sql`` with doc_id
+    carried through every rewrite, final select per document."""
+    ctes = [
+        f"""toks0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           t -> t <> '') AS ts
+        FROM documents
+    )"""
+    ]
+    for k in range(1, BPE_ITERS + 1):
+        p = k - 1
+        ctes.append(f"""cnt{k} AS (
+        SELECT ts[i] AS a, ts[i+1] AS b, count(*) AS n
+        FROM toks{p}, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""best{k} AS (
+        SELECT a, b FROM cnt{k}
+        WHERE a <> b ORDER BY n DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""toks{k} AS (
+        SELECT doc_id, CASE WHEN len(ts) >= 2 THEN
+            list_filter(
+                list_transform(range(1, len(ts) + 1),
+                    i -> CASE
+                        WHEN ts[i] = bk.a AND ts[i+1] = bk.b
+                            THEN ts[i] || ts[i+1]
+                        WHEN ts[i] = bk.b AND i > 1 AND ts[i-1] = bk.a
+                            THEN NULL
+                        ELSE ts[i] END),
+                x -> x IS NOT NULL)
+        ELSE ts END AS ts
+        FROM toks{p}, best{k} bk
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r.doc_id,
+           CAST(len(r.ts) AS BIGINT) AS n_raw,
+           CAST(len(e.ts) AS BIGINT) AS n_bpe,
+           CAST(CASE WHEN len(r.ts) > 0
+                THEN ((len(r.ts) - len(e.ts)) * 1000000) // len(r.ts)
+                ELSE 0 END AS BIGINT) AS saved_ppm
+    FROM toks0 r JOIN toks{BPE_ITERS} e USING (doc_id)"""
+    )
+
+
+TEXTOPS_ORACLES["bpe_encode_corpus"] = _bpe_encode_oracle_sql()

@@ -1521,3 +1521,95 @@ VECTORS_ORACLES["doc_outlier_embeddings"] = f"""
                    + 999999) // 1000000 AS is_pruned
     FROM ppm
 """
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOPK = 10
+RRF_QUERY_ID = 0  # fuse the semantic list of this query vector
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of the two certified
+    rankers — the BM25 lexical list (bm25_search_topk, fixed query
+    terms) and the exact-cosine semantic list (similarity_topk, query
+    vector {RRF_QUERY_ID}) — rrf(id) = sum over lists of
+    1e6 div (60 + rank), integer-exact, ties broken by id. This is
+    how production search actually serves (sparse + dense fused
+    downstream, RRF being the standard fusion because it needs no
+    score calibration between incomparable rankers).
+
+    Plan shape at 100 TB: both input lists are top-k (20 and 10 rows)
+    — the fusion is a full-outer join of two KB-sized frames and a
+    TakeOrdered; all the heavy lifting lives in the already-audited
+    rankers upstream. Absent ranks contribute 0 and surface as rank 0
+    (not NULL: a nullable int degrades to float64 in pandas and would
+    poison the driver's stringified hash). Output:
+    (rank, id, rrf_ppm, lex_rank, sem_rank)."""
+    from .textops import bm25_search_topk
+
+    lex = bm25_search_topk(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
+    )
+    sem = (
+        similarity_topk(spark, sf_dir)
+        .where(F.col("query_id") == RRF_QUERY_ID)
+        .select(
+            F.col("neighbor_id").alias("id"), F.col("rnk").alias("sem_rank")
+        )
+    )
+    fused = lex.join(sem, "id", "full_outer").select(
+        "id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("int").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + sem_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    )
+    order = [F.desc("rrf_ppm"), F.asc("id")]
+    return (
+        fused.orderBy(*order)
+        .limit(RRF_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("rank", "id", "rrf_ppm", "lex_rank", "sem_rank")
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    from .textops import TEXTOPS_ORACLES
+
+    return f"""
+        WITH lex_all AS (
+            {TEXTOPS_ORACLES["bm25_search_topk"]}
+        ),
+        sem_all AS (
+            {VECTORS_ORACLES["similarity_topk"]}
+        ),
+        lex AS (SELECT doc_id AS id, rank AS lex_rank FROM lex_all),
+        sem AS (
+            SELECT neighbor_id AS id, rnk AS sem_rank FROM sem_all
+            WHERE query_id = {RRF_QUERY_ID}
+        ),
+        fused AS (
+            SELECT coalesce(lex.id, sem.id) AS id,
+                   CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank,
+                   CAST(coalesce(sem_rank, 0) AS INT) AS sem_rank,
+                   CAST(coalesce(1000000 // ({RRF_K} + lex_rank), 0)
+                        + coalesce(1000000 // ({RRF_K} + sem_rank), 0)
+                        AS BIGINT) AS rrf_ppm
+            FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, id) AS INT)
+                   AS rank,
+               id, rrf_ppm, lex_rank, sem_rank
+        FROM fused ORDER BY rrf_ppm DESC, id LIMIT {RRF_TOPK}
+    """
+
+
+VECTORS_ORACLES["hybrid_rrf_topk"] = _rrf_oracle_sql()

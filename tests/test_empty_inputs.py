@@ -167,6 +167,13 @@ _CASES = {
     "bm25_search_topk": 0,
     "doc_outlier_embeddings": 0,
     "cross_split_contamination": 0,
+    # late round-8 additions: hybrid fusion, dataset card, BPE apply,
+    # media dedup, GDPR audit
+    "hybrid_rrf_topk": 0,
+    "dataset_card_report": 0,
+    "bpe_encode_corpus": 0,
+    "media_exact_dups": 0,
+    "forget_audit_report": 3,  # global aggs: one all-zero clean row per artifact
 }
 
 
