@@ -349,6 +349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forget-pipeline artifact for victim traces; oracle states
         # the logical complement + zero victims.
         "forget_audit_report": events.forget_audit_report,
+        # time_travel_orders: the transactional table format
+        # (sources/txlog.py — atomic commit log, snapshot isolation,
+        # file-level deletes, optimistic concurrency) certified by
+        # reading v0 AND v1 via time travel against logical oracles.
+        "time_travel_orders": relational.time_travel_orders,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

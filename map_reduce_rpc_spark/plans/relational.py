@@ -3671,3 +3671,63 @@ RELATIONAL_ORACLES["dpp_quarter_revenue"] = f"""
       ON strftime(o.o_orderdate, '%Y-%m') = dim.o_month
     GROUP BY 1
 """
+
+
+TT_DELETE_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table time travel certified end-to-end
+    (sources/txlog.py — the pure-python commit-log format: atomic
+    exclusive-create commits, snapshot isolation, file-level deletes,
+    optimistic concurrency; Delta/Iceberg's jars are absent in this
+    container, so the protocol itself is implemented and tested here).
+    Pipeline: orders -> create v0 -> transactional DELETE of urgent
+    orders (only victim files rewritten) -> v1; then read BOTH
+    versions via time travel and aggregate each. The oracle states the
+    logical expectation per version (full table vs complement), so a
+    hash match certifies that v0 stayed byte-stable under the delete
+    AND v1 holds exactly the survivors — the two halves of snapshot
+    isolation, as one green row. Build-once artifact via
+    derived_cache_dir. Output: (version, n_orders, total_cents)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        txlog.create_table(
+            spark, root, load_table(spark, sf_dir, "orders").repartition(8)
+        )
+        txlog.delete_where(spark, root, TT_DELETE_PRED)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base = derived_cache_dir(sf_dir, "txlog_orders", ("orders",), build)
+    root = os.path.join(base, "orders_tx")
+    out = None
+    for v in (0, 1):
+        snap = txlog.read_table(spark, root, version=v)
+        agg = snap.agg(
+            F.lit(v).alias("version"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+RELATIONAL_ORACLES["time_travel_orders"] = f"""
+    SELECT 0 AS version, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    UNION ALL
+    SELECT 1, count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE NOT ({TT_DELETE_PRED.replace("o_orderpriority", "o_orderpriority")})
+"""

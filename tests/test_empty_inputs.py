@@ -174,6 +174,7 @@ _CASES = {
     "bpe_encode_corpus": 0,
     "media_exact_dups": 0,
     "forget_audit_report": 3,  # global aggs: one all-zero clean row per artifact
+    "time_travel_orders": 2,  # one (v, 0, NULL) stats row per version
 }
 
 
