@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file-level deletes, optimistic concurrency) certified by
         # reading v0 AND v1 via time travel against logical oracles.
         "time_travel_orders": relational.time_travel_orders,
+        # stream_txlog_append: exactly-once streaming ingestion into
+        # the transactional table — idempotent (app_id, batch_id)
+        # commits drop a deliberate duplicate redelivery per batch.
+        "stream_txlog_append": streams.stream_txlog_append,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

@@ -376,6 +376,92 @@ def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into the transactional table
+    (sources/txlog.py): each micro-batch of the 4-chunk time-ordered
+    replay lands as ONE atomic txlog commit carrying the Delta-style
+    idempotence pair (app_id, txn_version=batch_id) — and the
+    foreachBatch body deliberately appends EVERY batch TWICE, so the
+    second call is a simulated at-least-once redelivery that the
+    manifest's txn map must drop as a no-op. The certified equality
+    against the plain batch oracle therefore proves the production
+    streaming-sink contract end to end: at-least-once delivery +
+    idempotent transactional commits = exactly-once table state.
+    Output: per event type, row count / value cents / id bounds read
+    back from the FINAL table version."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import txlog
+    from ..tables import load_table
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+
+    replay = core.build_time_split_replay_dir(spark, sf_dir, n_chunks=4)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"stxlog:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_stxlog_{tag}"
+    marker = "_TXLOG_COMPLETE"
+    if not os.path.exists(os.path.join(path, marker)):
+        staging = f"{path}.stage.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        root = os.path.join(staging, "table")
+        # v0 = the typed empty table (schema from the batch transform)
+        txlog.create_table(
+            spark, root, shape(load_table(spark, sf_dir, "events")).limit(0)
+        )
+
+        def apply(batch: DataFrame, bid: int) -> None:
+            b = shape(batch)
+            txlog.append(spark, root, b, app_id="stream_etl", txn_version=bid)
+            # simulated at-least-once redelivery: MUST no-op
+            txlog.append(spark, root, b, app_id="stream_etl", txn_version=bid)
+
+        ev = core.read_events_stream(spark, replay)
+        q = (
+            ev.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(staging, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            with open(os.path.join(staging, "plan.txt"), "w") as fh:
+                fh.write(q._jsq.explainInternal(True))
+        except Exception:
+            pass  # py4j surface drift must not fail the query itself
+        open(os.path.join(staging, marker), "w").close()
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    try:
+        with open(os.path.join(path, "plan.txt")) as fh:
+            core.EXECUTED_PLANS.append(("stream_txlog_append", fh.read()))
+            del core.EXECUTED_PLANS[: -core._EXECUTED_PLANS_MAX]
+    except OSError:
+        pass
+    final = txlog.read_table(spark, os.path.join(path, "table"))
+    return final.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def _hdr_stream_oracle_sql() -> str:
     from .events import HDR_SUBBITS
 
@@ -429,6 +515,18 @@ def _hdr_stream_oracle_sql() -> str:
 
 STREAMS_ORACLES: dict[str, str] = {
     "stream_hdr_quantiles": _hdr_stream_oracle_sql(),
+    # duplicate deliveries dropped by the txn map => the table equals
+    # the plain batch aggregate, exactly once
+    "stream_txlog_append": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM events
+        GROUP BY event_type
+    """,
     "stream_events_etl": """
         SELECT event_id, user_id, event_type,
                date_trunc('hour', ts) AS hour,

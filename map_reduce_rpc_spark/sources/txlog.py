@@ -180,15 +180,38 @@ def _align_schema(root: str, df: DataFrame) -> DataFrame:
 
 
 def append(
-    spark: SparkSession, root: str, df: DataFrame, max_retries: int = 20
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    max_retries: int = 20,
+    app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Optimistically append df as new files; returns the committed
     version. Staging happens once — on conflict only the manifest
-    claim retries (the new files are version-independent)."""
-    files = _stage_files(spark, root, _align_schema(root, df))
+    claim retries (the new files are version-independent).
+
+    Idempotent transactions (the Delta ``txnAppId``/``txnVersion``
+    pattern, which is what makes a foreachBatch streaming sink
+    EXACTLY-ONCE on top of Spark's at-least-once batch redelivery):
+    pass ``app_id`` + a monotonically increasing ``txn_version``
+    (the micro-batch id). Each manifest carries the cumulative
+    {app_id: last_txn_version} map; an append whose txn_version is
+    <= the recorded one is a completed redelivery and becomes a
+    no-op (returns the current version, stages nothing durable)."""
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version come together")
+    files: list[str] | None = None
     for _ in range(max_retries):
         v = current_version(root)
         parent = _read_manifest(root, v)
+        txn = dict(parent.get("txn", {}))
+        if app_id is not None and txn.get(app_id, -1) >= txn_version:
+            return v  # duplicate delivery: already committed
+        if files is None:
+            files = _stage_files(spark, root, _align_schema(root, df))
+        if app_id is not None:
+            txn[app_id] = txn_version
         ok = _try_commit(
             root,
             v + 1,
@@ -197,6 +220,7 @@ def append(
                 "op": "append",
                 "files": parent["files"] + files,
                 "parent": v,
+                "txn": txn,
                 "ts": time.time(),
             },
         )
@@ -241,6 +265,7 @@ def delete_where(
                 "predicate": predicate,
                 "files": new_files,
                 "parent": v,
+                "txn": dict(m.get("txn", {})),  # carry idempotence state
                 "rewrote": len(rewrite),
                 "carried": len(keep),
                 "ts": time.time(),

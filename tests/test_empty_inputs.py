@@ -175,6 +175,7 @@ _CASES = {
     "media_exact_dups": 0,
     "forget_audit_report": 3,  # global aggs: one all-zero clean row per artifact
     "time_travel_orders": 2,  # one (v, 0, NULL) stats row per version
+    "stream_txlog_append": 0,
 }
 
 

@@ -152,3 +152,24 @@ def test_append_enforces_schema(spark, table):
         txlog.append(
             spark, table, spark.range(3).select(F.col("id"))  # missing col
         )
+
+
+def test_idempotent_txn_append(spark, table):
+    """The Delta txnAppId pattern: a redelivered (app_id, txn_version)
+    append is a no-op; a NEWER txn_version for the same app commits;
+    versions from different apps don't interfere."""
+    df = spark.range(0, 10).select(F.col("id"), F.lit(1).alias("bucket"))
+    v1 = txlog.append(spark, table, df, app_id="etl", txn_version=0)
+    v_dup = txlog.append(spark, table, df, app_id="etl", txn_version=0)
+    assert v_dup == v1  # duplicate delivery: no new version
+    assert txlog.read_table(spark, table).count() == 1010
+    v2 = txlog.append(spark, table, df, app_id="etl", txn_version=1)
+    assert v2 == v1 + 1
+    v3 = txlog.append(spark, table, df, app_id="other", txn_version=0)
+    assert v3 == v2 + 1  # a different app's version space
+    assert txlog.read_table(spark, table).count() == 1030
+    # idempotence survives an interleaved delete (txn map carried)
+    txlog.delete_where(spark, table, "bucket = 1")
+    v_dup2 = txlog.append(spark, table, df, app_id="etl", txn_version=1)
+    assert v_dup2 == txlog.current_version(table)
+    assert txlog.read_table(spark, table).where("bucket = 1").count() == 0
