@@ -71,8 +71,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           round-7 verdict item 1)
         + the 14 last-certified-r3  (= exactly 50; the 10 new
           registrations displaced the whole r4 tranche to round 9).
-      round-9 window = wordcount + round-9 registrations + the 30
-          r4 holdovers + the 5 r5 holdovers displaced in round 7
+      round-9 window = wordcount + round-9 registrations + the 7
+          late round-8 registrations (hybrid_rrf_topk,
+          dataset_card_report, bpe_encode_corpus, media_exact_dups,
+          forget_audit_report, time_travel_orders,
+          stream_txlog_append — never-certified = stalest, same
+          precedent as the late-r7 cohort this round certified) + as
+          many of the 30 r4 holdovers as fit + the 5 r5 holdovers
+          displaced in round 7
           (approx_percentile_bounds, global_shuffle,
           q18_large_volume, stream_sliding_counts,
           stream_static_hourly — with the r4s the only
@@ -358,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the transactional table — idempotent (app_id, batch_id)
         # commits drop a deliberate duplicate redelivery per batch.
         "stream_txlog_append": streams.stream_txlog_append,
+        # pii_redaction_audit: re-scan the redacted text for every PII
+        # pattern — residual must be zero; the compliance evidence row
+        # for redact_pii (same closed loop as forget_audit_report).
+        "pii_redaction_audit": textops.pii_redaction_audit,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

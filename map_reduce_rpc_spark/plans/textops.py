@@ -1493,6 +1493,39 @@ PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+def _pii_augmented() -> F.Column:
+    """The deterministic PII-bearing text column (real corpus text +
+    synthesized email/phone/IP per doc) shared by redact_pii and its
+    audit."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+
+
+def _pii_redacted(aug: F.Column) -> F.Column:
+    """email -> phone -> IP redaction, fixed order; replacement tokens
+    contain no digits/@ so later passes cannot re-match rewrites."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+
+
 def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub — count and redact emails / phone numbers / IPv4
     addresses (the compliance pass every shipped training corpus runs).
@@ -1506,28 +1539,8 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites.
     """
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" Contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or 555-"),
-        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-        F.lit("-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" from 10."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0."),
-        ((F.col("doc_id") * 7) % 256).cast("string"),
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
+    aug = _pii_augmented()
+    red = _pii_redacted(aug)
     return docs.select(
         "doc_id",
         F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("n_emails"),
@@ -2587,6 +2600,39 @@ def _bm25_oracle_sql() -> str:
 
 TEXTOPS_ORACLES["bm25_search_topk"] = _bm25_oracle_sql()
 
+# the audit's oracle replays the pre-redaction counts over the same
+# synthesized PII column and STATES the clean contract (residual 0)
+def _pii_audit_oracle_sql() -> str:
+    aug = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    )
+    rows = []
+    for name, pat in (
+        ("email", PII_EMAIL_RE),
+        ("phone", PII_PHONE_RE),
+        ("ip", PII_IP_RE),
+    ):
+        p = pat.replace("'", "''")
+        rows.append(f"""
+        SELECT '{name}' AS pattern,
+               CAST(coalesce(sum(len(regexp_extract_all({aug}, '{p}'))), 0)
+                    AS BIGINT) AS n_matches,
+               CAST(coalesce(sum(CASE WHEN len(regexp_extract_all(
+                        {aug}, '{p}')) > 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS docs_affected,
+               CAST(coalesce(sum(0), 0) AS BIGINT) AS residual_matches,
+               TRUE AS clean
+        FROM documents""")
+    return "\n        UNION ALL\n".join(rows)
+
+
+TEXTOPS_ORACLES["pii_redaction_audit"] = _pii_audit_oracle_sql()
+
 TEXTOPS_ORACLES["skipgram_cooc_topk"] = """
     WITH toks AS (
         SELECT list_filter(regexp_split_to_array(text, '{re}'),
@@ -3548,3 +3594,56 @@ def _bpe_encode_oracle_sql() -> str:
 
 
 TEXTOPS_ORACLES["bpe_encode_corpus"] = _bpe_encode_oracle_sql()
+
+
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that makes redact_pii compliance EVIDENCE instead of
+    a best-effort pass: re-scan the REDACTED text for every PII
+    pattern and report, per pattern — matches found pre-redaction,
+    documents affected, residual matches post-redaction, and the
+    clean verdict. The oracle states residual = 0 / clean = true
+    alongside its own replay of the pre-counts, so the hash match
+    proves the scrub removed every occurrence the detector can see
+    (the same closed-loop shape as forget_audit_report: run the
+    pipeline, then hunt its own victims). One narrow codegen pass —
+    two regexp_counts per pattern fused into the scan, a 3-row agg
+    out."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _pii_augmented()
+    red = _pii_redacted(aug)
+    base = docs.select(
+        *[
+            F.regexp_count(aug, F.lit(p)).alias(f"pre_{n}")
+            for n, p in (
+                ("email", PII_EMAIL_RE),
+                ("phone", PII_PHONE_RE),
+                ("ip", PII_IP_RE),
+            )
+        ],
+        *[
+            F.regexp_count(red, F.lit(p)).alias(f"post_{n}")
+            for n, p in (
+                ("email", PII_EMAIL_RE),
+                ("phone", PII_PHONE_RE),
+                ("ip", PII_IP_RE),
+            )
+        ],
+    )
+    out = None
+    for n in ("email", "phone", "ip"):
+        row = base.agg(
+            F.lit(n).alias("pattern"),
+            F.sum(f"pre_{n}").cast("long").alias("n_matches"),
+            F.sum(F.when(F.col(f"pre_{n}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.sum(f"post_{n}").cast("long").alias("residual_matches"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "pattern",
+        "n_matches",
+        "docs_affected",
+        "residual_matches",
+        (F.coalesce(F.col("residual_matches"), F.lit(0)) == 0).alias("clean"),
+    )

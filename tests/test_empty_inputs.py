@@ -176,6 +176,7 @@ _CASES = {
     "forget_audit_report": 3,  # global aggs: one all-zero clean row per artifact
     "time_travel_orders": 2,  # one (v, 0, NULL) stats row per version
     "stream_txlog_append": 0,
+    "pii_redaction_audit": 3,  # one all-zero clean row per pattern
 }
 
 
