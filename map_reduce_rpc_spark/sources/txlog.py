@@ -98,19 +98,32 @@ def _stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
 
 
 def _try_commit(root: str, version: int, manifest: dict) -> bool:
-    """The atomic commit point: exclusive-create of the manifest.
-    Returns False when another writer claimed this version first."""
-    os.makedirs(_log_dir(root), exist_ok=True)
+    """The atomic commit point. Returns False when another writer
+    claimed this version first.
+
+    The manifest's CONTENT must appear atomically with the claim: a
+    bare O_EXCL-create-then-write exposes a window where the file
+    exists but is empty/partial, so a concurrent reader crashes on
+    JSONDecodeError instead of seeing the previous snapshot — and a
+    writer crash inside that window bricks the table (torn highest
+    version). So: write the full manifest to a hidden temp file,
+    fsync it, then ``os.link(tmp, final)`` — the hard link both
+    claims the version (fails with FileExistsError if taken) and
+    publishes the complete bytes in one atomic metadata operation."""
+    log_dir = _log_dir(root)
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(
-            _manifest_path(root, version),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
+        os.link(tmp, _manifest_path(root, version))
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
