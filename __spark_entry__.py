@@ -56,40 +56,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OLDEST last-driver-certified round, oldest first, until the 50
     slots are full.
 
-    ROTATION LEDGER (derived from CORRECTNESS_r01-r07; r7 = 50/50
-    green, zero historical reds):
+    ROTATION LEDGER (from CORRECTNESS_r01-r09; zero historical reds.
+    NOTE: round 9 never reordered the dict, so CORRECTNESS_r09 ==
+    CORRECTNESS_r08 key-for-key — the r8 window was re-certified in
+    r9 and the intended r9 window never ran; round-10 verdict item 1
+    makes executing it non-negotiable):
 
-      round-8 window (THIS round) = wordcount
-        + the 10 NEW round-8 registrations
-          (hdr_quantile_rollup_values, avro_events_roundtrip,
-          mad_outlier_days, user_latest_state, bfs_hops_suppliers,
-          skipgram_cooc_topk, bm25_search_topk,
-          doc_outlier_embeddings, cross_split_contamination,
-          stream_hdr_quantiles)
-        + the 25 late round-7 registrations that have never held a
-          driver CORRECTNESS row (bpe_pair_counts ... session_paths,
-          round-7 verdict item 1)
-        + the 14 last-certified-r3  (= exactly 50; the 10 new
-          registrations displaced the whole r4 tranche to round 9).
-      round-9 window = wordcount + round-9 registrations + the 7
-          late round-8 registrations (hybrid_rrf_topk,
-          dataset_card_report, bpe_encode_corpus, media_exact_dups,
-          forget_audit_report, time_travel_orders,
-          stream_txlog_append — never-certified = stalest, same
-          precedent as the late-r7 cohort this round certified) + as
-          many of the 30 r4 holdovers as fit + the 5 r5 holdovers
-          displaced in round 7
-          (approx_percentile_bounds, global_shuffle,
-          q18_large_volume, stream_sliding_counts,
-          stream_static_hourly — with the r4s the only
-          4/5-round-stale queries, exactly as the round-7 verdict
-          item 8 requires) + the oldest r6-certified entries until
-          full.
-      round-10+ = the r6 cohort remainder, then the r7/r8 cohorts,
+      round-10 window (THIS round, executed below) = wordcount
+        + the 4 NEW round-10 registrations (merge_upsert_orders,
+          cdf_order_changes, optimize_orders_compaction,
+          schema_evolution_orders — the txlog MERGE / change-data-feed
+          / OPTIMIZE / schema-evolution verbs)
+        + the 8 late round-8 registrations that have NEVER held a
+          driver CORRECTNESS row (hybrid_rrf_topk, dataset_card_report,
+          bpe_encode_corpus, media_exact_dups, forget_audit_report,
+          time_travel_orders, stream_txlog_append, pii_redaction_audit)
+        + all 30 r4-certified holdovers (approx_distinct_users ...
+          window_kitchen_sink — 6 rounds stale, the oldest cohort)
+        + the 5 r5-certified holdovers (approx_percentile_bounds,
+          global_shuffle, q18_large_volume, stream_sliding_counts,
+          stream_static_hourly)
+        + the 2 head entries of the r6-certified cohort
+          (ann_ivfpq_topk, ann_pq_adc_topk)  = exactly 50.
+      round-11 window = wordcount + round-11 registrations + the
+          r6-certified remainder (ann_pq_rerank_topk ...
+          weighted_source_sample), stalest first, then the r7 cohort
+          head until full.
+      round-12+ = the r7 cohort remainder, then the r9-certified
+          cohort (the old r8 window), then the r10-certified cohort,
           stalest first, forever.
 
-    With ~175 queries and 50 slots every query is certified at least
-    once per ceil(175/50) = 4 rounds, and every query — window or
+    With ~195 queries and 50 slots every query is certified at least
+    once per ceil(195/50) = 4 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -99,102 +97,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ===== round-8 window slot 1: flagship parity sentinel =====
+        # ===== round-10 window slot 1: flagship parity sentinel =====
         "wordcount": parity.wordcount,
-        # ===== round-8 window: NEW round-8 registrations go HERE
-        # (never-certified = stalest; each insertion displaces the
-        # bottom r4 entry of the window to the tail below) =====
-        # hdr_quantile_rollup_values: mergeable QUANTILE sketches
-        # (round-7 verdict item 4) — daily integer-exact HDR
-        # histograms, count-sum merged to monthly p50/p95/p99; the
-        # quantile complement of hll_sketch_rollup_users, with a
-        # hash-exact full-replay oracle instead of a bound check.
-        "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
-        # avro_events_roundtrip: pure-python Avro container sink +
-        # source (round-7 verdict item 7) — events written to .avro
-        # (deflate) and read back through the pyavro DataSource;
-        # equality with the parquet-side oracle proves the wire
-        # format lossless.
-        "avro_events_roundtrip": parity.avro_events_roundtrip,
-        # mad_outlier_days: robust (median/MAD) anomaly flags on the
-        # daily revenue series — integer-exact rank-based medians.
-        "mad_outlier_days": events.mad_outlier_days,
-        # user_latest_state: latest-wins CDC compaction of the event
-        # log to current per-user state (batch twin of
-        # stream_scd2_user_state's current rows).
-        "user_latest_state": events.user_latest_state,
-        # bfs_hops_suppliers: multi-source BFS hop distance from seed
-        # suppliers (6th graph algorithm — reachability WITH distance;
-        # frontier-only joins).
-        "bfs_hops_suppliers": relational.bfs_hops_suppliers,
-        # skipgram_cooc_topk: windowed (±2) skip-gram co-occurrence
-        # counts — the word2vec/GloVe (word, context) counting pass;
-        # in-row pair construction, one combiner'd shuffle.
-        "skipgram_cooc_topk": textops.skipgram_cooc_topk,
-        # bm25_search_topk: BM25 lexical retrieval (k1=1.2, b=0.75,
-        # rational idf surrogate) in exact DECIMAL(38)/HUGEINT integer
-        # arithmetic — the length-normalized, tf-saturating ranker
-        # next to keyword_search_topk's plain tf-idf.
-        "bm25_search_topk": textops.bm25_search_topk,
-        # doc_outlier_embeddings: prototypicality pruning — cosine to
-        # the own-label centroid (exact-integer quantized sums), flag
-        # the least-typical 10% per label; SemDeDup's data-pruning
-        # sibling.
-        "doc_outlier_embeddings": vectors.doc_outlier_embeddings,
-        # cross_split_contamination: quantify the eval leakage of the
-        # naive md5 split (near-dup pairs crossing split boundaries) —
-        # the audit complement of leakage_safe_split.
-        "cross_split_contamination": textops.cross_split_contamination,
-        # stream_hdr_quantiles: the streaming producer of the HDR
-        # quantile sketch — stateful daily histograms (state = occupied
-        # buckets, not events), finalized batch-side to p50/p95.
-        "stream_hdr_quantiles": streams.stream_hdr_quantiles,
-        # ===== round-8 window: the 25 late round-7 registrations
-        # (never driver-certified; round-7 verdict item 1) =====
-        "bpe_pair_counts": textops.bpe_pair_counts,
-        "user_sessions_skewproof": events.user_sessions_skewproof,
-        "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
-        "classifier_quality_scores": textops.classifier_quality_scores,
-        "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
-        "trigram_lm_scores": textops.trigram_lm_scores,
-        "boilerplate_ratio": textops.boilerplate_ratio,
-        "ann_filtered_topk": vectors.ann_filtered_topk,
-        "collocation_pmi": textops.collocation_pmi,
-        "bpe_learn_merges": textops.bpe_learn_merges,
-        "pca_power_pc1": vectors.pca_power_pc1,
-        "kcore_suppliers": relational.kcore_suppliers,
-        "keyword_search_topk": textops.keyword_search_topk,
-        "label_prop_communities": relational.label_prop_communities,
-        "split_token_drift": sampling.split_token_drift,
-        "decontaminate_fuzzy": textops.decontaminate_fuzzy,
-        "ppr_supplier_recs": relational.ppr_supplier_recs,
-        "covisitation_lift": events.covisitation_lift,
-        "ann_mmr_topk": vectors.ann_mmr_topk,
-        "events_hourly_interp": events.events_hourly_interp,
-        "retention_cohorts": events.retention_cohorts,
-        "lm_quality_mix_sample": textops.lm_quality_mix_sample,
-        "repeated_spans": textops.repeated_spans,
-        "dpp_quarter_revenue": relational.dpp_quarter_revenue,
-        "session_paths": events.session_paths,
-        # ===== round-8 window: the 14 last-certified-in-ROUND-3 =====
-        "decontaminate_docs": textops.decontaminate_docs,
-        "dup_clusters": textops.dup_clusters,
-        "events_hourly_filled": events.events_hourly_filled,
-        "lang_id": textops.lang_id,
-        "media_catalog": multimodal.media_catalog,
-        "media_frame_plan": multimodal.media_frame_plan,
-        "orders_topk": relational.orders_topk,
-        "pivot_line_status": relational.pivot_line_status,
-        "redact_pii": textops.redact_pii,
-        "rolling_fingerprints": textops.rolling_fingerprints,
-        "rollup_sales": relational.rollup_sales,
-        "split_assign": sampling.split_assign,
-        "stratified_sample": sampling.stratified_sample,
-        "token_counts": textops.token_counts,
-        # ================= end of the 50-slot checked window =================
-        # (the 10 new round-8 registrations displaced the whole r4
-        # tranche below — the r3 block above closes the 50 slots)
-        # ----- all 30 r4 holdovers (head round 9, oldest) -----
+        # ===== round-10 window: NEW round-10 registrations =====
+        # merge_upsert_orders: txlog MERGE — a CDC batch upserted as
+        # ONE atomic version (file-pruned via an input_file_name probe
+        # job), then REDELIVERED to prove (app_id, txn_version)
+        # idempotence; the oracle pins the final version at 1.
+        "merge_upsert_orders": relational.merge_upsert_orders,
+        # cdf_order_changes: change-data-feed from manifest file diffs
+        # — O(delta) incremental consumption; append commits emit
+        # inserts with no diffing, delete commits emit exactly the
+        # victims (rewritten survivors cancel via exceptAll).
+        "cdf_order_changes": relational.cdf_order_changes,
+        # optimize_orders_compaction: OPTIMIZE as a commit — 16 small
+        # files compacted into a new version; pinned readers keep
+        # their file list, and the change feed across the optimize
+        # commit is empty by construction (oracle: cdf_rows = 0).
+        "optimize_orders_compaction": relational.optimize_orders_compaction,
+        # schema_evolution_orders: append(merge_schema=True) widens
+        # the table in the manifest; pre-evolution files read back
+        # with NULLs and time travel at v0 shows the old shape
+        # (oracle pins n_cols_v0=2, n_cols_now=3).
+        "schema_evolution_orders": relational.schema_evolution_orders,
+        # ===== round-10 window: the 8 late round-8 registrations
+        # (never driver-certified = infinitely stale) =====
+        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
+        "dataset_card_report": sampling.dataset_card_report,
+        "bpe_encode_corpus": textops.bpe_encode_corpus,
+        "media_exact_dups": multimodal.media_exact_dups,
+        "forget_audit_report": events.forget_audit_report,
+        "time_travel_orders": relational.time_travel_orders,
+        "stream_txlog_append": streams.stream_txlog_append,
+        "pii_redaction_audit": textops.pii_redaction_audit,
+        # ===== round-10 window: all 30 r4-certified holdovers
+        # (last driver row in round 4 — six rounds stale) =====
         "approx_distinct_users": events.approx_distinct_users,
         "cube_sales": relational.cube_sales,
         "customer_order_stats": relational.customer_order_stats,
@@ -225,15 +162,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_first_tokens": parity.udtf_first_tokens,
         "user_sessions": events.user_sessions,
         "window_kitchen_sink": relational.window_kitchen_sink,
-        # ----- 5 r5 holdovers displaced in round 7 (round 9 with r4) -----
+        # ===== round-10 window: the 5 r5-certified holdovers =====
         "approx_percentile_bounds": relational.approx_percentile_bounds,
         "global_shuffle": sampling.global_shuffle,
         "q18_large_volume": relational.q18_large_volume,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
-        # ----- round-6-certified cohort (round 9/10) -----
+        # ===== round-10 window: r6-cohort head (closes the 50) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
+        # ================= end of the 50-slot checked window =================
+        # ----- r6-certified cohort remainder (round-11 window head) -----
         "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
         "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
         "canonical_part_names": textops.canonical_part_names,
@@ -281,7 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2_user_state": streams.stream_scd2_user_state,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
         "weighted_source_sample": sampling.weighted_source_sample,
-        # ----- round-7-certified cohort (freshest; window in round 10/11) -----
+        # ----- round-7-certified cohort (round 11/12) -----
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "ann_sq8_topk": vectors.ann_sq8_topk,
@@ -331,43 +270,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "triangle_count_suppliers": relational.triangle_count_suppliers,
-        # ----- LATE round-8 registrations (window was exactly full
-        # at 50 when these landed; never-certified = they HEAD the
-        # round-9 window, the same precedent as the 25 late-round-7
-        # registrations this round certified) -----
-        # hybrid_rrf_topk: reciprocal-rank fusion of the certified
-        # BM25 lexical list and exact-cosine semantic list — the
-        # hybrid-search serving shape; integer-exact RRF.
-        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
-        # dataset_card_report: the dataset-card stats block — per
-        # (split, lang) docs/tokens/chars/exact-dup ppm from the
-        # certified split + tokenizer + dedup building blocks.
-        "dataset_card_report": sampling.dataset_card_report,
-        # bpe_encode_corpus: the APPLY half of tokenizer induction —
-        # the learned merges applied corpus-wide, per-doc raw/encoded
-        # token counts + ppm savings.
-        "bpe_encode_corpus": textops.bpe_encode_corpus,
-        # media_exact_dups: exact-dup detection over opaque media
-        # bytes — only digests shuffle, never blobs; the first pass of
-        # a multimodal dedup stack.
-        "media_exact_dups": multimodal.media_exact_dups,
-        # forget_audit_report: the GDPR compliance audit — scan every
-        # forget-pipeline artifact for victim traces; oracle states
-        # the logical complement + zero victims.
-        "forget_audit_report": events.forget_audit_report,
-        # time_travel_orders: the transactional table format
-        # (sources/txlog.py — atomic commit log, snapshot isolation,
-        # file-level deletes, optimistic concurrency) certified by
-        # reading v0 AND v1 via time travel against logical oracles.
-        "time_travel_orders": relational.time_travel_orders,
-        # stream_txlog_append: exactly-once streaming ingestion into
-        # the transactional table — idempotent (app_id, batch_id)
-        # commits drop a deliberate duplicate redelivery per batch.
-        "stream_txlog_append": streams.stream_txlog_append,
-        # pii_redaction_audit: re-scan the redacted text for every PII
-        # pattern — residual must be zero; the compliance evidence row
-        # for redact_pii (same closed loop as forget_audit_report).
-        "pii_redaction_audit": textops.pii_redaction_audit,
+        # ----- round-9-certified cohort (the old r8 window, freshest;
+        # window again in round 12/13) -----
+        "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
+        "avro_events_roundtrip": parity.avro_events_roundtrip,
+        "mad_outlier_days": events.mad_outlier_days,
+        "user_latest_state": events.user_latest_state,
+        "bfs_hops_suppliers": relational.bfs_hops_suppliers,
+        "skipgram_cooc_topk": textops.skipgram_cooc_topk,
+        "bm25_search_topk": textops.bm25_search_topk,
+        "doc_outlier_embeddings": vectors.doc_outlier_embeddings,
+        "cross_split_contamination": textops.cross_split_contamination,
+        "stream_hdr_quantiles": streams.stream_hdr_quantiles,
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        "user_sessions_skewproof": events.user_sessions_skewproof,
+        "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
+        "classifier_quality_scores": textops.classifier_quality_scores,
+        "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
+        "trigram_lm_scores": textops.trigram_lm_scores,
+        "boilerplate_ratio": textops.boilerplate_ratio,
+        "ann_filtered_topk": vectors.ann_filtered_topk,
+        "collocation_pmi": textops.collocation_pmi,
+        "bpe_learn_merges": textops.bpe_learn_merges,
+        "pca_power_pc1": vectors.pca_power_pc1,
+        "kcore_suppliers": relational.kcore_suppliers,
+        "keyword_search_topk": textops.keyword_search_topk,
+        "label_prop_communities": relational.label_prop_communities,
+        "split_token_drift": sampling.split_token_drift,
+        "decontaminate_fuzzy": textops.decontaminate_fuzzy,
+        "ppr_supplier_recs": relational.ppr_supplier_recs,
+        "covisitation_lift": events.covisitation_lift,
+        "ann_mmr_topk": vectors.ann_mmr_topk,
+        "events_hourly_interp": events.events_hourly_interp,
+        "retention_cohorts": events.retention_cohorts,
+        "lm_quality_mix_sample": textops.lm_quality_mix_sample,
+        "repeated_spans": textops.repeated_spans,
+        "dpp_quarter_revenue": relational.dpp_quarter_revenue,
+        "session_paths": events.session_paths,
+        "decontaminate_docs": textops.decontaminate_docs,
+        "dup_clusters": textops.dup_clusters,
+        "events_hourly_filled": events.events_hourly_filled,
+        "lang_id": textops.lang_id,
+        "media_catalog": multimodal.media_catalog,
+        "media_frame_plan": multimodal.media_frame_plan,
+        "orders_topk": relational.orders_topk,
+        "pivot_line_status": relational.pivot_line_status,
+        "redact_pii": textops.redact_pii,
+        "rolling_fingerprints": textops.rolling_fingerprints,
+        "rollup_sales": relational.rollup_sales,
+        "split_assign": sampling.split_assign,
+        "stratified_sample": sampling.stratified_sample,
+        "token_counts": textops.token_counts,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

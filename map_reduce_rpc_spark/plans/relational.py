@@ -3731,3 +3731,289 @@ RELATIONAL_ORACLES["time_travel_orders"] = f"""
            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
     FROM orders WHERE NOT ({TT_DELETE_PRED.replace("o_orderpriority", "o_orderpriority")})
 """
+
+
+MERGE_UPD_PRED = "o_orderkey % 97 = 3"   # CDC updates: price doubled
+MERGE_INS_PRED = "o_orderkey % 97 = 5"   # CDC inserts: new negative keys
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE certified end-to-end (sources/txlog.py
+    merge — round-9 verdict item 2): orders -> create v0 -> one CDC
+    batch upserted as ONE atomic version (matched keys' prices
+    doubled in place, brand-new negative keys inserted; only files
+    containing a matched key are rewritten, found by a single
+    input_file_name probe job) -> the SAME batch REDELIVERED with the
+    same (app_id, txn_version) -> provably a no-op. The output's
+    ``version`` column is the table's final committed version: the
+    oracle states 1, so a hash match certifies both the upsert
+    semantics (row set = updates ∪ untouched) AND the exactly-once
+    idempotence (a replayed commit would read 2). Build-once artifact
+    via derived_cache_dir. Output: (version, n_rows, total_cents,
+    n_inserted)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        txlog.create_table(spark, root, base.repartition(8))
+        updates = base.where(MERGE_UPD_PRED).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(
+            base.where(MERGE_INS_PRED).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+        txlog.merge(
+            spark, root, updates, ("o_orderkey",),
+            app_id="cdc", txn_version=0,
+        )
+        # at-least-once redelivery of the SAME batch: must not commit
+        txlog.merge(
+            spark, root, updates, ("o_orderkey",),
+            app_id="cdc", txn_version=0,
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(sf_dir, "txlog_merge_orders", ("orders",), build)
+    root = os.path.join(base_dir, "orders_tx")
+    snap = txlog.read_table(spark, root)
+    return snap.agg(
+        F.lit(txlog.current_version(root)).cast("long").alias("version"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(F.when(F.col("o_orderkey") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+    )
+
+
+RELATIONAL_ORACLES["merge_upsert_orders"] = f"""
+    WITH merged AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN {MERGE_UPD_PRED} THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT -o_orderkey, o_totalprice FROM orders WHERE {MERGE_INS_PRED}
+    )
+    SELECT CAST(1 AS BIGINT) AS version,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted
+    FROM merged
+"""
+
+
+def cdf_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed certified end-to-end (sources/txlog.py
+    read_changes — round-9 verdict item 3): orders split even/odd ->
+    create v0 (evens) -> append v1 (odds) -> transactional DELETE of
+    urgent orders at v2 -> read the row-level change feed since v0
+    and aggregate per (commit_version, change_type). The oracle
+    states the logical feed — v1's inserts are exactly the odd keys,
+    v2's deletes are exactly the urgent rows, and NO insert rows
+    exist at v2 (rewritten survivors cancel in the file diff) — so a
+    hash match certifies O(delta) incremental consumption: the feed
+    is derived from manifest file diffs, never a corpus re-read.
+    Output: (commit_version, change_type, n_rows, cents)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        txlog.create_table(
+            spark, root, base.where("o_orderkey % 2 = 0").repartition(8)
+        )
+        txlog.append(spark, root, base.where("o_orderkey % 2 = 1"))
+        txlog.delete_where(spark, root, TT_DELETE_PRED)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(sf_dir, "txlog_cdf_orders", ("orders",), build)
+    root = os.path.join(base_dir, "orders_tx")
+    cdf = txlog.read_changes(spark, root, from_version=0)
+    return (
+        cdf.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+RELATIONAL_ORACLES["cdf_order_changes"] = f"""
+    SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE {TT_DELETE_PRED}
+    ORDER BY commit_version, change_type
+"""
+
+
+def optimize_orders_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a commit certified end-to-end (sources/txlog.py
+    optimize — round-9 verdict item 5): orders written as 16 small
+    files -> compacted into a NEW version (pinned readers keep v0's
+    exact file list; old files die at vacuum, not at optimize) ->
+    read back. The output carries (a) the final version (oracle: 1 —
+    compaction IS a commit), (b) the full row count + cents (oracle:
+    the whole table — compaction lost nothing), and (c) the change
+    feed's row count across the optimize commit (oracle: 0 — same
+    multiset in as out, the file diff cancels), so one hash match
+    certifies the three OPTIMIZE invariants at once. Output:
+    (version, n_rows, total_cents, cdf_rows)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        txlog.create_table(spark, root, base.repartition(16))
+        txlog.optimize(spark, root)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_optimize_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    v = txlog.current_version(root)
+    cdf_rows = txlog.read_changes(spark, root, from_version=0).count()
+    return txlog.read_table(spark, root).agg(
+        F.lit(v).cast("long").alias("version"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("total_cents"),
+        F.lit(cdf_rows).cast("long").alias("cdf_rows"),
+    )
+
+
+RELATIONAL_ORACLES["optimize_orders_compaction"] = """
+    SELECT CAST(1 AS BIGINT) AS version,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(0 AS BIGINT) AS cdf_rows
+    FROM orders
+"""
+
+
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the transactional table certified
+    end-to-end (sources/txlog.py append(merge_schema=True) — round-9
+    verdict item 6): orders' even keys create v0 with TWO columns
+    (o_orderkey, o_totalprice); the odd keys append at v1 WITH a new
+    o_orderpriority column — the commit records the widened schema in
+    the manifest, pre-evolution files read back with NULLs, and time
+    travel at v0 still shows the old two-column shape. The output
+    groups the final table by the evolved column (NULL = the
+    pre-evolution rows) and carries the v0/v1 column counts read via
+    time travel, so the hash match certifies widening, NULL
+    backfill, AND old-snapshot schema stability in one row set.
+    Output: (priority, n_rows, cents, n_cols_v0, n_cols_now)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders")
+        txlog.create_table(
+            spark,
+            root,
+            base.where("o_orderkey % 2 = 0")
+            .select("o_orderkey", "o_totalprice")
+            .repartition(8),
+        )
+        txlog.append(
+            spark,
+            root,
+            base.where("o_orderkey % 2 = 1").select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            merge_schema=True,
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_evolve_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    n_cols_v0 = len(txlog.read_table(spark, root, version=0).columns)
+    snap = txlog.read_table(spark, root)
+    n_cols_now = len(snap.columns)
+    return (
+        snap.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "priority",
+            "n_rows",
+            "cents",
+            F.lit(n_cols_v0).cast("long").alias("n_cols_v0"),
+            F.lit(n_cols_now).cast("long").alias("n_cols_now"),
+        )
+        .orderBy("priority")
+    )
+
+
+RELATIONAL_ORACLES["schema_evolution_orders"] = """
+    SELECT o_orderpriority AS priority, count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(2 AS BIGINT) AS n_cols_v0, CAST(3 AS BIGINT) AS n_cols_now
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT NULL, count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 0
+    ORDER BY priority
+"""

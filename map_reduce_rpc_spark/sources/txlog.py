@@ -1,20 +1,21 @@
 """A minimal transactional table format over plain parquet — the
 commit-log design Delta/Iceberg pin down (their jars are absent in
 this container; round-7 verdict "what's missing" item 2), reduced to
-the four properties that actually matter and nothing else:
+the properties that actually matter and nothing else:
 
 - **Atomic commits.** A table is ``root/data/*.parquet`` plus an
   append-only log ``root/_txlog/v{N:08d}.json``; each manifest lists
   the exact data files of snapshot N. A writer stages new files under
-  unique names, then CLAIMS version N by ``open(..., 'x')`` — the
-  exclusive-create is the atomic commit point (POSIX O_EXCL), so a
-  crash before it leaves only unreferenced garbage, never a torn
-  table, and readers can never observe a half-commit.
+  unique names, then publishes version N by hard-linking a fully
+  written+fsynced temp manifest to the version name — one atomic
+  metadata op that both claims the version (fails if taken) and makes
+  the complete manifest bytes visible, so a crash leaves only
+  unreferenced garbage, never a torn table.
 - **Optimistic concurrency.** Two writers racing to version N: one
-  exclusive-create wins; the loser sees FileExistsError, re-reads the
-  NEW current snapshot, re-stages its logical change on top, and
-  retries at N+1 — serializable append/delete without any lock
-  server, exactly the Delta protocol shape.
+  link wins; the loser sees FileExistsError, re-reads the NEW current
+  snapshot, re-stages its logical change on top, and retries at N+1 —
+  serializable append/delete/merge without any lock server, exactly
+  the Delta protocol shape.
 - **Snapshot isolation + time travel.** Readers resolve the highest
   committed manifest (or an explicit ``version=``) and read exactly
   its file list; concurrent commits never move a running query's
@@ -25,24 +26,44 @@ the four properties that actually matter and nothing else:
   case); untouched files are carried into the new manifest by name.
   At 100 TB this is the difference between a delete and a table
   rewrite.
+- **MERGE (upsert) as one atomic version.** :func:`merge` replaces
+  matched keys and inserts the rest in a single commit; only files
+  CONTAINING matched keys are rewritten (one input_file_name probe
+  job finds them), and the Delta (app_id, txn_version) idempotence
+  map makes CDC redelivery a no-op.
+- **Change data feed.** :func:`read_changes` derives row-level
+  insert/delete changes between two versions from manifest file
+  diffs — O(touched files) per commit, never a corpus re-read; an
+  incremental consumer checkpoints a version and catches up in
+  O(delta).
+- **OPTIMIZE as a commit.** :func:`optimize` compacts the current
+  snapshot's small files into a new version; pinned readers keep
+  their exact file list (old files die at vacuum, not at optimize),
+  and the change feed is empty for an optimize commit by
+  construction (same rows out as in, the file diff cancels).
+- **Schema evolution.** ``append(..., merge_schema=True)`` commits a
+  widened schema in the manifest; readers bind to the snapshot's
+  schema, so old files surface NULLs for later columns and time
+  travel before the evolution shows the OLD shape.
 
-Not implemented, deliberately: schema evolution (the reader unions by
-name), checkpointing the log (linear manifest scan is fine at these
-version counts), and MERGE (lives in sources/sinks.py against plain
-dirs). Cite: this replaces nothing in the reference — the reference
-has no storage layer at all (its output is `mr-out-*` text files,
-/root/reference/mr/worker.go:60-74); this is the beyond-reference
-lakehouse surface.
+Not implemented, deliberately: checkpointing the log (linear manifest
+scan is fine at these version counts) and type widening (adds-only
+evolution). Cite: this replaces nothing in the reference — the
+reference has no storage layer at all (its output is `mr-out-*` text
+files, /root/reference/mr/worker.go:60-74); this is the
+beyond-reference lakehouse surface.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -73,6 +94,31 @@ def current_version(root: str) -> int:
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as fh:
         return json.load(fh)
+
+
+def _snapshot_schema(spark: SparkSession, root: str, version: int):
+    """The table schema AT a version: manifests record ``schema`` only
+    when it changes (v0 always; evolution commits after), so walk back
+    to the nearest recording — the reader's schema binding for both
+    current reads and time travel across an evolution. Tables created
+    by a pre-evolution writer never recorded one: fall back to the
+    snapshot's own merged parquet footers (such a table has a single
+    uniform schema by that writer's enforcement contract)."""
+    from pyspark.sql.types import StructType
+
+    for v in range(version, -1, -1):
+        m = _read_manifest(root, v)
+        if "schema" in m:
+            return StructType.fromJson(json.loads(m["schema"]))
+    files = _read_manifest(root, version)["files"]
+    if not files:
+        raise FileNotFoundError(
+            f"no schema recorded at or before v{version} and the "
+            "snapshot is empty"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in files]
+    ).schema
 
 
 def _stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
@@ -109,21 +155,34 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
     version). So: write the full manifest to a hidden temp file,
     fsync it, then ``os.link(tmp, final)`` — the hard link both
     claims the version (fails with FileExistsError if taken) and
-    publishes the complete bytes in one atomic metadata operation."""
+    publishes the complete bytes in one atomic metadata operation.
+    After a winning link the LOG DIRECTORY entry is fsynced too, so a
+    power loss right after commit cannot un-publish the version; the
+    temp file is removed in a finally (a crash mid-write can still
+    leak one — vacuum sweeps stale .tmp manifests)."""
     log_dir = _log_dir(root)
     os.makedirs(log_dir, exist_ok=True)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, _manifest_path(root, version))
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, version))
+        except FileExistsError:
+            return False
+        dfd = os.open(log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return True
-    except FileExistsError:
-        return False
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
@@ -147,49 +206,85 @@ def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
     return 0
 
 
+def _read_files(
+    spark: SparkSession, root: str, rels: list[str], schema
+) -> DataFrame:
+    """Read a manifest file list bound to a snapshot schema: files
+    written before an evolution lack the later columns, so the union
+    read merges footers and the projection casts/orders every row to
+    the snapshot shape (NULLs for pre-evolution files)."""
+    if not rels:
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in rels]
+    )
+    have = set(df.columns)
+    return df.select(
+        [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: exactly the file list of one committed manifest
-    (the latest unless ``version`` pins time travel)."""
+    (the latest unless ``version`` pins time travel), projected to the
+    schema AS OF that version."""
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
     m = _read_manifest(root, v)
-    paths = [os.path.join(root, f) for f in m["files"]]
-    if not paths:
-        # zero-file snapshot: typed empty frame from the v0 schema
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(
-            json.loads(_read_manifest(root, 0)["schema"])
-        )
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    return _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
 
 
-def _align_schema(root: str, df: DataFrame) -> DataFrame:
+def _align_schema(
+    root: str, df: DataFrame, merge_schema: bool = False
+) -> tuple[DataFrame, str | None]:
     """Schema enforcement on write (the Delta contract): incoming rows
-    are cast column-by-name to the table's v0 schema, so every data
-    file carries identical parquet physical types — without this, an
-    int32 literal next to an int64 column poisons the multi-file
+    are cast column-by-name to the table's CURRENT schema, so every
+    data file carries identical parquet physical types — without this,
+    an int32 literal next to an int64 column poisons the multi-file
     snapshot read with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Missing or
-    extra columns are a loud error, not a silent evolution."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(
-        json.loads(_read_manifest(root, 0)["schema"])
-    )
-    have = set(df.columns)
+    extra columns are a loud error — unless ``merge_schema``: then NEW
+    columns widen the table (the evolved schema json is returned for
+    the manifest to record) and columns the incoming frame lacks are
+    filled with typed NULLs. Returns (aligned_df, evolved_schema_json
+    or None when the schema is unchanged)."""
+    schema = _snapshot_schema(df.sparkSession, root, current_version(root))
+    have = {f.name: f for f in df.schema.fields}
     want = [f.name for f in schema.fields]
-    if have != set(want):
+    extra = [f for f in df.schema.fields if f.name not in set(want)]
+    missing = [n for n in want if n not in have]
+    if not merge_schema and (extra or missing):
         raise ValueError(
-            f"schema mismatch: table has {want}, incoming has {sorted(have)}"
+            f"schema mismatch: table has {want}, incoming has "
+            f"{sorted(have)} (pass merge_schema=True to evolve)"
         )
-    return df.select(
-        [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in schema.fields
+    ]
+    evolved = None
+    if extra:
+        from pyspark.sql.types import StructField, StructType
+
+        cols += [F.col(f.name) for f in extra]
+        evolved = StructType(
+            list(schema.fields)
+            + [StructField(f.name, f.dataType, True) for f in extra]
+        ).json()
+    return df.select(cols), evolved
 
 
 def append(
@@ -199,6 +294,7 @@ def append(
     max_retries: int = 20,
     app_id: str | None = None,
     txn_version: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Optimistically append df as new files; returns the committed
     version. Staging happens once — on conflict only the manifest
@@ -211,10 +307,16 @@ def append(
     (the micro-batch id). Each manifest carries the cumulative
     {app_id: last_txn_version} map; an append whose txn_version is
     <= the recorded one is a completed redelivery and becomes a
-    no-op (returns the current version, stages nothing durable)."""
+    no-op (returns the current version, stages nothing durable).
+
+    ``merge_schema=True`` lets the incoming frame ADD columns: the
+    commit records the widened schema, every earlier file reads back
+    with NULLs for the new columns, and time travel before this
+    version still shows the old shape."""
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version come together")
     files: list[str] | None = None
+    evolved: str | None = None
     for _ in range(max_retries):
         v = current_version(root)
         parent = _read_manifest(root, v)
@@ -222,7 +324,111 @@ def append(
         if app_id is not None and txn.get(app_id, -1) >= txn_version:
             return v  # duplicate delivery: already committed
         if files is None:
-            files = _stage_files(spark, root, _align_schema(root, df))
+            aligned, evolved = _align_schema(root, df, merge_schema)
+            files = _stage_files(spark, root, aligned)
+        if app_id is not None:
+            txn[app_id] = txn_version
+        manifest = {
+            "version": v + 1,
+            "op": "append",
+            "files": parent["files"] + files,
+            "parent": v,
+            "txn": txn,
+            "ts": time.time(),
+        }
+        if evolved is not None:
+            manifest["schema"] = evolved
+        if _try_commit(root, v + 1, manifest):
+            return v + 1
+    raise RuntimeError(f"append lost {max_retries} commit races at {root}")
+
+
+def merge(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    max_retries: int = 20,
+    app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """MERGE (upsert) as ONE atomic version: rows in ``updates``
+    REPLACE existing rows with the same ``key_cols``; the rest insert.
+    Returns the committed version.
+
+    File-pruned like :func:`delete_where`, but the victim probe is a
+    single job, not one per file: the snapshot is scanned once with
+    ``input_file_name()`` and semi-joined to the update keys, so only
+    files that actually CONTAIN a matched key are rewritten (one
+    combined anti-join rewrite); everything else carries into the new
+    manifest by name. At 100 TB a CDC batch's merge cost is bounded by
+    the keys' file spread, never the table.
+
+    Concurrency + idempotence match the other verbs: optimistic retry
+    re-probes against the new snapshot (a merge is a logical op, so
+    survivors must re-stage; the staged UPDATE files are
+    version-independent and reused), and the (app_id, txn_version)
+    map makes a redelivered CDC batch a committed no-op — the
+    exactly-once contract a replayed upsert stream needs.
+
+    ``updates`` must be key-unique (one row per key), checked once up
+    front: with duplicates "replace" is ill-defined — Delta raises
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING here, and so do we."""
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version come together")
+    upd_files: list[str] | None = None
+    aligned: DataFrame | None = None
+    for _ in range(max_retries):
+        v = current_version(root)
+        parent = _read_manifest(root, v)
+        txn = dict(parent.get("txn", {}))
+        if app_id is not None and txn.get(app_id, -1) >= txn_version:
+            return v  # duplicate delivery: already committed
+        if upd_files is None:
+            aligned, _ = _align_schema(root, updates)
+            aligned = aligned.localCheckpoint()  # stable across re-probes
+            n_rows = aligned.count()
+            n_keys = aligned.select(*key_cols).distinct().count()
+            if n_rows != n_keys:
+                raise ValueError(
+                    f"merge updates are not key-unique on {key_cols}: "
+                    f"{n_rows} rows, {n_keys} keys"
+                )
+            upd_files = _stage_files(spark, root, aligned)
+        keys = aligned.select(*key_cols).distinct()
+        # one probe job: which files contain a matched key? (file names
+        # only cross the driver — bounded metadata, like delete_where's
+        # manifest lists). AQE broadcasts the key side when small.
+        victims: list[str] = []
+        if parent["files"]:
+            snap = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, f) for f in parent["files"]]
+            )
+            hit_names = {
+                os.path.basename(r["_f"])
+                for r in (
+                    snap.select(
+                        *key_cols, F.input_file_name().alias("_f")
+                    )
+                    .join(keys, list(key_cols), "left_semi")
+                    .select("_f")
+                    .distinct()
+                    .collect()
+                )
+            }
+            victims = [
+                rel
+                for rel in parent["files"]
+                if os.path.basename(rel) in hit_names
+            ]
+        keep = [rel for rel in parent["files"] if rel not in set(victims)]
+        new_files = list(keep) + upd_files
+        if victims:
+            schema = _snapshot_schema(spark, root, v)
+            survivors = _read_files(spark, root, victims, schema).join(
+                keys, list(key_cols), "left_anti"
+            )
+            new_files += _stage_files(spark, root, survivors)
         if app_id is not None:
             txn[app_id] = txn_version
         ok = _try_commit(
@@ -230,16 +436,19 @@ def append(
             v + 1,
             {
                 "version": v + 1,
-                "op": "append",
-                "files": parent["files"] + files,
+                "op": "merge",
+                "files": new_files,
                 "parent": v,
                 "txn": txn,
+                "key_cols": list(key_cols),
+                "rewrote": len(victims),
+                "carried": len(keep),
                 "ts": time.time(),
             },
         )
         if ok:
             return v + 1
-    raise RuntimeError(f"append lost {max_retries} commit races at {root}")
+    raise RuntimeError(f"merge lost {max_retries} commit races at {root}")
 
 
 def delete_where(
@@ -289,12 +498,136 @@ def delete_where(
     raise RuntimeError(f"delete lost {max_retries} commit races at {root}")
 
 
+def optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    max_retries: int = 20,
+) -> int:
+    """Compaction as a COMMIT (the Delta/Iceberg OPTIMIZE verb): the
+    current snapshot's files are rewritten into
+    ``ceil(total_bytes / target_file_bytes)`` files and published as a
+    new version with IDENTICAL logical content. Returns the committed
+    version (the current one unchanged when the snapshot is empty).
+
+    Why a commit and not an in-place swap (compact_parquet_dir): a
+    reader pinned at version N holds N's exact file list, and those
+    files are untouched until ``vacuum`` — so compaction can never
+    race a reader, the failure mode the plain-dir form documents away
+    with a single-writer contract. The change feed is empty across an
+    optimize commit by construction (same multiset of rows; the
+    removed/added file diff cancels in :func:`read_changes`).
+
+    The small-file problem this pays for: streaming appends and
+    fine-grained MERGEs leave KB-scale files, and every later scan
+    pays task startup + a footer read per file; one bounded rewrite
+    buys every future scan back."""
+    for _ in range(max_retries):
+        v = current_version(root)
+        m = _read_manifest(root, v)
+        if not m["files"]:
+            return v
+        total = sum(
+            os.path.getsize(os.path.join(root, f)) for f in m["files"]
+        )
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
+        files = _stage_files(spark, root, df.repartition(n))
+        ok = _try_commit(
+            root,
+            v + 1,
+            {
+                "version": v + 1,
+                "op": "optimize",
+                "files": files,
+                "parent": v,
+                "txn": dict(m.get("txn", {})),
+                "compacted_from": len(m["files"]),
+                "ts": time.time(),
+            },
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"optimize lost {max_retries} commit races at {root}")
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: the row-level changes a consumer checkpointed
+    at snapshot ``from_version`` needs to catch up to ``to_version``
+    (default: current) — i.e. the commits in ``(from_version,
+    to_version]``, EXCLUSIVE of the checkpoint itself. Returns the
+    table columns (in the to_version schema) plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_version``.
+
+    Derivation is from manifest FILE DIFFS, so the cost per commit is
+    O(its touched files), never a corpus scan: a pure append's added
+    files ARE its inserts (no diffing at all); a delete/merge commit
+    diffs only the rewritten files' rows against their replacements
+    (``exceptAll`` both ways — multiset semantics, so carried-over
+    survivor rows cancel exactly); an optimize commit cancels to zero
+    rows. An updated row surfaces as its delete+insert pair (the
+    standard CDF fallback when pre/post images aren't logged). At
+    100 TB this is what makes incremental consumers O(delta) instead
+    of O(corpus) — the difference between re-deduping a batch and
+    re-deduping the internet."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cur = current_version(root)
+    to_v = cur if to_version is None else to_version
+    if from_version < -1 or to_v > cur:
+        raise ValueError(
+            f"version range ({from_version}, {to_v}] outside [-1, {cur}]"
+        )
+    out_schema = _snapshot_schema(spark, root, max(to_v, 0))
+    cdf_schema = StructType(
+        list(out_schema.fields)
+        + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_version", LongType(), False),
+        ]
+    )
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_v + 1):
+        m = _read_manifest(root, v)
+        parent_files = (
+            set(_read_manifest(root, v - 1)["files"]) if v > 0 else set()
+        )
+        files = set(m["files"])
+        added = sorted(files - parent_files)
+        removed = sorted(parent_files - files)
+        if not added and not removed:
+            continue
+        a = _read_files(spark, root, added, out_schema)
+        r = _read_files(spark, root, removed, out_schema)
+        if added and removed:
+            ins, dels = a.exceptAll(r), r.exceptAll(a)
+        else:
+            ins, dels = a, r
+        chg = ins.withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(dels.withColumn("_change_type", F.lit("delete")))
+        chg = chg.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        out = chg if out is None else out.unionByName(chg)
+    if out is None:
+        return spark.createDataFrame([], cdf_schema)
+    return out
+
+
 def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     """Remove data files referenced by NO manifest newer than
-    (current - retain_versions), plus orphaned staging garbage.
-    Returns removed paths. Time travel keeps working for retained
-    versions; older manifests stay readable only if their files
-    survive elsewhere."""
+    (current - retain_versions), plus orphaned staging garbage and
+    stale temp manifests leaked by crashed writers (.tmp-*.json older
+    than 60 s — never a live writer's, whose link window is
+    sub-second). Returns removed paths. Time travel keeps working for
+    retained versions; older manifests stay readable only if their
+    files survive elsewhere."""
     cur = current_version(root)
     keep_from = max(0, cur - retain_versions + 1)
     referenced: set[str] = set()
@@ -313,4 +646,14 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
         elif rel not in referenced:
             os.remove(full)
             removed.append(rel)
+    now = time.time()
+    for name in sorted(os.listdir(_log_dir(root))):
+        if name.startswith(".tmp-") and name.endswith(".json"):
+            full = os.path.join(_log_dir(root), name)
+            try:
+                if now - os.path.getmtime(full) > 60:
+                    os.remove(full)
+                    removed.append(f"{_LOG}/{name}")
+            except OSError:
+                pass
     return removed

@@ -79,3 +79,41 @@ def test_frame_checksums_cross_check(spark, sf_dir):
     # plan side: sampled every 2nd frame of n_frames
     per_media = sum(1 for x in rows if x.media_id == r.media_id)
     assert per_media == (metas[r.media_id].n_frames + 1) // 2
+
+
+def test_decode_audio_real_wav_path():
+    """The real-decode branch is reachable: a genuine RIFF/WAV payload
+    decodes to its actual PCM samples (channel 0 for stereo), never
+    the synthetic tile fallback (round-9 verdict item 7 — the old
+    probe raised NotImplementedError when a decoder WAS available)."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-30000, 30000, size=500, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(mono.tobytes())
+    got = mm.decode_audio(buf.getvalue())
+    assert np.array_equal(got, mono)
+
+    left = rng.integers(-30000, 30000, size=200, dtype=np.int16)
+    right = rng.integers(-30000, 30000, size=200, dtype=np.int16)
+    stereo = np.empty(400, dtype=np.int16)
+    stereo[0::2], stereo[1::2] = left, right
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(stereo.tobytes())
+    assert np.array_equal(mm.decode_audio(buf2.getvalue()), left)
+
+    # undecodable bytes: deterministic synthetic fallback, sized by
+    # n_samples
+    junk = b"\x01\x02\x03\x04" * 8
+    syn = mm.decode_audio(junk, n_samples=64)
+    assert syn.dtype == np.dtype("<i2") and len(syn) == 64

@@ -154,6 +154,190 @@ def test_append_enforces_schema(spark, table):
         )
 
 
+def test_merge_upsert_one_atomic_version(spark, table):
+    """MERGE: matched keys replaced, unmatched inserted, ONE version;
+    only files containing matched keys are rewritten."""
+    # a clean single file appended first: no merge key lands in it, so
+    # it must carry over by name
+    clean = spark.range(5000, 5100).select(
+        F.col("id"), F.lit(99).alias("bucket")
+    )
+    txlog.append(spark, table, clean.coalesce(1))
+    before = set(json.load(open(txlog._manifest_path(table, 1)))["files"])
+    updates = spark.range(0, 50).select(
+        F.col("id"), F.lit(-5).alias("bucket")
+    ).union(
+        spark.range(90_000, 90_025).select(
+            F.col("id"), F.lit(-6).alias("bucket")
+        )
+    )
+    v = txlog.merge(spark, table, updates, ("id",))
+    assert v == 2
+    m = json.load(open(txlog._manifest_path(table, v)))
+    assert m["op"] == "merge"
+    carried = before & set(m["files"])
+    assert carried, "no file carried over — merge rewrote everything"
+    assert m["rewrote"] >= 1 and m["carried"] >= 1
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1100 + 25  # 50 replaced in place, 25 inserted
+    assert got.where("bucket = -5").count() == 50
+    assert got.where("bucket = -6").count() == 25
+    assert got.where("id < 50 and bucket >= 0").count() == 0
+    # snapshot isolation: the pre-merge version still has the old rows
+    assert (
+        txlog.read_table(spark, table, version=1)
+        .where("id < 50 and bucket >= 0")
+        .count()
+        == 50
+    )
+
+
+def test_merge_idempotent_and_key_unique(spark, table):
+    df = spark.range(0, 10).select(F.col("id"), F.lit(-1).alias("bucket"))
+    v1 = txlog.merge(spark, table, df, ("id",), app_id="cdc", txn_version=0)
+    v_dup = txlog.merge(
+        spark, table, df, ("id",), app_id="cdc", txn_version=0
+    )
+    assert v_dup == v1  # redelivered CDC batch: no new version
+    assert txlog.read_table(spark, table).count() == 1000
+    with pytest.raises(ValueError, match="key-unique"):
+        txlog.merge(spark, table, df.union(df), ("id",))
+
+
+def test_read_changes_appends_deletes_merges(spark, table):
+    """CDF from manifest diffs: appends emit inserts, deletes emit
+    exactly the victims, merges emit delete+insert pairs for updates."""
+    txlog.append(
+        spark,
+        table,
+        spark.range(1000, 1100).select(
+            F.col("id"), (F.col("id") % 10).alias("bucket")
+        ),
+    )  # v1
+    txlog.delete_where(spark, table, "bucket = 3")  # v2
+    txlog.merge(
+        spark,
+        table,
+        spark.range(0, 5).select(F.col("id"), F.lit(-1).alias("bucket")),
+        ("id",),
+    )  # v3: 5 updates (bucket 0 rows replaced)
+    cdf = txlog.read_changes(spark, table, 0)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in cdf.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by[(1, "insert")] == 100
+    assert by[(2, "delete")] == 110  # bucket 3: 100 original + 10 appended
+    assert (2, "insert") not in by  # survivors cancel via exceptAll
+    # id=3 (bucket 3) was already deleted at v2, so the merge replaces
+    # 4 rows (delete+insert pairs) and inserts 1 brand-new row
+    assert by[(3, "insert")] == 5 and by[(3, "delete")] == 4
+    # incremental consumption: catching up from v2 sees only v3
+    tail = txlog.read_changes(spark, table, 2)
+    assert tail.count() > 0
+    assert tail.where("_commit_version != 3").count() == 0
+    # replaying the CDF over the v0 snapshot reproduces the v3 snapshot
+    v0 = txlog.read_table(spark, table, version=0)
+    ins = cdf.where("_change_type = 'insert'").drop(
+        "_change_type", "_commit_version"
+    )
+    dels = cdf.where("_change_type = 'delete'").drop(
+        "_change_type", "_commit_version"
+    )
+    replayed = v0.unionByName(ins).exceptAll(dels)
+    assert (
+        replayed.exceptAll(txlog.read_table(spark, table)).count() == 0
+        and txlog.read_table(spark, table).exceptAll(replayed).count() == 0
+    )
+
+
+def test_optimize_commit_pinned_readers_and_empty_cdf(spark, table):
+    """OPTIMIZE: fewer files, identical rows, a pinned reader's file
+    list is untouched until vacuum, and the change feed is empty."""
+    for lo in (2000, 3000, 4000):
+        txlog.append(
+            spark,
+            table,
+            spark.range(lo, lo + 10).select(
+                F.col("id"), F.lit(0).alias("bucket")
+            ).coalesce(1),
+        )
+    v_pin = txlog.current_version(table)
+    n_files_before = len(
+        json.load(open(txlog._manifest_path(table, v_pin)))["files"]
+    )
+    pinned = txlog.read_table(spark, table, version=v_pin)
+    v_opt = txlog.optimize(spark, table)
+    m = json.load(open(txlog._manifest_path(table, v_opt)))
+    assert m["op"] == "optimize"
+    assert len(m["files"]) < n_files_before
+    assert txlog.read_table(spark, table).count() == 1030
+    # the pinned snapshot still reads its ORIGINAL files
+    assert pinned.count() == 1030
+    assert txlog.read_changes(spark, table, v_pin, v_opt).count() == 0
+
+
+def test_schema_evolution_append_and_time_travel(spark, table):
+    """merge_schema append widens the table; old files read as NULL
+    for the new column; time travel before the evolution shows the
+    OLD schema; strict appends still work post-evolution."""
+    v_old = txlog.current_version(table)
+    wide = spark.range(1000, 1010).select(
+        F.col("id"),
+        F.lit(1).alias("bucket"),
+        F.lit("src-a").alias("source"),
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, table, wide)
+    v = txlog.append(spark, table, wide, merge_schema=True)
+    got = txlog.read_table(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "source"]
+    assert got.where("source IS NULL").count() == 1000
+    assert got.where("source = 'src-a'").count() == 10
+    # time travel: the pre-evolution snapshot has the old 2-col shape
+    old = txlog.read_table(spark, table, version=v_old)
+    assert [f.name for f in old.schema.fields] == ["id", "bucket"]
+    # a narrow append now must fill the evolved column with NULLs
+    txlog.append(
+        spark,
+        table,
+        spark.range(2000, 2005).select(
+            F.col("id"), F.lit(2).alias("bucket")
+        ),
+        merge_schema=True,
+    )
+    assert txlog.read_table(spark, table).where(
+        "id >= 2000 AND source IS NULL"
+    ).count() == 5
+    # delete across the evolution keeps the evolved schema readable
+    txlog.delete_where(spark, table, "bucket = 2")
+    got = txlog.read_table(spark, table)
+    assert got.where("id >= 2000").count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "bucket", "source"]
+    assert got.where("source = 'src-a'").count() == 10
+    assert v == v_old + 1
+
+
+def test_vacuum_sweeps_stale_tmp_manifests(spark, table):
+    import time as _time
+
+    log_dir = txlog._log_dir(table)
+    stale = f"{log_dir}/.tmp-deadbeef0000.json"
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    old = _time.time() - 120
+    os.utime(stale, (old, old))
+    fresh = f"{log_dir}/.tmp-deadbeef1111.json"
+    with open(fresh, "w") as fh:
+        fh.write("{}")
+    removed = txlog.vacuum(table)
+    assert any(".tmp-deadbeef0000" in r for r in removed)
+    assert os.path.exists(fresh)  # a live writer's window is untouched
+    os.remove(fresh)
+
+
 def test_idempotent_txn_append(spark, table):
     """The Delta txnAppId pattern: a redelivered (app_id, txn_version)
     append is a no-op; a NEWER txn_version for the same app commits;
