@@ -503,6 +503,7 @@ def optimize(
     root: str,
     target_file_bytes: int = 128 << 20,
     max_retries: int = 20,
+    cluster_by: tuple[str, ...] = (),
 ) -> int:
     """Compaction as a COMMIT (the Delta/Iceberg OPTIMIZE verb): the
     current snapshot's files are rewritten into
@@ -521,7 +522,16 @@ def optimize(
     The small-file problem this pays for: streaming appends and
     fine-grained MERGEs leave KB-scale files, and every later scan
     pays task startup + a footer read per file; one bounded rewrite
-    buys every future scan back."""
+    buys every future scan back.
+
+    ``cluster_by`` makes the rewrite ALSO restore data clustering
+    (the Delta ``OPTIMIZE ... ZORDER``/Iceberg sort-order shape):
+    rows are range-partitioned + sorted within files on the given
+    columns, so after many unclustered appends/merges scatter the key
+    space, one optimize brings back footer min/max file skipping for
+    filters on those columns. For multi-dimension clustering compose
+    a Morton key upstream (``sources/sinks.zorder_key``) and pass it
+    here."""
     for _ in range(max_retries):
         v = current_version(root)
         m = _read_manifest(root, v)
@@ -532,7 +542,13 @@ def optimize(
         )
         n = max(1, math.ceil(total / target_file_bytes))
         df = _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
-        files = _stage_files(spark, root, df.repartition(n))
+        if cluster_by:
+            out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            out = df.repartition(n)
+        files = _stage_files(spark, root, out)
         ok = _try_commit(
             root,
             v + 1,
@@ -543,6 +559,7 @@ def optimize(
                 "parent": v,
                 "txn": dict(m.get("txn", {})),
                 "compacted_from": len(m["files"]),
+                **({"cluster_by": list(cluster_by)} if cluster_by else {}),
                 "ts": time.time(),
             },
         )

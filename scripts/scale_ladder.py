@@ -68,6 +68,10 @@ FAMILIES = {
     "graph_lpa": "label_prop_communities",
     "ann_mmr": "ann_mmr_topk",
     "events_covis": "covisitation_lift",
+    # round 10: the transactional-table surface — CDF is the most
+    # data-proportional verb (reads every touched file of every
+    # commit + exceptAll diffs), so it is the family representative
+    "lakehouse_cdf": "cdf_order_changes",
 }
 
 SUPERLINEAR_EXP = 1.15
@@ -133,8 +137,19 @@ def _finish(times: dict[str, dict[str, float]]) -> None:
             "superlinear": flag,
         }
 
-    out = {"families": ladder, "superlinear": superlinear}
-    with open(os.path.join(REPO, "ladder.json"), "w") as fh:
+    # PRESERVE the other ladder.json sections (the sf1 block written
+    # by scripts/bench_sf1.py) — a families re-run must never drop the
+    # sf1 coverage record (round-10 find: it silently did)
+    path = os.path.join(REPO, "ladder.json")
+    out: dict[str, object] = {}
+    try:
+        with open(path) as fh:
+            out = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    out["families"] = ladder
+    out["superlinear"] = superlinear
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     _regen_scale_md(ladder, superlinear)
     print(json.dumps({"superlinear": superlinear, "n_families": len(ladder)}))

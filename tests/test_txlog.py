@@ -204,6 +204,37 @@ def test_merge_idempotent_and_key_unique(spark, table):
         txlog.merge(spark, table, df.union(df), ("id",))
 
 
+def test_concurrent_merges_serialize(spark, table):
+    """Two writers MERGE disjoint key sets against the same parent
+    version: the commit race serializes them into two versions, both
+    payloads land, and the loser's re-probe sees the winner's rows
+    (so neither merge clobbers the other's rewrite)."""
+    errs: list[Exception] = []
+
+    def upsert(lo: int, mark: int) -> None:
+        try:
+            df = spark.range(lo, lo + 100).select(
+                F.col("id"), F.lit(mark).alias("bucket")
+            )
+            txlog.merge(spark, table, df, ("id",))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    # writer A updates ids 0-99, writer B updates 100-199: disjoint
+    # KEYS, but both ranges live in the SAME data files, so the loser
+    # must re-probe and rewrite on top of the winner's commit
+    t1 = threading.Thread(target=upsert, args=(0, -7))
+    t2 = threading.Thread(target=upsert, args=(100, -8))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert txlog.current_version(table) == 2
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1000
+    assert got.where("bucket = -7").count() == 100
+    assert got.where("bucket = -8").count() == 100
+    assert got.where("id < 200 and bucket >= 0").count() == 0
+
+
 def test_read_changes_appends_deletes_merges(spark, table):
     """CDF from manifest diffs: appends emit inserts, deletes emit
     exactly the victims, merges emit delete+insert pairs for updates."""
@@ -357,3 +388,56 @@ def test_idempotent_txn_append(spark, table):
     v_dup2 = txlog.append(spark, table, df, app_id="etl", txn_version=1)
     assert v_dup2 == txlog.current_version(table)
     assert txlog.read_table(spark, table).where("bucket = 1").count() == 0
+
+
+def test_optimize_cluster_by_restores_file_skipping(spark, tmp_path):
+    """OPTIMIZE with cluster_by: after unclustered appends scatter the
+    key space (every file spans the full id range), a clustered
+    optimize gives each file a narrow disjoint range — measured on the
+    REAL parquet footers: a narrow id predicate overlaps every
+    pre-optimize file but at most half of the post-optimize files."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tx")
+    # 4 round-robin files, each covering the FULL id range (worst-case
+    # scatter — what a stream of unclustered appends converges to)
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 4000).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket")
+        ).repartition(4),
+    )
+
+    def files_overlapping(version, lo, hi):
+        m = json.load(open(txlog._manifest_path(root, version)))
+        n_overlap, n_total = 0, 0
+        for rel in m["files"]:
+            md = pq.read_metadata(os.path.join(root, rel))
+            fmin = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            n_total += 1
+            if fmin <= hi and fmax >= lo:
+                n_overlap += 1
+        return n_overlap, n_total
+
+    v0_overlap, v0_total = files_overlapping(0, 100, 200)
+    assert v0_overlap == v0_total  # every scattered file spans the range
+    v = txlog.optimize(
+        spark, root, target_file_bytes=8 << 10, cluster_by=("id",)
+    )
+    m = json.load(open(txlog._manifest_path(root, v)))
+    assert m["cluster_by"] == ["id"]
+    v1_overlap, v1_total = files_overlapping(v, 100, 200)
+    assert v1_total >= 2
+    assert v1_overlap <= v1_total // 2
+    # logical content identical
+    got = txlog.read_table(spark, root)
+    assert got.count() == 4000
+    assert got.agg(F.sum("id")).first()[0] == 4000 * 3999 // 2
