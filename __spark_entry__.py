@@ -63,10 +63,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     makes executing it non-negotiable):
 
       round-10 window (THIS round, executed below) = wordcount
-        + the 4 NEW round-10 registrations (merge_upsert_orders,
+        + the 5 NEW round-10 registrations (merge_upsert_orders,
           cdf_order_changes, optimize_orders_compaction,
-          schema_evolution_orders — the txlog MERGE / change-data-feed
-          / OPTIMIZE / schema-evolution verbs)
+          schema_evolution_orders, cdf_incremental_dedup_manifest —
+          the txlog MERGE / change-data-feed / OPTIMIZE /
+          schema-evolution verbs + the CDF's pipeline consumer)
         + the 8 late round-8 registrations that have NEVER held a
           driver CORRECTNESS row (hybrid_rrf_topk, dataset_card_report,
           bpe_encode_corpus, media_exact_dups, forget_audit_report,
@@ -76,12 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + the 5 r5-certified holdovers (approx_percentile_bounds,
           global_shuffle, q18_large_volume, stream_sliding_counts,
           stream_static_hourly)
-        + the 2 head entries of the r6-certified cohort
-          (ann_ivfpq_topk, ann_pq_adc_topk)  = exactly 50.
+        + the head entry of the r6-certified cohort (ann_ivfpq_topk)
+          = exactly 50.
       round-11 window = wordcount + round-11 registrations + the
-          r6-certified remainder (ann_pq_rerank_topk ...
-          weighted_source_sample), stalest first, then the r7 cohort
-          head until full.
+          r6-certified remainder (ann_pq_adc_topk,
+          ann_pq_rerank_topk ... weighted_source_sample), stalest
+          first, then the r7 cohort head until full.
       round-12+ = the r7 cohort remainder, then the r9-certified
           cohort (the old r8 window), then the r10-certified cohort,
           stalest first, forever.
@@ -120,6 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with NULLs and time travel at v0 shows the old shape
         # (oracle pins n_cols_v0=2, n_cols_now=3).
         "schema_evolution_orders": relational.schema_evolution_orders,
+        # cdf_incremental_dedup_manifest: the change feed's CONSUMER
+        # half — batch-2 dedup state computed from read_changes (only
+        # the commit's added files are read, O(delta) not O(corpus));
+        # SAME oracle as incremental_dedup_manifest, so the hash match
+        # certifies feed-driven == full-replay.
+        "cdf_incremental_dedup_manifest": textops.cdf_incremental_dedup_manifest,
         # ===== round-10 window: the 8 late round-8 registrations
         # (never driver-certified = infinitely stale) =====
         "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
@@ -168,11 +175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": relational.q18_large_volume,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
-        # ===== round-10 window: r6-cohort head (closes the 50) =====
+        # ===== round-10 window: r6-cohort head (closes the 50; the
+        # fifth round-10 registration displaced ann_pq_adc_topk) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
-        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
         # ================= end of the 50-slot checked window =================
         # ----- r6-certified cohort remainder (round-11 window head) -----
+        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
         "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
         "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
         "canonical_part_names": textops.canonical_part_names,

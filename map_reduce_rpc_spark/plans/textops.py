@@ -2810,6 +2810,85 @@ def incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdf_incremental_dedup_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact dedup driven by the transactional table's
+    CHANGE DATA FEED (round-9 verdict item 3's consumer half): the
+    corpus lives in a txlog table — batch 0 (even doc_ids) creates
+    v0, batch 1 (odd doc_ids) appends at v1 — and batch 1's dedup
+    state is computed from ``read_changes(root, 0, 1)``, which reads
+    ONLY v1's added files (the commit's file diff), never the corpus.
+    The batch-0 state probes come from the v0 snapshot once; at
+    100 TB the standing pipeline holds that state in its own
+    manifest, so each increment costs O(delta) + one keyed anti-join
+    — the exact shape incremental_dedup_manifest certifies through
+    the plain-dir MERGE sink, now fed by the CDF instead of a
+    re-scan. Same arrival semantics (first batch wins, min doc_id
+    within the winning batch), SAME oracle — so the hash match
+    certifies that the feed-driven path reproduces the full-replay
+    answer. Output: (content_hash, keeper_id, arrival_batch,
+    n_batch_copies)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "docs_tx")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        txlog.create_table(
+            spark, root, docs.where("doc_id % 2 = 0").repartition(8)
+        )
+        txlog.append(spark, root, docs.where("doc_id % 2 = 1"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(sf_dir, "txlog_cdf_docs", ("documents",), build)
+    root = os.path.join(base_dir, "docs_tx")
+
+    def fingerprints(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.md5(dedup.normalize_text("text")).alias("content_hash"),
+            F.col("doc_id"),
+        )
+
+    state0 = (
+        fingerprints(txlog.read_table(spark, root, version=0))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+        .withColumn("arrival_batch", F.lit(0).cast("int"))
+    )
+    # O(delta): only v1's added files are read — batch 1 arrives as
+    # pure 'insert' change rows, no exceptAll diffing for an append
+    delta = txlog.read_changes(spark, root, from_version=0, to_version=1)
+    batch1 = (
+        fingerprints(delta.where(F.col("_change_type") == "insert"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+        .withColumn("arrival_batch", F.lit(1).cast("int"))
+        .join(state0.select("content_hash"), "content_hash", "left_anti")
+    )
+    return state0.unionByName(batch1).select(
+        "content_hash", "keeper_id", "arrival_batch", "n_batch_copies"
+    )
+
+
+# the CDF-driven path must reproduce the full-replay answer exactly:
+# identical oracle to incremental_dedup_manifest
+TEXTOPS_ORACLES["cdf_incremental_dedup_manifest"] = TEXTOPS_ORACLES[
+    "incremental_dedup_manifest"
+]
+
 ARRIVAL_STRIDE = 1 << 40  # arrival_key = batch * STRIDE + doc_id
 
 

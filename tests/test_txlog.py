@@ -441,3 +441,31 @@ def test_optimize_cluster_by_restores_file_skipping(spark, tmp_path):
     got = txlog.read_table(spark, root)
     assert got.count() == 4000
     assert got.agg(F.sum("id")).first()[0] == 4000 * 3999 // 2
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """A change feed spanning an evolution commit binds every row to
+    the TO-version schema: pre-evolution inserts surface typed NULLs
+    for the later column, post-evolution inserts carry their values."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 10).select(F.col("id"), F.lit(0).alias("bucket")),
+    )
+    txlog.append(
+        spark,
+        root,
+        spark.range(10, 15).select(
+            F.col("id"), F.lit(1).alias("bucket"), F.lit("s1").alias("source")
+        ),
+        merge_schema=True,
+    )
+    cdf = txlog.read_changes(spark, root, from_version=-1)
+    assert set(cdf.columns) == {
+        "id", "bucket", "source", "_change_type", "_commit_version"
+    }
+    assert cdf.count() == 15
+    assert cdf.where("_change_type != 'insert'").count() == 0
+    assert cdf.where("_commit_version = 0 AND source IS NULL").count() == 10
+    assert cdf.where("_commit_version = 1 AND source = 's1'").count() == 5
