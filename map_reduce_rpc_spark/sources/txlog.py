@@ -121,6 +121,32 @@ def _snapshot_schema(spark: SparkSession, root: str, version: int):
     ).schema
 
 
+def _cast_is_lossless(src, dst) -> bool:
+    """Write-side cast whitelist: identical types, NULL literals, a
+    strict numeric widening, or a decimal that gains both precision
+    and scale headroom. Everything else (string->long, double->long,
+    long->int, ...) is a lossy/nulling cast and must be rejected."""
+    from pyspark.sql.types import DecimalType, NullType
+
+    if src == dst or isinstance(src, NullType):
+        return True
+    widen = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("byte", "double"), ("short", "double"), ("integer", "double"),
+        ("float", "double"),
+    }
+    if (src.typeName(), dst.typeName()) in widen:
+        return True
+    if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    return False
+
+
 def _stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
     """Write df's rows as new uniquely-named parquet files under
     data/; returns their table-relative paths. Staged files are
@@ -256,7 +282,13 @@ def _align_schema(
     columns widen the table (the evolved schema json is returned for
     the manifest to record) and columns the incoming frame lacks are
     filled with typed NULLs. Returns (aligned_df, evolved_schema_json
-    or None when the schema is unchanged)."""
+    or None when the schema is unchanged).
+
+    Only LOSSLESS casts are accepted (same type, or a numeric widening
+    like int->long/float->double): a blind cast-by-name would silently
+    NULL a string fed to a long column and silently truncate a double
+    fed to a long — the Delta/ANSI store-assignment contract is that
+    incompatible writes FAIL, never corrupt."""
     schema = _snapshot_schema(df.sparkSession, root, current_version(root))
     have = {f.name: f for f in df.schema.fields}
     want = [f.name for f in schema.fields]
@@ -267,6 +299,15 @@ def _align_schema(
             f"schema mismatch: table has {want}, incoming has "
             f"{sorted(have)} (pass merge_schema=True to evolve)"
         )
+    for f in schema.fields:
+        if f.name in have and not _cast_is_lossless(
+            have[f.name].dataType, f.dataType
+        ):
+            raise ValueError(
+                f"unsafe cast for column {f.name!r}: incoming "
+                f"{have[f.name].dataType.simpleString()} does not widen "
+                f"losslessly to the table's {f.dataType.simpleString()}"
+            )
     cols = [
         (
             F.col(f.name).cast(f.dataType)

@@ -469,3 +469,36 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     assert cdf.where("_change_type != 'insert'").count() == 0
     assert cdf.where("_commit_version = 0 AND source IS NULL").count() == 10
     assert cdf.where("_commit_version = 1 AND source = 's1'").count() == 5
+
+
+def test_append_rejects_lossy_casts(spark, table):
+    """The write-side cast contract is LOSSLESS-only: a string or a
+    double fed to the long column must fail loudly (a blind cast
+    would silently NULL / truncate — the ANSI store-assignment
+    rule), while int->long keeps widening."""
+    with pytest.raises(ValueError, match="unsafe cast"):
+        txlog.append(
+            spark,
+            table,
+            spark.range(3).select(
+                F.col("id"), F.lit("oops").alias("bucket")
+            ),
+        )
+    with pytest.raises(ValueError, match="unsafe cast"):
+        txlog.append(
+            spark,
+            table,
+            spark.range(3).select(
+                F.col("id"), F.lit(1.5).alias("bucket")
+            ),
+        )
+    # widening stays allowed
+    v = txlog.append(
+        spark,
+        table,
+        spark.range(8000, 8003).select(
+            F.col("id"), F.lit(2).alias("bucket")
+        ),
+    )
+    assert v >= 1
+    assert txlog.read_table(spark, table).count() == 1003
