@@ -46,11 +46,19 @@ the properties that actually matter and nothing else:
   schema, so old files surface NULLs for later columns and time
   travel before the evolution shows the OLD shape.
 
-Not implemented, deliberately: checkpointing the log (linear manifest
-scan is fine at these version counts) and type widening (adds-only
-evolution). Cite: this replaces nothing in the reference — the
-reference has no storage layer at all (its output is `mr-out-*` text
-files, /root/reference/mr/worker.go:60-74); this is the
+Design trade, stated honestly: each manifest records the snapshot's
+FULL file list, so resolving any version is O(1) manifest reads
+(Delta instead logs per-commit add/remove ACTIONS and needs periodic
+parquet checkpoints to avoid replaying the log). The cost is manifest
+size O(files) per commit — fine to ~10^5 files (a few MB of JSON);
+past that, the Delta mitigation applies mechanically: switch the log
+to delta-actions + checkpoint-every-N. Not implemented, deliberately:
+that checkpointing (unneeded under self-contained manifests at these
+file counts) and type WIDENING of existing columns (schema evolution
+is adds-only; lossy casts are rejected at the write boundary, see
+``_cast_is_lossless``). Cite: this replaces nothing in the reference
+— the reference has no storage layer at all (its output is `mr-out-*`
+text files, /root/reference/mr/worker.go:60-74); this is the
 beyond-reference lakehouse surface.
 """
 

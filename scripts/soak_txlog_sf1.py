@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""sf1 soak of the transactional table (sources/txlog.py): a
+realistic commit chain — create, a run of appends, a run of merges,
+an optimize, a full change-feed read — timed per commit against the
+10x orders replica (/tmp/spark_graft_sf1, ~1.5M rows).
+
+What the numbers must show (the 100 TB contracts):
+
+- **append cost is O(batch)**, flat across the chain — staging new
+  files + one manifest link; the growing table never re-reads.
+- **merge cost = probe + victim rewrite**: the probe scans ONE
+  column (the key) of the current snapshot (column-pruned parquet
+  scan — the same find-touched-files join Delta MERGE runs), the
+  rewrite is bounded by the files that actually contain matched
+  keys. Flat-ish across the chain while the table grows.
+- **optimize is one bounded rewrite** whose cost tracks total bytes,
+  paid once; the change feed across it is empty.
+- **read_changes replays the whole chain in O(touched files)** —
+  appends diff nothing, the optimize commit cancels.
+
+Prints one JSON line; numbers recorded in SCALE.md's txlog section.
+
+Usage: python scripts/soak_txlog_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/spark_graft_sf1")
+ROOT = "/tmp/spark_graft_txlog_soak"
+N_APPENDS = 6
+N_MERGES = 3
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from map_reduce_rpc_spark.session import get_spark
+    from map_reduce_rpc_spark.sources import txlog
+    from map_reduce_rpc_spark.tables import load_table
+
+    spark = get_spark("txlog_soak", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base = load_table(spark, SF1, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_total = base.count()
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+    out: dict[str, object] = {"sf_dir": SF1, "orders_rows": n_total}
+
+    # create from slice 0 of N_APPENDS+1 equal hash slices
+    slices = N_APPENDS + 1
+
+    def part(i):
+        return base.where(F.col("o_orderkey") % slices == i)
+
+    t0 = time.perf_counter()
+    txlog.create_table(spark, ROOT, part(0).repartition(8))
+    out["create_sec"] = round(time.perf_counter() - t0, 3)
+
+    appends = []
+    for i in range(1, N_APPENDS + 1):
+        t0 = time.perf_counter()
+        txlog.append(spark, ROOT, part(i))
+        appends.append(round(time.perf_counter() - t0, 3))
+    out["append_sec"] = appends
+
+    merges = []
+    for j in range(N_MERGES):
+        upd = base.where(F.col("o_orderkey") % 199 == j).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+        t0 = time.perf_counter()
+        txlog.merge(spark, ROOT, upd, ("o_orderkey",))
+        merges.append(round(time.perf_counter() - t0, 3))
+    out["merge_sec"] = merges
+
+    v_before_opt = txlog.current_version(ROOT)
+    t0 = time.perf_counter()
+    txlog.optimize(spark, ROOT, cluster_by=("o_orderkey",))
+    out["optimize_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cdf = txlog.read_changes(spark, ROOT, from_version=-1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    out["cdf_sec"] = round(time.perf_counter() - t0, 3)
+    out["cdf_rows"] = by_type
+
+    # invariants: final row count == corpus (merges replace, never add
+    # — the % 199 keys all exist); optimize contributed zero changes
+    n_final = txlog.read_table(spark, ROOT).count()
+    assert n_final == n_total, (n_final, n_total)
+    opt_changes = txlog.read_changes(spark, ROOT, v_before_opt).count()
+    assert opt_changes == 0, opt_changes
+    out["final_rows"] = n_final
+    out["versions"] = txlog.current_version(ROOT)
+
+    shutil.rmtree(ROOT, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
