@@ -29,8 +29,9 @@ the properties that actually matter and nothing else:
 - **MERGE (upsert) as one atomic version.** :func:`merge` replaces
   matched keys and inserts the rest in a single commit; only files
   CONTAINING matched keys are rewritten (one input_file_name probe
-  job finds them), and the Delta (app_id, txn_version) idempotence
-  map makes CDC redelivery a no-op.
+  job finds them, itself pruned by the manifest's per-file key
+  min/max stats — Iceberg-style manifest pruning), and the Delta
+  (app_id, txn_version) idempotence map makes CDC redelivery a no-op.
 - **Change data feed.** :func:`read_changes` derives row-level
   insert/delete changes between two versions from manifest file
   diffs — O(touched files) per commit, never a corpus re-read; an
@@ -127,6 +128,52 @@ def _snapshot_schema(spark: SparkSession, root: str, version: int):
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in files]
     ).schema
+
+
+def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
+    """Per-file column min/max from the parquet footers, for the
+    manifest (the Iceberg manifest-stats idea): one local metadata
+    read per newly staged file, no data scanned. Only JSON-plain
+    values (int/float/str) are kept — a column absent from a file's
+    stats map simply can't prune that file, never a correctness
+    issue."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        md = pq.read_metadata(os.path.join(root, rel))
+        names = md.schema.names
+        per_col: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                st = row_group.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    per_col[names[ci]] = None  # unusable for this file
+                    continue
+                mn, mx = st.min, st.max
+                if not all(isinstance(v, (int, float, str)) for v in (mn, mx)):
+                    per_col[names[ci]] = None
+                    continue
+                cur = per_col.get(names[ci])
+                if cur is None and names[ci] in per_col:
+                    continue  # already marked unusable
+                per_col[names[ci]] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        out[rel] = {c: v for c, v in per_col.items() if v is not None}
+    return out
+
+
+def _carry_stats(parent: dict, kept: list[str], new_stats: dict) -> dict:
+    """Next manifest's stats map: parent entries for carried files +
+    fresh entries for newly staged ones."""
+    prev = parent.get("stats", {})
+    out = {rel: prev[rel] for rel in kept if rel in prev}
+    out.update(new_stats)
+    return out
 
 
 def _cast_is_lossless(src, dst) -> bool:
@@ -229,6 +276,7 @@ def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
         root,
         0,
         {"version": 0, "op": "create", "files": files, "parent": None,
+         "stats": _collect_stats(root, files),
          # schema travels in the log so a zero-file snapshot (empty
          # create, or a delete that empties the table) reads back as
          # a TYPED empty frame with no parquet footer to lean on
@@ -375,6 +423,7 @@ def append(
         if files is None:
             aligned, evolved = _align_schema(root, df, merge_schema)
             files = _stage_files(spark, root, aligned)
+            new_stats = _collect_stats(root, files)
         if app_id is not None:
             txn[app_id] = txn_version
         manifest = {
@@ -383,6 +432,7 @@ def append(
             "files": parent["files"] + files,
             "parent": v,
             "txn": txn,
+            "stats": _carry_stats(parent, parent["files"], new_stats),
             "ts": time.time(),
         }
         if evolved is not None:
@@ -410,8 +460,13 @@ def merge(
     ``input_file_name()`` and semi-joined to the update keys, so only
     files that actually CONTAIN a matched key are rewritten (one
     combined anti-join rewrite); everything else carries into the new
-    manifest by name. At 100 TB a CDC batch's merge cost is bounded by
-    the keys' file spread, never the table.
+    manifest by name. Before that scan, the MANIFEST's per-file
+    min/max stats prune it (single-key merges): files whose key range
+    cannot overlap the batch's [min, max] are never opened — on a
+    key-clustered table (optimize(cluster_by=key)) the probe cost
+    collapses from O(table's key column) to O(the batch's key range),
+    the Iceberg manifest-pruning mechanism. At 100 TB a CDC batch's
+    merge cost is bounded by the keys' file spread, never the table.
 
     Concurrency + idempotence match the other verbs: optimistic retry
     re-probes against the new snapshot (a merge is a logical op, so
@@ -445,13 +500,37 @@ def merge(
                 )
             upd_files = _stage_files(spark, root, aligned)
         keys = aligned.select(*key_cols).distinct()
-        # one probe job: which files contain a matched key? (file names
-        # only cross the driver — bounded metadata, like delete_where's
-        # manifest lists). AQE broadcasts the key side when small.
+        # manifest-stats prefilter (single-key merges): a file whose
+        # recorded [min, max] for the key cannot overlap the batch's
+        # key range cannot contain a victim — skip it without opening
+        # it. Files with no recorded stats stay candidates (old
+        # writers, unstatted types): pruning is an optimization, never
+        # a correctness decision.
+        candidates = list(parent["files"])
+        if len(key_cols) == 1 and candidates:
+            key = key_cols[0]
+            row = aligned.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            lo, hi = row["lo"], row["hi"]
+            if lo is not None:
+                stats = parent.get("stats", {})
+                candidates = [
+                    rel
+                    for rel in candidates
+                    if (rng := stats.get(rel, {}).get(key)) is None
+                    or (rng[0] <= hi and rng[1] >= lo)
+                ]
+            else:
+                candidates = []  # empty batch: nothing can match
+        # one probe job over the candidates: which files contain a
+        # matched key? (file names only cross the driver — bounded
+        # metadata, like delete_where's manifest lists). AQE
+        # broadcasts the key side when small.
         victims: list[str] = []
-        if parent["files"]:
+        if candidates:
             snap = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, f) for f in parent["files"]]
+                *[os.path.join(root, f) for f in candidates]
             )
             hit_names = {
                 os.path.basename(r["_f"])
@@ -467,17 +546,20 @@ def merge(
             }
             victims = [
                 rel
-                for rel in parent["files"]
+                for rel in candidates
                 if os.path.basename(rel) in hit_names
             ]
         keep = [rel for rel in parent["files"] if rel not in set(victims)]
         new_files = list(keep) + upd_files
+        staged = list(upd_files)
         if victims:
             schema = _snapshot_schema(spark, root, v)
             survivors = _read_files(spark, root, victims, schema).join(
                 keys, list(key_cols), "left_anti"
             )
-            new_files += _stage_files(spark, root, survivors)
+            rewritten = _stage_files(spark, root, survivors)
+            new_files += rewritten
+            staged += rewritten
         if app_id is not None:
             txn[app_id] = txn_version
         ok = _try_commit(
@@ -492,6 +574,10 @@ def merge(
                 "key_cols": list(key_cols),
                 "rewrote": len(victims),
                 "carried": len(keep),
+                "probed": len(candidates),
+                "stats": _carry_stats(
+                    parent, keep, _collect_stats(root, staged)
+                ),
                 "ts": time.time(),
             },
         )
@@ -527,6 +613,7 @@ def delete_where(
                 new_files += _stage_files(spark, root, survivors)
             # fully-victim file: dropped, not rewritten (the
             # delete-verb contract merge_delete_parquet also pins)
+        staged = [rel for rel in new_files if rel not in set(keep)]
         ok = _try_commit(
             root,
             v + 1,
@@ -536,6 +623,7 @@ def delete_where(
                 "predicate": predicate,
                 "files": new_files,
                 "parent": v,
+                "stats": _carry_stats(m, keep, _collect_stats(root, staged)),
                 "txn": dict(m.get("txn", {})),  # carry idempotence state
                 "rewrote": len(rewrite),
                 "carried": len(keep),
@@ -606,6 +694,7 @@ def optimize(
                 "op": "optimize",
                 "files": files,
                 "parent": v,
+                "stats": _collect_stats(root, files),
                 "txn": dict(m.get("txn", {})),
                 "compacted_from": len(m["files"]),
                 **({"cluster_by": list(cluster_by)} if cluster_by else {}),

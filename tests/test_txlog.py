@@ -502,3 +502,32 @@ def test_append_rejects_lossy_casts(spark, table):
     )
     assert v >= 1
     assert txlog.read_table(spark, table).count() == 1003
+
+
+def test_merge_probe_pruned_by_manifest_stats(spark, tmp_path):
+    """On a key-clustered table the manifest's per-file min/max stats
+    prune the merge probe: a narrow-key-range batch opens only the
+    files whose range overlaps it (manifest 'probed' < total files),
+    and the result is identical to an unpruned merge."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 4000).select(
+            F.col("id"), F.lit(0).alias("bucket")
+        ).repartition(4),
+    )
+    v = txlog.optimize(spark, root, target_file_bytes=4 << 10, cluster_by=("id",))
+    n_files = len(json.load(open(txlog._manifest_path(root, v)))["files"])
+    assert n_files >= 4
+    upd = spark.range(100, 160).select(F.col("id"), F.lit(-1).alias("bucket"))
+    v2 = txlog.merge(spark, root, upd, ("id",))
+    m = json.load(open(txlog._manifest_path(root, v2)))
+    assert m["probed"] < n_files, (m["probed"], n_files)
+    assert m["rewrote"] <= m["probed"]
+    got = txlog.read_table(spark, root)
+    assert got.count() == 4000
+    assert got.where("bucket = -1").count() == 60
+    assert got.where("id >= 100 AND id < 160 AND bucket = 0").count() == 0
+    # stats survive the merge commit for the NEXT prefilter
+    assert set(m["stats"]) == set(m["files"])
