@@ -46,6 +46,10 @@ the properties that actually matter and nothing else:
   widened schema in the manifest; readers bind to the snapshot's
   schema, so old files surface NULLs for later columns and time
   travel before the evolution shows the OLD shape.
+- **RESTORE + HISTORY.** :func:`restore` rolls back to an earlier
+  snapshot as a new commit (file references only, nothing copied,
+  history preserved, schema re-pinned); :func:`history` surfaces the
+  commit log as a DataFrame — the Delta DESCRIBE HISTORY verb.
 
 Design trade, stated honestly: each manifest records the snapshot's
 FULL file list, so resolving any version is O(1) manifest reads
@@ -792,6 +796,113 @@ def read_changes(
     if out is None:
         return spark.createDataFrame([], cdf_schema)
     return out
+
+
+def restore(
+    spark: SparkSession, root: str, version: int, max_retries: int = 20
+) -> int:
+    """RESTORE (the Delta verb): roll the table back to an earlier
+    snapshot AS A NEW COMMIT — the new manifest references version N's
+    exact file list (and its schema binding), so nothing is copied,
+    history is preserved, and the rollback itself is undoable by
+    another restore. Fails if any of N's files were already vacuumed
+    (the retention contract: restore reaches only as far back as
+    vacuum has kept). The change feed across a restore is the row-level
+    UNDO of everything since N — computed by the same file-diff
+    machinery, nothing special-cased."""
+    target = _read_manifest(root, version)
+    missing = [
+        rel
+        for rel in target["files"]
+        if not os.path.exists(os.path.join(root, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore v{version}: {len(missing)} of its files "
+            f"were vacuumed (first: {missing[0]})"
+        )
+    schema_json = None
+    for vv in range(version, -1, -1):
+        m = _read_manifest(root, vv)
+        if "schema" in m:
+            schema_json = m["schema"]
+            break
+    for _ in range(max_retries):
+        v = current_version(root)
+        parent = _read_manifest(root, v)
+        manifest = {
+            "version": v + 1,
+            "op": "restore",
+            "restored_from": version,
+            "files": list(target["files"]),
+            "parent": v,
+            "txn": dict(parent.get("txn", {})),
+            "stats": {
+                rel: st
+                for rel, st in target.get("stats", {}).items()
+                if rel in set(target["files"])
+            },
+            "ts": time.time(),
+        }
+        if schema_json is not None:
+            # re-pin the restored snapshot's schema: a later evolution
+            # must not leak into the rolled-back view
+            manifest["schema"] = schema_json
+        if _try_commit(root, v + 1, manifest):
+            return v + 1
+    raise RuntimeError(f"restore lost {max_retries} commit races at {root}")
+
+
+def history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — operation,
+    parent, file count, op-specific detail — straight from the
+    manifests (driver-side metadata, bounded by version count)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = []
+    for v in range(current_version(root) + 1):
+        m = _read_manifest(root, v)
+        detail = {
+            k: m[k]
+            for k in (
+                "predicate",
+                "key_cols",
+                "rewrote",
+                "carried",
+                "probed",
+                "compacted_from",
+                "cluster_by",
+                "restored_from",
+            )
+            if k in m
+        }
+        rows.append(
+            (
+                v,
+                m["op"],
+                m["parent"],
+                len(m["files"]),
+                json.dumps(detail, sort_keys=True) if detail else None,
+                float(m["ts"]),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("parent", LongType(), True),
+            StructField("n_files", LongType(), False),
+            StructField("detail", StringType(), True),
+            StructField("ts", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def vacuum(root: str, retain_versions: int = 1) -> list[str]:

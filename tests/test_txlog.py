@@ -531,3 +531,44 @@ def test_merge_probe_pruned_by_manifest_stats(spark, tmp_path):
     assert got.where("id >= 100 AND id < 160 AND bucket = 0").count() == 0
     # stats survive the merge commit for the NEXT prefilter
     assert set(m["stats"]) == set(m["files"])
+
+
+def test_restore_and_history(spark, table):
+    """RESTORE rolls back as a NEW commit: contents equal the target
+    snapshot, history is preserved (the rollback is itself undoable),
+    the change feed across the restore is the row-level UNDO of the
+    rolled-back commits, and vacuumed targets are refused."""
+    txlog.append(
+        spark,
+        table,
+        spark.range(1000, 1100).select(
+            F.col("id"), F.lit(1).alias("bucket")
+        ),
+    )  # v1
+    txlog.delete_where(spark, table, "bucket = 3")  # v2
+    v3 = txlog.restore(spark, table, 0)
+    assert v3 == 3
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1000
+    assert got.where("bucket = 3").count() == 100  # the delete undone
+    # v2 (pre-restore) still readable: history preserved
+    # (v1 = 1000 + 100 appended; v2 deleted the 100 bucket-3 originals)
+    assert txlog.read_table(spark, table, version=2).count() == 1000
+    # the feed across the restore is the undo: the appended 100 rows
+    # deleted, the 100 deleted bucket-3 rows re-inserted
+    cdf = txlog.read_changes(spark, table, 2, 3)
+    by = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["delete"] == 100 and by["insert"] == 100
+
+    hist = txlog.history(spark, table).orderBy("version").collect()
+    assert [r["op"] for r in hist] == ["create", "append", "delete", "restore"]
+    assert json.loads(hist[3]["detail"])["restored_from"] == 0
+    assert hist[2]["parent"] == 1
+
+    # vacuum away everything older than current, then restore must fail
+    txlog.vacuum(table, retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txlog.restore(spark, table, 2)
