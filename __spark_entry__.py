@@ -63,11 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     makes executing it non-negotiable):
 
       round-10 window (THIS round, executed below) = wordcount
-        + the 5 NEW round-10 registrations (merge_upsert_orders,
+        + the 6 NEW round-10 registrations (merge_upsert_orders,
           cdf_order_changes, optimize_orders_compaction,
-          schema_evolution_orders, cdf_incremental_dedup_manifest —
-          the txlog MERGE / change-data-feed / OPTIMIZE /
-          schema-evolution verbs + the CDF's pipeline consumer)
+          schema_evolution_orders, cdf_incremental_dedup_manifest,
+          restore_orders_rollback — the txlog MERGE /
+          change-data-feed / OPTIMIZE / schema-evolution / RESTORE
+          verbs + the CDF's pipeline consumer)
         + the 8 late round-8 registrations that have NEVER held a
           driver CORRECTNESS row (hybrid_rrf_topk, dataset_card_report,
           bpe_encode_corpus, media_exact_dups, forget_audit_report,
@@ -77,10 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + the 5 r5-certified holdovers (approx_percentile_bounds,
           global_shuffle, q18_large_volume, stream_sliding_counts,
           stream_static_hourly)
-        + the head entry of the r6-certified cohort (ann_ivfpq_topk)
-          = exactly 50.
+          = exactly 50 (wordcount + 6 + 8 + 30 + 5).
       round-11 window = wordcount + round-11 registrations + the
-          r6-certified remainder (ann_pq_adc_topk,
+          r6-certified cohort (ann_ivfpq_topk, ann_pq_adc_topk,
           ann_pq_rerank_topk ... weighted_source_sample), stalest
           first, then the r7 cohort head until full.
       round-12+ = the r7 cohort remainder, then the r9-certified
@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SAME oracle as incremental_dedup_manifest, so the hash match
         # certifies feed-driven == full-replay.
         "cdf_incremental_dedup_manifest": textops.cdf_incremental_dedup_manifest,
+        # restore_orders_rollback: the RESTORE verb — rollback as a
+        # new commit (file references only); oracle pins final
+        # version 2, full-table content, and the preserved
+        # 'create,delete,restore' history.
+        "restore_orders_rollback": relational.restore_orders_rollback,
         # ===== round-10 window: the 8 late round-8 registrations
         # (never driver-certified = infinitely stale) =====
         "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
@@ -175,11 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": relational.q18_large_volume,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
-        # ===== round-10 window: r6-cohort head (closes the 50; the
-        # fifth round-10 registration displaced ann_pq_adc_topk) =====
-        "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
+        # ===== (the sixth round-10 registration displaced the whole
+        # r6 head — the 5 r5 holdovers above close the 50 slots) =====
         # ================= end of the 50-slot checked window =================
-        # ----- r6-certified cohort remainder (round-11 window head) -----
+        # ----- r6-certified cohort (round-11 window head) -----
+        "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
         "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
         "ann_pq_trained_topk": vectors.ann_pq_trained_topk,

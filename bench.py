@@ -386,7 +386,17 @@ def main() -> None:
         print(f"  full timings written to {art}", file=sys.stderr)
     except OSError as exc:
         print(f"  bench_results.json not written: {exc}", file=sys.stderr)
-    if sf_val == 0.1 and timings and not os.environ.get("SPARK_GRAFT_BENCH_ORDER"):
+    if (
+        sf_val == 0.1
+        and timings
+        and not os.environ.get("SPARK_GRAFT_BENCH_ORDER")
+        # an ONLY-filtered adjudication run must not rewrite the
+        # full-registry headline either: qs is already filtered here,
+        # so the subset check below can't catch it (round-10 find —
+        # a 7-query isolated run stamped "7 queries, 15.0 s" into
+        # SCALE.md)
+        and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    ):
         only_subset = len(timings) + len(errors) < len(qs)
         if not only_subset:
             _regen_scale_md(

@@ -4017,3 +4017,59 @@ RELATIONAL_ORACLES["schema_evolution_orders"] = """
     FROM orders WHERE o_orderkey % 2 = 0
     ORDER BY priority
 """
+
+
+def restore_orders_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE certified end-to-end (sources/txlog.py restore — the
+    Delta rollback verb): orders -> create v0 -> transactional DELETE
+    of urgent orders (v1) -> restore v0 as a NEW commit (v2, file
+    references only, nothing copied). The output aggregates the FINAL
+    snapshot and carries (a) the final version (oracle: 2 — a restore
+    is a commit, not an erase), (b) the full row count + cents
+    (oracle: the whole table — the delete was undone), and (c) the
+    comma-joined op sequence from DESCRIBE HISTORY (oracle:
+    'create,delete,restore' — history is preserved through the
+    rollback). One hash match certifies rollback content, commit
+    semantics, and history retention at once. Output: (version,
+    n_orders, total_cents, ops)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        txlog.create_table(
+            spark, root, load_table(spark, sf_dir, "orders").repartition(8)
+        )
+        txlog.delete_where(spark, root, TT_DELETE_PRED)
+        txlog.restore(spark, root, 0)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_restore_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    ops = ",".join(
+        r["op"] for r in txlog.history(spark, root).orderBy("version").collect()
+    )
+    return txlog.read_table(spark, root).agg(
+        F.lit(txlog.current_version(root)).cast("long").alias("version"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("total_cents"),
+        F.lit(ops).alias("ops"),
+    )
+
+
+RELATIONAL_ORACLES["restore_orders_rollback"] = """
+    SELECT CAST(2 AS BIGINT) AS version,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           'create,delete,restore' AS ops
+    FROM orders
+"""
