@@ -107,6 +107,52 @@ def main() -> None:
     out["final_rows"] = n_final
     out["versions"] = txlog.current_version(ROOT)
 
+    # ---- phase B: the manifest-stats pruning lever, measured ----
+    # The phase-A merges use modulo keys (every batch spans the whole
+    # key range -> every file is a candidate, pruning CANNOT help —
+    # the honest ceiling). Real CDC batches are usually key-LOCAL
+    # (monotonic ids: recent orders); on a key-clustered table the
+    # manifest stats then collapse the probe. Measure exactly that:
+    # same table content, key-clustered layout, a contiguous 1%-range
+    # batch — probed files and wall time vs a full-range batch of the
+    # same SIZE.
+    root_b = ROOT + "_clustered"
+    shutil.rmtree(root_b, ignore_errors=True)
+    txlog.create_table(
+        spark,
+        root_b,
+        base.repartitionByRange(24, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+    )
+    import json as _json
+
+    n_files_b = len(
+        _json.load(open(txlog._manifest_path(root_b, 0)))["files"]
+    )
+    lo, hi = 1, n_total // 100  # contiguous 1% of the key range
+    local = base.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    ).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") + 1).alias("o_totalprice")
+    )
+    t0 = time.perf_counter()
+    v_local = txlog.merge(spark, root_b, local, ("o_orderkey",))
+    out["merge_local_sec"] = round(time.perf_counter() - t0, 3)
+    m_local = _json.load(open(txlog._manifest_path(root_b, v_local)))
+    out["merge_local_probed"] = [m_local["probed"], n_files_b]
+
+    spread = base.where(F.col("o_orderkey") % 99 == 1).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") + 2).alias("o_totalprice")
+    )
+    t0 = time.perf_counter()
+    v_spread = txlog.merge(spark, root_b, spread, ("o_orderkey",))
+    out["merge_spread_sec"] = round(time.perf_counter() - t0, 3)
+    m_spread = _json.load(open(txlog._manifest_path(root_b, v_spread)))
+    out["merge_spread_probed"] = [m_spread["probed"], len(m_local["files"])]
+    assert m_local["probed"] < n_files_b, "local batch was not pruned"
+
+    shutil.rmtree(root_b, ignore_errors=True)
     shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()
