@@ -87,8 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           cohort (the old r8 window), then the r10-certified cohort,
           stalest first, forever.
 
-    With ~195 queries and 50 slots every query is certified at least
-    once per ceil(195/50) = 4 rounds, and every query — window or
+    With 197 queries and 50 slots every query is certified at least
+    once per ceil(197/50) = 4 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
