@@ -572,3 +572,41 @@ def test_restore_and_history(spark, table):
     txlog.vacuum(table, retain_versions=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         txlog.restore(spark, table, 2)
+
+
+def test_lossless_cast_rule_decimal_boundaries(spark):
+    """The decimal widening rule (dst gains BOTH scale and integer
+    headroom) must be exactly the lossless set: for accepted (src,
+    dst) pairs, casting src's extreme representable values through
+    Spark preserves them bit-for-bit (no NULLs, no rounding); the
+    rejected direction (losing scale or integer digits) stays
+    rejected by the rule."""
+    import decimal
+    import random
+
+    from pyspark.sql.types import DecimalType
+
+    rng = random.Random(42)
+    accepted = 0
+    for _ in range(12):
+        sp = rng.randint(2, 18)
+        ss = rng.randint(0, sp - 1)
+        src = DecimalType(sp, ss)
+        dp = rng.randint(2, 38)
+        ds = rng.randint(0, dp - 1)
+        dst = DecimalType(dp, ds)
+        ok = txlog._cast_is_lossless(src, dst)
+        rule = ds >= ss and (dp - ds) >= (sp - ss)
+        assert ok == rule, (src, dst)
+        if not ok:
+            continue
+        accepted += 1
+        # src's extremes: +/- (10^(p-s) - 10^-s)  and a mid value
+        q = decimal.Decimal(1).scaleb(-ss)
+        hi = decimal.Decimal(10) ** (sp - ss) - q
+        vals = [hi, -hi, (hi / 3).quantize(q, rounding=decimal.ROUND_DOWN)]
+        df = spark.createDataFrame([(v,) for v in vals], schema=f"v decimal({sp},{ss})")
+        got = [r["v"] for r in df.select(F.col("v").cast(dst).alias("v")).collect()]
+        assert all(g is not None for g in got), (src, dst, got)
+        assert [decimal.Decimal(g) for g in got] == vals, (src, dst, got, vals)
+    assert accepted >= 2  # the sample exercised the accept branch
