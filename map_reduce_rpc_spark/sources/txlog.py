@@ -330,6 +330,46 @@ def read_table(
     return _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
 
 
+def scan_table(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-range snapshot read pruned by MANIFEST stats (the read-side
+    twin of merge's probe prefilter): only files whose recorded
+    [min, max] for ``col`` overlaps [lo, hi] reach the reader at all —
+    the rest are eliminated at PLANNING time from driver-side
+    metadata, before any footer IO. Parquet's own row-group pruning
+    then applies inside the surviving files (the residual range filter
+    stays in the plan, so results are exact regardless of stats
+    coverage: a file with no recorded stats for ``col`` is read and
+    filtered, never skipped).
+
+    At 10^5 files this is the difference between "list, open, and
+    footer-read every file to discover 99% are irrelevant" and "open
+    the handful a clustered layout puts the range in" — Iceberg's
+    manifest-level scan planning. Pairs with optimize(cluster_by=col),
+    which is what makes the per-file ranges narrow."""
+    v = current_version(root) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    m = _read_manifest(root, v)
+    stats = m.get("stats", {})
+    pruned = [
+        rel
+        for rel in m["files"]
+        if (rng := stats.get(rel, {}).get(col)) is None
+        or (rng[0] <= hi and rng[1] >= lo)
+    ]
+    schema = _snapshot_schema(spark, root, v)
+    return _read_files(spark, root, pruned, schema).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
 def _align_schema(
     root: str, df: DataFrame, merge_schema: bool = False
 ) -> tuple[DataFrame, str | None]:

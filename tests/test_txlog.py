@@ -610,3 +610,31 @@ def test_lossless_cast_rule_decimal_boundaries(spark):
         assert all(g is not None for g in got), (src, dst, got)
         assert [decimal.Decimal(g) for g in got] == vals, (src, dst, got, vals)
     assert accepted >= 2  # the sample exercised the accept branch
+
+
+def test_scan_table_prunes_files_by_manifest_stats(spark, tmp_path):
+    """scan_table eliminates non-overlapping files at planning time
+    (inputFiles() shrinks) and returns exactly the range's rows —
+    identical to an unpruned read_table + filter."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 4000).select(
+            F.col("id"), (F.col("id") % 7).alias("bucket")
+        ).repartition(4),
+    )
+    txlog.optimize(spark, root, target_file_bytes=4 << 10, cluster_by=("id",))
+    full = txlog.read_table(spark, root)
+    n_files = len(full.inputFiles())
+    assert n_files >= 4
+    scanned = txlog.scan_table(spark, root, "id", 100, 160)
+    assert len(scanned.inputFiles()) < n_files
+    expect = full.where("id >= 100 AND id <= 160")
+    assert scanned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(scanned).count() == 0
+    assert scanned.count() == 61
+    # pre-optimize snapshot (scattered, all files overlap): the
+    # residual filter still yields exact results with zero pruning
+    v0 = txlog.scan_table(spark, root, "id", 100, 160, version=0)
+    assert v0.count() == 61
