@@ -56,39 +56,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OLDEST last-driver-certified round, oldest first, until the 50
     slots are full.
 
-    ROTATION LEDGER (from CORRECTNESS_r01-r09; zero historical reds.
-    NOTE: round 9 never reordered the dict, so CORRECTNESS_r09 ==
-    CORRECTNESS_r08 key-for-key — the r8 window was re-certified in
-    r9 and the intended r9 window never ran; round-10 verdict item 1
-    makes executing it non-negotiable):
+    ROTATION LEDGER (from CORRECTNESS_r01-r10; zero historical reds.
+    Round 10 executed its intended window exactly — verified
+    key-for-key by the round-10 verdict):
 
-      round-10 window (THIS round, executed below) = wordcount
-        + the 6 NEW round-10 registrations (merge_upsert_orders,
-          cdf_order_changes, optimize_orders_compaction,
-          schema_evolution_orders, cdf_incremental_dedup_manifest,
-          restore_orders_rollback — the txlog MERGE /
-          change-data-feed / OPTIMIZE / schema-evolution / RESTORE
-          verbs + the CDF's pipeline consumer)
-        + the 8 late round-8 registrations that have NEVER held a
-          driver CORRECTNESS row (hybrid_rrf_topk, dataset_card_report,
-          bpe_encode_corpus, media_exact_dups, forget_audit_report,
-          time_travel_orders, stream_txlog_append, pii_redaction_audit)
-        + all 30 r4-certified holdovers (approx_distinct_users ...
-          window_kitchen_sink — 6 rounds stale, the oldest cohort)
-        + the 5 r5-certified holdovers (approx_percentile_bounds,
-          global_shuffle, q18_large_volume, stream_sliding_counts,
-          stream_static_hourly)
-          = exactly 50 (wordcount + 6 + 8 + 30 + 5).
-      round-11 window = wordcount + round-11 registrations + the
-          r6-certified cohort (ann_ivfpq_topk, ann_pq_adc_topk,
-          ann_pq_rerank_topk ... weighted_source_sample), stalest
-          first, then the r7 cohort head until full.
-      round-12+ = the r7 cohort remainder, then the r9-certified
-          cohort (the old r8 window), then the r10-certified cohort,
-          stalest first, forever.
+      round-11 window (THIS round, executed below) = wordcount
+        + the 4 NEW round-11 registrations
+          (txlog_partition_pruned_revenue, type_widening_orders,
+          txlog_checkpoint_log_orders — the partition-column /
+          type-widening / delta-log+checkpoint txlog surface — and
+          stream_cdf_dedup_manifest, the streaming change-feed
+          consumer)
+        + the first 45 of the r6-certified cohort (ann_ivfpq_topk
+          ... stream_converting_clicks — 5 rounds stale, the oldest
+          cohort) = exactly 50 (wordcount + 4 + 45).
+      round-12 window = wordcount + round-12 registrations + the 4
+          r6-cohort leftovers (stream_late_data_drop,
+          stream_scd2_user_state, stream_stateful_sessions,
+          weighted_source_sample), then the r7-certified cohort
+          head until full.
+      round-13+ = the r7 cohort remainder, then the r9-certified
+          cohort, then the r10-certified cohort, then the
+          r11-certified cohort, stalest first, forever.
 
-    With 197 queries and 50 slots every query is certified at least
-    once per ceil(197/50) = 4 rounds, and every query — window or
+    With 201 queries and 50 slots every query is certified at least
+    once per ceil(201/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -98,92 +90,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ===== round-10 window slot 1: flagship parity sentinel =====
+        # ===== round-11 window slot 1: flagship parity sentinel =====
         "wordcount": parity.wordcount,
-        # ===== round-10 window: NEW round-10 registrations =====
-        # merge_upsert_orders: txlog MERGE — a CDC batch upserted as
-        # ONE atomic version (file-pruned via an input_file_name probe
-        # job), then REDELIVERED to prove (app_id, txn_version)
-        # idempotence; the oracle pins the final version at 1.
-        "merge_upsert_orders": relational.merge_upsert_orders,
-        # cdf_order_changes: change-data-feed from manifest file diffs
-        # — O(delta) incremental consumption; append commits emit
-        # inserts with no diffing, delete commits emit exactly the
-        # victims (rewritten survivors cancel via exceptAll).
-        "cdf_order_changes": relational.cdf_order_changes,
-        # optimize_orders_compaction: OPTIMIZE as a commit — 16 small
-        # files compacted into a new version; pinned readers keep
-        # their file list, and the change feed across the optimize
-        # commit is empty by construction (oracle: cdf_rows = 0).
-        "optimize_orders_compaction": relational.optimize_orders_compaction,
-        # schema_evolution_orders: append(merge_schema=True) widens
-        # the table in the manifest; pre-evolution files read back
-        # with NULLs and time travel at v0 shows the old shape
-        # (oracle pins n_cols_v0=2, n_cols_now=3).
-        "schema_evolution_orders": relational.schema_evolution_orders,
-        # cdf_incremental_dedup_manifest: the change feed's CONSUMER
-        # half — batch-2 dedup state computed from read_changes (only
-        # the commit's added files are read, O(delta) not O(corpus));
-        # SAME oracle as incremental_dedup_manifest, so the hash match
-        # certifies feed-driven == full-replay.
-        "cdf_incremental_dedup_manifest": textops.cdf_incremental_dedup_manifest,
-        # restore_orders_rollback: the RESTORE verb — rollback as a
-        # new commit (file references only); oracle pins final
-        # version 2, full-table content, and the preserved
-        # 'create,delete,restore' history.
-        "restore_orders_rollback": relational.restore_orders_rollback,
-        # ===== round-10 window: the 8 late round-8 registrations
-        # (never driver-certified = infinitely stale) =====
-        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
-        "dataset_card_report": sampling.dataset_card_report,
-        "bpe_encode_corpus": textops.bpe_encode_corpus,
-        "media_exact_dups": multimodal.media_exact_dups,
-        "forget_audit_report": events.forget_audit_report,
-        "time_travel_orders": relational.time_travel_orders,
-        "stream_txlog_append": streams.stream_txlog_append,
-        "pii_redaction_audit": textops.pii_redaction_audit,
-        # ===== round-10 window: all 30 r4-certified holdovers
-        # (last driver row in round 4 — six rounds stale) =====
-        "approx_distinct_users": events.approx_distinct_users,
-        "cube_sales": relational.cube_sales,
-        "customer_order_stats": relational.customer_order_stats,
-        "customers_without_orders": relational.customers_without_orders,
-        "dedup_exact": textops.dedup_exact,
-        "embedding_near_dups": vectors.embedding_near_dups,
-        "events_hourly": events.events_hourly,
-        "events_json_extract": events.events_json_extract,
-        "file_counts": parity.file_counts,
-        "file_meta_concat": parity.file_meta_concat,
-        "grouping_sets_sales": relational.grouping_sets_sales,
-        "hypertable_rollup": events.hypertable_rollup,
-        "inverted_index": parity.inverted_index,
-        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
-        "order_price_percentiles": relational.order_price_percentiles,
-        "pack_sequences": sampling.pack_sequences,
-        "parts_top3_per_brand": relational.parts_top3_per_brand,
-        "purchase_asof_click": events.purchase_asof_click,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "range_join_hot_windows": events.range_join_hot_windows,
-        "region_revenue": relational.region_revenue,
-        "salted_user_counts": events.salted_user_counts,
-        "scalar_kitchen_sink": relational.scalar_kitchen_sink,
-        "segment_setops": relational.segment_setops,
-        "stream_hourly_counts": streams.stream_hourly_counts,
-        "table_profile": sampling.table_profile,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "udtf_first_tokens": parity.udtf_first_tokens,
-        "user_sessions": events.user_sessions,
-        "window_kitchen_sink": relational.window_kitchen_sink,
-        # ===== round-10 window: the 5 r5-certified holdovers =====
-        "approx_percentile_bounds": relational.approx_percentile_bounds,
-        "global_shuffle": sampling.global_shuffle,
-        "q18_large_volume": relational.q18_large_volume,
-        "stream_sliding_counts": streams.stream_sliding_counts,
-        "stream_static_hourly": streams.stream_static_hourly,
-        # ===== (the sixth round-10 registration displaced the whole
-        # r6 head — the 5 r5 holdovers above close the 50 slots) =====
-        # ================= end of the 50-slot checked window =================
-        # ----- r6-certified cohort (round-11 window head) -----
+        # ===== round-11 window: NEW round-11 registrations =====
+        # txlog_partition_pruned_revenue: hive-style partition columns
+        # on the transactional table — untouched partitions eliminated
+        # at planning time from the manifest's file paths; the output
+        # pins that the pruned read planned strictly fewer files, all
+        # under matching partition dirs.
+        "txlog_partition_pruned_revenue": (
+            relational.txlog_partition_pruned_revenue
+        ),
+        # type_widening_orders: lossless type widening (int->long) as
+        # a schema-evolution commit — old narrow files up-cast on
+        # read, time travel at v0 keeps the narrow type; the oracle
+        # pins both dtypes.
+        "type_widening_orders": relational.type_widening_orders,
+        # txlog_checkpoint_log_orders: delta-action manifests +
+        # checkpoint-every-N — ordinary commits log O(touched files)
+        # actions; resolution replays checkpoint+deltas; the oracle
+        # pins the delta-manifest count and a time-travel read at a
+        # delta version.
+        "txlog_checkpoint_log_orders": relational.txlog_checkpoint_log_orders,
+        # stream_cdf_dedup_manifest: the change feed consumed as a
+        # STREAM through a durable version cursor (one commit per
+        # micro-batch); SAME oracle as the batch CDF consumer and the
+        # full replay, so the hash match certifies stream == batch ==
+        # replay.
+        "stream_cdf_dedup_manifest": textops.stream_cdf_dedup_manifest,
+        # ===== round-11 window: r6-certified cohort head (45 of 49;
+        # last driver row in round 6 — five rounds stale) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
         "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
@@ -225,15 +161,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_month_spine": relational.recursive_month_spine,
         "revenue_trailing_window": relational.revenue_trailing_window,
         "scd2_customer_priority": relational.scd2_customer_priority,
-        "segment_order_stats_compacted": relational.segment_order_stats_compacted,
+        "segment_order_stats_compacted": (
+            relational.segment_order_stats_compacted
+        ),
         "semantic_dedup_cells": vectors.semantic_dedup_cells,
         "similarity_topk": vectors.similarity_topk,
         "stream_converting_clicks": streams.stream_converting_clicks,
+        # ================= end of the 50-slot checked window =================
+        # ----- r6-certified cohort leftovers (round-12 window head) -----
         "stream_late_data_drop": streams.stream_late_data_drop,
         "stream_scd2_user_state": streams.stream_scd2_user_state,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
         "weighted_source_sample": sampling.weighted_source_sample,
-        # ----- round-7-certified cohort (round 11/12) -----
+        # ----- round-7-certified cohort (round 12/13) -----
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "ann_sq8_topk": vectors.ann_sq8_topk,
@@ -283,8 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "triangle_count_suppliers": relational.triangle_count_suppliers,
-        # ----- round-9-certified cohort (the old r8 window, freshest;
-        # window again in round 12/13) -----
+        # ----- round-9-certified cohort (round 13/14) -----
         "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
         "avro_events_roundtrip": parity.avro_events_roundtrip,
         "mad_outlier_days": events.mad_outlier_days,
@@ -334,6 +273,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
         "token_counts": textops.token_counts,
+        # ----- round-10-certified cohort (freshest; round 14/15) -----
+        "merge_upsert_orders": relational.merge_upsert_orders,
+        "cdf_order_changes": relational.cdf_order_changes,
+        "optimize_orders_compaction": relational.optimize_orders_compaction,
+        "schema_evolution_orders": relational.schema_evolution_orders,
+        "cdf_incremental_dedup_manifest": (
+            textops.cdf_incremental_dedup_manifest
+        ),
+        "restore_orders_rollback": relational.restore_orders_rollback,
+        "hybrid_rrf_topk": vectors.hybrid_rrf_topk,
+        "dataset_card_report": sampling.dataset_card_report,
+        "bpe_encode_corpus": textops.bpe_encode_corpus,
+        "media_exact_dups": multimodal.media_exact_dups,
+        "forget_audit_report": events.forget_audit_report,
+        "time_travel_orders": relational.time_travel_orders,
+        "stream_txlog_append": streams.stream_txlog_append,
+        "pii_redaction_audit": textops.pii_redaction_audit,
+        "approx_distinct_users": events.approx_distinct_users,
+        "cube_sales": relational.cube_sales,
+        "customer_order_stats": relational.customer_order_stats,
+        "customers_without_orders": relational.customers_without_orders,
+        "dedup_exact": textops.dedup_exact,
+        "embedding_near_dups": vectors.embedding_near_dups,
+        "events_hourly": events.events_hourly,
+        "events_json_extract": events.events_json_extract,
+        "file_counts": parity.file_counts,
+        "file_meta_concat": parity.file_meta_concat,
+        "grouping_sets_sales": relational.grouping_sets_sales,
+        "hypertable_rollup": events.hypertable_rollup,
+        "inverted_index": parity.inverted_index,
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
+        "order_price_percentiles": relational.order_price_percentiles,
+        "pack_sequences": sampling.pack_sequences,
+        "parts_top3_per_brand": relational.parts_top3_per_brand,
+        "purchase_asof_click": events.purchase_asof_click,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "range_join_hot_windows": events.range_join_hot_windows,
+        "region_revenue": relational.region_revenue,
+        "salted_user_counts": events.salted_user_counts,
+        "scalar_kitchen_sink": relational.scalar_kitchen_sink,
+        "segment_setops": relational.segment_setops,
+        "stream_hourly_counts": streams.stream_hourly_counts,
+        "table_profile": sampling.table_profile,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "udtf_first_tokens": parity.udtf_first_tokens,
+        "user_sessions": events.user_sessions,
+        "window_kitchen_sink": relational.window_kitchen_sink,
+        "approx_percentile_bounds": relational.approx_percentile_bounds,
+        "global_shuffle": sampling.global_shuffle,
+        "q18_large_volume": relational.q18_large_volume,
+        "stream_sliding_counts": streams.stream_sliding_counts,
+        "stream_static_hourly": streams.stream_static_hourly,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

@@ -4073,3 +4073,236 @@ RELATIONAL_ORACLES["restore_orders_rollback"] = """
            'create,delete,restore' AS ops
     FROM orders
 """
+
+
+def txlog_partition_pruned_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-style partition columns on the transactional table
+    (sources/txlog.py create_table(partition_by=...) — round-10
+    verdict item 3): orders live in a txlog table partitioned by
+    o_orderpriority, and the query reads ONLY the urgent+high
+    partitions via ``read_table(partitions=...)`` — untouched
+    partitions are eliminated at PLANNING time from the manifest's
+    file paths, before any listing or footer IO (the inputFiles()
+    comparison certifies it: the output's ``pruned`` column is 1 only
+    when the partition read plans strictly fewer files than the full
+    snapshot AND every planned file lives under a matching partition
+    directory). At 100 TB this is date-partitioned ingest reading
+    only its days. Output: (priority, n_orders, cents, pruned)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        txlog.create_table(
+            spark,
+            root,
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            partition_by=("o_orderpriority",),
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_part_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    want = ["1-URGENT", "2-HIGH"]
+    snap = txlog.read_table(
+        spark, root, partitions={"o_orderpriority": want}
+    )
+    planned = snap.inputFiles()
+    total = txlog.read_table(spark, root).inputFiles()
+    pruned = int(
+        0 < len(planned) < len(total)
+        and all(
+            any(f"/o_orderpriority={w}/" in f for w in want)
+            for f in planned
+        )
+    )
+    return (
+        snap.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("pruned", F.lit(pruned).cast("long"))
+        .orderBy("priority")
+    )
+
+
+RELATIONAL_ORACLES["txlog_partition_pruned_revenue"] = """
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS pruned
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY priority
+"""
+
+
+def type_widening_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type WIDENING in txlog schema evolution (round-10 verdict item
+    6): v0 holds even-key orders with INT key/cents columns; the odd
+    keys append at v1 with LONG types + merge_schema=True, which
+    records the widened schema as an evolution commit — old narrow
+    files up-cast on read (Spark 4 parquet type promotion, no file
+    rewrite), and time travel at v0 still shows the INT shape. The
+    output groups the final table by key parity and pins BOTH
+    versions' dtypes, so the hash match certifies the widen, the
+    lossless up-cast of pre-widen data, and old-snapshot type
+    stability at once. Output: (half, n_orders, sum_cents,
+    cents_type_v0, cents_type_now)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.floor(F.col("o_totalprice") * 100).alias("cents")
+        )
+        txlog.create_table(
+            spark,
+            root,
+            base.where("o_orderkey % 2 = 0").select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                F.col("cents").cast("int").alias("cents"),
+            ),
+        )
+        txlog.append(
+            spark,
+            root,
+            base.where("o_orderkey % 2 = 1").select(
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.col("cents").cast("long").alias("cents"),
+            ),
+            merge_schema=True,
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_widen_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    t_v0 = dict(txlog.read_table(spark, root, version=0).dtypes)["cents"]
+    snap = txlog.read_table(spark, root)
+    t_now = dict(snap.dtypes)["cents"]
+    return (
+        snap.groupBy((F.col("o_orderkey") % 2).cast("long").alias("half"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "half",
+            "n_orders",
+            "sum_cents",
+            F.lit(t_v0).alias("cents_type_v0"),
+            F.lit(t_now).alias("cents_type_now"),
+        )
+        .orderBy("half")
+    )
+
+
+RELATIONAL_ORACLES["type_widening_orders"] = """
+    SELECT o_orderkey % 2 AS half, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS INT)) AS BIGINT)
+               AS sum_cents,
+           'int' AS cents_type_v0, 'bigint' AS cents_type_now
+    FROM orders
+    GROUP BY o_orderkey % 2
+    ORDER BY half
+"""
+
+
+def txlog_checkpoint_log_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-action manifests + checkpoint resolution certified
+    end-to-end (round-10 verdict item 2 — the manifest-scaling
+    mitigation): the table commits with checkpoint_every=3, so
+    ordinary commits log only O(touched files) add/remove actions and
+    full manifests recur at v3/v6; the query reads the FINAL snapshot
+    AND time-travels to v5 — a delta version whose resolution must
+    replay checkpoint v3 + two action logs. The output also pins the
+    count of delta (action-only) manifests in the log, so the hash
+    match certifies that the log actually took the O(delta) shape
+    rather than degenerating to full lists. Output: (label, n_orders,
+    cents, n_delta_manifests)."""
+    import json as _json
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        txlog.create_table(
+            spark,
+            root,
+            base.where("o_orderkey % 8 = 0"),
+            checkpoint_every=3,
+        )
+        for s in range(1, 8):
+            txlog.append(spark, root, base.where(f"o_orderkey % 8 = {s}"))
+        txlog.delete_where(spark, root, TT_DELETE_PRED)  # v8, delta
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_ckpt_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    n_delta = sum(
+        1
+        for v in range(txlog.current_version(root) + 1)
+        if "files"
+        not in _json.load(open(txlog._manifest_path(root, v)))
+    )
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("label"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+            F.lit(n_delta).cast("long").alias("n_delta_manifests"),
+        )
+
+    return agg(txlog.read_table(spark, root, version=5), "v5").unionByName(
+        agg(txlog.read_table(spark, root), "final")
+    ).orderBy("label")
+
+
+# v5 = slices 0..5; final = everything minus the urgent delete; delta
+# manifests = v1,v2,v4,v5,v7,v8 (v3/v6 checkpoints, v0 create) = 6
+RELATIONAL_ORACLES["txlog_checkpoint_log_orders"] = f"""
+    SELECT 'final' AS label, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(6 AS BIGINT) AS n_delta_manifests
+    FROM orders WHERE NOT ({TT_DELETE_PRED})
+    UNION ALL
+    SELECT 'v5', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(6 AS BIGINT)
+    FROM orders WHERE o_orderkey % 8 <= 5
+    ORDER BY label
+"""

@@ -3726,3 +3726,92 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual_matches",
         (F.coalesce(F.col("residual_matches"), F.lit(0)) == 0).alias("clean"),
     )
+
+
+def stream_cdf_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STREAM (streaming/cdf.py —
+    round-10 verdict item 4): the same two-commit documents txlog as
+    cdf_incremental_dedup_manifest, but the dedup state is built by
+    ``process_available`` draining the feed one commit per micro-batch
+    through a durable version cursor — v0's create arrives as batch 0,
+    v1's append as batch 1, each O(that commit's files). The MERGE
+    sink keyed on content_hash gives first-arrival-wins across
+    batches, the cursor advances only after each sink commit (the
+    foreachBatch at-least-once + idempotent-sink = exactly-once
+    contract, crash-tested in tests/test_streaming_cdf.py), and the
+    oracle is IDENTICAL to the batch full-replay's — so the hash match
+    certifies stream-driven == feed-driven == full-replay. Output:
+    (content_hash, keeper_id, arrival_batch, n_batch_copies)."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from ..sources import txlog
+    from ..sources.sinks import merge_upsert_parquet
+    from ..streaming.cdf import process_available
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "docs_tx")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        txlog.create_table(
+            spark, root, docs.where("doc_id % 2 = 0").repartition(8)
+        )
+        txlog.append(spark, root, docs.where("doc_id % 2 = 1"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    # same cached source table as the batch CDF consumer
+    base_dir = derived_cache_dir(sf_dir, "txlog_cdf_docs", ("documents",), build)
+    root = os.path.join(base_dir, "docs_tx")
+
+    # per-process scratch (cursor checkpoint + state store), rebuilt
+    # each call so the query stays a pure function of sf_dir; dirs
+    # from dead pids are reaped like incremental_dedup_manifest's
+    tag = hashlib.md5(f"scdf:{sf_dir}".encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_scdf_{tag}_*"):
+        m = re.search(r"_(\d+)$", stale)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+    path = f"/tmp/spark_graft_scdf_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    store = os.path.join(path, "store")
+    ckpt = os.path.join(path, "ckpt")
+
+    def sink(changes: DataFrame, bid: int) -> None:
+        batch = (
+            changes.where(F.col("_change_type") == "insert")
+            .select(
+                F.md5(dedup.normalize_text("text")).alias("content_hash"),
+                F.col("doc_id"),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count("*").alias("n_batch_copies"),
+            )
+            .withColumn("arrival_batch", F.lit(bid).cast("int"))
+        )
+        if os.path.exists(store):
+            seen = spark.read.parquet(store).select("content_hash")
+            batch = batch.join(seen, "content_hash", "left_anti")
+        merge_upsert_parquet(spark, store, batch, ("content_hash",))
+
+    process_available(spark, root, ckpt, sink, max_commits_per_batch=1)
+    return spark.read.parquet(store).select(
+        "content_hash", "keeper_id", "arrival_batch", "n_batch_copies"
+    )
+
+
+# stream-driven must reproduce the full-replay answer exactly:
+# identical oracle to incremental_dedup_manifest / the batch CDF form
+TEXTOPS_ORACLES["stream_cdf_dedup_manifest"] = TEXTOPS_ORACLES[
+    "incremental_dedup_manifest"
+]

@@ -3,68 +3,76 @@ commit-log design Delta/Iceberg pin down (their jars are absent in
 this container; round-7 verdict "what's missing" item 2), reduced to
 the properties that actually matter and nothing else:
 
-- **Atomic commits.** A table is ``root/data/*.parquet`` plus an
-  append-only log ``root/_txlog/v{N:08d}.json``; each manifest lists
-  the exact data files of snapshot N. A writer stages new files under
-  unique names, then publishes version N by hard-linking a fully
-  written+fsynced temp manifest to the version name — one atomic
-  metadata op that both claims the version (fails if taken) and makes
-  the complete manifest bytes visible, so a crash leaves only
-  unreferenced garbage, never a torn table.
+- **Atomic commits.** A table is ``root/data/**.parquet`` plus an
+  append-only log ``root/_txlog/v{N:08d}.json``. A writer stages new
+  files under unique names, then publishes version N by hard-linking
+  a fully written+fsynced temp manifest to the version name — one
+  atomic metadata op that both claims the version (fails if taken)
+  and makes the complete manifest bytes visible, so a crash leaves
+  only unreferenced garbage, never a torn table.
+- **Delta-action log + checkpoints (round-11).** Ordinary commits
+  write a DELTA manifest — just ``add``/``remove`` file actions plus
+  stats for the added files, O(touched files) bytes per commit, never
+  O(table). Every ``checkpoint_every`` versions (default 20, fixed at
+  create) and on create/restore/optimize, a FULL manifest snapshots
+  the complete file list + stats + schema, so resolving any version
+  replays at most ``checkpoint_every`` manifests — the Delta
+  log-plus-parquet-checkpoint shape, which is what keeps commit cost
+  flat at 10^6-file tables instead of O(files) JSON per commit.
 - **Optimistic concurrency.** Two writers racing to version N: one
   link wins; the loser sees FileExistsError, re-reads the NEW current
   snapshot, re-stages its logical change on top, and retries at N+1 —
   serializable append/delete/merge without any lock server, exactly
-  the Delta protocol shape.
-- **Snapshot isolation + time travel.** Readers resolve the highest
-  committed manifest (or an explicit ``version=``) and read exactly
-  its file list; concurrent commits never move a running query's
-  snapshot. Old versions stay readable until ``vacuum``.
-- **File-level delete.** ``delete_where`` rewrites ONLY the data
-  files that actually contain victims (ONE probe job over the
-  snapshot — input_file_name + the predicate, parquet pushdown inside
-  the scan); untouched files are carried into the new manifest by
-  name. At 100 TB this is the difference between a delete and a
-  table rewrite.
-- **MERGE (upsert) as one atomic version.** :func:`merge` replaces
-  matched keys and inserts the rest in a single commit; only files
-  CONTAINING matched keys are rewritten (one input_file_name probe
-  job finds them, itself pruned by the manifest's per-file key
-  min/max stats — Iceberg-style manifest pruning), and the Delta
-  (app_id, txn_version) idempotence map makes CDC redelivery a no-op.
-- **Change data feed.** :func:`read_changes` derives row-level
-  insert/delete changes between two versions from manifest file
-  diffs — O(touched files) per commit, never a corpus re-read; an
-  incremental consumer checkpoints a version and catches up in
-  O(delta).
-- **OPTIMIZE as a commit.** :func:`optimize` compacts the current
-  snapshot's small files into a new version; pinned readers keep
-  their exact file list (old files die at vacuum, not at optimize),
-  and the change feed is empty for an optimize commit by
-  construction (same rows out as in, the file diff cancels).
-- **Schema evolution.** ``append(..., merge_schema=True)`` commits a
-  widened schema in the manifest; readers bind to the snapshot's
-  schema, so old files surface NULLs for later columns and time
-  travel before the evolution shows the OLD shape.
-- **RESTORE + HISTORY.** :func:`restore` rolls back to an earlier
-  snapshot as a new commit (file references only, nothing copied,
-  history preserved, schema re-pinned); :func:`history` surfaces the
-  commit log as a DataFrame — the Delta DESCRIBE HISTORY verb.
+  the Delta protocol shape. Concurrent SCHEMA evolutions merge: a
+  retrying writer re-derives its evolution against the new parent's
+  schema, so a racing writer's added column is never rolled back.
+- **Snapshot isolation + time travel.** Readers resolve one committed
+  version's file list and read exactly it; concurrent commits never
+  move a running query's snapshot. Old versions stay readable until
+  ``vacuum``.
+- **Hive-style partition columns (round-11).**
+  ``create_table(..., partition_by=("month",))`` lays data out as
+  ``data/month=X/part-*.parquet``; partition values live in the file
+  PATHS (recorded per-file in the manifest implicitly), and
+  ``read_table(..., partitions={"month": [...]})`` prunes untouched
+  partitions at PLANNING time from driver-side metadata — no listing,
+  no footer IO — before Spark's own partition pruning applies inside
+  the scan. Date-partitioned ingest reads only its days.
+- **File-level delete / MERGE / OPTIMIZE / CDF / RESTORE.** As in
+  Delta: ``delete_where`` and :func:`merge` rewrite only files that
+  contain victims (one ``input_file_name`` probe job, pre-pruned by
+  the manifest's per-file key min/max stats); :func:`read_changes`
+  derives row-level insert/delete changes straight from the logged
+  add/remove actions — O(touched files) per commit; :func:`optimize`
+  compacts as a commit (pinned readers keep their file list; the
+  change feed across it is empty by construction); :func:`restore`
+  rolls back as a new commit, history preserved.
+- **Schema evolution incl. type WIDENING (round-11).**
+  ``append(..., merge_schema=True)`` can ADD columns and can WIDEN an
+  existing column's type losslessly (int->long, float->double,
+  decimal precision growth — the ``_cast_is_lossless`` whitelist);
+  the commit records the widened schema, readers bind to the
+  snapshot's schema (old narrow files up-cast on read, pre-evolution
+  files surface NULLs for added columns), and time travel before the
+  evolution shows the OLD shape. Lossy writes still fail loudly.
+- **Exactly-once ingestion.** The Delta (app_id, txn_version)
+  idempotence map makes a redelivered CDC/streaming batch a no-op.
 
-Design trade, stated honestly: each manifest records the snapshot's
-FULL file list, so resolving any version is O(1) manifest reads
-(Delta instead logs per-commit add/remove ACTIONS and needs periodic
-parquet checkpoints to avoid replaying the log). The cost is manifest
-size O(files) per commit — fine to ~10^5 files (a few MB of JSON);
-past that, the Delta mitigation applies mechanically: switch the log
-to delta-actions + checkpoint-every-N. Not implemented, deliberately:
-that checkpointing (unneeded under self-contained manifests at these
-file counts) and type WIDENING of existing columns (schema evolution
-is adds-only; lossy casts are rejected at the write boundary, see
-``_cast_is_lossless``). Cite: this replaces nothing in the reference
-— the reference has no storage layer at all (its output is `mr-out-*`
-text files, /root/reference/mr/worker.go:60-74); this is the
-beyond-reference lakehouse surface.
+Retention contract (vacuum): ``vacuum(retain_versions=k)`` keeps the
+newest ``k`` snapshots' files; MANIFESTS are never deleted, but a
+reader pinned at an older version — or a DataFrame handle resolved
+before the vacuum — can fail mid-scan once its files are removed,
+exactly Delta's documented VACUUM hazard. ``retain_versions`` must be
+>= 1, and the stale-temp-manifest sweep only touches ``.tmp-*.json``
+older than one hour — far beyond any live writer's sub-second
+write->link window, so a stalled writer is never raced (and if one
+ever is, ``_try_commit`` treats the lost temp as a retryable race,
+not a crash).
+
+Cite: this replaces nothing in the reference — the reference has no
+storage layer at all (its output is `mr-out-*` text files,
+/root/reference/mr/worker.go:60-74); this is the beyond-reference
+lakehouse surface.
 """
 
 from __future__ import annotations
@@ -72,14 +80,20 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 import uuid
+from functools import lru_cache as _lru_cache
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "_txlog"
 _DATA = "data"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_TMP_RETAIN_SECS = 3600  # stale temp-manifest sweep threshold
+DEFAULT_CHECKPOINT_EVERY = 20
 
 
 def _log_dir(root: str) -> str:
@@ -104,34 +118,154 @@ def current_version(root: str) -> int:
     return max(vs, default=-1)
 
 
-def _read_manifest(root: str, version: int) -> dict:
-    with open(_manifest_path(root, version)) as fh:
+@_lru_cache(maxsize=16)
+def _read_manifest_keyed(path: str, mtime_ns: int, size: int) -> dict:
+    with open(path) as fh:
         return json.load(fh)
 
 
-def _snapshot_schema(spark: SparkSession, root: str, version: int):
-    """The table schema AT a version: manifests record ``schema`` only
-    when it changes (v0 always; evolution commits after), so walk back
-    to the nearest recording — the reader's schema binding for both
-    current reads and time travel across an evolution. Tables created
-    by a pre-evolution writer never recorded one: fall back to the
-    snapshot's own merged parquet footers (such a table has a single
-    uniform schema by that writer's enforcement contract)."""
-    from pyspark.sql.types import StructType
+def _read_manifest(root: str, version: int) -> dict:
+    """Read one manifest. Committed manifests are IMMUTABLE (published
+    by an atomic link, never rewritten), so parses are cached keyed by
+    (path, mtime, size) — on a 10^5-file table this turns the ~10 MB
+    checkpoint parse from a per-commit cost into a once-per-process
+    one (re-keyed automatically if a test rebuilds a table at the same
+    path). Callers must treat the returned dict as read-only."""
+    p = _manifest_path(root, version)
+    st = os.stat(p)
+    return _read_manifest_keyed(p, st.st_mtime_ns, st.st_size)
 
+
+def _table_config(root: str) -> dict:
+    """Immutable table properties, recorded once in the v0 manifest:
+    partition columns and the full-manifest (checkpoint) cadence.
+    Tables created by pre-round-11 writers default to unpartitioned
+    with the default cadence."""
+    m = _read_manifest(root, 0)
+    return {
+        "partition_by": list(m.get("partition_by", [])),
+        "checkpoint_every": int(
+            m.get("checkpoint_every", DEFAULT_CHECKPOINT_EVERY)
+        ),
+    }
+
+
+def snapshot_info(root: str, version: int) -> dict:
+    """Resolve one snapshot's {files, stats} by walking back to the
+    nearest FULL manifest (create/restore/optimize/checkpoint — at
+    most ``checkpoint_every`` hops) and replaying the delta
+    add/remove actions forward. This is the Delta
+    checkpoint-plus-log resolution: O(checkpoint cadence) manifest
+    reads regardless of table age, O(current files) memory."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        m = _read_manifest(root, v)
+        chain.append(m)
+        if "files" in m:
+            break
+        v -= 1
+        if v < 0:
+            raise FileNotFoundError(
+                f"no full manifest at or below v{version} in {root}"
+            )
+    base = chain[-1]
+    files = list(base["files"])
+    stats = dict(base.get("stats", {}))
+    for m in reversed(chain[:-1]):
+        rm = set(m.get("remove", []))
+        if rm:
+            files = [f for f in files if f not in rm]
+            for f in rm:
+                stats.pop(f, None)
+        files += m.get("add", [])
+        stats.update(m.get("add_stats", {}))
+    return {"files": files, "stats": stats}
+
+
+def _schema_json_at(root: str, version: int) -> str | None:
+    """The schema json recorded at or before ``version`` — every full
+    manifest and every evolution commit records one, so the walk is
+    bounded by the checkpoint cadence (None only for legacy
+    pre-schema tables)."""
     for v in range(version, -1, -1):
         m = _read_manifest(root, v)
         if "schema" in m:
-            return StructType.fromJson(json.loads(m["schema"]))
-    files = _read_manifest(root, version)["files"]
+            return m["schema"]
+    return None
+
+
+def _snapshot_schema(spark: SparkSession, root: str, version: int):
+    """The table schema AT a version — the reader's schema binding for
+    both current reads and time travel across an evolution. Tables
+    created by a pre-schema writer never recorded one: fall back to
+    the snapshot's own merged parquet footers (such a table has a
+    single uniform schema by that writer's enforcement contract)."""
+    from pyspark.sql.types import StructType
+
+    sj = _schema_json_at(root, version)
+    if sj is not None:
+        return StructType.fromJson(json.loads(sj))
+    files = snapshot_info(root, version)["files"]
     if not files:
         raise FileNotFoundError(
             f"no schema recorded at or before v{version} and the "
             "snapshot is empty"
         )
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f) for f in files]
-    ).schema
+    return _read_raw(spark, root, files).schema
+
+
+def partition_values(rel: str) -> dict[str, str | None]:
+    """Per-file partition values, parsed from the hive-style path
+    components (``data/month=2024-01/part-...``) — the manifest's
+    partition record without manifest bytes. Values are the writer's
+    path-encoded strings; the hive NULL sentinel maps to None."""
+    out: dict[str, str | None] = {}
+    for comp in rel.split("/")[1:-1]:
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _prune_partitions(
+    root: str, rels: list[str], partitions: dict
+) -> list[str]:
+    """Driver-side partition pruning: keep only files whose path-level
+    partition values match the requested {col: value-or-list} filter.
+    Values are compared in their hive path string form (str(v));
+    requesting a non-partition column is a loud error — stats/data
+    filters handle those."""
+    pby = set(_table_config(root)["partition_by"])
+    bad = [k for k in partitions if k not in pby]
+    if bad:
+        raise ValueError(
+            f"{bad} are not partition columns (partition_by={sorted(pby)})"
+        )
+    want: dict[str, set] = {}
+    for k, v in partitions.items():
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        want[k] = {None if x is None else str(x) for x in vals}
+    keep = []
+    for rel in rels:
+        pv = partition_values(rel)
+        if all(k in pv and pv[k] in vs for k, vs in want.items()):
+            keep.append(rel)
+    return keep
+
+
+def _partition_residual(partitions: dict):
+    """The in-plan residual of a partition filter (exactness guard on
+    top of the path-string pruning)."""
+    cond = None
+    for k, v in partitions.items():
+        vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+        nn = [x for x in vals if x is not None]
+        c = F.col(k).isin(nn) if nn else F.lit(False)
+        if any(x is None for x in vals):
+            c = c | F.col(k).isNull()
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
@@ -151,11 +285,18 @@ def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
-                st = row_group.column(ci).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = row_group.column(ci).statistics
+                    mn, mx = (
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
+                except Exception:  # pyarrow: "Cannot extract statistics
+                    mn = mx = None  # for type" (e.g. wide decimals)
+                if mn is None or mx is None:
                     per_col[names[ci]] = None  # unusable for this file
                     continue
-                mn, mx = st.min, st.max
                 if not all(isinstance(v, (int, float, str)) for v in (mn, mx)):
                     per_col[names[ci]] = None
                     continue
@@ -168,15 +309,6 @@ def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
                     else [min(cur[0], mn), max(cur[1], mx)]
                 )
         out[rel] = {c: v for c, v in per_col.items() if v is not None}
-    return out
-
-
-def _carry_stats(parent: dict, kept: list[str], new_stats: dict) -> dict:
-    """Next manifest's stats map: parent entries for carried files +
-    fresh entries for newly staged ones."""
-    prev = parent.get("stats", {})
-    out = {rel: prev[rel] for rel in kept if rel in prev}
-    out.update(new_stats)
     return out
 
 
@@ -206,26 +338,117 @@ def _cast_is_lossless(src, dst) -> bool:
     return False
 
 
-def _stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
+def _merge_struct(table_schema, incoming_schema, merge_schema: bool):
+    """Schema reconciliation on write (the Delta contract). Returns the
+    EVOLVED StructType when the commit must record a new schema, else
+    None (incoming fits the table as-is, possibly via lossless
+    up-casts). With ``merge_schema``: new columns widen the table, and
+    an existing column whose incoming type the table's widens to
+    LOSSLESSLY (int->long, float->double, decimal growth) widens the
+    column — Delta/Iceberg ALTER COLUMN TYPE semantics. Missing
+    columns NULL-fill. Without it, any column-set difference is a loud
+    error. Either way, a cast that would lose data is rejected — the
+    ANSI store-assignment rule: incompatible writes FAIL, never
+    corrupt."""
+    from pyspark.sql.types import StructField, StructType
+
+    inc = {f.name: f for f in incoming_schema.fields}
+    want = [f.name for f in table_schema.fields]
+    extra = [f for f in incoming_schema.fields if f.name not in set(want)]
+    missing = [n for n in want if n not in inc]
+    if not merge_schema and (extra or missing):
+        raise ValueError(
+            f"schema mismatch: table has {want}, incoming has "
+            f"{sorted(inc)} (pass merge_schema=True to evolve)"
+        )
+    out_fields = []
+    changed = False
+    for f in table_schema.fields:
+        g = inc.get(f.name)
+        if g is None or _cast_is_lossless(g.dataType, f.dataType):
+            out_fields.append(f)
+        elif merge_schema and _cast_is_lossless(f.dataType, g.dataType):
+            out_fields.append(StructField(f.name, g.dataType, True))
+            changed = True  # type widening evolution
+        else:
+            raise ValueError(
+                f"unsafe cast for column {f.name!r}: incoming "
+                f"{g.dataType.simpleString()} does not widen losslessly "
+                f"to the table's {f.dataType.simpleString()} (nor the "
+                "reverse)"
+            )
+    if extra:
+        out_fields += [StructField(f.name, f.dataType, True) for f in extra]
+        changed = True
+    return StructType(out_fields) if changed else None
+
+
+def _align_df(df: DataFrame, target) -> DataFrame:
+    """Project df to the target schema: cast column-by-name (lossless
+    by _merge_struct's contract), typed NULLs for columns the frame
+    lacks — so every data file carries write-compatible parquet
+    physical types."""
+    have = set(df.columns)
+    return df.select(
+        [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+
+def _stage_files(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] | list[str] = (),
+) -> list[str]:
     """Write df's rows as new uniquely-named parquet files under
-    data/; returns their table-relative paths. Staged files are
-    invisible until a manifest references them."""
+    data/ (hive-partitioned subdirs when the table is partitioned);
+    returns their table-relative paths. Staged files are invisible
+    until a manifest references them. Final names carry a per-staging
+    uuid + counter so basenames are unique table-wide (the merge /
+    delete probes match victims by basename)."""
     stage_tag = uuid.uuid4().hex[:12]
     stage_dir = os.path.join(root, _DATA, f".stage-{stage_tag}")
-    df.write.mode("overwrite").parquet(stage_dir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
     out = []
-    for name in sorted(os.listdir(stage_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{stage_tag}-{name}"
-        os.rename(
-            os.path.join(stage_dir, name), os.path.join(root, _DATA, final)
-        )
-        out.append(f"{_DATA}/{final}")
-    import shutil
-
+    i = 0
+    for dirpath, _dirs, names in sorted(os.walk(stage_dir)):
+        sub = os.path.relpath(dirpath, stage_dir)
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            dest_dir = (
+                os.path.join(root, _DATA)
+                if sub == "."
+                else os.path.join(root, _DATA, sub)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            final = f"part-{stage_tag}-{i:05d}.parquet"
+            i += 1
+            os.rename(
+                os.path.join(dirpath, name), os.path.join(dest_dir, final)
+            )
+            rel_sub = "" if sub == "." else f"{sub}/"
+            out.append(f"{_DATA}/{rel_sub}{final}")
     shutil.rmtree(stage_dir, ignore_errors=True)
     return out
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _try_commit(root: str, version: int, manifest: dict) -> bool:
@@ -241,27 +464,43 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
     fsync it, then ``os.link(tmp, final)`` — the hard link both
     claims the version (fails with FileExistsError if taken) and
     publishes the complete bytes in one atomic metadata operation.
-    After a winning link the LOG DIRECTORY entry is fsynced too, so a
-    power loss right after commit cannot un-publish the version; the
-    temp file is removed in a finally (a crash mid-write can still
-    leak one — vacuum sweeps stale .tmp manifests)."""
+
+    Two hardening rules (round-11 ADVICE):
+    - A FileNotFoundError from os.link means a concurrent vacuum swept
+      our temp file during a long stall — rewrite it and retry the
+      link; a lost temp is a race, never a crashed commit.
+    - Once the link SUCCEEDS the version is published: any later
+      error (the best-effort log-directory fsync, temp cleanup) is
+      swallowed — propagating it would make an (app_id,
+      txn_version)-less caller retry and double-commit at N+1.
+    """
     log_dir = _log_dir(root)
     os.makedirs(log_dir, exist_ok=True)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
     try:
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        for _ in range(3):
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, _manifest_path(root, version))
+                break
+            except FileExistsError:
+                return False
+            except FileNotFoundError:
+                continue  # temp swept by a racing vacuum: rewrite + retry
+        else:
+            raise RuntimeError(
+                f"commit temp file kept disappearing under {log_dir}"
+            )
         try:
-            os.link(tmp, _manifest_path(root, version))
-        except FileExistsError:
-            return False
-        dfd = os.open(log_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            # durability, not atomicity: make the published dir entry
+            # survive power loss. Best-effort — the version IS
+            # committed once the link lands.
+            _fsync_dir(log_dir)
+        except OSError:
+            pass
         return True
     finally:
         try:
@@ -270,64 +509,166 @@ def _try_commit(root: str, version: int, manifest: dict) -> bool:
             pass
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Create version 0 from df. Fails if the table exists."""
+def _commit_version(
+    root: str,
+    v_new: int,
+    op: str,
+    psnap: dict,
+    removed: list[str],
+    added: list[str],
+    add_stats: dict,
+    txn: dict,
+    schema_json: str | None,
+    extra: dict,
+) -> bool:
+    """Build + atomically publish version ``v_new``. Writes a DELTA
+    manifest (add/remove actions, O(touched files) bytes) unless this
+    version is a checkpoint (v % checkpoint_every == 0) or the op
+    resets the file list wholesale (create/restore/optimize) — then a
+    FULL manifest with the complete file list, stats, and schema, so
+    snapshot resolution never replays more than one checkpoint
+    interval."""
+    rm = set(removed)
+    keep = [f for f in psnap["files"] if f not in rm]
+    files = keep + added
+    ce = (
+        int(extra.get("checkpoint_every", DEFAULT_CHECKPOINT_EVERY))
+        if op == "create"
+        else _table_config(root)["checkpoint_every"]
+    )
+    m: dict = {
+        "version": v_new,
+        "op": op,
+        "parent": None if v_new == 0 else v_new - 1,
+        "txn": txn,
+        "n_files": len(files),
+        "ts": time.time(),
+        **extra,
+    }
+    if schema_json is not None:
+        m["schema"] = schema_json
+    full = op in ("create", "restore", "optimize") or v_new % ce == 0
+    if full:
+        m["files"] = files
+        keep_set = set(keep)
+        stats = {r: s for r, s in psnap["stats"].items() if r in keep_set}
+        stats.update(add_stats)
+        m["stats"] = stats
+        if "schema" not in m:
+            sj = _schema_json_at(root, v_new - 1)
+            if sj is not None:
+                m["schema"] = sj
+        if op not in ("create",) and v_new % ce == 0:
+            m["checkpoint"] = True
+    else:
+        m["add"] = added
+        m["remove"] = sorted(rm)
+        m["add_stats"] = add_stats
+    return _try_commit(root, v_new, m)
+
+
+def create_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] | list[str] = (),
+    checkpoint_every: int = DEFAULT_CHECKPOINT_EVERY,
+) -> int:
+    """Create version 0 from df. Fails if the table exists.
+    ``partition_by`` fixes hive-style partition columns for the
+    table's lifetime; ``checkpoint_every`` fixes the full-manifest
+    cadence (deltas in between)."""
     if current_version(root) >= 0:
         raise FileExistsError(f"txlog table already exists at {root}")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in {df.columns}")
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
-    files = _stage_files(spark, root, df)
-    ok = _try_commit(
+    files = _stage_files(spark, root, df, partition_by=partition_by)
+    ok = _commit_version(
         root,
         0,
-        {"version": 0, "op": "create", "files": files, "parent": None,
-         "stats": _collect_stats(root, files),
-         # schema travels in the log so a zero-file snapshot (empty
-         # create, or a delete that empties the table) reads back as
-         # a TYPED empty frame with no parquet footer to lean on
-         "schema": df.schema.json(),
-         "ts": time.time()},
+        "create",
+        {"files": [], "stats": {}},
+        [],
+        files,
+        _collect_stats(root, files),
+        {},
+        # schema travels in the log so a zero-file snapshot (empty
+        # create, or a delete that empties the table) reads back as a
+        # TYPED empty frame with no parquet footer to lean on
+        df.schema.json(),
+        {
+            **({"partition_by": list(partition_by)} if partition_by else {}),
+            "checkpoint_every": int(checkpoint_every),
+        },
     )
     if not ok:
         raise FileExistsError(f"concurrent create at {root}")
     return 0
 
 
+def _read_raw(
+    spark: SparkSession, root: str, rels: list[str], schema=None
+) -> DataFrame:
+    """Read an explicit file list with hive partition recovery:
+    basePath anchors the partition directories so ``data/month=X/...``
+    files surface their ``month`` column (a flat table is unaffected —
+    no partition dirs, no inferred columns). With ``schema`` the read
+    binds to it directly — Spark 4's parquet readers promote narrow
+    file types to the requested wider ones (int->long, float->double,
+    decimal growth) and surface typed NULLs for absent columns, and
+    no footer-merge job runs at all; without it, footers are merged
+    (legacy schema discovery only)."""
+    reader = spark.read.option("basePath", os.path.join(root, _DATA))
+    reader = (
+        reader.schema(schema)
+        if schema is not None
+        else reader.option("mergeSchema", "true")
+    )
+    return reader.parquet(*[os.path.join(root, f) for f in rels])
+
+
 def _read_files(
     spark: SparkSession, root: str, rels: list[str], schema
 ) -> DataFrame:
     """Read a manifest file list bound to a snapshot schema: files
-    written before an evolution lack the later columns, so the union
-    read merges footers and the projection casts/orders every row to
-    the snapshot shape (NULLs for pre-evolution files)."""
+    written before an evolution lack the later columns (typed NULLs)
+    or carry pre-widening narrow types (promoted on read) — the
+    requested-schema parquet read handles both without a footer-merge
+    job."""
     if not rels:
         return spark.createDataFrame([], schema)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f) for f in rels]
-    )
-    have = set(df.columns)
-    return df.select(
-        [
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in have
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in schema.fields
-        ]
+    return _read_raw(spark, root, rels, schema).select(
+        [F.col(f.name) for f in schema.fields]
     )
 
 
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
-    """Snapshot read: exactly the file list of one committed manifest
+    """Snapshot read: exactly the file list of one committed version
     (the latest unless ``version`` pins time travel), projected to the
-    schema AS OF that version."""
+    schema AS OF that version. ``partitions={"month": ["2024-01",
+    ...]}`` prunes untouched hive partitions at planning time from the
+    manifest's file paths — the files are eliminated before any
+    listing or footer IO — with the residual filter kept in the plan
+    for exactness."""
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
-    m = _read_manifest(root, v)
-    return _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
+    rels = snapshot_info(root, v)["files"]
+    if partitions:
+        rels = _prune_partitions(root, rels, partitions)
+    out = _read_files(spark, root, rels, _snapshot_schema(spark, root, v))
+    if partitions:
+        out = out.where(_partition_residual(partitions))
+    return out
 
 
 def scan_table(
@@ -356,11 +697,11 @@ def scan_table(
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
-    m = _read_manifest(root, v)
-    stats = m.get("stats", {})
+    snap = snapshot_info(root, v)
+    stats = snap["stats"]
     pruned = [
         rel
-        for rel in m["files"]
+        for rel in snap["files"]
         if (rng := stats.get(rel, {}).get(col)) is None
         or (rng[0] <= hi and rng[1] >= lo)
     ]
@@ -368,64 +709,6 @@ def scan_table(
     return _read_files(spark, root, pruned, schema).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
-
-
-def _align_schema(
-    root: str, df: DataFrame, merge_schema: bool = False
-) -> tuple[DataFrame, str | None]:
-    """Schema enforcement on write (the Delta contract): incoming rows
-    are cast column-by-name to the table's CURRENT schema, so every
-    data file carries identical parquet physical types — without this,
-    an int32 literal next to an int64 column poisons the multi-file
-    snapshot read with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Missing or
-    extra columns are a loud error — unless ``merge_schema``: then NEW
-    columns widen the table (the evolved schema json is returned for
-    the manifest to record) and columns the incoming frame lacks are
-    filled with typed NULLs. Returns (aligned_df, evolved_schema_json
-    or None when the schema is unchanged).
-
-    Only LOSSLESS casts are accepted (same type, or a numeric widening
-    like int->long/float->double): a blind cast-by-name would silently
-    NULL a string fed to a long column and silently truncate a double
-    fed to a long — the Delta/ANSI store-assignment contract is that
-    incompatible writes FAIL, never corrupt."""
-    schema = _snapshot_schema(df.sparkSession, root, current_version(root))
-    have = {f.name: f for f in df.schema.fields}
-    want = [f.name for f in schema.fields]
-    extra = [f for f in df.schema.fields if f.name not in set(want)]
-    missing = [n for n in want if n not in have]
-    if not merge_schema and (extra or missing):
-        raise ValueError(
-            f"schema mismatch: table has {want}, incoming has "
-            f"{sorted(have)} (pass merge_schema=True to evolve)"
-        )
-    for f in schema.fields:
-        if f.name in have and not _cast_is_lossless(
-            have[f.name].dataType, f.dataType
-        ):
-            raise ValueError(
-                f"unsafe cast for column {f.name!r}: incoming "
-                f"{have[f.name].dataType.simpleString()} does not widen "
-                f"losslessly to the table's {f.dataType.simpleString()}"
-            )
-    cols = [
-        (
-            F.col(f.name).cast(f.dataType)
-            if f.name in have
-            else F.lit(None).cast(f.dataType)
-        ).alias(f.name)
-        for f in schema.fields
-    ]
-    evolved = None
-    if extra:
-        from pyspark.sql.types import StructField, StructType
-
-        cols += [F.col(f.name) for f in extra]
-        evolved = StructType(
-            list(schema.fields)
-            + [StructField(f.name, f.dataType, True) for f in extra]
-        ).json()
-    return df.select(cols), evolved
 
 
 def append(
@@ -439,7 +722,11 @@ def append(
 ) -> int:
     """Optimistically append df as new files; returns the committed
     version. Staging happens once — on conflict only the manifest
-    claim retries (the new files are version-independent).
+    claim retries (the new files are version-independent), but the
+    SCHEMA evolution is re-derived against each new parent, so a
+    racing writer's own evolution (an added column, a widened type)
+    is merged into ours instead of rolled back — the serializable
+    contract for concurrent merge_schema writers.
 
     Idempotent transactions (the Delta ``txnAppId``/``txnVersion``
     pattern, which is what makes a foreachBatch streaming sink
@@ -450,38 +737,59 @@ def append(
     <= the recorded one is a completed redelivery and becomes a
     no-op (returns the current version, stages nothing durable).
 
-    ``merge_schema=True`` lets the incoming frame ADD columns: the
-    commit records the widened schema, every earlier file reads back
-    with NULLs for the new columns, and time travel before this
-    version still shows the old shape."""
+    ``merge_schema=True`` lets the incoming frame ADD columns and
+    WIDEN existing ones (lossless only): the commit records the
+    widened schema, every earlier file reads back with NULLs /
+    up-casts, and time travel before this version still shows the old
+    shape."""
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version come together")
     files: list[str] | None = None
-    evolved: str | None = None
+    staged_schema = None
+    new_stats: dict = {}
     for _ in range(max_retries):
         v = current_version(root)
-        parent = _read_manifest(root, v)
-        txn = dict(parent.get("txn", {}))
+        parent_m = _read_manifest(root, v)
+        txn = dict(parent_m.get("txn", {}))
         if app_id is not None and txn.get(app_id, -1) >= txn_version:
             return v  # duplicate delivery: already committed
+        tbl_schema = _snapshot_schema(spark, root, v)
         if files is None:
-            aligned, evolved = _align_schema(root, df, merge_schema)
-            files = _stage_files(spark, root, aligned)
+            pby = _table_config(root)["partition_by"]
+            lacking = [c for c in pby if c not in df.columns]
+            if lacking:
+                raise ValueError(
+                    f"append is missing partition columns {lacking}"
+                )
+            evolved = _merge_struct(tbl_schema, df.schema, merge_schema)
+            target = evolved if evolved is not None else tbl_schema
+            files = _stage_files(
+                spark, root, _align_df(df, target), partition_by=pby
+            )
             new_stats = _collect_stats(root, files)
+            staged_schema = target
+        else:
+            # retrying against a NEW parent: re-derive the evolution
+            # so a concurrent writer's schema change survives (merge
+            # semantics — our staged files read through the union
+            # schema with NULLs/up-casts; a genuinely incompatible
+            # concurrent type change raises here, a true conflict)
+            evolved = _merge_struct(tbl_schema, staged_schema, True)
         if app_id is not None:
             txn[app_id] = txn_version
-        manifest = {
-            "version": v + 1,
-            "op": "append",
-            "files": parent["files"] + files,
-            "parent": v,
-            "txn": txn,
-            "stats": _carry_stats(parent, parent["files"], new_stats),
-            "ts": time.time(),
-        }
-        if evolved is not None:
-            manifest["schema"] = evolved
-        if _try_commit(root, v + 1, manifest):
+        ok = _commit_version(
+            root,
+            v + 1,
+            "append",
+            snapshot_info(root, v),
+            [],
+            files,
+            new_stats,
+            txn,
+            evolved.json() if evolved is not None else None,
+            {},
+        )
+        if ok:
             return v + 1
     raise RuntimeError(f"append lost {max_retries} commit races at {root}")
 
@@ -519,22 +827,36 @@ def merge(
     map makes a redelivered CDC batch a committed no-op — the
     exactly-once contract a replayed upsert stream needs.
 
-    ``updates`` must be key-unique (one row per key), checked once up
-    front: with duplicates "replace" is ill-defined — Delta raises
-    DELTA_MULTIPLE_SOURCE_ROW_MATCHING here, and so do we."""
+    ``updates`` must be key-unique (one row per key) and key-NON-NULL,
+    checked once up front: with duplicates "replace" is ill-defined
+    (Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING here, and so do
+    we), and a NULL key never matches in the semi/anti joins — it
+    would insert a row no later merge could ever update, so it is
+    rejected loudly instead."""
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version come together")
     upd_files: list[str] | None = None
     aligned: DataFrame | None = None
     for _ in range(max_retries):
         v = current_version(root)
-        parent = _read_manifest(root, v)
-        txn = dict(parent.get("txn", {}))
+        parent_m = _read_manifest(root, v)
+        txn = dict(parent_m.get("txn", {}))
         if app_id is not None and txn.get(app_id, -1) >= txn_version:
             return v  # duplicate delivery: already committed
+        psnap = snapshot_info(root, v)
         if upd_files is None:
-            aligned, _ = _align_schema(root, updates)
+            tbl_schema = _snapshot_schema(spark, root, v)
+            _merge_struct(tbl_schema, updates.schema, False)  # validate
+            aligned = _align_df(updates, tbl_schema)
             aligned = aligned.localCheckpoint()  # stable across re-probes
+            null_pred = " OR ".join(f"`{k}` IS NULL" for k in key_cols)
+            n_null = aligned.where(null_pred).count()
+            if n_null:
+                raise ValueError(
+                    f"merge updates carry {n_null} NULL-key rows on "
+                    f"{key_cols}: a NULL key never joins, so the row "
+                    "could never be updated or replaced later"
+                )
             n_rows = aligned.count()
             n_keys = aligned.select(*key_cols).distinct().count()
             if n_rows != n_keys:
@@ -542,7 +864,8 @@ def merge(
                     f"merge updates are not key-unique on {key_cols}: "
                     f"{n_rows} rows, {n_keys} keys"
                 )
-            upd_files = _stage_files(spark, root, aligned)
+            pby = _table_config(root)["partition_by"]
+            upd_files = _stage_files(spark, root, aligned, partition_by=pby)
         keys = aligned.select(*key_cols).distinct()
         # manifest-stats prefilter (single-key merges): a file whose
         # recorded [min, max] for the key cannot overlap the batch's
@@ -550,7 +873,7 @@ def merge(
         # it. Files with no recorded stats stay candidates (old
         # writers, unstatted types): pruning is an optimization, never
         # a correctness decision.
-        candidates = list(parent["files"])
+        candidates = list(psnap["files"])
         if len(key_cols) == 1 and candidates:
             key = key_cols[0]
             row = aligned.agg(
@@ -558,7 +881,7 @@ def merge(
             ).first()
             lo, hi = row["lo"], row["hi"]
             if lo is not None:
-                stats = parent.get("stats", {})
+                stats = psnap["stats"]
                 candidates = [
                     rel
                     for rel in candidates
@@ -573,8 +896,8 @@ def merge(
         # broadcasts the key side when small.
         victims: list[str] = []
         if candidates:
-            snap = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, f) for f in candidates]
+            snap = _read_raw(
+                spark, root, candidates, _snapshot_schema(spark, root, v)
             )
             hit_names = {
                 os.path.basename(r["_f"])
@@ -593,36 +916,35 @@ def merge(
                 for rel in candidates
                 if os.path.basename(rel) in hit_names
             ]
-        keep = [rel for rel in parent["files"] if rel not in set(victims)]
-        new_files = list(keep) + upd_files
         staged = list(upd_files)
         if victims:
             schema = _snapshot_schema(spark, root, v)
             survivors = _read_files(spark, root, victims, schema).join(
                 keys, list(key_cols), "left_anti"
             )
-            rewritten = _stage_files(spark, root, survivors)
-            new_files += rewritten
-            staged += rewritten
+            staged += _stage_files(
+                spark,
+                root,
+                survivors,
+                partition_by=_table_config(root)["partition_by"],
+            )
         if app_id is not None:
             txn[app_id] = txn_version
-        ok = _try_commit(
+        ok = _commit_version(
             root,
             v + 1,
+            "merge",
+            psnap,
+            victims,
+            staged,
+            _collect_stats(root, staged),
+            txn,
+            None,
             {
-                "version": v + 1,
-                "op": "merge",
-                "files": new_files,
-                "parent": v,
-                "txn": txn,
                 "key_cols": list(key_cols),
                 "rewrote": len(victims),
-                "carried": len(keep),
+                "carried": len(psnap["files"]) - len(victims),
                 "probed": len(candidates),
-                "stats": _carry_stats(
-                    parent, keep, _collect_stats(root, staged)
-                ),
-                "ts": time.time(),
             },
         )
         if ok:
@@ -637,22 +959,23 @@ def delete_where(
     version. Only files CONTAINING victims are rewritten; clean files
     carry over by reference. The victim probe is ONE job — the
     snapshot scanned once with ``input_file_name()`` and filtered by
-    the predicate (parquet pushdown applies inside the scan), distinct
-    file names back to the driver — not a job per file: at 10^5 files
-    the per-file form pays 10^5 job-scheduling round-trips before any
-    IO. The rewrite is one combined job too; a file whose rows are ALL
-    victims simply contributes nothing to the rewrite (dropped, not
-    rewritten — the delete-verb contract merge_delete_parquet also
-    pins). On a commit conflict the delete re-probes against the new
-    snapshot — a delete is a logical operation, so it must re-stage,
-    unlike append."""
+    the predicate (parquet pushdown applies inside the scan; on a
+    partitioned table a partition-column predicate prunes whole
+    directories inside that scan too), distinct file names back to the
+    driver — not a job per file: at 10^5 files the per-file form pays
+    10^5 job-scheduling round-trips before any IO. The rewrite is one
+    combined job too; a file whose rows are ALL victims simply
+    contributes nothing to the rewrite (dropped, not rewritten — the
+    delete-verb contract merge_delete_parquet also pins). On a commit
+    conflict the delete re-probes against the new snapshot — a delete
+    is a logical operation, so it must re-stage, unlike append."""
     for _ in range(max_retries):
         v = current_version(root)
-        m = _read_manifest(root, v)
+        psnap = snapshot_info(root, v)
         rewrite: list[str] = []
-        if m["files"]:
-            snap = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, f) for f in m["files"]]
+        if psnap["files"]:
+            snap = _read_raw(
+                spark, root, psnap["files"], _snapshot_schema(spark, root, v)
             )
             hit_names = {
                 os.path.basename(r["_f"])
@@ -665,32 +988,35 @@ def delete_where(
             }
             rewrite = [
                 rel
-                for rel in m["files"]
+                for rel in psnap["files"]
                 if os.path.basename(rel) in hit_names
             ]
-        keep = [rel for rel in m["files"] if rel not in set(rewrite)]
-        new_files = list(keep)
+        staged: list[str] = []
         if rewrite:
             schema = _snapshot_schema(spark, root, v)
             survivors = _read_files(spark, root, rewrite, schema).where(
                 f"NOT ({predicate})"
             )
-            new_files += _stage_files(spark, root, survivors)
-        staged = [rel for rel in new_files if rel not in set(keep)]
-        ok = _try_commit(
+            staged = _stage_files(
+                spark,
+                root,
+                survivors,
+                partition_by=_table_config(root)["partition_by"],
+            )
+        ok = _commit_version(
             root,
             v + 1,
+            "delete",
+            psnap,
+            rewrite,
+            staged,
+            _collect_stats(root, staged),
+            dict(_read_manifest(root, v).get("txn", {})),
+            None,
             {
-                "version": v + 1,
-                "op": "delete",
                 "predicate": predicate,
-                "files": new_files,
-                "parent": v,
-                "stats": _carry_stats(m, keep, _collect_stats(root, staged)),
-                "txn": dict(m.get("txn", {})),  # carry idempotence state
                 "rewrote": len(rewrite),
-                "carried": len(keep),
-                "ts": time.time(),
+                "carried": len(psnap["files"]) - len(rewrite),
             },
         )
         if ok:
@@ -722,7 +1048,9 @@ def optimize(
     The small-file problem this pays for: streaming appends and
     fine-grained MERGEs leave KB-scale files, and every later scan
     pays task startup + a footer read per file; one bounded rewrite
-    buys every future scan back.
+    buys every future scan back. On a partitioned table the rewrite
+    preserves the hive layout (each partition's rows land back in its
+    directory).
 
     ``cluster_by`` makes the rewrite ALSO restore data clustering
     (the Delta ``OPTIMIZE ... ZORDER``/Iceberg sort-order shape):
@@ -734,34 +1062,38 @@ def optimize(
     here."""
     for _ in range(max_retries):
         v = current_version(root)
-        m = _read_manifest(root, v)
-        if not m["files"]:
+        psnap = snapshot_info(root, v)
+        if not psnap["files"]:
             return v
         total = sum(
-            os.path.getsize(os.path.join(root, f)) for f in m["files"]
+            os.path.getsize(os.path.join(root, f)) for f in psnap["files"]
         )
         n = max(1, math.ceil(total / target_file_bytes))
-        df = _read_files(spark, root, m["files"], _snapshot_schema(spark, root, v))
-        if cluster_by:
-            out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
-                *cluster_by
+        df = _read_files(
+            spark, root, psnap["files"], _snapshot_schema(spark, root, v)
+        )
+        pby = _table_config(root)["partition_by"]
+        order = list(pby) + [c for c in cluster_by if c not in pby]
+        if order:
+            out = df.repartitionByRange(n, *order).sortWithinPartitions(
+                *order
             )
         else:
             out = df.repartition(n)
-        files = _stage_files(spark, root, out)
-        ok = _try_commit(
+        files = _stage_files(spark, root, out, partition_by=pby)
+        ok = _commit_version(
             root,
             v + 1,
+            "optimize",
+            psnap,
+            list(psnap["files"]),
+            files,
+            _collect_stats(root, files),
+            dict(_read_manifest(root, v).get("txn", {})),
+            None,
             {
-                "version": v + 1,
-                "op": "optimize",
-                "files": files,
-                "parent": v,
-                "stats": _collect_stats(root, files),
-                "txn": dict(m.get("txn", {})),
-                "compacted_from": len(m["files"]),
+                "compacted_from": len(psnap["files"]),
                 **({"cluster_by": list(cluster_by)} if cluster_by else {}),
-                "ts": time.time(),
             },
         )
         if ok:
@@ -782,17 +1114,19 @@ def read_changes(
     table columns (in the to_version schema) plus ``_change_type``
     ('insert' | 'delete') and ``_commit_version``.
 
-    Derivation is from manifest FILE DIFFS, so the cost per commit is
-    O(its touched files), never a corpus scan: a pure append's added
-    files ARE its inserts (no diffing at all); a delete/merge commit
-    diffs only the rewritten files' rows against their replacements
-    (``exceptAll`` both ways — multiset semantics, so carried-over
-    survivor rows cancel exactly); an optimize commit cancels to zero
-    rows. An updated row surfaces as its delete+insert pair (the
-    standard CDF fallback when pre/post images aren't logged). At
-    100 TB this is what makes incremental consumers O(delta) instead
-    of O(corpus) — the difference between re-deduping a batch and
-    re-deduping the internet."""
+    Derivation is straight from the logged add/remove ACTIONS (delta
+    manifests carry them verbatim; full manifests diff against the
+    running file set), so the cost per commit is O(its touched files),
+    never a corpus scan: a pure append's added files ARE its inserts
+    (no diffing at all); a delete/merge commit diffs only the
+    rewritten files' rows against their replacements (``exceptAll``
+    both ways — multiset semantics, so carried-over survivor rows
+    cancel exactly); an optimize commit cancels to zero rows. An
+    updated row surfaces as its delete+insert pair (the standard CDF
+    fallback when pre/post images aren't logged). At 100 TB this is
+    what makes incremental consumers O(delta) instead of O(corpus) —
+    the difference between re-deduping a batch and re-deduping the
+    internet."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     cur = current_version(root)
@@ -809,15 +1143,23 @@ def read_changes(
             StructField("_commit_version", LongType(), False),
         ]
     )
+    prev = (
+        set(snapshot_info(root, from_version)["files"])
+        if from_version >= 0
+        else set()
+    )
     out: DataFrame | None = None
     for v in range(from_version + 1, to_v + 1):
         m = _read_manifest(root, v)
-        parent_files = (
-            set(_read_manifest(root, v - 1)["files"]) if v > 0 else set()
-        )
-        files = set(m["files"])
-        added = sorted(files - parent_files)
-        removed = sorted(parent_files - files)
+        if "files" in m:
+            cur_files = set(m["files"])
+            added = sorted(cur_files - prev)
+            removed = sorted(prev - cur_files)
+            prev = cur_files
+        else:
+            added = sorted(m.get("add", []))
+            removed = sorted(m.get("remove", []))
+            prev = (prev - set(removed)) | set(added)
         if not added and not removed:
             continue
         a = _read_files(spark, root, added, out_schema)
@@ -850,7 +1192,7 @@ def restore(
     vacuum has kept). The change feed across a restore is the row-level
     UNDO of everything since N — computed by the same file-diff
     machinery, nothing special-cased."""
-    target = _read_manifest(root, version)
+    target = snapshot_info(root, version)
     missing = [
         rel
         for rel in target["files"]
@@ -861,34 +1203,25 @@ def restore(
             f"cannot restore v{version}: {len(missing)} of its files "
             f"were vacuumed (first: {missing[0]})"
         )
-    schema_json = None
-    for vv in range(version, -1, -1):
-        m = _read_manifest(root, vv)
-        if "schema" in m:
-            schema_json = m["schema"]
-            break
+    schema_json = _schema_json_at(root, version)
     for _ in range(max_retries):
         v = current_version(root)
-        parent = _read_manifest(root, v)
-        manifest = {
-            "version": v + 1,
-            "op": "restore",
-            "restored_from": version,
-            "files": list(target["files"]),
-            "parent": v,
-            "txn": dict(parent.get("txn", {})),
-            "stats": {
-                rel: st
-                for rel, st in target.get("stats", {}).items()
-                if rel in set(target["files"])
-            },
-            "ts": time.time(),
-        }
-        if schema_json is not None:
+        psnap = snapshot_info(root, v)
+        ok = _commit_version(
+            root,
+            v + 1,
+            "restore",
+            psnap,
+            list(psnap["files"]),
+            list(target["files"]),
+            dict(target["stats"]),
+            dict(_read_manifest(root, v).get("txn", {})),
             # re-pin the restored snapshot's schema: a later evolution
             # must not leak into the rolled-back view
-            manifest["schema"] = schema_json
-        if _try_commit(root, v + 1, manifest):
+            schema_json,
+            {"restored_from": version},
+        )
+        if ok:
             return v + 1
     raise RuntimeError(f"restore lost {max_retries} commit races at {root}")
 
@@ -919,15 +1252,20 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "compacted_from",
                 "cluster_by",
                 "restored_from",
+                "partition_by",
+                "checkpoint",
             )
             if k in m
         }
+        n_files = m.get("n_files")
+        if n_files is None:
+            n_files = len(m["files"])
         rows.append(
             (
                 v,
                 m["op"],
                 m["parent"],
-                len(m["files"]),
+                int(n_files),
                 json.dumps(detail, sort_keys=True) if detail else None,
                 float(m["ts"]),
             )
@@ -949,34 +1287,49 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     """Remove data files referenced by NO manifest newer than
     (current - retain_versions), plus orphaned staging garbage and
     stale temp manifests leaked by crashed writers (.tmp-*.json older
-    than 60 s — never a live writer's, whose link window is
-    sub-second). Returns removed paths. Time travel keeps working for
-    retained versions; older manifests stay readable only if their
-    files survive elsewhere."""
+    than ONE HOUR — far beyond any live writer's sub-second
+    write->link window; if a pathologically stalled writer is ever
+    raced anyway, its commit retries instead of crashing, see
+    ``_try_commit``). Returns removed paths.
+
+    Retention contract: ``retain_versions >= 1`` (refused otherwise —
+    0 would delete the CURRENT snapshot's files). Time travel keeps
+    working for retained versions; an OLDER pinned version — or a
+    DataFrame handle resolved before the vacuum — can fail mid-scan
+    once its files are gone, exactly Delta's documented VACUUM hazard:
+    size the retention window to your longest-running reader."""
+    if retain_versions < 1:
+        raise ValueError(
+            "retain_versions must be >= 1 (0 would delete the current "
+            "snapshot's files out from under every reader)"
+        )
     cur = current_version(root)
     keep_from = max(0, cur - retain_versions + 1)
     referenced: set[str] = set()
     for v in range(keep_from, cur + 1):
-        referenced.update(_read_manifest(root, v)["files"])
+        referenced.update(snapshot_info(root, v)["files"])
     removed = []
     data_dir = os.path.join(root, _DATA)
-    for name in sorted(os.listdir(data_dir)):
-        full = os.path.join(data_dir, name)
-        rel = f"{_DATA}/{name}"
-        if os.path.isdir(full) and name.startswith(".stage-"):
-            import shutil
-
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(rel)
-        elif rel not in referenced:
-            os.remove(full)
-            removed.append(rel)
+    for dirpath, dirs, names in os.walk(data_dir, topdown=True):
+        for d in list(dirs):
+            if d.startswith(".stage-"):
+                shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                removed.append(
+                    os.path.relpath(os.path.join(dirpath, d), root)
+                )
+                dirs.remove(d)
+        for name in names:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if rel not in referenced:
+                os.remove(full)
+                removed.append(rel)
     now = time.time()
     for name in sorted(os.listdir(_log_dir(root))):
         if name.startswith(".tmp-") and name.endswith(".json"):
             full = os.path.join(_log_dir(root), name)
             try:
-                if now - os.path.getmtime(full) > 60:
+                if now - os.path.getmtime(full) > _TMP_RETAIN_SECS:
                     os.remove(full)
                     removed.append(f"{_LOG}/{name}")
             except OSError:

@@ -47,12 +47,10 @@ def test_delete_rewrites_only_victim_files(spark, table):
         F.col("id"), F.lit(99).alias("bucket")
     )
     txlog.append(spark, table, clean.coalesce(1))
-    before = set(
-        json.load(open(txlog._manifest_path(table, 1)))["files"]
-    )
+    before = set(txlog.snapshot_info(table, 1)["files"])
     v = txlog.delete_where(spark, table, "bucket = 3")
     m = json.load(open(txlog._manifest_path(table, v)))
-    after = set(m["files"])
+    after = set(txlog.snapshot_info(table, v)["files"])
     # the clean appended file is carried by NAME, not rewritten
     carried = before & after
     assert carried, "no file carried over — delete rewrote everything"
@@ -163,7 +161,7 @@ def test_merge_upsert_one_atomic_version(spark, table):
         F.col("id"), F.lit(99).alias("bucket")
     )
     txlog.append(spark, table, clean.coalesce(1))
-    before = set(json.load(open(txlog._manifest_path(table, 1)))["files"])
+    before = set(txlog.snapshot_info(table, 1)["files"])
     updates = spark.range(0, 50).select(
         F.col("id"), F.lit(-5).alias("bucket")
     ).union(
@@ -175,7 +173,7 @@ def test_merge_upsert_one_atomic_version(spark, table):
     assert v == 2
     m = json.load(open(txlog._manifest_path(table, v)))
     assert m["op"] == "merge"
-    carried = before & set(m["files"])
+    carried = before & set(txlog.snapshot_info(table, v)["files"])
     assert carried, "no file carried over — merge rewrote everything"
     assert m["rewrote"] >= 1 and m["carried"] >= 1
     got = txlog.read_table(spark, table)
@@ -296,9 +294,7 @@ def test_optimize_commit_pinned_readers_and_empty_cdf(spark, table):
             ).coalesce(1),
         )
     v_pin = txlog.current_version(table)
-    n_files_before = len(
-        json.load(open(txlog._manifest_path(table, v_pin)))["files"]
-    )
+    n_files_before = len(txlog.snapshot_info(table, v_pin)["files"])
     pinned = txlog.read_table(spark, table, version=v_pin)
     v_opt = txlog.optimize(spark, table)
     m = json.load(open(txlog._manifest_path(table, v_opt)))
@@ -358,7 +354,7 @@ def test_vacuum_sweeps_stale_tmp_manifests(spark, table):
     stale = f"{log_dir}/.tmp-deadbeef0000.json"
     with open(stale, "w") as fh:
         fh.write("{}")
-    old = _time.time() - 120
+    old = _time.time() - 2 * txlog._TMP_RETAIN_SECS
     os.utime(stale, (old, old))
     fresh = f"{log_dir}/.tmp-deadbeef1111.json"
     with open(fresh, "w") as fh:
@@ -518,7 +514,7 @@ def test_merge_probe_pruned_by_manifest_stats(spark, tmp_path):
         ).repartition(4),
     )
     v = txlog.optimize(spark, root, target_file_bytes=4 << 10, cluster_by=("id",))
-    n_files = len(json.load(open(txlog._manifest_path(root, v)))["files"])
+    n_files = len(txlog.snapshot_info(root, v)["files"])
     assert n_files >= 4
     upd = spark.range(100, 160).select(F.col("id"), F.lit(-1).alias("bucket"))
     v2 = txlog.merge(spark, root, upd, ("id",))
@@ -530,7 +526,8 @@ def test_merge_probe_pruned_by_manifest_stats(spark, tmp_path):
     assert got.where("bucket = -1").count() == 60
     assert got.where("id >= 100 AND id < 160 AND bucket = 0").count() == 0
     # stats survive the merge commit for the NEXT prefilter
-    assert set(m["stats"]) == set(m["files"])
+    snap = txlog.snapshot_info(root, v2)
+    assert set(snap["stats"]) == set(snap["files"])
 
 
 def test_restore_and_history(spark, table):
