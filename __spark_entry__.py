@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           (txlog_partition_pruned_revenue, type_widening_orders,
           txlog_checkpoint_log_orders — the partition-column /
           type-widening / delta-log+checkpoint txlog surface — and
-          stream_cdf_dedup_manifest, the streaming change-feed
+          cdf_stream_dedup_manifest, the streaming change-feed
           consumer)
         + the first 45 of the r6-certified cohort (ann_ivfpq_topk
           ... stream_converting_clicks — 5 rounds stale, the oldest
@@ -112,12 +112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pins the delta-manifest count and a time-travel read at a
         # delta version.
         "txlog_checkpoint_log_orders": relational.txlog_checkpoint_log_orders,
-        # stream_cdf_dedup_manifest: the change feed consumed as a
+        # cdf_stream_dedup_manifest: the change feed consumed as a
         # STREAM through a durable version cursor (one commit per
         # micro-batch); SAME oracle as the batch CDF consumer and the
         # full replay, so the hash match certifies stream == batch ==
         # replay.
-        "stream_cdf_dedup_manifest": textops.stream_cdf_dedup_manifest,
+        "cdf_stream_dedup_manifest": textops.cdf_stream_dedup_manifest,
         # ===== round-11 window: r6-certified cohort head (45 of 49;
         # last driver row in round 6 — five rounds stale) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,

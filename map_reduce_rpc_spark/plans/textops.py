@@ -3728,7 +3728,7 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_cdf_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdf_stream_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed consumed as a STREAM (streaming/cdf.py —
     round-10 verdict item 4): the same two-commit documents txlog as
     cdf_incremental_dedup_manifest, but the dedup state is built by
@@ -3812,6 +3812,6 @@ def stream_cdf_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # stream-driven must reproduce the full-replay answer exactly:
 # identical oracle to incremental_dedup_manifest / the batch CDF form
-TEXTOPS_ORACLES["stream_cdf_dedup_manifest"] = TEXTOPS_ORACLES[
+TEXTOPS_ORACLES["cdf_stream_dedup_manifest"] = TEXTOPS_ORACLES[
     "incremental_dedup_manifest"
 ]

@@ -94,6 +94,12 @@ _DATA = "data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _TMP_RETAIN_SECS = 3600  # stale temp-manifest sweep threshold
 DEFAULT_CHECKPOINT_EVERY = 20
+# full manifests at or above this file count move their file list +
+# stats into a COLUMNAR parquet sidecar (the Delta parquet-checkpoint
+# design): the JSON manifest stays O(1) bytes, and a 10^6-file
+# checkpoint is a sub-second columnar read instead of a ~100 MB JSON
+# parse. Below it, inline JSON keeps small tables single-file simple.
+SIDECAR_MIN_FILES = 20_000
 
 
 def _log_dir(root: str) -> str:
@@ -150,6 +156,65 @@ def _table_config(root: str) -> dict:
     }
 
 
+@_lru_cache(maxsize=4)
+def _read_sidecar_keyed(
+    path: str, mtime_ns: int, size: int
+) -> tuple[list[str], dict]:
+    """Parse one columnar checkpoint sidecar (immutable once written,
+    like manifests — cached per process). Returns (files, stats)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["rel", "stats_json"])
+    rels = t.column("rel").to_pylist()
+    stats_json = t.column("stats_json").to_pylist()
+    stats = {
+        r: json.loads(s) for r, s in zip(rels, stats_json) if s
+    }
+    return rels, stats
+
+
+def _load_full(root: str, m: dict) -> tuple[list[str], dict]:
+    """A full manifest's (files, stats) — inline JSON for small
+    tables, the parquet sidecar above SIDECAR_MIN_FILES."""
+    if "files" in m:
+        return m["files"], m.get("stats", {})
+    p = os.path.join(_log_dir(root), m["files_ref"])
+    st = os.stat(p)
+    return _read_sidecar_keyed(p, st.st_mtime_ns, st.st_size)
+
+
+def _is_full(m: dict) -> bool:
+    return "files" in m or "files_ref" in m
+
+
+def _write_sidecar(root: str, files: list[str], stats: dict) -> str:
+    """Write a columnar checkpoint sidecar under the log dir; returns
+    its log-relative name. Written + fsynced BEFORE the manifest link
+    publishes it — a crash or a lost commit race leaves an orphan
+    that vacuum sweeps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_log_dir(root), exist_ok=True)
+    name = f".ckpt-{uuid.uuid4().hex[:12]}.parquet"
+    path = os.path.join(_log_dir(root), name)
+    t = pa.table(
+        {
+            "rel": files,
+            "stats_json": [
+                json.dumps(stats[r]) if r in stats else None for r in files
+            ],
+        }
+    )
+    pq.write_table(t, path)
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    return name
+
+
 def snapshot_info(root: str, version: int) -> dict:
     """Resolve one snapshot's {files, stats} by walking back to the
     nearest FULL manifest (create/restore/optimize/checkpoint — at
@@ -162,16 +227,16 @@ def snapshot_info(root: str, version: int) -> dict:
     while True:
         m = _read_manifest(root, v)
         chain.append(m)
-        if "files" in m:
+        if _is_full(m):
             break
         v -= 1
         if v < 0:
             raise FileNotFoundError(
                 f"no full manifest at or below v{version} in {root}"
             )
-    base = chain[-1]
-    files = list(base["files"])
-    stats = dict(base.get("stats", {}))
+    base_files, base_stats = _load_full(root, chain[-1])
+    files = list(base_files)
+    stats = dict(base_stats)
     for m in reversed(chain[:-1]):
         rm = set(m.get("remove", []))
         if rm:
@@ -549,11 +614,14 @@ def _commit_version(
         m["schema"] = schema_json
     full = op in ("create", "restore", "optimize") or v_new % ce == 0
     if full:
-        m["files"] = files
         keep_set = set(keep)
         stats = {r: s for r, s in psnap["stats"].items() if r in keep_set}
         stats.update(add_stats)
-        m["stats"] = stats
+        if len(files) >= SIDECAR_MIN_FILES:
+            m["files_ref"] = _write_sidecar(root, files, stats)
+        else:
+            m["files"] = files
+            m["stats"] = stats
         if "schema" not in m:
             sj = _schema_json_at(root, v_new - 1)
             if sj is not None:
@@ -1151,8 +1219,8 @@ def read_changes(
     out: DataFrame | None = None
     for v in range(from_version + 1, to_v + 1):
         m = _read_manifest(root, v)
-        if "files" in m:
-            cur_files = set(m["files"])
+        if _is_full(m):
+            cur_files = set(_load_full(root, m)[0])
             added = sorted(cur_files - prev)
             removed = sorted(prev - cur_files)
             prev = cur_files
@@ -1325,11 +1393,29 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
                 os.remove(full)
                 removed.append(rel)
     now = time.time()
+    ckpt_refs: set[str] | None = None  # lazy: read only if needed
     for name in sorted(os.listdir(_log_dir(root))):
+        full = os.path.join(_log_dir(root), name)
         if name.startswith(".tmp-") and name.endswith(".json"):
-            full = os.path.join(_log_dir(root), name)
             try:
                 if now - os.path.getmtime(full) > _TMP_RETAIN_SECS:
+                    os.remove(full)
+                    removed.append(f"{_LOG}/{name}")
+            except OSError:
+                pass
+        elif name.startswith(".ckpt-") and name.endswith(".parquet"):
+            # a sidecar not referenced by ANY manifest is an orphan
+            # from a crashed/raced checkpoint writer; manifests are
+            # never deleted, so referenced sidecars live forever
+            try:
+                if now - os.path.getmtime(full) <= _TMP_RETAIN_SECS:
+                    continue
+                if ckpt_refs is None:
+                    ckpt_refs = {
+                        _read_manifest(root, v).get("files_ref")
+                        for v in range(cur + 1)
+                    }
+                if name not in ckpt_refs:
                     os.remove(full)
                     removed.append(f"{_LOG}/{name}")
             except OSError:

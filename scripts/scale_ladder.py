@@ -72,6 +72,10 @@ FAMILIES = {
     # data-proportional verb (reads every touched file of every
     # commit + exceptAll diffs), so it is the family representative
     "lakehouse_cdf": "cdf_order_changes",
+    # round 11: the stream-driven CDF consumer (cursor drain +
+    # fingerprint + MERGE state per commit) — data-proportional in
+    # the corpus, the incremental-ingestion shape
+    "lakehouse_stream_cdf": "cdf_stream_dedup_manifest",
 }
 
 SUPERLINEAR_EXP = 1.15

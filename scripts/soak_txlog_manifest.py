@@ -87,26 +87,31 @@ def main() -> None:
         rels.append(rel)
     t_link = time.time() - t0
     stats = txlog._collect_stats(table, rels[:1])  # one footer, shared
-    ok = txlog._try_commit(
-        table,
-        0,
-        {
-            "version": 0,
-            "op": "create",
-            "parent": None,
-            "files": rels,
-            "stats": {r: stats[rels[0]] for r in rels},
-            "schema": spark.read.parquet(
-                os.path.join(table, rels[0])
-            ).schema.json(),
-            "txn": {},
-            "n_files": len(rels),
-            "ts": time.time(),
-            "checkpoint_every": txlog.DEFAULT_CHECKPOINT_EVERY,
-        },
-    )
+    m0 = {
+        "version": 0,
+        "op": "create",
+        "parent": None,
+        "schema": spark.read.parquet(
+            os.path.join(table, rels[0])
+        ).schema.json(),
+        "txn": {},
+        "n_files": len(rels),
+        "ts": time.time(),
+        "checkpoint_every": txlog.DEFAULT_CHECKPOINT_EVERY,
+    }
+    all_stats = {r: stats[rels[0]] for r in rels}
+    if N_FILES >= txlog.SIDECAR_MIN_FILES:
+        m0["files_ref"] = txlog._write_sidecar(table, rels, all_stats)
+    else:
+        m0["files"] = rels
+        m0["stats"] = all_stats
+    ok = txlog._try_commit(table, 0, m0)
     assert ok
     full_bytes = os.path.getsize(txlog._manifest_path(table, 0))
+    if "files_ref" in m0:
+        full_bytes = os.path.getsize(
+            os.path.join(table, "_txlog", m0["files_ref"])
+        )
 
     # resolution cost at v0 (one full manifest read)
     t0 = time.time()
@@ -119,13 +124,24 @@ def main() -> None:
         F.col("id"), F.lit(99).alias("bucket")
     ).coalesce(1)
     commit_secs, delta_bytes, ckpt_bytes = [], [], []
+    sidecar_bytes = []
     for _ in range(N_COMMITS):
         t0 = time.time()
         v = txlog.append(spark, table, batch)
         commit_secs.append(time.time() - t0)
         b = os.path.getsize(txlog._manifest_path(table, v))
         m = txlog._read_manifest(table, v)
-        (ckpt_bytes if "files" in m else delta_bytes).append(b)
+        if "files_ref" in m:
+            ckpt_bytes.append(b)
+            sidecar_bytes.append(
+                os.path.getsize(
+                    os.path.join(table, "_txlog", m["files_ref"])
+                )
+            )
+        elif "files" in m:
+            ckpt_bytes.append(b)
+        else:
+            delta_bytes.append(b)
 
     # resolution cost at the head (checkpoint + up to cadence deltas)
     t0 = time.time()
@@ -149,6 +165,9 @@ def main() -> None:
             full_bytes / max(delta_bytes), 1
         ),
         "checkpoint_manifest_bytes": max(ckpt_bytes) if ckpt_bytes else None,
+        "checkpoint_sidecar_bytes": (
+            max(sidecar_bytes) if sidecar_bytes else None
+        ),
         "n_checkpoints": len(ckpt_bytes),
         "append_secs_min": round(min(commit_secs), 3),
         "append_secs_max": round(max(commit_secs), 3),

@@ -437,3 +437,71 @@ def test_vacuum_refuses_zero_retention_and_pins_hazard(spark, tmp_path):
     assert txlog.read_table(spark, root).count() == 100  # current intact
     with pytest.raises(Exception):  # noqa: B017 — files gone mid-scan
         pinned.count()
+
+
+def test_columnar_sidecar_checkpoints(spark, tmp_path, monkeypatch):
+    """Above SIDECAR_MIN_FILES, full manifests move their file list +
+    stats into a parquet sidecar (the Delta parquet-checkpoint shape):
+    the JSON manifest stays O(1) bytes, resolution / time travel /
+    CDF / restore / stats pruning all read through the sidecar, and
+    vacuum sweeps only ORPHAN sidecars (crashed or raced checkpoint
+    writers), never referenced ones."""
+    monkeypatch.setattr(txlog, "SIDECAR_MIN_FILES", 5)
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") % 4).alias("bucket")
+        ).repartition(8),
+        checkpoint_every=3,
+    )
+    m0 = _manifest(root, 0)
+    assert "files_ref" in m0 and "files" not in m0 and "stats" not in m0
+    assert os.path.getsize(txlog._manifest_path(root, 0)) < 2000
+    snap = txlog.snapshot_info(root, 0)
+    assert len(snap["files"]) == 8
+    assert set(snap["stats"]) == set(snap["files"])  # stats via sidecar
+    for i in range(4):
+        txlog.append(
+            spark,
+            root,
+            spark.range(1000 + i * 10, 1010 + i * 10).select(
+                F.col("id"), F.lit(9).alias("bucket")
+            ),
+        )
+    m3 = _manifest(root, 3)  # checkpoint at the cadence -> sidecar
+    assert m3.get("checkpoint") is True and "files_ref" in m3
+    assert txlog.read_table(spark, root).count() == 1040
+    assert txlog.read_table(spark, root, version=2).count() == 1020
+    cdf = txlog.read_changes(spark, root, 0)
+    assert cdf.count() == 40
+    assert cdf.where("_change_type != 'insert'").count() == 0
+    # stats survive through the sidecar for planning-time pruning
+    pruned = txlog.scan_table(spark, root, "id", 1000, 1005)
+    assert pruned.count() == 6
+    assert len(pruned.inputFiles()) < len(
+        txlog.snapshot_info(root, txlog.current_version(root))["files"]
+    )
+    # restore resolves the sidecar-backed target
+    v = txlog.restore(spark, root, 0)
+    assert txlog.read_table(spark, root).count() == 1000
+    assert _manifest(root, v).get("files_ref") or _manifest(root, v).get(
+        "files"
+    )
+    # orphan sidecar sweep: aged + unreferenced -> removed; aged +
+    # referenced -> kept
+    import time as _time
+
+    log_dir = txlog._log_dir(root)
+    orphan = os.path.join(log_dir, ".ckpt-deadbeef0000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"xx")
+    old = _time.time() - 2 * txlog._TMP_RETAIN_SECS
+    os.utime(orphan, (old, old))
+    ref = os.path.join(log_dir, m0["files_ref"])
+    os.utime(ref, (old, old))
+    removed = txlog.vacuum(root)
+    assert any(".ckpt-deadbeef0000" in r for r in removed)
+    assert os.path.exists(ref)
+    assert txlog.read_table(spark, root, version=0).count() == 1000
