@@ -4306,3 +4306,75 @@ RELATIONAL_ORACLES["txlog_checkpoint_log_orders"] = f"""
     FROM orders WHERE o_orderkey % 8 <= 5
     ORDER BY label
 """
+
+
+def txlog_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE certified end-to-end (sources/txlog.py clone_table — the
+    Delta SHALLOW CLONE verb, upgraded to hard links so source vacuum
+    can never break the clone): orders create the SOURCE table; a
+    zero-copy clone is taken; the urgent orders are deleted ON THE
+    CLONE ONLY; then the source is optimized and vacuumed — which
+    drops the very file names the clone was linked from. The output
+    aggregates BOTH tables afterwards: the oracle pins the source at
+    the full corpus (the clone's delete never leaked) and the clone
+    at the complement (alive and exact despite the source vacuum —
+    the inode-refcount upgrade over Delta's documented shallow-clone
+    hazard). Build-once artifact via derived_cache_dir. Output:
+    (label, n_orders, cents)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "clone")
+        txlog.create_table(
+            spark,
+            src,
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .repartition(8),
+        )
+        txlog.clone_table(spark, src, dst)
+        txlog.delete_where(spark, dst, TT_DELETE_PRED)  # clone only
+        # source churn that would break a path-referencing shallow
+        # clone: optimize rewrites every file, vacuum removes the old
+        # names the clone linked from
+        txlog.optimize(spark, src)
+        txlog.vacuum(src, retain_versions=1)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_clone_orders", ("orders",), build
+    )
+
+    def agg(root: str, label: str) -> DataFrame:
+        return txlog.read_table(spark, root).agg(
+            F.lit(label).alias("label"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    return (
+        agg(os.path.join(base_dir, "src"), "source")
+        .unionByName(agg(os.path.join(base_dir, "clone"), "clone"))
+        .orderBy("label")
+    )
+
+
+RELATIONAL_ORACLES["txlog_clone_orders"] = f"""
+    SELECT 'clone' AS label, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE NOT ({TT_DELETE_PRED})
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    ORDER BY label
+"""

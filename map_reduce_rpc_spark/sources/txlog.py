@@ -1248,6 +1248,82 @@ def read_changes(
     return out
 
 
+def clone_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
+    """CLONE (the Delta SHALLOW CLONE verb, upgraded): create
+    ``dst_root`` as a NEW table whose v0 holds the SOURCE snapshot's
+    data — zero bytes copied. Where Delta's shallow clone references
+    the source's files by path (so vacuuming the source BREAKS the
+    clone — their documented hazard), this clone HARD-LINKS each file
+    under the clone's own data/ dir: same zero-copy cost (one
+    metadata op per file, ~10 us), but the inode refcount keeps
+    shared files alive, so source vacuum/optimize/delete can never
+    break the clone and clone vacuum never touches the source. The
+    two tables then evolve fully independently (history resets at the
+    clone's v0, like Delta). Per-file stats, the schema binding,
+    partition layout, and the checkpoint cadence are carried over;
+    cross-filesystem clones fall back to a real copy per file.
+
+    The write-once data-file contract makes this safe: committed
+    files are never modified in place by any verb (delete/merge/
+    optimize stage NEW files), so a shared inode can never see a
+    write through either table."""
+    if current_version(dst_root) >= 0:
+        raise FileExistsError(f"txlog table already exists at {dst_root}")
+    v = current_version(src_root) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version at {src_root}")
+    snap = snapshot_info(src_root, v)
+    cfg = _table_config(src_root)
+    os.makedirs(os.path.join(dst_root, _DATA), exist_ok=True)
+    tag = uuid.uuid4().hex[:12]
+    new_rels: list[str] = []
+    new_stats: dict[str, dict] = {}
+    for i, rel in enumerate(snap["files"]):
+        sub = os.path.dirname(rel)  # "data" or "data/col=value"
+        dest_dir = os.path.join(dst_root, sub)
+        os.makedirs(dest_dir, exist_ok=True)
+        final = f"part-{tag}-{i:06d}.parquet"
+        src_path = os.path.join(src_root, rel)
+        dst_path = os.path.join(dest_dir, final)
+        try:
+            os.link(src_path, dst_path)
+        except OSError:  # cross-device (EXDEV) / link-cap: real copy
+            shutil.copyfile(src_path, dst_path)
+        new_rel = f"{sub}/{final}"
+        new_rels.append(new_rel)
+        if rel in snap["stats"]:
+            new_stats[new_rel] = snap["stats"][rel]
+    ok = _commit_version(
+        dst_root,
+        0,
+        "create",
+        {"files": [], "stats": {}},
+        [],
+        new_rels,
+        new_stats,
+        {},
+        _schema_json_at(src_root, v),
+        {
+            "cloned_from": os.path.abspath(src_root),
+            "cloned_version": v,
+            **(
+                {"partition_by": cfg["partition_by"]}
+                if cfg["partition_by"]
+                else {}
+            ),
+            "checkpoint_every": cfg["checkpoint_every"],
+        },
+    )
+    if not ok:
+        raise FileExistsError(f"concurrent create at {dst_root}")
+    return 0
+
+
 def restore(
     spark: SparkSession, root: str, version: int, max_retries: int = 20
 ) -> int:
@@ -1322,6 +1398,8 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "restored_from",
                 "partition_by",
                 "checkpoint",
+                "cloned_from",
+                "cloned_version",
             )
             if k in m
         }

@@ -127,9 +127,7 @@ def main() -> None:
     )
     import json as _json
 
-    n_files_b = len(
-        _json.load(open(txlog._manifest_path(root_b, 0)))["files"]
-    )
+    n_files_b = len(txlog.snapshot_info(root_b, 0)["files"])
     lo, hi = 1, n_total // 100  # contiguous 1% of the key range
     local = base.where(
         (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
@@ -149,7 +147,10 @@ def main() -> None:
     v_spread = txlog.merge(spark, root_b, spread, ("o_orderkey",))
     out["merge_spread_sec"] = round(time.perf_counter() - t0, 3)
     m_spread = _json.load(open(txlog._manifest_path(root_b, v_spread)))
-    out["merge_spread_probed"] = [m_spread["probed"], len(m_local["files"])]
+    out["merge_spread_probed"] = [
+        m_spread["probed"],
+        len(txlog.snapshot_info(root_b, v_local)["files"]),
+    ]
     assert m_local["probed"] < n_files_b, "local batch was not pruned"
 
     shutil.rmtree(root_b, ignore_errors=True)

@@ -98,3 +98,110 @@ def test_txlog_matches_model_under_random_op_chain(spark, tmp_path):
         )
     )
     assert ins == model, "CDF replay over v0 != final state"
+
+
+def test_txlog_matches_model_partitioned_checkpointed(spark, tmp_path):
+    """Round-11 surface under the same state-machine harness: a HIVE-
+    PARTITIONED table with a 3-commit checkpoint cadence (so the chain
+    crosses several delta->checkpoint boundaries), a TYPE WIDENING
+    mid-chain, and a CLONE taken mid-chain that must stay frozen (and
+    alive) while the source keeps committing and finally vacuums.
+    After every commit: full read == model AND a partition-pruned read
+    == the model filtered to that partition."""
+    rng = random.Random(20260816)
+    root = str(tmp_path / "tx")
+    clone_root = str(tmp_path / "clone")
+
+    model: dict[int, int] = {i: i % 5 for i in range(200)}
+    txlog.create_table(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(k, v) for k, v in model.items()], ["id", "bucket"]
+        ).selectExpr("CAST(id AS INT) id", "CAST(bucket AS INT) bucket"),
+        partition_by=("bucket",),
+        checkpoint_every=3,
+    )
+    history: dict[int, dict[int, int]] = {0: dict(model)}
+    next_id = 1000
+    clone_state: dict[int, int] | None = None
+
+    def frame(rows: dict[int, int], widened: bool):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in rows.items()], ["id", "bucket"]
+        )
+        if not widened:
+            df = df.selectExpr("CAST(id AS INT) id", "CAST(bucket AS INT) bucket")
+        return df
+
+    widened = False
+    ops = ["append", "merge", "delete", "widen", "append", "merge",
+           "restore", "delete", "merge", "append", "optimize", "merge"]
+    for step, op in enumerate(ops):
+        if op == "append":
+            rows = {next_id + i: rng.randrange(5) for i in range(20)}
+            next_id += 20
+            v = txlog.append(spark, root, frame(rows, widened))
+            model.update(rows)
+        elif op == "widen":
+            # bucket int -> long as an evolution commit; model unchanged
+            rows = {next_id + i: rng.randrange(5) for i in range(10)}
+            next_id += 10
+            v = txlog.append(
+                spark, root, frame(rows, True), merge_schema=True
+            )
+            model.update(rows)
+            widened = True
+            assert (
+                dict(txlog.read_table(spark, root).dtypes)["bucket"]
+                == "bigint"
+            )
+        elif op == "merge":
+            existing = rng.sample(sorted(model), k=min(15, len(model)))
+            rows = {k: 4 for k in existing}
+            rows.update({next_id + i: 3 for i in range(5)})
+            next_id += 5
+            v = txlog.merge(spark, root, frame(rows, widened), ("id",))
+            model.update(rows)
+        elif op == "delete":
+            b = rng.randrange(5)
+            v = txlog.delete_where(spark, root, f"bucket = {b}")
+            model = {k: x for k, x in model.items() if x != b}
+        elif op == "optimize":
+            v = txlog.optimize(
+                spark, root, target_file_bytes=16 << 10
+            )
+        else:  # restore
+            target = rng.randrange(0, txlog.current_version(root) + 1)
+            v = txlog.restore(spark, root, target)
+            model = dict(history[target])
+            widened = (
+                dict(txlog.read_table(spark, root).dtypes)["bucket"]
+                == "bigint"
+            )
+        assert v == txlog.current_version(root)
+        got = _as_dict(txlog.read_table(spark, root))
+        assert got == model, f"step {step} ({op}): table != model"
+        # partition-pruned read == model filtered to that partition
+        b = rng.randrange(5)
+        pruned = _as_dict(
+            txlog.read_table(spark, root, partitions={"bucket": b})
+        )
+        assert pruned == {k: x for k, x in model.items() if x == b}, (
+            f"step {step} ({op}): partition read != model[bucket={b}]"
+        )
+        history[v] = dict(model)
+        if step == 5:  # mid-chain clone
+            txlog.clone_table(spark, root, clone_root)
+            clone_state = dict(model)
+
+    # every historical version still reads as its recorded state
+    for v, snap in history.items():
+        assert _as_dict(txlog.read_table(spark, root, version=v)) == snap
+
+    # the clone stayed frozen through 6 more source commits...
+    assert _as_dict(txlog.read_table(spark, clone_root)) == clone_state
+    # ...and survives a source vacuum that removes shared file names
+    txlog.vacuum(root, retain_versions=1)
+    assert _as_dict(txlog.read_table(spark, clone_root)) == clone_state
+    assert _as_dict(txlog.read_table(spark, root)) == model

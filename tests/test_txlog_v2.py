@@ -505,3 +505,105 @@ def test_columnar_sidecar_checkpoints(spark, tmp_path, monkeypatch):
     assert any(".ckpt-deadbeef0000" in r for r in removed)
     assert os.path.exists(ref)
     assert txlog.read_table(spark, root, version=0).count() == 1000
+
+
+# ---------------------------------------------------------------- #
+# CLONE (hardlink shallow clone)
+# ---------------------------------------------------------------- #
+
+def test_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    """Clone = the source snapshot's content for zero copied bytes
+    (hard links, verified by inode identity); afterwards the tables
+    evolve independently, stats/schema/config carry over, and — the
+    upgrade over Delta's shallow clone — VACUUMING THE SOURCE cannot
+    break the clone (inode refcounts), nor vice versa."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txlog.create_table(
+        spark,
+        src,
+        spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") % 10).alias("bucket")
+        ).repartition(4),
+    )
+    txlog.optimize(spark, src, target_file_bytes=4 << 10, cluster_by=("id",))
+    v = txlog.clone_table(spark, src, dst)
+    assert v == 0
+    got = txlog.read_table(spark, dst)
+    assert got.count() == 1000
+    # zero-copy: every clone file shares its source inode
+    src_inodes = {
+        os.stat(os.path.join(src, r)).st_ino
+        for r in txlog.snapshot_info(src, 1)["files"]
+    }
+    dst_files = txlog.snapshot_info(dst, 0)["files"]
+    assert all(
+        os.stat(os.path.join(dst, r)).st_ino in src_inodes
+        for r in dst_files
+    )
+    # stats carried: the clone's key-range scan still plans pruned
+    pruned = txlog.scan_table(spark, dst, "id", 100, 160)
+    assert pruned.count() == 61
+    assert len(pruned.inputFiles()) < len(dst_files)
+    # independent evolution: delete on the clone, append on the source
+    txlog.delete_where(spark, dst, "bucket = 3")
+    txlog.append(
+        spark,
+        src,
+        spark.range(5000, 5100).select(F.col("id"), F.lit(0).alias("bucket")),
+    )
+    assert txlog.read_table(spark, dst).count() == 900
+    assert txlog.read_table(spark, src).count() == 1100
+    # source vacuum (drops the clone-shared pre-optimize files AND,
+    # after another optimize, the very files the clone links) must
+    # not break the clone
+    txlog.optimize(spark, src)
+    txlog.vacuum(src, retain_versions=1)
+    assert txlog.read_table(spark, dst).count() == 900
+    # clone vacuum must not break the source
+    txlog.vacuum(dst, retain_versions=1)
+    assert txlog.read_table(spark, src).count() == 1100
+    with pytest.raises(FileExistsError):
+        txlog.clone_table(spark, src, dst)
+
+
+def test_clone_partitioned_and_pinned_version(spark, tmp_path):
+    """Cloning a partitioned table at a PINNED version carries the
+    hive layout + partition pruning; the clone shows the pinned
+    snapshot, not the source head."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txlog.create_table(
+        spark,
+        src,
+        spark.range(0, 400).select(
+            F.col("id"), (F.col("id") % 4).alias("bucket")
+        ),
+        partition_by=("bucket",),
+    )
+    txlog.delete_where(spark, src, "bucket = 0")  # v1
+    txlog.clone_table(spark, src, dst, version=0)  # pre-delete snapshot
+    got = txlog.read_table(spark, dst)
+    assert got.count() == 400
+    assert got.where("bucket = 0").count() == 100
+    pruned = txlog.read_table(spark, dst, partitions={"bucket": [1]})
+    assert pruned.count() == 100
+    assert all("/bucket=1/" in f for f in pruned.inputFiles())
+    # the clone keeps the source's partition config for its own writes
+    txlog.append(
+        spark,
+        dst,
+        spark.range(400, 420).select(
+            F.col("id"), (F.col("id") % 4).alias("bucket")
+        ),
+    )
+    assert all(
+        "/bucket=" in f
+        for f in txlog.snapshot_info(dst, 1)["files"]
+    )
+    hist = txlog.history(spark, dst).orderBy("version").first()
+    import json as _json
+
+    detail = _json.loads(hist["detail"])
+    assert detail["cloned_version"] == 0
+    assert detail["cloned_from"].endswith("src")
