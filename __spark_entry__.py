@@ -61,27 +61,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     key-for-key by the round-10 verdict):
 
       round-11 window (THIS round, executed below) = wordcount
-        + the 5 NEW round-11 registrations
+        + the 7 NEW round-11 registrations
           (txlog_partition_pruned_revenue, type_widening_orders,
-          txlog_checkpoint_log_orders, txlog_clone_orders — the
+          txlog_checkpoint_log_orders, txlog_clone_orders,
+          txlog_zorder_revenue, txlog_constraints_orders — the
           partition-column / type-widening / delta-log+checkpoint /
-          hardlink-CLONE txlog surface — and
+          hardlink-CLONE / OPTIMIZE-ZORDER / CHECK-constraint+
+          metadata-count txlog surface — and
           cdf_stream_dedup_manifest, the streaming change-feed
           consumer)
-        + the first 44 of the r6-certified cohort (ann_ivfpq_topk
-          ... similarity_topk — 5 rounds stale, the oldest cohort)
-          = exactly 50 (wordcount + 5 + 44).
-      round-12 window = wordcount + round-12 registrations + the 5
-          r6-cohort leftovers (stream_converting_clicks,
-          stream_late_data_drop, stream_scd2_user_state,
-          stream_stateful_sessions, weighted_source_sample), then
-          the r7-certified cohort head until full.
+        + the first 42 of the r6-certified cohort (ann_ivfpq_topk
+          ... segment_order_stats_compacted — 5 rounds stale, the
+          oldest cohort) = exactly 50 (wordcount + 7 + 42).
+      round-12 window = wordcount + round-12 registrations + the 7
+          r6-cohort leftovers (semantic_dedup_cells, similarity_topk,
+          stream_converting_clicks, stream_late_data_drop,
+          stream_scd2_user_state, stream_stateful_sessions,
+          weighted_source_sample), then the r7-certified cohort
+          head until full.
       round-13+ = the r7 cohort remainder, then the r9-certified
           cohort, then the r10-certified cohort, then the
           r11-certified cohort, stalest first, forever.
 
-    With 202 queries and 50 slots every query is certified at least
-    once per ceil(202/50) = 5 rounds, and every query — window or
+    With 204 queries and 50 slots every query is certified at least
+    once per ceil(204/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -119,13 +122,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pins source = full corpus, clone = delete complement AFTER
         # the source churn.
         "txlog_clone_orders": relational.txlog_clone_orders,
+        # txlog_zorder_revenue: OPTIMIZE ZORDER as a commit — after
+        # worst-case 2-D scatter, one Z-ordered rewrite makes
+        # manifest-stats scans prune on EITHER dimension; the output
+        # pins a per-dimension pruned flag alongside the plain-SQL
+        # aggregate.
+        "txlog_zorder_revenue": relational.txlog_zorder_revenue,
+        # txlog_constraints_orders: ALTER TABLE ADD CONSTRAINT + the
+        # metadata-only COUNT — a violating append is rejected with
+        # nothing committed (blocked=1, version unchanged), and the
+        # output row count comes from manifest metadata alone, pinned
+        # against the oracle's real COUNT.
+        "txlog_constraints_orders": relational.txlog_constraints_orders,
         # cdf_stream_dedup_manifest: the change feed consumed as a
         # STREAM through a durable version cursor (one commit per
         # micro-batch); SAME oracle as the batch CDF consumer and the
         # full replay, so the hash match certifies stream == batch ==
         # replay.
         "cdf_stream_dedup_manifest": textops.cdf_stream_dedup_manifest,
-        # ===== round-11 window: r6-certified cohort head (44 of 49;
+        # ===== round-11 window: r6-certified cohort head (42 of 49;
         # last driver row in round 6 — five rounds stale) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
@@ -171,10 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_order_stats_compacted": (
             relational.segment_order_stats_compacted
         ),
-        "semantic_dedup_cells": vectors.semantic_dedup_cells,
-        "similarity_topk": vectors.similarity_topk,
         # ================= end of the 50-slot checked window =================
         # ----- r6-certified cohort leftovers (round-12 window head) -----
+        "semantic_dedup_cells": vectors.semantic_dedup_cells,
+        "similarity_topk": vectors.similarity_topk,
         "stream_converting_clicks": streams.stream_converting_clicks,
         "stream_late_data_drop": streams.stream_late_data_drop,
         "stream_scd2_user_state": streams.stream_scd2_user_state,

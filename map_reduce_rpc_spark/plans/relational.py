@@ -4378,3 +4378,164 @@ RELATIONAL_ORACLES["txlog_clone_orders"] = f"""
     FROM orders
     ORDER BY label
 """
+
+
+def txlog_zorder_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the transactional table certified end-to-end
+    (sources/txlog.py optimize(zorder_by=...) — the Delta OPTIMIZE
+    ZORDER BY verb): lineitem's (l_orderkey, l_partkey, price) is
+    created as 4 round-robin files (every file spans the FULL range of
+    both keys — worst-case scatter), then one Z-ordered optimize
+    commit rewrites the table into ~12 files each covering a small
+    hyper-rectangle of the 2-D key space. The query range-filters on
+    BOTH dimensions via scan_table (manifest-stats planning-time
+    pruning) and emits, alongside the aggregate the oracle can state
+    in plain SQL, one pruned flag PER DIMENSION (1 iff the scan
+    planned strictly fewer files than the snapshot holds) — the
+    property 1-D clustering cannot deliver for the second column.
+    Output: (n_rows, cents, pruned_orderkey, pruned_partkey)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "lineitem_tx")
+        txlog.create_table(
+            spark,
+            root,
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+            .repartition(4),
+        )
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in txlog.snapshot_info(root, 0)["files"]
+        )
+        txlog.optimize(
+            spark,
+            root,
+            target_file_bytes=max(8 << 10, total // 12),
+            zorder_by=("l_orderkey", "l_partkey"),
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_zorder_lineitem", ("lineitem",), build
+    )
+    root = os.path.join(base_dir, "lineitem_tx")
+    bounds = txlog.read_table(spark, root).agg(
+        F.max("l_orderkey").alias("mk"), F.max("l_partkey").alias("mp")
+    ).first()
+    khi = int(bounds["mk"]) // 4
+    plo, phi = int(bounds["mp"]) // 4, int(bounds["mp"]) // 2
+    n_total = len(txlog.snapshot_info(root, txlog.current_version(root))["files"])
+    k_scan = txlog.scan_table(spark, root, "l_orderkey", 0, khi)
+    p_scan = txlog.scan_table(spark, root, "l_partkey", plo, phi)
+    pruned_k = int(0 < len(k_scan.inputFiles()) < n_total)
+    pruned_p = int(0 < len(p_scan.inputFiles()) < n_total)
+    return k_scan.where(
+        (F.col("l_partkey") >= plo) & (F.col("l_partkey") <= phi)
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("long")
+        .alias("cents"),
+        F.lit(pruned_k).cast("long").alias("pruned_orderkey"),
+        F.lit(pruned_p).cast("long").alias("pruned_partkey"),
+    )
+
+
+RELATIONAL_ORACLES["txlog_zorder_revenue"] = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS pruned_orderkey,
+           CAST(1 AS BIGINT) AS pruned_partkey
+    FROM lineitem
+    WHERE l_orderkey <= (SELECT CAST(floor(max(l_orderkey) / 4) AS BIGINT) FROM lineitem)
+      AND l_partkey BETWEEN
+          (SELECT CAST(floor(max(l_partkey) / 4) AS BIGINT) FROM lineitem)
+          AND (SELECT CAST(floor(max(l_partkey) / 2) AS BIGINT) FROM lineitem)
+"""
+
+
+def txlog_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + metadata-only COUNT certified end-to-end
+    (sources/txlog.py add_constraint / row_count — the Delta
+    ALTER TABLE ADD CONSTRAINT and metadata-only-query verbs): orders
+    create the table; a cents >= 0 CHECK is added (validated against
+    the whole snapshot first); a conforming batch (the %97=5 slice,
+    keys negated) appends; a VIOLATING batch (negative cents) is
+    rejected loudly and must leave no trace. The output's row count
+    comes from :func:`row_count` — manifest metadata only, zero data
+    IO — so the oracle's plain COUNT certifies the metadata ledger
+    exactly; ``blocked`` pins that the violating append raised AND
+    the version count shows nothing committed for it. Output:
+    (n_rows_metadata, total_cents, n_constraints, blocked)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        txlog.create_table(spark, root, base.repartition(8))
+        txlog.add_constraint(spark, root, "cents_nonneg", "cents >= 0")
+        good = base.where("o_orderkey % 97 = 5").select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "cents"
+        )
+        v_before_bad = txlog.append(spark, root, good)
+        bad = base.limit(10).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            (-F.col("cents")).alias("cents"),
+        )
+        blocked = 0
+        try:
+            txlog.append(spark, root, bad)
+        except ValueError:
+            blocked = 1
+        # the rejected batch must have committed NOTHING
+        if txlog.current_version(root) != v_before_bad:
+            blocked = 0
+        with open(os.path.join(tmp, "_mark"), "w") as fh:
+            fh.write(str(blocked))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_constraints_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    with open(os.path.join(base_dir, "_mark")) as fh:
+        blocked = int(fh.read().strip())
+    n_meta = txlog.row_count(root)  # metadata only: zero data IO
+    n_cons = len(txlog.constraints(root))
+    return txlog.read_table(spark, root).agg(
+        F.lit(n_meta).cast("long").alias("n_rows_metadata"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(n_cons).cast("long").alias("n_constraints"),
+        F.lit(blocked).cast("long").alias("blocked"),
+    )
+
+
+RELATIONAL_ORACLES["txlog_constraints_orders"] = """
+    SELECT (SELECT count(*) FROM orders)
+           + (SELECT count(*) FROM orders WHERE o_orderkey % 97 = 5)
+               AS n_rows_metadata,
+           (SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) FROM orders)
+           + (SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT)
+              FROM orders WHERE o_orderkey % 97 = 5)
+               AS total_cents,
+           CAST(1 AS BIGINT) AS n_constraints,
+           CAST(1 AS BIGINT) AS blocked
+"""

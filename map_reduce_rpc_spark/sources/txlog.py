@@ -339,12 +339,17 @@ def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
     read per newly staged file, no data scanned. Only JSON-plain
     values (int/float/str) are kept — a column absent from a file's
     stats map simply can't prune that file, never a correctness
-    issue."""
+    issue. Each file's ROW COUNT rides along under the reserved
+    ``#rows`` key ('#' cannot start a parquet field name written by
+    this engine's aligned frames), which is what lets
+    :func:`row_count` answer COUNT(*) from metadata alone — the Delta
+    metadata-only-query optimization."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
     for rel in rels:
         md = pq.read_metadata(os.path.join(root, rel))
+        rows_entry = {"#rows": int(md.num_rows)}
         names = md.schema.names
         per_col: dict[str, list] = {}
         for rg in range(md.num_row_groups):
@@ -373,8 +378,31 @@ def _collect_stats(root: str, rels: list[str]) -> dict[str, dict]:
                     if cur is None
                     else [min(cur[0], mn), max(cur[1], mx)]
                 )
-        out[rel] = {c: v for c, v in per_col.items() if v is not None}
+        out[rel] = {
+            **rows_entry,
+            **{c: v for c, v in per_col.items() if v is not None},
+        }
     return out
+
+
+def row_count(root: str, version: int | None = None) -> int | None:
+    """COUNT(*) from metadata alone (the Delta metadata-only-query
+    optimization): sum of the per-file ``#rows`` recorded at commit
+    time — zero data IO, zero Spark jobs, O(files) driver arithmetic
+    on the resolved snapshot. Returns None when any file predates the
+    row-count recording (legacy tables): the caller falls back to a
+    real count, never a wrong one."""
+    v = current_version(root) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    snap = snapshot_info(root, v)
+    total = 0
+    for rel in snap["files"]:
+        n = snap["stats"].get(rel, {}).get("#rows")
+        if n is None:
+            return None
+        total += int(n)
+    return total
 
 
 def _cast_is_lossless(src, dst) -> bool:
@@ -610,6 +638,14 @@ def _commit_version(
         "ts": time.time(),
         **extra,
     }
+    # CHECK constraints carry cumulatively like the txn map, unless
+    # this commit explicitly sets them (add/drop_constraint)
+    if "constraints" not in m and v_new > 0:
+        parent_cons = _read_manifest(root, v_new - 1).get("constraints")
+        if parent_cons:
+            m["constraints"] = dict(parent_cons)
+    if not m.get("constraints"):
+        m.pop("constraints", None)
     if schema_json is not None:
         m["schema"] = schema_json
     full = op in ("create", "restore", "optimize") or v_new % ce == 0
@@ -760,19 +796,40 @@ def scan_table(
     At 10^5 files this is the difference between "list, open, and
     footer-read every file to discover 99% are irrelevant" and "open
     the handful a clustered layout puts the range in" — Iceberg's
-    manifest-level scan planning. Pairs with optimize(cluster_by=col),
-    which is what makes the per-file ranges narrow."""
+    manifest-level scan planning. Pairs with optimize(cluster_by=col)
+    / optimize(zorder_by=...), which is what makes the per-file
+    ranges narrow. A PARTITION column (absent from footers) prunes by
+    its hive path value instead — numeric compare when the bounds are
+    numeric, lexicographic otherwise (exact for ISO dates)."""
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
     snap = snapshot_info(root, v)
     stats = snap["stats"]
-    pruned = [
-        rel
-        for rel in snap["files"]
-        if (rng := stats.get(rel, {}).get(col)) is None
-        or (rng[0] <= hi and rng[1] >= lo)
-    ]
+    if col in _table_config(root)["partition_by"]:
+        def _pv(rel):
+            raw = partition_values(rel).get(col)
+            if raw is None:
+                return None
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+                try:
+                    return type(lo)(raw) if "." not in raw else float(raw)
+                except ValueError:
+                    return None
+            return raw
+
+        pruned = [
+            rel
+            for rel in snap["files"]
+            if (pv := _pv(rel)) is None or lo <= pv <= hi
+        ]
+    else:
+        pruned = [
+            rel
+            for rel in snap["files"]
+            if (rng := stats.get(rel, {}).get(col)) is None
+            or (rng[0] <= hi and rng[1] >= lo)
+        ]
     schema = _snapshot_schema(spark, root, v)
     return _read_files(spark, root, pruned, schema).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
@@ -815,12 +872,14 @@ def append(
     files: list[str] | None = None
     staged_schema = None
     new_stats: dict = {}
+    checked_cons: set[str] = set()
     for _ in range(max_retries):
         v = current_version(root)
         parent_m = _read_manifest(root, v)
         txn = dict(parent_m.get("txn", {}))
         if app_id is not None and txn.get(app_id, -1) >= txn_version:
             return v  # duplicate delivery: already committed
+        cons = dict(parent_m.get("constraints", {}))
         tbl_schema = _snapshot_schema(spark, root, v)
         if files is None:
             pby = _table_config(root)["partition_by"]
@@ -831,11 +890,22 @@ def append(
                 )
             evolved = _merge_struct(tbl_schema, df.schema, merge_schema)
             target = evolved if evolved is not None else tbl_schema
-            files = _stage_files(
-                spark, root, _align_df(df, target), partition_by=pby
-            )
+            aligned = _align_df(df, target)
+            _validate_constraints(aligned, cons)
+            checked_cons = set(cons)
+            files = _stage_files(spark, root, aligned, partition_by=pby)
             new_stats = _collect_stats(root, files)
             staged_schema = target
+        elif set(cons) - checked_cons:
+            # a concurrent add_constraint landed between our staging
+            # and this retry: validate the already-staged batch
+            # against the NEW rules (O(batch) re-read)
+            fresh = {n: p for n, p in cons.items() if n not in checked_cons}
+            _validate_constraints(
+                _read_files(spark, root, files, staged_schema), fresh
+            )
+            checked_cons |= set(fresh)
+            evolved = _merge_struct(tbl_schema, staged_schema, True)
         else:
             # retrying against a NEW parent: re-derive the evolution
             # so a concurrent writer's schema change survives (merge
@@ -905,18 +975,22 @@ def merge(
         raise ValueError("app_id and txn_version come together")
     upd_files: list[str] | None = None
     aligned: DataFrame | None = None
+    checked_cons: set[str] = set()
     for _ in range(max_retries):
         v = current_version(root)
         parent_m = _read_manifest(root, v)
         txn = dict(parent_m.get("txn", {}))
         if app_id is not None and txn.get(app_id, -1) >= txn_version:
             return v  # duplicate delivery: already committed
+        cons = dict(parent_m.get("constraints", {}))
         psnap = snapshot_info(root, v)
         if upd_files is None:
             tbl_schema = _snapshot_schema(spark, root, v)
             _merge_struct(tbl_schema, updates.schema, False)  # validate
             aligned = _align_df(updates, tbl_schema)
             aligned = aligned.localCheckpoint()  # stable across re-probes
+            _validate_constraints(aligned, cons)
+            checked_cons = set(cons)
             null_pred = " OR ".join(f"`{k}` IS NULL" for k in key_cols)
             n_null = aligned.where(null_pred).count()
             if n_null:
@@ -934,6 +1008,12 @@ def merge(
                 )
             pby = _table_config(root)["partition_by"]
             upd_files = _stage_files(spark, root, aligned, partition_by=pby)
+        elif set(cons) - checked_cons:
+            # concurrent add_constraint during our retry window:
+            # validate the (checkpointed) batch against the new rules
+            fresh = {n: p for n, p in cons.items() if n not in checked_cons}
+            _validate_constraints(aligned, fresh)
+            checked_cons |= set(fresh)
         keys = aligned.select(*key_cols).distinct()
         # manifest-stats prefilter (single-key merges): a file whose
         # recorded [min, max] for the key cannot overlap the batch's
@@ -1098,6 +1178,8 @@ def optimize(
     target_file_bytes: int = 128 << 20,
     max_retries: int = 20,
     cluster_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
+    zorder_bits: int = 12,
 ) -> int:
     """Compaction as a COMMIT (the Delta/Iceberg OPTIMIZE verb): the
     current snapshot's files are rewritten into
@@ -1121,13 +1203,26 @@ def optimize(
     directory).
 
     ``cluster_by`` makes the rewrite ALSO restore data clustering
-    (the Delta ``OPTIMIZE ... ZORDER``/Iceberg sort-order shape):
-    rows are range-partitioned + sorted within files on the given
-    columns, so after many unclustered appends/merges scatter the key
-    space, one optimize brings back footer min/max file skipping for
-    filters on those columns. For multi-dimension clustering compose
-    a Morton key upstream (``sources/sinks.zorder_key``) and pass it
-    here."""
+    (the Iceberg sort-order shape): rows are range-partitioned +
+    sorted within files on the given columns, so after many
+    unclustered appends/merges scatter the key space, one optimize
+    brings back footer min/max file skipping for filters on those
+    columns.
+
+    ``zorder_by`` is the multi-dimension form — the Delta
+    ``OPTIMIZE ... ZORDER BY`` verb: one calibration agg computes
+    each column's [min, max], a Morton-interleaved key
+    (``sources/sinks.zorder_key``, pure codegen — no UDF, no extra
+    shuffle beyond the rewrite's own) range-partitions + sorts the
+    rewrite, and the key is dropped before writing. Each output file
+    then covers a small hyper-rectangle of the value space, so footer
+    min/max stats — and therefore the manifest stats that
+    :func:`scan_table` and the MERGE probe prune on — skip files for
+    predicates on ANY clustered column, where 1-D clustering prunes
+    only its leading one. Numeric columns only (cast upstream for
+    dates). Mutually exclusive with ``cluster_by``."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by or zorder_by, not both")
     for _ in range(max_retries):
         v = current_version(root)
         psnap = snapshot_info(root, v)
@@ -1141,13 +1236,34 @@ def optimize(
             spark, root, psnap["files"], _snapshot_schema(spark, root, v)
         )
         pby = _table_config(root)["partition_by"]
-        order = list(pby) + [c for c in cluster_by if c not in pby]
-        if order:
-            out = df.repartitionByRange(n, *order).sortWithinPartitions(
-                *order
+        if zorder_by:
+            from .sinks import zorder_key
+
+            row = df.agg(
+                *[F.min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(c).alias(f"hi{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            mins = [float(row[f"lo{i}"]) for i in range(len(zorder_by))]
+            maxs = [float(row[f"hi{i}"]) for i in range(len(zorder_by))]
+            keyed = df.withColumn(
+                "_zkey",
+                zorder_key(
+                    [F.col(c) for c in zorder_by], mins, maxs, zorder_bits
+                ),
+            )
+            out = (
+                keyed.repartitionByRange(n, *pby, "_zkey")
+                .sortWithinPartitions(*pby, "_zkey")
+                .drop("_zkey")
             )
         else:
-            out = df.repartition(n)
+            order = list(pby) + [c for c in cluster_by if c not in pby]
+            if order:
+                out = df.repartitionByRange(n, *order).sortWithinPartitions(
+                    *order
+                )
+            else:
+                out = df.repartition(n)
         files = _stage_files(spark, root, out, partition_by=pby)
         ok = _commit_version(
             root,
@@ -1162,6 +1278,7 @@ def optimize(
             {
                 "compacted_from": len(psnap["files"]),
                 **({"cluster_by": list(cluster_by)} if cluster_by else {}),
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
             },
         )
         if ok:
@@ -1174,6 +1291,7 @@ def read_changes(
     root: str,
     from_version: int,
     to_version: int | None = None,
+    partitions: dict | None = None,
 ) -> DataFrame:
     """Change data feed: the row-level changes a consumer checkpointed
     at snapshot ``from_version`` needs to catch up to ``to_version``
@@ -1194,7 +1312,14 @@ def read_changes(
     fallback when pre/post images aren't logged). At 100 TB this is
     what makes incremental consumers O(delta) instead of O(corpus) —
     the difference between re-deduping a batch and re-deduping the
-    internet."""
+    internet.
+
+    ``partitions`` narrows the feed to matching hive partitions at
+    PLANNING time (each commit's touched-file lists are path-pruned
+    before any read — a per-partition consumer pays only its own
+    partition's changes). Exact because a file holds exactly one
+    partition tuple, so pruning can never split a delete/insert pair
+    whose rows the residual filter would keep."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     cur = current_version(root)
@@ -1228,6 +1353,9 @@ def read_changes(
             added = sorted(m.get("add", []))
             removed = sorted(m.get("remove", []))
             prev = (prev - set(removed)) | set(added)
+        if partitions:
+            added = _prune_partitions(root, added, partitions)
+            removed = _prune_partitions(root, removed, partitions)
         if not added and not removed:
             continue
         a = _read_files(spark, root, added, out_schema)
@@ -1246,6 +1374,116 @@ def read_changes(
     if out is None:
         return spark.createDataFrame([], cdf_schema)
     return out
+
+
+def constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK constraints in force at a version: {name: sql
+    predicate}, carried cumulatively in every manifest (like the txn
+    map)."""
+    v = current_version(root) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    return dict(_read_manifest(root, v).get("constraints", {}))
+
+
+def _validate_constraints(df: DataFrame, cons: dict[str, str]) -> None:
+    """ONE aggregation job counts violations per constraint (SQL CHECK
+    semantics: NULL predicate results pass). Raises listing every
+    violated constraint with its row count — incompatible writes FAIL,
+    never corrupt."""
+    if not cons:
+        return
+    names = list(cons)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.expr(cons[n]), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    bad = {
+        n: int(row[f"c{i}"])
+        for i, n in enumerate(names)
+        if row[f"c{i}"]
+    }
+    if bad:
+        raise ValueError(
+            "CHECK constraint violation: "
+            + ", ".join(
+                f"{n!r} ({cons[n]}) fails on {k} rows"
+                for n, k in bad.items()
+            )
+        )
+
+
+def add_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    predicate: str,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (the Delta CHECK-constraint verb):
+    validates the predicate against the ENTIRE current snapshot (one
+    scan — a constraint that existing rows violate is refused, like
+    Delta's DELTA_NEW_CHECK_CONSTRAINT_VIOLATION), then commits it
+    into the manifest; every later append/merge validates its batch
+    (O(batch), one agg job) and fails loudly on violation. Committed
+    as its own version, so constraints are time-travel-consistent:
+    a snapshot read shows the rules that were in force."""
+    for _ in range(max_retries):
+        v = current_version(root)
+        cons = dict(_read_manifest(root, v).get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        _validate_constraints(read_table(spark, root, version=v), {name: predicate})
+        cons[name] = predicate
+        ok = _commit_version(
+            root,
+            v + 1,
+            "add_constraint",
+            snapshot_info(root, v),
+            [],
+            [],
+            {},
+            dict(_read_manifest(root, v).get("txn", {})),
+            None,
+            {"constraints": cons, "constraint": name, "predicate": predicate},
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"add_constraint lost {max_retries} races at {root}")
+
+
+def drop_constraint(
+    spark: SparkSession, root: str, name: str, max_retries: int = 20
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes the named check as a
+    commit (unknown names are a loud error)."""
+    for _ in range(max_retries):
+        v = current_version(root)
+        cons = dict(_read_manifest(root, v).get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        cons.pop(name)
+        ok = _commit_version(
+            root,
+            v + 1,
+            "drop_constraint",
+            snapshot_info(root, v),
+            [],
+            [],
+            {},
+            dict(_read_manifest(root, v).get("txn", {})),
+            None,
+            {"constraints": cons, "constraint": name},
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"drop_constraint lost {max_retries} races at {root}")
 
 
 def clone_table(
@@ -1311,6 +1549,12 @@ def clone_table(
         {
             "cloned_from": os.path.abspath(src_root),
             "cloned_version": v,
+            # the snapshot's CHECK constraints travel with the clone
+            **(
+                {"constraints": dict(_read_manifest(src_root, v).get("constraints", {}))}
+                if _read_manifest(src_root, v).get("constraints")
+                else {}
+            ),
             **(
                 {"partition_by": cfg["partition_by"]}
                 if cfg["partition_by"]
@@ -1395,11 +1639,14 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "probed",
                 "compacted_from",
                 "cluster_by",
+                "zorder_by",
                 "restored_from",
                 "partition_by",
                 "checkpoint",
                 "cloned_from",
                 "cloned_version",
+                "constraint",
+                "predicate",
             )
             if k in m
         }
@@ -1429,7 +1676,11 @@ def history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def vacuum(root: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    root: str,
+    retain_versions: int = 1,
+    retain_hours: float | None = None,
+) -> list[str]:
     """Remove data files referenced by NO manifest newer than
     (current - retain_versions), plus orphaned staging garbage and
     stale temp manifests leaked by crashed writers (.tmp-*.json older
@@ -1439,11 +1690,14 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     ``_try_commit``). Returns removed paths.
 
     Retention contract: ``retain_versions >= 1`` (refused otherwise —
-    0 would delete the CURRENT snapshot's files). Time travel keeps
-    working for retained versions; an OLDER pinned version — or a
-    DataFrame handle resolved before the vacuum — can fail mid-scan
-    once its files are gone, exactly Delta's documented VACUUM hazard:
-    size the retention window to your longest-running reader."""
+    0 would delete the CURRENT snapshot's files). ``retain_hours``
+    ADDITIONALLY keeps every version committed within the window (the
+    Delta time-based RETAIN form — size it to your longest-running
+    reader); the effective retention is the union of both rules. Time
+    travel keeps working for retained versions; an OLDER pinned
+    version — or a DataFrame handle resolved before the vacuum — can
+    fail mid-scan once its files are gone, exactly Delta's documented
+    VACUUM hazard."""
     if retain_versions < 1:
         raise ValueError(
             "retain_versions must be >= 1 (0 would delete the current "
@@ -1451,6 +1705,17 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
         )
     cur = current_version(root)
     keep_from = max(0, cur - retain_versions + 1)
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600
+        keep_from_hours = next(
+            (
+                v
+                for v in range(cur + 1)
+                if _read_manifest(root, v).get("ts", 0) >= cutoff
+            ),
+            cur,
+        )
+        keep_from = min(keep_from, keep_from_hours)
     referenced: set[str] = set()
     for v in range(keep_from, cur + 1):
         referenced.update(snapshot_info(root, v)["files"])

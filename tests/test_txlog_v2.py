@@ -607,3 +607,275 @@ def test_clone_partitioned_and_pinned_version(spark, tmp_path):
     detail = _json.loads(hist["detail"])
     assert detail["cloned_version"] == 0
     assert detail["cloned_from"].endswith("src")
+
+
+# ---------------------------------------------------------------- #
+# OPTIMIZE ZORDER
+# ---------------------------------------------------------------- #
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER as a commit: after 4 scattered round-robin
+    files (every file spans the full range of BOTH columns), a
+    Z-ordered optimize gives each file a small hyper-rectangle — a
+    narrow predicate on EITHER column overlaps at most half the
+    files' manifest stats, where 1-D clustering would prune only its
+    leading column. Logical content identical; manifest records the
+    zorder_by detail; scan_table plans pruned on both columns."""
+    root = str(tmp_path / "tx")
+    side = 64
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, side * side).select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        ).repartition(4),
+    )
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for f in txlog.snapshot_info(root, 0)["files"]
+    )
+    v = txlog.optimize(
+        spark,
+        root,
+        target_file_bytes=max(1 << 10, total // 16),
+        zorder_by=("x", "y"),
+    )
+    m = _manifest(root, v)
+    assert m["zorder_by"] == ["x", "y"]
+    snap = txlog.snapshot_info(root, v)
+    n_files = len(snap["files"])
+    assert n_files >= 8
+
+    def overlapping(col, lo, hi):
+        return sum(
+            1
+            for rel in snap["files"]
+            if (rng := snap["stats"][rel].get(col)) is not None
+            and rng[0] <= hi
+            and rng[1] >= lo
+        )
+
+    # a 4/64 band on EITHER axis overlaps a clear minority of the
+    # z-blocks (60% bound absorbs range-sampling variance; 1-D
+    # clustering would put the second dimension at 100%)
+    assert overlapping("x", 10, 13) <= (n_files * 3) // 5
+    assert overlapping("y", 10, 13) <= (n_files * 3) // 5
+    # content identical + both-dimension planning-time pruning
+    got = txlog.read_table(spark, root)
+    assert got.count() == side * side
+    assert got.agg(F.sum("payload")).first()[0] == (
+        side * side * (side * side - 1) // 2
+    )
+    for col in ("x", "y"):
+        scanned = txlog.scan_table(spark, root, col, 10, 13)
+        assert scanned.count() == 4 * side
+        assert len(scanned.inputFiles()) <= (n_files * 3) // 5
+
+
+# ---------------------------------------------------------------- #
+# CHECK constraints, metadata row counts, time-based retention
+# ---------------------------------------------------------------- #
+
+def test_check_constraints_enforced_on_append_and_merge(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data first (a violated rule
+    is refused), then every append/merge validates its batch in one
+    agg job; NULL predicate results pass (SQL CHECK semantics); DROP
+    lifts the rule; constraints survive clones and appear in
+    history."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 100).select(F.col("id"), F.lit(5).alias("bucket")),
+    )
+    # a rule the existing rows violate is refused outright
+    with pytest.raises(ValueError, match="violation.*100 rows"):
+        txlog.add_constraint(spark, root, "neg", "bucket < 0")
+    v = txlog.add_constraint(spark, root, "bucket_range", "bucket BETWEEN 0 AND 9")
+    assert txlog.constraints(root) == {"bucket_range": "bucket BETWEEN 0 AND 9"}
+    # violating append fails loudly, table unchanged
+    with pytest.raises(ValueError, match="bucket_range"):
+        txlog.append(
+            spark,
+            root,
+            spark.range(100, 110).select(F.col("id"), F.lit(42).alias("bucket")),
+        )
+    assert txlog.current_version(root) == v
+    assert txlog.read_table(spark, root).count() == 100
+    # conforming append passes; NULLs pass (SQL CHECK)
+    txlog.append(
+        spark,
+        root,
+        spark.range(100, 105).select(
+            F.col("id"),
+            F.when(F.col("id") == 101, None).otherwise(F.lit(3)).alias("bucket"),
+        ),
+    )
+    assert txlog.read_table(spark, root).count() == 105
+    # violating merge fails; conforming merge passes
+    with pytest.raises(ValueError, match="bucket_range"):
+        txlog.merge(
+            spark,
+            root,
+            spark.range(0, 3).select(F.col("id"), F.lit(-7).alias("bucket")),
+            ("id",),
+        )
+    txlog.merge(
+        spark,
+        root,
+        spark.range(0, 3).select(F.col("id"), F.lit(9).alias("bucket")),
+        ("id",),
+    )
+    assert txlog.read_table(spark, root).where("bucket = 9").count() == 3
+    # constraints travel with clones
+    clone = str(tmp_path / "clone")
+    txlog.clone_table(spark, root, clone)
+    assert txlog.constraints(clone) == txlog.constraints(root)
+    with pytest.raises(ValueError, match="bucket_range"):
+        txlog.append(
+            spark,
+            clone,
+            spark.range(500, 502).select(F.col("id"), F.lit(99).alias("bucket")),
+        )
+    # drop lifts the rule
+    txlog.drop_constraint(spark, root, "bucket_range")
+    assert txlog.constraints(root) == {}
+    txlog.append(
+        spark,
+        root,
+        spark.range(200, 202).select(F.col("id"), F.lit(99).alias("bucket")),
+    )
+    with pytest.raises(ValueError, match="no such constraint"):
+        txlog.drop_constraint(spark, root, "bucket_range")
+    ops = [r["op"] for r in txlog.history(spark, root).orderBy("version").collect()]
+    assert "add_constraint" in ops and "drop_constraint" in ops
+
+
+def test_concurrent_add_constraint_revalidates_staged_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint committed BETWEEN a writer's staging and its
+    commit retry must still gate that writer: the retry re-validates
+    the already-staged batch against the new rule and fails instead
+    of committing around it."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 10).select(F.col("id"), F.lit(1).alias("bucket")),
+    )
+    bad = spark.range(10, 15).select(F.col("id"), F.lit(77).alias("bucket"))
+    orig = txlog._try_commit
+    state = {"injected": False}
+
+    def racing_commit(r, version, manifest):
+        if not state["injected"] and r == root and manifest.get("op") == "append":
+            state["injected"] = True
+            txlog.add_constraint(spark, root, "small", "bucket < 50")
+        return orig(r, version, manifest)
+
+    monkeypatch.setattr(txlog, "_try_commit", racing_commit)
+    with pytest.raises(ValueError, match="small"):
+        txlog.append(spark, root, bad)
+    monkeypatch.setattr(txlog, "_try_commit", orig)
+    assert state["injected"]
+    assert txlog.read_table(spark, root).where("bucket = 77").count() == 0
+
+
+def test_metadata_row_count(spark, tmp_path):
+    """COUNT(*) from manifest metadata alone — exact across create /
+    append / delete / merge / optimize / clone, zero Spark jobs."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("bucket")),
+    )
+    assert txlog.row_count(root) == 1000
+    txlog.append(spark, root, spark.range(1000, 1234).select(
+        F.col("id"), F.lit(1).alias("bucket")))
+    assert txlog.row_count(root) == 1234
+    txlog.delete_where(spark, root, "bucket = 3")
+    expect = txlog.read_table(spark, root).count()
+    assert txlog.row_count(root) == expect
+    txlog.merge(
+        spark,
+        root,
+        spark.range(5000, 5010).select(F.col("id"), F.lit(0).alias("bucket")),
+        ("id",),
+    )
+    assert txlog.row_count(root) == expect + 10
+    txlog.optimize(spark, root)
+    assert txlog.row_count(root) == expect + 10
+    # time travel counts too
+    assert txlog.row_count(root, version=0) == 1000
+    clone = str(tmp_path / "clone")
+    txlog.clone_table(spark, root, clone)
+    assert txlog.row_count(clone) == expect + 10
+
+
+def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
+    """Time-based retention: versions committed inside the window keep
+    their files even when retain_versions alone would drop them."""
+    import json as _json
+
+    root = str(tmp_path / "tx")
+    txlog.create_table(spark, root, spark.range(0, 50).select(F.col("id")))
+    txlog.optimize(spark, root)  # v1 rewrites everything
+    txlog.optimize(spark, root, target_file_bytes=1 << 30)  # v2
+    # age v0's manifest far outside the window (rewrite its ts)
+    p = txlog._manifest_path(root, 0)
+    m = _json.load(open(p))
+    m["ts"] = m["ts"] - 100 * 3600
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    removed = txlog.vacuum(root, retain_versions=1, retain_hours=48)
+    # v1 + v2 are inside the 48h window: both stay readable;
+    # v0 (aged out AND beyond retain_versions) lost its files
+    assert txlog.read_table(spark, root, version=1).count() == 50
+    assert txlog.read_table(spark, root, version=2).count() == 50
+    assert removed, "v0's unshared files should have been vacuumed"
+
+
+def test_scan_table_prunes_on_partition_column(spark, ptable):
+    """scan_table on a PARTITION column prunes by hive path values
+    (partition columns have no footer stats): a 2-value range plans
+    only those partitions' files, result exact."""
+    scanned = txlog.scan_table(spark, ptable, "bucket", 1, 2)
+    assert scanned.count() == 500
+    assert all(
+        "/bucket=1/" in f or "/bucket=2/" in f
+        for f in scanned.inputFiles()
+    )
+    full_n = len(txlog.read_table(spark, ptable).inputFiles())
+    assert 0 < len(scanned.inputFiles()) < full_n
+
+
+def test_read_changes_partition_filtered(spark, ptable):
+    """A partition-filtered change feed pays only its partition's
+    changes: touched-file lists are path-pruned per commit before any
+    read, and the rows match the unfiltered feed's subset exactly."""
+    txlog.append(
+        spark,
+        ptable,
+        spark.range(1000, 1100).select(
+            F.col("id"), (F.col("id") % 4).alias("bucket")
+        ),
+    )  # v1: 25 rows per bucket
+    txlog.delete_where(spark, ptable, "bucket = 2 AND id < 50")  # v2
+    feed = txlog.read_changes(spark, ptable, 0, partitions={"bucket": 2})
+    assert feed.where("bucket != 2").count() == 0
+    by = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["insert"] == 25  # v1's bucket-2 slice only
+    assert by["delete"] == 12  # ids {2,6,...,46} in bucket 2
+    # planning-time: only bucket=2 files were read
+    assert all("/bucket=2/" in f for f in feed.inputFiles())
+    # equals the unfiltered feed's subset
+    full = txlog.read_changes(spark, ptable, 0).where("bucket = 2")
+    assert feed.exceptAll(full).count() == 0
+    assert full.exceptAll(feed).count() == 0
