@@ -879,3 +879,68 @@ def test_read_changes_partition_filtered(spark, ptable):
     full = txlog.read_changes(spark, ptable, 0).where("bucket = 2")
     assert feed.exceptAll(full).count() == 0
     assert full.exceptAll(feed).count() == 0
+
+
+# ---------------------------------------------------------------- #
+# multi-writer stress
+# ---------------------------------------------------------------- #
+
+def test_four_concurrent_writers_mixed_verbs_serialize(spark, tmp_path):
+    """4 writers race append -> merge -> append chains on DISJOINT row
+    sets (operations on disjoint rows commute, so the final state is
+    deterministic under ANY serialization): the optimistic-commit
+    protocol must serialize all 12 commits with no lost updates, no
+    extra versions, and every loser's re-probe/re-stage landing on
+    top of whatever interleaving happened."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 50).select(F.col("id"), F.lit(-1).alias("bucket")),
+    )
+    errs: list[Exception] = []
+
+    def work(t: int) -> None:
+        try:
+            lo = 10_000 * (t + 1)
+            txlog.append(
+                spark,
+                root,
+                spark.range(lo, lo + 100).select(
+                    F.col("id"), F.lit(t).alias("bucket")
+                ),
+            )
+            txlog.merge(
+                spark,
+                root,
+                spark.range(lo, lo + 50).select(
+                    F.col("id"), F.lit(100 + t).alias("bucket")
+                ),
+                ("id",),
+            )
+            txlog.append(
+                spark,
+                root,
+                spark.range(lo + 200, lo + 250).select(
+                    F.col("id"), F.lit(200 + t).alias("bucket")
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(t,)) for t in range(4)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    assert txlog.current_version(root) == 12  # create + exactly 12 commits
+    got = txlog.read_table(spark, root)
+    assert got.count() == 50 + 4 * 150
+    for t in range(4):
+        assert got.where(f"bucket = {t}").count() == 50
+        assert got.where(f"bucket = {100 + t}").count() == 50
+        assert got.where(f"bucket = {200 + t}").count() == 50
+    assert got.where("bucket = -1").count() == 50  # base rows untouched
+    # metadata ledger stayed exact through the races
+    assert txlog.row_count(root) == 50 + 4 * 150
