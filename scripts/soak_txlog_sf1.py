@@ -153,6 +153,47 @@ def main() -> None:
     ]
     assert m_local["probed"] < n_files_b, "local batch was not pruned"
 
+    # ---- phase C (round 11): hive partition columns at sf1 ----
+    # One partition of a 1.5M-row 5-way-partitioned table costs ~1/5
+    # of the full read at PLANNING time (file lists pruned from
+    # manifest paths before any IO), and a partition-filtered change
+    # feed pays only its partition's touched files.
+    root_c = ROOT + "_part"
+    shutil.rmtree(root_c, ignore_errors=True)
+    from map_reduce_rpc_spark.tables import load_table as _lt
+
+    part_base = _lt(spark, SF1, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t0 = time.perf_counter()
+    txlog.create_table(
+        spark, root_c, part_base, partition_by=("o_orderpriority",)
+    )
+    out["part_create_sec"] = round(time.perf_counter() - t0, 3)
+    txlog.append(spark, root_c, part_base.limit(50_000))  # churn commit
+    t0 = time.perf_counter()
+    n_full = txlog.read_table(spark, root_c).count()
+    out["part_full_read_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    one = txlog.read_table(
+        spark, root_c, partitions={"o_orderpriority": "1-URGENT"}
+    )
+    n_one = one.count()
+    out["part_pruned_read_sec"] = round(time.perf_counter() - t0, 3)
+    out["part_rows"] = [n_one, n_full]
+    out["part_files"] = [
+        len(one.inputFiles()),
+        len(txlog.read_table(spark, root_c).inputFiles()),
+    ]
+    t0 = time.perf_counter()
+    n_feed = txlog.read_changes(
+        spark, root_c, -1, partitions={"o_orderpriority": "1-URGENT"}
+    ).count()
+    out["part_cdf_sec"] = round(time.perf_counter() - t0, 3)
+    out["part_cdf_rows"] = n_feed
+    assert out["part_files"][0] < out["part_files"][1]
+
+    shutil.rmtree(root_c, ignore_errors=True)
     shutil.rmtree(root_b, ignore_errors=True)
     shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps(out))
