@@ -61,20 +61,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     key-for-key by the round-10 verdict):
 
       round-11 window (THIS round, executed below) = wordcount
-        + the 7 NEW round-11 registrations
+        + the 8 NEW round-11 registrations
           (txlog_partition_pruned_revenue, type_widening_orders,
           txlog_checkpoint_log_orders, txlog_clone_orders,
           txlog_zorder_revenue, txlog_constraints_orders — the
           partition-column / type-widening / delta-log+checkpoint /
           hardlink-CLONE / OPTIMIZE-ZORDER / CHECK-constraint+
-          metadata-count txlog surface — and
+          metadata-count txlog surface — plus
           cdf_stream_dedup_manifest, the streaming change-feed
-          consumer)
-        + the first 42 of the r6-certified cohort (ann_ivfpq_topk
-          ... segment_order_stats_compacted — 5 rounds stale, the
-          oldest cohort) = exactly 50 (wordcount + 7 + 42).
-      round-12 window = wordcount + round-12 registrations + the 7
-          r6-cohort leftovers (semantic_dedup_cells, similarity_topk,
+          consumer, and dup_cluster_reps, per-cluster longest-member
+          representative selection)
+        + the first 41 of the r6-certified cohort (ann_ivfpq_topk
+          ... scd2_customer_priority — 5 rounds stale, the oldest
+          cohort) = exactly 50 (wordcount + 8 + 41).
+      round-12 window = wordcount + round-12 registrations + the 8
+          r6-cohort leftovers (segment_order_stats_compacted,
+          semantic_dedup_cells, similarity_topk,
           stream_converting_clicks, stream_late_data_drop,
           stream_scd2_user_state, stream_stateful_sessions,
           weighted_source_sample), then the r7-certified cohort
@@ -83,8 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           cohort, then the r10-certified cohort, then the
           r11-certified cohort, stalest first, forever.
 
-    With 204 queries and 50 slots every query is certified at least
-    once per ceil(204/50) = 5 rounds, and every query — window or
+    With 205 queries and 50 slots every query is certified at least
+    once per ceil(205/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -140,7 +142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full replay, so the hash match certifies stream == batch ==
         # replay.
         "cdf_stream_dedup_manifest": textops.cdf_stream_dedup_manifest,
-        # ===== round-11 window: r6-certified cohort head (42 of 49;
+        # dup_cluster_reps: per-cluster representative selection —
+        # keep the LONGEST member of each near-dup component (ties ->
+        # smallest doc_id), one struct-max aggregate after the CC, no
+        # corpus window; oracle replays the recursive-CTE closure +
+        # row_number ranking.
+        "dup_cluster_reps": textops.dup_cluster_reps,
+        # ===== round-11 window: r6-certified cohort head (41 of 49;
         # last driver row in round 6 — five rounds stale) =====
         "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
         "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
@@ -183,11 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_month_spine": relational.recursive_month_spine,
         "revenue_trailing_window": relational.revenue_trailing_window,
         "scd2_customer_priority": relational.scd2_customer_priority,
+        # ================= end of the 50-slot checked window =================
+        # ----- r6-certified cohort leftovers (round-12 window head) -----
         "segment_order_stats_compacted": (
             relational.segment_order_stats_compacted
         ),
-        # ================= end of the 50-slot checked window =================
-        # ----- r6-certified cohort leftovers (round-12 window head) -----
         "semantic_dedup_cells": vectors.semantic_dedup_cells,
         "similarity_topk": vectors.similarity_topk,
         "stream_converting_clicks": streams.stream_converting_clicks,

@@ -3815,3 +3815,86 @@ def cdf_stream_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXTOPS_ORACLES["cdf_stream_dedup_manifest"] = TEXTOPS_ORACLES[
     "incremental_dedup_manifest"
 ]
+
+
+def dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster REPRESENTATIVE selection — the curation step after
+    dup_clusters turns pairwise near-dups into components: per
+    cluster, KEEP THE LONGEST member (ties -> smallest doc_id), the
+    standard alternative to first-seen-wins when near-dups differ in
+    completeness (truncated mirrors, boilerplate-stripped copies).
+    Plan shape at 100 TB: the CC labels join to a narrow (doc_id,
+    n_chars) projection, then ONE groupBy(component) whose argmax is
+    a struct-max aggregate — no window over the corpus, no second
+    shuffle; everything after the (already-certified) CC is a single
+    exchange. Oracle: the dup_clusters recursive-CTE closure joined
+    to documents, row_number-ranked per component. Output:
+    (component, rep_doc_id, n_members, rep_n_chars)."""
+    from ..operators.graph import connected_components
+
+    clusters = connected_components(_jaccard_pairs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    joined = clusters.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    ).join(docs, "doc_id")
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component",
+            (-F.col("best.neg_id")).cast("long").alias("rep_doc_id"),
+            "n_members",
+            F.col("best.n_chars").cast("long").alias("rep_n_chars"),
+        )
+        .orderBy("component")
+    )
+
+
+TEXTOPS_ORACLES["dup_cluster_reps"] = f"""
+    WITH RECURSIVE pairs AS (
+        {TEXTOPS_ORACLES["ngram_jaccard_dups"]}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.a AS node, reach.r AS r
+        FROM reach JOIN edges e ON e.b = reach.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(r) AS component
+        FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id,
+               length(d.text) AS n_chars,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY length(d.text) DESC, c.doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS rep_n_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+"""
