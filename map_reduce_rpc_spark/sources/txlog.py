@@ -1243,19 +1243,25 @@ def optimize(
                 *[F.min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
                 *[F.max(c).alias(f"hi{i}") for i, c in enumerate(zorder_by)],
             ).first()
-            mins = [float(row[f"lo{i}"]) for i in range(len(zorder_by))]
-            maxs = [float(row[f"hi{i}"]) for i in range(len(zorder_by))]
-            keyed = df.withColumn(
-                "_zkey",
-                zorder_key(
-                    [F.col(c) for c in zorder_by], mins, maxs, zorder_bits
-                ),
-            )
-            out = (
-                keyed.repartitionByRange(n, *pby, "_zkey")
-                .sortWithinPartitions(*pby, "_zkey")
-                .drop("_zkey")
-            )
+            if row[f"lo{0}"] is None:
+                # zero ROWS (files may still exist, e.g. an empty
+                # create's part file): nothing to cluster — plain
+                # compaction
+                out = df.repartition(n)
+            else:
+                mins = [float(row[f"lo{i}"]) for i in range(len(zorder_by))]
+                maxs = [float(row[f"hi{i}"]) for i in range(len(zorder_by))]
+                keyed = df.withColumn(
+                    "_zkey",
+                    zorder_key(
+                        [F.col(c) for c in zorder_by], mins, maxs, zorder_bits
+                    ),
+                )
+                out = (
+                    keyed.repartitionByRange(n, *pby, "_zkey")
+                    .sortWithinPartitions(*pby, "_zkey")
+                    .drop("_zkey")
+                )
         else:
             order = list(pby) + [c for c in cluster_by if c not in pby]
             if order:

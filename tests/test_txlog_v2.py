@@ -944,3 +944,73 @@ def test_four_concurrent_writers_mixed_verbs_serialize(spark, tmp_path):
     assert got.where("bucket = -1").count() == 50  # base rows untouched
     # metadata ledger stayed exact through the races
     assert txlog.row_count(root) == 50 + 4 * 150
+
+
+# ---------------------------------------------------------------- #
+# degenerate inputs for the round-11 verbs
+# ---------------------------------------------------------------- #
+
+def test_round11_verbs_on_empty_and_degenerate_tables(spark, tmp_path):
+    """Edge hardening: every round-11 verb behaves on an EMPTY table
+    (typed empty create), a table emptied by delete, and 1-row
+    tables — no crashes, exact metadata, sane clones."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0).select(F.col("id"), F.lit(0).alias("bucket")),
+    )
+    # metadata count of a zero-file snapshot
+    assert txlog.row_count(root) == 0
+    # constraints on an empty table: add validates vacuously, then
+    # gates the first real append
+    txlog.add_constraint(spark, root, "pos", "id >= 0")
+    with pytest.raises(ValueError, match="pos"):
+        txlog.append(
+            spark,
+            root,
+            spark.range(1).select(F.lit(-5).alias("id"), F.lit(0).alias("bucket")),
+        )
+    txlog.append(
+        spark,
+        root,
+        spark.range(0, 3).select(F.col("id"), F.lit(1).alias("bucket")),
+    )
+    assert txlog.row_count(root) == 3
+    # zorder optimize on a tiny table (calibration agg sees 3 rows)
+    v = txlog.optimize(spark, root, zorder_by=("id", "bucket"))
+    assert txlog.read_table(spark, root).count() == 3
+    # clone of a table whose history includes an empty snapshot
+    clone = str(tmp_path / "clone")
+    txlog.clone_table(spark, root, clone, version=0)  # the EMPTY v0
+    assert txlog.read_table(spark, clone).count() == 0
+    assert txlog.row_count(clone) == 0
+    assert txlog.constraints(clone) == {}  # v0 predates the constraint
+    # zero-ROW zorder optimize (the empty create still staged a part
+    # file): falls back to plain compaction, content stays empty
+    v_c = txlog.optimize(spark, clone, zorder_by=("id",))
+    assert txlog.read_table(spark, clone, version=v_c).count() == 0
+    # scan_table on the empty clone: typed empty, no crash
+    assert txlog.scan_table(spark, clone, "id", 0, 10).count() == 0
+    # delete everything, then CLONE the emptied head
+    txlog.delete_where(spark, root, "id >= 0")
+    assert txlog.row_count(root) == 0
+    clone2 = str(tmp_path / "clone2")
+    txlog.clone_table(spark, root, clone2)
+    got = txlog.read_table(spark, clone2)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "bucket"]
+    # the emptied head still carries the constraint into the clone
+    assert txlog.constraints(clone2) == {"pos": "id >= 0"}
+    # partition-filtered CDF over a table with zero matching commits
+    proot = str(tmp_path / "ptx")
+    txlog.create_table(
+        spark,
+        proot,
+        spark.range(0, 8).select(F.col("id"), (F.col("id") % 2).alias("p")),
+        partition_by=("p",),
+    )
+    feed = txlog.read_changes(spark, proot, -1, partitions={"p": 1})
+    assert feed.count() == 4
+    none = txlog.read_changes(spark, proot, -1, partitions={"p": 7})
+    assert none.count() == 0
