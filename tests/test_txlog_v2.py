@@ -1014,3 +1014,21 @@ def test_round11_verbs_on_empty_and_degenerate_tables(spark, tmp_path):
     assert feed.count() == 4
     none = txlog.read_changes(spark, proot, -1, partitions={"p": 7})
     assert none.count() == 0
+
+
+def test_row_count_legacy_table_returns_none(spark, tmp_path):
+    """A table whose stats predate the #rows recording (legacy
+    writers) answers None — the caller falls back to a real count,
+    never a silently wrong metadata number."""
+    import json as _json
+
+    root = str(tmp_path / "tx")
+    txlog.create_table(spark, root, spark.range(0, 20).select(F.col("id")))
+    p = txlog._manifest_path(root, 0)
+    m = _json.load(open(p))
+    for rel in m["files"]:
+        m["stats"].get(rel, {}).pop("#rows", None)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    assert txlog.row_count(root) is None
+    assert txlog.read_table(spark, root).count() == 20  # the fallback
