@@ -89,6 +89,8 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .logstore import LogStore, PosixLogStore
+
 _LOG = "_txlog"
 _DATA = "data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -100,6 +102,44 @@ DEFAULT_CHECKPOINT_EVERY = 20
 # checkpoint is a sub-second columnar read instead of a ~100 MB JSON
 # parse. Below it, inline JSON keeps small tables single-file simple.
 SIDECAR_MIN_FILES = 20_000
+
+# The storage backend for the COMMIT primitive (atomic claim + full-
+# bytes publish), the post-publish durability barrier, and CLONE's
+# zero-copy file share — everything else in this module is plain reads
+# and uniquely-named writes that work on any store. POSIX hard-link
+# protocol by default; swap in logstore.ConditionalPutLogStore (or a
+# real object-store implementation) via set_log_store /
+# using_log_store to run the identical transaction protocol without
+# hard links — see logstore.py for the S3/GCS primitive mapping.
+_STORE: LogStore = PosixLogStore()
+
+
+def get_log_store() -> LogStore:
+    return _STORE
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install the LogStore used by every commit in this process;
+    returns the previous one (so callers can restore it)."""
+    global _STORE
+    prev = _STORE
+    _STORE = store
+    return prev
+
+
+class using_log_store:
+    """``with using_log_store(ConditionalPutLogStore()): ...`` —
+    scoped LogStore swap for tests and embedded use."""
+
+    def __init__(self, store: LogStore):
+        self.store = store
+
+    def __enter__(self) -> LogStore:
+        self.prev = set_log_store(self.store)
+        return self.store
+
+    def __exit__(self, *exc) -> None:
+        set_log_store(self.prev)
 
 
 def _log_dir(root: str) -> str:
@@ -207,11 +247,7 @@ def _write_sidecar(root: str, files: list[str], stats: dict) -> str:
         }
     )
     pq.write_table(t, path)
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    _STORE.fsync_file(path)
     return name
 
 
@@ -280,6 +316,42 @@ def _snapshot_schema(spark: SparkSession, root: str, version: int):
     return _read_raw(spark, root, files).schema
 
 
+def _hive_path_value(x) -> str | None:
+    """Map a Python filter value to the string Spark's hive-style
+    partition writer puts in the PATH (``escapePathName(cast(v as
+    string))``), so :func:`_prune_partitions` compares like with like.
+    Python ``str()`` disagrees with Spark for several types (bool True
+    vs ``true``; datetime reprs), and a mismatched encoding would
+    silently prune EVERY matching file — the residual filter cannot
+    recover rows whose files were dropped at planning time — so any
+    type whose path form we cannot reproduce exactly is a LOUD error
+    telling the caller to pass the path string itself (round-12
+    ADVICE)."""
+    import datetime
+
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, str):
+        return x
+    if isinstance(x, int):
+        return str(x)
+    if isinstance(x, datetime.datetime):
+        raise ValueError(
+            f"cannot derive the hive path form of timestamp {x!r} "
+            "(Spark's cast-to-string format is session-dependent): "
+            "pass the exact partition-directory string instead"
+        )
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    raise ValueError(
+        f"cannot derive the hive path form of {type(x).__name__} value "
+        f"{x!r}: pass the exact string Spark wrote in the partition "
+        "path (silent mis-encoding would prune matching files)"
+    )
+
+
 def partition_values(rel: str) -> dict[str, str | None]:
     """Per-file partition values, parsed from the hive-style path
     components (``data/month=2024-01/part-...``) — the manifest's
@@ -298,9 +370,11 @@ def _prune_partitions(
 ) -> list[str]:
     """Driver-side partition pruning: keep only files whose path-level
     partition values match the requested {col: value-or-list} filter.
-    Values are compared in their hive path string form (str(v));
-    requesting a non-partition column is a loud error — stats/data
-    filters handle those."""
+    Values are compared in Spark's own hive path encoding
+    (:func:`_hive_path_value` — NOT Python ``str()``, whose bool/date
+    forms differ and would silently prune matching files); requesting
+    a non-partition column is a loud error — stats/data filters handle
+    those."""
     pby = set(_table_config(root)["partition_by"])
     bad = [k for k in partitions if k not in pby]
     if bad:
@@ -310,7 +384,7 @@ def _prune_partitions(
     want: dict[str, set] = {}
     for k, v in partitions.items():
         vals = v if isinstance(v, (list, tuple, set)) else [v]
-        want[k] = {None if x is None else str(x) for x in vals}
+        want[k] = {_hive_path_value(x) for x in vals}
     keep = []
     for rel in rels:
         pv = partition_values(rel)
@@ -505,7 +579,20 @@ def _stage_files(
     returns their table-relative paths. Staged files are invisible
     until a manifest references them. Final names carry a per-staging
     uuid + counter so basenames are unique table-wide (the merge /
-    delete probes match victims by basename)."""
+    delete probes match victims by basename).
+
+    ``#``-prefixed column names are rejected at this write boundary:
+    the manifest's per-file stats map stores each file's row count
+    under the reserved ``#rows`` key in the same namespace as column
+    min/max entries, so a real column named ``#rows`` would corrupt
+    :func:`row_count` and the merge/scan pruning maps (round-12
+    ADVICE)."""
+    bad = [c for c in df.columns if c.startswith("#")]
+    if bad:
+        raise ValueError(
+            f"column names starting with '#' are reserved for manifest "
+            f"metadata (the per-file '#rows' stat): {bad}"
+        )
     stage_tag = uuid.uuid4().hex[:12]
     stage_dir = os.path.join(root, _DATA, f".stage-{stage_tag}")
     writer = df.write.mode("overwrite")
@@ -537,69 +624,38 @@ def _stage_files(
 
 
 def _fsync_dir(path: str) -> None:
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    _STORE.fsync_dir(path)
 
 
 def _try_commit(root: str, version: int, manifest: dict) -> bool:
     """The atomic commit point. Returns False when another writer
     claimed this version first.
 
-    The manifest's CONTENT must appear atomically with the claim: a
-    bare O_EXCL-create-then-write exposes a window where the file
-    exists but is empty/partial, so a concurrent reader crashes on
-    JSONDecodeError instead of seeing the previous snapshot — and a
-    writer crash inside that window bricks the table (torn highest
-    version). So: write the full manifest to a hidden temp file,
-    fsync it, then ``os.link(tmp, final)`` — the hard link both
-    claims the version (fails with FileExistsError if taken) and
-    publishes the complete bytes in one atomic metadata operation.
-
-    Two hardening rules (round-11 ADVICE):
-    - A FileNotFoundError from os.link means a concurrent vacuum swept
-      our temp file during a long stall — rewrite it and retry the
-      link; a lost temp is a race, never a crashed commit.
-    - Once the link SUCCEEDS the version is published: any later
-      error (the best-effort log-directory fsync, temp cleanup) is
-      swallowed — propagating it would make an (app_id,
-      txn_version)-less caller retry and double-commit at N+1.
-    """
+    The manifest's CONTENT must appear atomically with the claim — no
+    reader may ever see a torn or empty manifest at the highest
+    version. That primitive is the LogStore's ``put_if_absent``
+    (POSIX: temp write + fsync + hard link, with the vacuum-swept-temp
+    retry; object stores: conditional PUT — see logstore.py). One
+    hardening rule lives HERE, above the store: once put_if_absent
+    returns True the version is published, so any later error (the
+    best-effort log-directory durability barrier) is swallowed —
+    propagating it would make an (app_id, txn_version)-less caller
+    retry and double-commit at N+1 (round-11 ADVICE)."""
     log_dir = _log_dir(root)
     os.makedirs(log_dir, exist_ok=True)
-    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+    ok = _STORE.put_if_absent(
+        _manifest_path(root, version), json.dumps(manifest).encode()
+    )
+    if not ok:
+        return False
     try:
-        for _ in range(3):
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, _manifest_path(root, version))
-                break
-            except FileExistsError:
-                return False
-            except FileNotFoundError:
-                continue  # temp swept by a racing vacuum: rewrite + retry
-        else:
-            raise RuntimeError(
-                f"commit temp file kept disappearing under {log_dir}"
-            )
-        try:
-            # durability, not atomicity: make the published dir entry
-            # survive power loss. Best-effort — the version IS
-            # committed once the link lands.
-            _fsync_dir(log_dir)
-        except OSError:
-            pass
-        return True
-    finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+        # durability, not atomicity: make the published dir entry
+        # survive power loss. Best-effort — the version IS committed
+        # once the claim lands.
+        _fsync_dir(log_dir)
+    except OSError:
+        pass
+    return True
 
 
 def _commit_version(
@@ -1243,18 +1299,26 @@ def optimize(
                 *[F.min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
                 *[F.max(c).alias(f"hi{i}") for i, c in enumerate(zorder_by)],
             ).first()
-            if row[f"lo{0}"] is None:
-                # zero ROWS (files may still exist, e.g. an empty
-                # create's part file): nothing to cluster — plain
-                # compaction
+            # a dimension with NO recorded bounds (zero rows, or an
+            # entirely-NULL column — round-12 ADVICE: checking only
+            # the FIRST column's min crashed on a later all-NULL one)
+            # cannot be interleaved: drop it and zorder on the rest;
+            # with none left, plain compaction.
+            bounded = [
+                i
+                for i in range(len(zorder_by))
+                if row[f"lo{i}"] is not None and row[f"hi{i}"] is not None
+            ]
+            if not bounded:
                 out = df.repartition(n)
             else:
-                mins = [float(row[f"lo{i}"]) for i in range(len(zorder_by))]
-                maxs = [float(row[f"hi{i}"]) for i in range(len(zorder_by))]
+                dims = [zorder_by[i] for i in bounded]
+                mins = [float(row[f"lo{i}"]) for i in bounded]
+                maxs = [float(row[f"hi{i}"]) for i in bounded]
                 keyed = df.withColumn(
                     "_zkey",
                     zorder_key(
-                        [F.col(c) for c in zorder_by], mins, maxs, zorder_bits
+                        [F.col(c) for c in dims], mins, maxs, zorder_bits
                     ),
                 )
                 out = (
@@ -1364,8 +1428,20 @@ def read_changes(
             removed = _prune_partitions(root, removed, partitions)
         if not added and not removed:
             continue
-        a = _read_files(spark, root, added, out_schema)
-        r = _read_files(spark, root, removed, out_schema)
+        # Schema binding per COMMIT, not per range (round-12 ADVICE):
+        # files added at v conform to the schema AS OF v, files removed
+        # at v conform to the PARENT's schema (v-1) — which matters
+        # across a RESTORE that undid a type widening, where the
+        # removed wide-era files cannot be read under the restored
+        # narrow to_version schema (parquet readers promote, never
+        # demote). Read each side under its own commit's schema, then
+        # cast to the declared output schema — ANSI casts, so a value
+        # that genuinely cannot narrow fails loudly instead of
+        # corrupting the feed.
+        sch_a = _snapshot_schema(spark, root, v)
+        sch_r = _snapshot_schema(spark, root, v - 1) if v > 0 else sch_a
+        a = _align_df(_read_files(spark, root, added, sch_a), out_schema)
+        r = _align_df(_read_files(spark, root, removed, sch_r), out_schema)
         if added and removed:
             ins, dels = a.exceptAll(r), r.exceptAll(a)
         else:
@@ -1534,10 +1610,11 @@ def clone_table(
         final = f"part-{tag}-{i:06d}.parquet"
         src_path = os.path.join(src_root, rel)
         dst_path = os.path.join(dest_dir, final)
-        try:
-            os.link(src_path, dst_path)
-        except OSError:  # cross-device (EXDEV) / link-cap: real copy
-            shutil.copyfile(src_path, dst_path)
+        # zero-copy share where the store supports it (POSIX hard
+        # link — inode refcount keeps shared files alive across
+        # source vacuum); a real copy otherwise (object-store
+        # server-side copy): see logstore.py
+        _STORE.link_or_copy(src_path, dst_path)
         new_rel = f"{sub}/{final}"
         new_rels.append(new_rel)
         if rel in snap["stats"]:
@@ -1686,6 +1763,7 @@ def vacuum(
     root: str,
     retain_versions: int = 1,
     retain_hours: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove data files referenced by NO manifest newer than
     (current - retain_versions), plus orphaned staging garbage and
@@ -1693,7 +1771,9 @@ def vacuum(
     than ONE HOUR — far beyond any live writer's sub-second
     write->link window; if a pathologically stalled writer is ever
     raced anyway, its commit retries instead of crashing, see
-    ``_try_commit``). Returns removed paths.
+    ``_try_commit``). Returns removed paths; ``dry_run=True`` returns
+    the SAME list without deleting anything (the Delta VACUUM DRY RUN
+    listing mode).
 
     Retention contract: ``retain_versions >= 1`` (refused otherwise —
     0 would delete the CURRENT snapshot's files). ``retain_hours``
@@ -1703,7 +1783,22 @@ def vacuum(
     travel keeps working for retained versions; an OLDER pinned
     version — or a DataFrame handle resolved before the vacuum — can
     fail mid-scan once its files are gone, exactly Delta's documented
-    VACUUM hazard."""
+    VACUUM hazard.
+
+    In-flight writer safety (round-12 ADVICE): a writer stages files
+    under their final data/ names BEFORE its commit link publishes
+    them, so an age-blind sweep could delete files whose commit then
+    succeeds — a committed version referencing deleted files,
+    permanent corruption. Vacuum therefore distinguishes two kinds of
+    unretained file: one referenced by SOME manifest (committed, out
+    of retention — removed immediately, any age), and one referenced
+    by NO manifest at all, which is either crash garbage or a LIVE
+    writer mid-commit — removed only when older than
+    ``_TMP_RETAIN_SECS`` (one hour, far beyond any live stage->link
+    window; crashed writers' orphans age into eligibility).
+    ``.stage-*`` dirs get the same age guard. The reference set is
+    also re-extended with any version committed WHILE it was being
+    built, closing the TOCTTOU with a racing commit."""
     if retain_versions < 1:
         raise ValueError(
             "retain_versions must be >= 1 (0 would delete the current "
@@ -1725,30 +1820,63 @@ def vacuum(
     referenced: set[str] = set()
     for v in range(keep_from, cur + 1):
         referenced.update(snapshot_info(root, v)["files"])
+    # TOCTTOU close: a commit that landed while we built the set above
+    # references files the walk below must not treat as orphans.
+    cur2 = current_version(root)
+    for v in range(cur + 1, cur2 + 1):
+        referenced.update(snapshot_info(root, v)["files"])
+    cur = cur2
+    # every file ANY manifest ever referenced (full lists + delta add
+    # actions): membership separates committed-but-unretained files
+    # (safe to remove now) from never-referenced ones (possibly a live
+    # writer's staged files — age-guarded below)
+    ever: set[str] = set()
+    for v in range(cur + 1):
+        m = _read_manifest(root, v)
+        if _is_full(m):
+            ever.update(_load_full(root, m)[0])
+        else:
+            ever.update(m.get("add", []))
+    now = time.time()
+
+    def _young(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) <= _TMP_RETAIN_SECS
+        except OSError:
+            return True  # vanished/unstattable: leave it alone
+
     removed = []
     data_dir = os.path.join(root, _DATA)
     for dirpath, dirs, names in os.walk(data_dir, topdown=True):
         for d in list(dirs):
             if d.startswith(".stage-"):
-                shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
-                removed.append(
-                    os.path.relpath(os.path.join(dirpath, d), root)
-                )
                 dirs.remove(d)
+                full = os.path.join(dirpath, d)
+                if _young(full):
+                    continue  # possibly a LIVE writer mid-stage
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
+                removed.append(os.path.relpath(full, root))
         for name in names:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)
             if rel not in referenced:
-                os.remove(full)
+                if rel not in ever and _young(full):
+                    continue  # maybe a LIVE writer's staged file
+                if not dry_run:
+                    try:
+                        os.remove(full)
+                    except FileNotFoundError:
+                        continue
                 removed.append(rel)
-    now = time.time()
     ckpt_refs: set[str] | None = None  # lazy: read only if needed
     for name in sorted(os.listdir(_log_dir(root))):
         full = os.path.join(_log_dir(root), name)
         if name.startswith(".tmp-") and name.endswith(".json"):
             try:
                 if now - os.path.getmtime(full) > _TMP_RETAIN_SECS:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed.append(f"{_LOG}/{name}")
             except OSError:
                 pass
@@ -1765,7 +1893,8 @@ def vacuum(
                         for v in range(cur + 1)
                     }
                 if name not in ckpt_refs:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed.append(f"{_LOG}/{name}")
             except OSError:
                 pass

@@ -93,15 +93,29 @@ def test_concurrent_appends_both_survive(spark, table):
 
 def test_crash_garbage_is_invisible_and_vacuumable(spark, table):
     """Files staged by a writer that died before its commit point must
-    never be read, and vacuum removes them."""
+    never be read; vacuum removes them only once they AGE past the
+    in-flight-writer guard (a young never-referenced file is
+    indistinguishable from a LIVE writer's staged batch — round-12
+    ADVICE), so the crash is simulated and then aged."""
+    import os
+    import time as _time
+
     # simulate the crash: stage files, then 'die' (no manifest)
     orphan = spark.range(0, 10).select(
         F.col("id"), F.lit(7).alias("bucket")
     )
-    txlog._stage_files(spark, table, orphan)
+    staged = txlog._stage_files(spark, table, orphan)
     assert txlog.read_table(spark, table).count() == 1000  # unchanged
+    # young never-referenced files are protected: could be live writer
+    assert txlog.vacuum(table) == []
+    for rel in staged:
+        assert os.path.exists(os.path.join(table, rel))
+    # age them past the guard: now they are crash garbage
+    old = _time.time() - 2 * txlog._TMP_RETAIN_SECS
+    for rel in staged:
+        os.utime(os.path.join(table, rel), (old, old))
     removed = txlog.vacuum(table)
-    assert removed, "vacuum found nothing to remove"
+    assert sorted(removed) == sorted(staged)
     assert txlog.read_table(spark, table).count() == 1000
 
 

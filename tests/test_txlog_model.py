@@ -20,16 +20,39 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_rpc_spark.sources import txlog
+from map_reduce_rpc_spark.sources.logstore import (
+    ConditionalPutLogStore,
+    PosixLogStore,
+)
+
+
+@pytest.fixture(params=["posix", "condput"])
+def log_store(request):
+    """Run the state machine under BOTH commit backends (round-12
+    LogStore abstraction): the hard-link POSIX protocol and the
+    simulated object-store conditional PUT. Identical results prove
+    the transaction protocol never relied on hard links."""
+    store = (
+        PosixLogStore()
+        if request.param == "posix"
+        else ConditionalPutLogStore()
+    )
+    prev = txlog.set_log_store(store)
+    yield store
+    txlog.set_log_store(prev)
 
 
 def _as_dict(df) -> dict[int, int]:
     return {int(r["id"]): int(r["bucket"]) for r in df.collect()}
 
 
-def test_txlog_matches_model_under_random_op_chain(spark, tmp_path):
+def test_txlog_matches_model_under_random_op_chain(
+    spark, tmp_path, log_store
+):
     rng = random.Random(20260815)
     root = str(tmp_path / "tx")
 
@@ -100,7 +123,9 @@ def test_txlog_matches_model_under_random_op_chain(spark, tmp_path):
     assert ins == model, "CDF replay over v0 != final state"
 
 
-def test_txlog_matches_model_partitioned_checkpointed(spark, tmp_path):
+def test_txlog_matches_model_partitioned_checkpointed(
+    spark, tmp_path, log_store
+):
     """Round-11 surface under the same state-machine harness: a HIVE-
     PARTITIONED table with a 3-commit checkpoint cadence (so the chain
     crosses several delta->checkpoint boundaries), a TYPE WIDENING
