@@ -96,8 +96,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ===== round-11 window slot 1: flagship parity sentinel =====
+        # ===== round-12 window slot 1: flagship parity sentinel =====
         "wordcount": parity.wordcount,
+        # ===== round-12 window: NEW round-12 registrations =====
+        # dv_delete_orders: merge-on-read DELETE via deletion vectors
+        # — zero data files rewritten (manifest "rewrote" + file-list
+        # identity pinned), table reads as the exact complement,
+        # metadata-only row_count subtracts the vectors.
+        "dv_delete_orders": relational.dv_delete_orders,
+        # dv_cdf_orders: the change feed across a dv delete — SAME
+        # oracle as cdf_order_changes, so the hash match certifies
+        # feed(dv delete) == feed(cow delete), derived from the dv
+        # position diff rather than any file diff.
+        "dv_cdf_orders": relational.dv_cdf_orders,
         # ===== round-11 window: NEW round-11 registrations =====
         # txlog_partition_pruned_revenue: hive-style partition columns
         # on the transactional table — untouched partitions eliminated

@@ -252,12 +252,15 @@ def _write_sidecar(root: str, files: list[str], stats: dict) -> str:
 
 
 def snapshot_info(root: str, version: int) -> dict:
-    """Resolve one snapshot's {files, stats} by walking back to the
-    nearest FULL manifest (create/restore/optimize/checkpoint — at
+    """Resolve one snapshot's {files, stats, dv} by walking back to
+    the nearest FULL manifest (create/restore/optimize/checkpoint — at
     most ``checkpoint_every`` hops) and replaying the delta
-    add/remove actions forward. This is the Delta
+    add/remove/dv actions forward. This is the Delta
     checkpoint-plus-log resolution: O(checkpoint cadence) manifest
-    reads regardless of table age, O(current files) memory."""
+    reads regardless of table age, O(current files) memory. ``dv``
+    maps file rel -> deletion-vector sidecar ref (round-12
+    merge-on-read deletes); a file's newest dv ref is CUMULATIVE (the
+    full surviving index list), so replay just takes the latest."""
     chain: list[dict] = []
     v = version
     while True:
@@ -273,15 +276,18 @@ def snapshot_info(root: str, version: int) -> dict:
     base_files, base_stats = _load_full(root, chain[-1])
     files = list(base_files)
     stats = dict(base_stats)
+    dv = dict(chain[-1].get("dv", {}))
     for m in reversed(chain[:-1]):
         rm = set(m.get("remove", []))
         if rm:
             files = [f for f in files if f not in rm]
             for f in rm:
                 stats.pop(f, None)
+                dv.pop(f, None)
         files += m.get("add", [])
         stats.update(m.get("add_stats", {}))
-    return {"files": files, "stats": stats}
+        dv.update(m.get("dv", {}))
+    return {"files": files, "stats": stats, "dv": dv}
 
 
 def _schema_json_at(root: str, version: int) -> str | None:
@@ -476,6 +482,11 @@ def row_count(root: str, version: int | None = None) -> int | None:
         if n is None:
             return None
         total += int(n)
+    # merge-on-read deletes: a file's deletion vector hides rows the
+    # '#rows' footer count still includes — subtract them (O(dv
+    # sidecars) driver reads, still zero data IO / zero Spark jobs)
+    for _rel, idx in _dv_indexes(root, snap.get("dv", {})).items():
+        total -= len(idx)
     return total
 
 
@@ -669,6 +680,7 @@ def _commit_version(
     txn: dict,
     schema_json: str | None,
     extra: dict,
+    dv_set: dict[str, str] | None = None,
 ) -> bool:
     """Build + atomically publish version ``v_new``. Writes a DELTA
     manifest (add/remove actions, O(touched files) bytes) unless this
@@ -676,7 +688,9 @@ def _commit_version(
     resets the file list wholesale (create/restore/optimize) — then a
     FULL manifest with the complete file list, stats, and schema, so
     snapshot resolution never replays more than one checkpoint
-    interval."""
+    interval. ``dv_set`` maps file rel -> deletion-vector sidecar ref
+    for files whose DV CHANGED at this commit (cumulative index
+    lists); removing a file implicitly drops its DV."""
     rm = set(removed)
     keep = [f for f in psnap["files"] if f not in rm]
     files = keep + added
@@ -714,6 +728,18 @@ def _commit_version(
         else:
             m["files"] = files
             m["stats"] = stats
+        # complete dv map: parent entries on surviving files, plus
+        # this commit's changes, restricted to the final file list
+        file_set = set(files)
+        dv_full = {
+            r: ref
+            for r, ref in psnap.get("dv", {}).items()
+            if r in keep_set
+        }
+        dv_full.update(dv_set or {})
+        dv_full = {r: ref for r, ref in dv_full.items() if r in file_set}
+        if dv_full:
+            m["dv"] = dv_full
         if "schema" not in m:
             sj = _schema_json_at(root, v_new - 1)
             if sj is not None:
@@ -724,6 +750,8 @@ def _commit_version(
         m["add"] = added
         m["remove"] = sorted(rm)
         m["add_stats"] = add_stats
+        if dv_set:
+            m["dv"] = dict(dv_set)
     return _try_commit(root, v_new, m)
 
 
@@ -806,6 +834,159 @@ def _read_files(
     )
 
 
+# hidden join-key column names for the DV anti-join; double-underscore
+# wrapped so they can never collide with a real table column that the
+# '#'-reservation doesn't already exclude
+_DV_FILE = "__dv_file__"
+_DV_POS = "__dv_pos__"
+
+
+def _write_dv(root: str, dv_rows: dict[str, list[int]]) -> str:
+    """Write one deletion-vector sidecar under the log dir: JSON
+    {file rel -> sorted CUMULATIVE deleted row indexes}. One sidecar
+    per commit regardless of how many files it touches; returns its
+    log-relative name. Like checkpoint sidecars it is written before
+    the manifest link publishes it — a lost race leaves an orphan the
+    vacuum sweeps. JSON int lists are the simplicity-first encoding
+    for the point-delete workload this path serves (GDPR forget:
+    KB-scale vectors); a roaring-bitmap upgrade slots in here without
+    touching the protocol."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    name = f".dv-{uuid.uuid4().hex[:12]}.json"
+    path = os.path.join(_log_dir(root), name)
+    with open(path, "w") as fh:
+        json.dump(
+            {rel: sorted(int(i) for i in idx) for rel, idx in dv_rows.items()},
+            fh,
+        )
+        fh.flush()
+    _STORE.fsync_file(path)
+    return name
+
+
+@_lru_cache(maxsize=32)
+def _load_dv_keyed(path: str, mtime_ns: int, size: int) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _dv_indexes(
+    root: str, dv_map: dict[str, str], rels: list[str] | None = None
+) -> dict[str, list[int]]:
+    """Resolve {rel -> deleted row indexes} from a snapshot's dv
+    {rel -> sidecar ref} map (optionally restricted to ``rels``).
+    Sidecars are immutable once published — cached per process like
+    manifests."""
+    out: dict[str, list[int]] = {}
+    want = set(rels) if rels is not None else None
+    for rel, ref in dv_map.items():
+        if want is not None and rel not in want:
+            continue
+        p = os.path.join(_log_dir(root), ref)
+        st = os.stat(p)
+        payload = _load_dv_keyed(p, st.st_mtime_ns, st.st_size)
+        idx = payload.get(rel)
+        if idx:
+            out[rel] = idx
+    return out
+
+
+def _dv_pairs_df(spark: SparkSession, dv_idx: dict[str, list[int]]):
+    """The (file basename, row index) victim pairs as a small
+    DataFrame for the broadcast anti-join. Size is O(deleted rows
+    under DV) — bounded by construction: merge-on-read serves point
+    deletes, and OPTIMIZE materializes vectors back to zero."""
+    pairs = [
+        (os.path.basename(rel), int(i))
+        for rel, idx in dv_idx.items()
+        for i in idx
+    ]
+    return spark.createDataFrame(
+        pairs, f"{_DV_FILE} string, {_DV_POS} long"
+    )
+
+
+def _live_with_pos(
+    spark: SparkSession,
+    root: str,
+    rels: list[str],
+    schema,
+    dv_idx: dict[str, list[int]],
+) -> DataFrame:
+    """The LIVE rows of a file list — DV-deleted rows anti-joined out
+    — with the file basename and in-file row position attached as
+    ``_DV_FILE``/``_DV_POS``. The position comes from the parquet
+    reader's ``_metadata.row_index`` (stable per file, split-safe),
+    which is what makes a deletion vector addressable without any
+    physical row id column. The victim side broadcasts: O(DV rows),
+    never O(table)."""
+    raw = _read_raw(spark, root, rels, schema).select(
+        *[F.col(f.name) for f in schema.fields],
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+    live = {rel: idx for rel, idx in dv_idx.items() if rel in set(rels)}
+    if not live:
+        return raw
+    return raw.join(
+        F.broadcast(_dv_pairs_df(spark, live)),
+        [_DV_FILE, _DV_POS],
+        "left_anti",
+    )
+
+
+def _rows_at_positions(
+    spark: SparkSession,
+    root: str,
+    pos_map: dict[str, list[int]],
+    schema,
+) -> DataFrame:
+    """The rows of the given files AT the given in-file positions —
+    the content of a deletion-vector diff, for the change feed
+    (semi-join twin of :func:`_live_with_pos`'s anti-join; same
+    broadcast pair frame, O(positions))."""
+    rels = [r for r in pos_map if pos_map[r]]
+    if not rels:
+        return spark.createDataFrame([], schema)
+    raw = _read_raw(spark, root, rels, schema).select(
+        *[F.col(f.name) for f in schema.fields],
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias(_DV_FILE),
+        F.col("_metadata.row_index").alias(_DV_POS),
+    )
+    return raw.join(
+        F.broadcast(_dv_pairs_df(spark, pos_map)),
+        [_DV_FILE, _DV_POS],
+        "left_semi",
+    ).select([F.col(f.name) for f in schema.fields])
+
+
+def _read_files_dv(
+    spark: SparkSession,
+    root: str,
+    rels: list[str],
+    schema,
+    dv_idx: dict[str, list[int]],
+) -> DataFrame:
+    """DV-aware snapshot read: files without a deletion vector take
+    the plain schema-bound path (zero overhead — the hot path at
+    steady state, when OPTIMIZE has materialized); files WITH one are
+    read with row positions and their deleted rows anti-joined out
+    against the broadcast victim pairs."""
+    dv_rels = [r for r in rels if dv_idx.get(r)]
+    clean = [r for r in rels if not dv_idx.get(r)]
+    base = _read_files(spark, root, clean, schema)
+    if not dv_rels:
+        return base
+    live = _live_with_pos(spark, root, dv_rels, schema, dv_idx).select(
+        [F.col(f.name) for f in schema.fields]
+    )
+    return base.unionByName(live) if clean else live
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -822,10 +1003,14 @@ def read_table(
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
-    rels = snapshot_info(root, v)["files"]
+    snap = snapshot_info(root, v)
+    rels = snap["files"]
     if partitions:
         rels = _prune_partitions(root, rels, partitions)
-    out = _read_files(spark, root, rels, _snapshot_schema(spark, root, v))
+    dv_idx = _dv_indexes(root, snap.get("dv", {}), rels)
+    out = _read_files_dv(
+        spark, root, rels, _snapshot_schema(spark, root, v), dv_idx
+    )
     if partitions:
         out = out.where(_partition_residual(partitions))
     return out
@@ -887,7 +1072,8 @@ def scan_table(
             or (rng[0] <= hi and rng[1] >= lo)
         ]
     schema = _snapshot_schema(spark, root, v)
-    return _read_files(spark, root, pruned, schema).where(
+    dv_idx = _dv_indexes(root, snap.get("dv", {}), pruned)
+    return _read_files_dv(spark, root, pruned, schema, dv_idx).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
 
@@ -1099,18 +1285,24 @@ def merge(
         # metadata, like delete_where's manifest lists). AQE
         # broadcasts the key side when small.
         victims: list[str] = []
+        dv_idx = _dv_indexes(root, psnap.get("dv", {}))
         if candidates:
-            snap = _read_raw(
-                spark, root, candidates, _snapshot_schema(spark, root, v)
+            # LIVE rows only: a row already hidden by a deletion
+            # vector can neither mark its file a victim nor resurrect
+            # through the rewrite below
+            snap = _live_with_pos(
+                spark,
+                root,
+                candidates,
+                _snapshot_schema(spark, root, v),
+                dv_idx,
             )
             hit_names = {
-                os.path.basename(r["_f"])
+                r[_DV_FILE]
                 for r in (
-                    snap.select(
-                        *key_cols, F.input_file_name().alias("_f")
-                    )
+                    snap.select(*key_cols, _DV_FILE)
                     .join(keys, list(key_cols), "left_semi")
-                    .select("_f")
+                    .select(_DV_FILE)
                     .distinct()
                     .collect()
                 )
@@ -1123,9 +1315,9 @@ def merge(
         staged = list(upd_files)
         if victims:
             schema = _snapshot_schema(spark, root, v)
-            survivors = _read_files(spark, root, victims, schema).join(
-                keys, list(key_cols), "left_anti"
-            )
+            survivors = _read_files_dv(
+                spark, root, victims, schema, dv_idx
+            ).join(keys, list(key_cols), "left_anti")
             staged += _stage_files(
                 spark,
                 root,
@@ -1157,35 +1349,116 @@ def merge(
 
 
 def delete_where(
-    spark: SparkSession, root: str, predicate: str, max_retries: int = 20
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    max_retries: int = 20,
+    mode: str = "cow",
 ) -> int:
     """Delete rows matching the SQL predicate; returns the committed
-    version. Only files CONTAINING victims are rewritten; clean files
-    carry over by reference. The victim probe is ONE job — the
-    snapshot scanned once with ``input_file_name()`` and filtered by
-    the predicate (parquet pushdown applies inside the scan; on a
-    partitioned table a partition-column predicate prunes whole
-    directories inside that scan too), distinct file names back to the
-    driver — not a job per file: at 10^5 files the per-file form pays
-    10^5 job-scheduling round-trips before any IO. The rewrite is one
-    combined job too; a file whose rows are ALL victims simply
-    contributes nothing to the rewrite (dropped, not rewritten — the
-    delete-verb contract merge_delete_parquet also pins). On a commit
-    conflict the delete re-probes against the new snapshot — a delete
-    is a logical operation, so it must re-stage, unlike append."""
+    version.
+
+    ``mode="cow"`` (copy-on-write, the default): only files CONTAINING
+    victims are rewritten; clean files carry over by reference. The
+    victim probe is ONE job — the snapshot scanned once with the
+    file-path metadata column and filtered by the predicate (parquet
+    pushdown applies inside the scan; on a partitioned table a
+    partition-column predicate prunes whole directories inside that
+    scan too), distinct file names back to the driver — not a job per
+    file: at 10^5 files the per-file form pays 10^5 job-scheduling
+    round-trips before any IO. The rewrite is one combined job too; a
+    file whose rows are ALL victims simply contributes nothing to the
+    rewrite (dropped, not rewritten). On a commit conflict the delete
+    re-probes against the new snapshot — a delete is a logical
+    operation, so it must re-stage, unlike append.
+
+    ``mode="dv"`` (merge-on-read, round-12 — the Delta/Iceberg
+    deletion-vector design): NO data file is rewritten at all. The
+    probe collects the victims' (file, row position) pairs, unions
+    them into each touched file's cumulative deletion vector, writes
+    ONE dv sidecar, and commits a metadata-only delta — O(deleted
+    rows) cost instead of O(bytes of every file containing a victim).
+    This is the GDPR-point-delete answer at 100 TB: removing KBs no
+    longer rewrites GBs. Readers anti-join the (broadcast) vectors
+    out; :func:`optimize` MATERIALIZES them (rewrites files without
+    the dead rows and clears the vectors), which is the periodic
+    compaction that keeps read-side vector size bounded. Wholesale
+    deletes should stay ``cow`` — a vector covering most of a table
+    is strictly worse than rewriting it.
+
+    Both modes observe existing vectors: a row already dv-deleted can
+    never resurrect through a later delete's rewrite, and a cow
+    rewrite of a dv'd file materializes that file's vector as a side
+    effect (the replacement holds only live survivor rows)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     for _ in range(max_retries):
         v = current_version(root)
         psnap = snapshot_info(root, v)
+        schema = _snapshot_schema(spark, root, v)
+        dv_idx = _dv_indexes(root, psnap.get("dv", {}))
+        if mode == "dv":
+            dv_new: dict[str, list[int]] = {}
+            n_rows = 0
+            if psnap["files"]:
+                # ONE probe job: live rows matching the predicate ->
+                # per-file position lists (collected grouped; driver
+                # memory is O(victim rows), the point-delete budget)
+                hits = (
+                    _live_with_pos(
+                        spark, root, psnap["files"], schema, dv_idx
+                    )
+                    .where(predicate)
+                    .groupBy(_DV_FILE)
+                    .agg(F.collect_list(_DV_POS).alias("_pos"))
+                    .collect()
+                )
+                by_base = {
+                    os.path.basename(rel): rel for rel in psnap["files"]
+                }
+                for r in hits:
+                    rel = by_base[r[_DV_FILE]]
+                    merged = set(dv_idx.get(rel, [])) | {
+                        int(p) for p in r["_pos"]
+                    }
+                    n_rows += len(r["_pos"])
+                    dv_new[rel] = sorted(merged)
+            dv_set: dict[str, str] = {}
+            if dv_new:
+                ref = _write_dv(root, dv_new)
+                dv_set = {rel: ref for rel in dv_new}
+            ok = _commit_version(
+                root,
+                v + 1,
+                "delete",
+                psnap,
+                [],
+                [],
+                {},
+                dict(_read_manifest(root, v).get("txn", {})),
+                None,
+                {
+                    "predicate": predicate,
+                    "mode": "dv",
+                    "dv_rows": n_rows,
+                    "rewrote": 0,
+                    "carried": len(psnap["files"]),
+                },
+                dv_set=dv_set,
+            )
+            if ok:
+                return v + 1
+            continue
         rewrite: list[str] = []
         if psnap["files"]:
-            snap = _read_raw(
-                spark, root, psnap["files"], _snapshot_schema(spark, root, v)
-            )
             hit_names = {
-                os.path.basename(r["_f"])
+                r[_DV_FILE]
                 for r in (
-                    snap.where(predicate)
-                    .select(F.input_file_name().alias("_f"))
+                    _live_with_pos(
+                        spark, root, psnap["files"], schema, dv_idx
+                    )
+                    .where(predicate)
+                    .select(_DV_FILE)
                     .distinct()
                     .collect()
                 )
@@ -1197,10 +1470,9 @@ def delete_where(
             ]
         staged: list[str] = []
         if rewrite:
-            schema = _snapshot_schema(spark, root, v)
-            survivors = _read_files(spark, root, rewrite, schema).where(
-                f"NOT ({predicate})"
-            )
+            survivors = _read_files_dv(
+                spark, root, rewrite, schema, dv_idx
+            ).where(f"NOT ({predicate})")
             staged = _stage_files(
                 spark,
                 root,
@@ -1288,8 +1560,17 @@ def optimize(
             os.path.getsize(os.path.join(root, f)) for f in psnap["files"]
         )
         n = max(1, math.ceil(total / target_file_bytes))
-        df = _read_files(
-            spark, root, psnap["files"], _snapshot_schema(spark, root, v)
+        # reading THROUGH the deletion vectors makes OPTIMIZE also the
+        # materialization step: the rewrite holds only live rows, the
+        # removed files take their vectors with them, and the new
+        # snapshot is vector-free (the Delta REORG PURGE behavior,
+        # folded into compaction)
+        df = _read_files_dv(
+            spark,
+            root,
+            psnap["files"],
+            _snapshot_schema(spark, root, v),
+            _dv_indexes(root, psnap.get("dv", {})),
         )
         pby = _table_config(root)["partition_by"]
         if zorder_by:
@@ -1406,27 +1687,60 @@ def read_changes(
             StructField("_commit_version", LongType(), False),
         ]
     )
-    prev = (
-        set(snapshot_info(root, from_version)["files"])
-        if from_version >= 0
-        else set()
-    )
+    if from_version >= 0:
+        snap0 = snapshot_info(root, from_version)
+        prev = set(snap0["files"])
+        prev_dv: dict[str, str] = dict(snap0.get("dv", {}))
+    else:
+        prev = set()
+        prev_dv = {}
     out: DataFrame | None = None
     for v in range(from_version + 1, to_v + 1):
         m = _read_manifest(root, v)
         if _is_full(m):
             cur_files = set(_load_full(root, m)[0])
+            cur_dv = dict(m.get("dv", {}))
             added = sorted(cur_files - prev)
             removed = sorted(prev - cur_files)
-            prev = cur_files
         else:
             added = sorted(m.get("add", []))
             removed = sorted(m.get("remove", []))
-            prev = (prev - set(removed)) | set(added)
+            cur_files = (prev - set(removed)) | set(added)
+            cur_dv = {
+                rel: ref
+                for rel, ref in prev_dv.items()
+                if rel in cur_files
+            }
+            cur_dv.update(m.get("dv", {}))
+        # deletion-vector diffs on CARRIED files: growing a vector
+        # deletes the rows at the NEW positions; shrinking one (a
+        # restore rolling a dv delete back) re-inserts them. O(dv
+        # entries) driver compare per commit, never a corpus scan.
+        carried = (prev & cur_files) if (prev_dv or cur_dv) else set()
+        dv_changed = sorted(
+            rel
+            for rel in carried
+            if prev_dv.get(rel) != cur_dv.get(rel)
+        )
+        parent_dv = prev_dv
+        prev, prev_dv = cur_files, cur_dv
         if partitions:
             added = _prune_partitions(root, added, partitions)
             removed = _prune_partitions(root, removed, partitions)
-        if not added and not removed:
+            dv_changed = _prune_partitions(root, dv_changed, partitions)
+        del_pos: dict[str, list[int]] = {}
+        ins_pos: dict[str, list[int]] = {}
+        if dv_changed:
+            old_idx = _dv_indexes(root, parent_dv, dv_changed)
+            new_idx = _dv_indexes(root, cur_dv, dv_changed)
+            for rel in dv_changed:
+                o = set(old_idx.get(rel, []))
+                n_ = set(new_idx.get(rel, []))
+                if n_ - o:
+                    del_pos[rel] = sorted(n_ - o)
+                if o - n_:
+                    ins_pos[rel] = sorted(o - n_)
+        if not added and not removed and not del_pos and not ins_pos:
             continue
         # Schema binding per COMMIT, not per range (round-12 ADVICE):
         # files added at v conform to the schema AS OF v, files removed
@@ -1440,9 +1754,42 @@ def read_changes(
         # corrupting the feed.
         sch_a = _snapshot_schema(spark, root, v)
         sch_r = _snapshot_schema(spark, root, v - 1) if v > 0 else sch_a
-        a = _align_df(_read_files(spark, root, added, sch_a), out_schema)
-        r = _align_df(_read_files(spark, root, removed, sch_r), out_schema)
-        if added and removed:
+        # each side's LIVE rows: an added file may arrive with a
+        # vector (restore), a removed file's dv'd rows were already
+        # dead at v-1 — neither may surface as a change
+        a = _align_df(
+            _read_files_dv(
+                spark, root, added, sch_a, _dv_indexes(root, cur_dv, added)
+            ),
+            out_schema,
+        )
+        r = _align_df(
+            _read_files_dv(
+                spark,
+                root,
+                removed,
+                sch_r,
+                _dv_indexes(root, parent_dv, removed),
+            ),
+            out_schema,
+        )
+        if del_pos:
+            r = r.unionByName(
+                _align_df(
+                    _rows_at_positions(spark, root, del_pos, sch_a),
+                    out_schema,
+                )
+            )
+        if ins_pos:
+            a = a.unionByName(
+                _align_df(
+                    _rows_at_positions(spark, root, ins_pos, sch_a),
+                    out_schema,
+                )
+            )
+        if (added or ins_pos) and (removed or del_pos):
+            # multiset cancellation: rows identical across the two
+            # sides net to zero (optimize commits cancel exactly)
             ins, dels = a.exceptAll(r), r.exceptAll(a)
         else:
             ins, dels = a, r
@@ -1601,8 +1948,10 @@ def clone_table(
     cfg = _table_config(src_root)
     os.makedirs(os.path.join(dst_root, _DATA), exist_ok=True)
     tag = uuid.uuid4().hex[:12]
+    src_dv = _dv_indexes(src_root, snap.get("dv", {}))
     new_rels: list[str] = []
     new_stats: dict[str, dict] = {}
+    new_dv_rows: dict[str, list[int]] = {}
     for i, rel in enumerate(snap["files"]):
         sub = os.path.dirname(rel)  # "data" or "data/col=value"
         dest_dir = os.path.join(dst_root, sub)
@@ -1619,6 +1968,15 @@ def clone_table(
         new_rels.append(new_rel)
         if rel in snap["stats"]:
             new_stats[new_rel] = snap["stats"][rel]
+        if rel in src_dv:
+            # deletion vectors travel with the clone, re-keyed to the
+            # clone's file names (the shared inode still holds the
+            # DELETED rows' bytes; the vector is what hides them)
+            new_dv_rows[new_rel] = src_dv[rel]
+    dv_set: dict[str, str] = {}
+    if new_dv_rows:
+        ref = _write_dv(dst_root, new_dv_rows)
+        dv_set = {rel: ref for rel in new_dv_rows}
     ok = _commit_version(
         dst_root,
         0,
@@ -1645,6 +2003,7 @@ def clone_table(
             ),
             "checkpoint_every": cfg["checkpoint_every"],
         },
+        dv_set=dv_set,
     )
     if not ok:
         raise FileExistsError(f"concurrent create at {dst_root}")
@@ -1691,6 +2050,10 @@ def restore(
             # must not leak into the rolled-back view
             schema_json,
             {"restored_from": version},
+            # the target's deletion vectors travel with its files
+            # (sidecars are immutable and never deleted while any
+            # manifest references them, so refs are reusable)
+            dv_set=dict(target.get("dv", {})),
         )
         if ok:
             return v + 1
@@ -1729,7 +2092,8 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "cloned_from",
                 "cloned_version",
                 "constraint",
-                "predicate",
+                "mode",
+                "dv_rows",
             )
             if k in m
         }
@@ -1870,6 +2234,7 @@ def vacuum(
                         continue
                 removed.append(rel)
     ckpt_refs: set[str] | None = None  # lazy: read only if needed
+    dv_refs: set[str] | None = None
     for name in sorted(os.listdir(_log_dir(root))):
         full = os.path.join(_log_dir(root), name)
         if name.startswith(".tmp-") and name.endswith(".json"):
@@ -1893,6 +2258,26 @@ def vacuum(
                         for v in range(cur + 1)
                     }
                 if name not in ckpt_refs:
+                    if not dry_run:
+                        os.remove(full)
+                    removed.append(f"{_LOG}/{name}")
+            except OSError:
+                pass
+        elif name.startswith(".dv-") and name.endswith(".json"):
+            # deletion-vector sidecars: same orphan rule as
+            # checkpoints — referenced by any manifest => immortal
+            # (time travel / CDF may resolve it), else crashed/raced
+            # garbage once aged
+            try:
+                if now - os.path.getmtime(full) <= _TMP_RETAIN_SECS:
+                    continue
+                if dv_refs is None:
+                    dv_refs = set()
+                    for v in range(cur + 1):
+                        dv_refs.update(
+                            _read_manifest(root, v).get("dv", {}).values()
+                        )
+                if name not in dv_refs:
                     if not dry_run:
                         os.remove(full)
                     removed.append(f"{_LOG}/{name}")

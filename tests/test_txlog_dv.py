@@ -1,0 +1,177 @@
+"""Deletion-vector (merge-on-read delete) contracts — round-12
+verdict item 3. The design under test: ``delete_where(mode="dv")``
+commits O(deleted rows) of metadata (one sidecar of per-file row
+positions) and rewrites ZERO data files; every reader anti-joins the
+vectors out; OPTIMIZE materializes them; the change feed, time
+travel, restore, clone, merge, and row_count all stay exact."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.sources import txlog
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 10).alias("bucket")
+    )
+    txlog.create_table(spark, root, df.repartition(4))
+    return root
+
+
+def _inode_map(root: str, version: int) -> dict[str, int]:
+    return {
+        rel: os.stat(os.path.join(root, rel)).st_ino
+        for rel in txlog.snapshot_info(root, version)["files"]
+    }
+
+
+def test_dv_delete_rewrites_zero_files(spark, table):
+    before = _inode_map(table, 0)
+    v = txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    after = _inode_map(table, v)
+    # the file list AND the physical files are bit-identical
+    assert after == before, "dv delete must not touch any data file"
+    m = txlog._read_manifest(table, v)
+    assert m["rewrote"] == 0 and m["mode"] == "dv" and m["dv_rows"] == 100
+    got = txlog.read_table(spark, table)
+    assert got.count() == 900
+    assert got.where("bucket = 3").count() == 0
+    # time travel below the delete still sees everything
+    assert txlog.read_table(spark, table, version=0).count() == 1000
+
+
+def test_dv_deletes_accumulate_and_row_count_subtracts(spark, table):
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    txlog.delete_where(spark, table, "id < 50", mode="dv")
+    got = txlog.read_table(spark, table)
+    expect = 1000 - 100 - (50 - 5)  # bucket3 = 100; id<50 minus overlap
+    assert got.count() == expect
+    assert txlog.row_count(table) == expect  # metadata-only COUNT
+    # idempotent overlap: re-deleting the same rows changes nothing
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    assert txlog.read_table(spark, table).count() == expect
+    assert txlog.row_count(table) == expect
+
+
+def test_dv_scan_table_filters_dead_rows(spark, table):
+    txlog.delete_where(spark, table, "id >= 100 AND id < 200", mode="dv")
+    got = txlog.scan_table(spark, table, "id", 50, 250)
+    assert got.count() == (250 - 50 + 1) - 100
+    assert got.where("id = 150").count() == 0
+
+
+def test_dv_cdf_emits_deletes_and_optimize_cancels(spark, table):
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")  # v1
+    cdf = txlog.read_changes(spark, table, from_version=0, to_version=1)
+    rows = cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    assert {r["_change_type"]: r["n"] for r in rows} == {"delete": 100}
+    assert cdf.where("bucket <> 3").count() == 0
+    # optimize materializes: vectors cleared, feed across it is empty
+    v = txlog.optimize(spark, table)
+    assert txlog.snapshot_info(table, v)["dv"] == {}
+    assert (
+        txlog.read_changes(spark, table, from_version=v - 1).count() == 0
+    )
+    assert txlog.read_table(spark, table).count() == 900
+
+
+def test_dv_merge_does_not_resurrect_deleted_rows(spark, table):
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    # id=3 (bucket 3) is dead; a merge on OTHER keys must not revive
+    # it through a victim-file rewrite
+    upd = spark.createDataFrame([(4, -1)], ["id", "bucket"])
+    txlog.merge(spark, table, upd, ("id",))
+    got = txlog.read_table(spark, table)
+    assert got.where("id = 3").count() == 0
+    assert got.where("id = 4").collect()[0]["bucket"] == -1
+    assert got.count() == 900
+    # and a merge ON a dead key is an insert (the row no longer exists)
+    txlog.merge(
+        spark, table, spark.createDataFrame([(3, -2)], ["id", "bucket"]),
+        ("id",),
+    )
+    got = txlog.read_table(spark, table)
+    assert got.where("id = 3").collect()[0]["bucket"] == -2
+    assert got.count() == 901
+
+
+def test_dv_cow_delete_materializes_touched_files(spark, table):
+    """A later cow delete on a dv'd file must not resurrect the dv'd
+    rows: the rewrite reads through the vector."""
+    txlog.delete_where(spark, table, "id = 13", mode="dv")  # bucket 3
+    txlog.delete_where(spark, table, "bucket = 5")  # cow, rewrites all files
+    got = txlog.read_table(spark, table)
+    assert got.where("id = 13").count() == 0
+    assert got.count() == 1000 - 1 - 100
+
+
+def test_dv_restore_rolls_vectors_back_and_forward(spark, table):
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")  # v1
+    txlog.delete_where(spark, table, "bucket = 7", mode="dv")  # v2
+    txlog.restore(spark, table, 1)  # v3: undo the bucket-7 delete
+    assert txlog.read_table(spark, table).count() == 900
+    cdf = txlog.read_changes(spark, table, from_version=2, to_version=3)
+    rows = {r["_change_type"]: r["n"] for r in
+            cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert rows == {"insert": 100}  # the bucket-7 rows return
+    assert cdf.where("bucket <> 7").count() == 0
+    txlog.restore(spark, table, 0)  # v4: undo everything
+    assert txlog.read_table(spark, table).count() == 1000
+    assert txlog.row_count(table) == 1000
+
+
+def test_dv_clone_carries_vectors(spark, tmp_path, table):
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    dst = str(tmp_path / "clone")
+    txlog.clone_table(spark, table, dst)
+    assert txlog.read_table(spark, dst).count() == 900
+    assert txlog.read_table(spark, dst).where("bucket = 3").count() == 0
+    assert txlog.row_count(dst) == 900
+    # clone stays frozen while the source optimizes + vacuums
+    txlog.optimize(spark, table)
+    txlog.vacuum(table, retain_versions=1)
+    assert txlog.read_table(spark, dst).count() == 900
+
+
+def test_dv_partitioned_table_prunes_and_filters(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p")
+    )
+    txlog.create_table(spark, root, df, partition_by=("p",))
+    txlog.delete_where(spark, root, "id < 30", mode="dv")
+    got = txlog.read_table(spark, root, partitions={"p": 1})
+    assert got.count() == 100 - 10
+    # partition-scoped CDF sees only its own partition's dv deletes
+    cdf = txlog.read_changes(
+        spark, root, from_version=0, partitions={"p": 1}
+    )
+    assert cdf.count() == 10
+    assert cdf.where("p <> 1").count() == 0
+
+
+def test_dv_sidecar_vacuum_keeps_referenced(spark, table, tmp_path):
+    import time as _time
+
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")
+    log_dir = txlog._log_dir(table)
+    refs = [n for n in os.listdir(log_dir) if n.startswith(".dv-")]
+    assert len(refs) == 1
+    # an orphan dv sidecar (crashed writer) ages into removal; the
+    # referenced one is immortal
+    orphan = os.path.join(log_dir, ".dv-deadbeefdead.json")
+    with open(orphan, "w") as fh:
+        fh.write("{}")
+    old = _time.time() - 2 * txlog._TMP_RETAIN_SECS
+    os.utime(orphan, (old, old))
+    removed = txlog.vacuum(table, retain_versions=10)
+    assert f"{txlog._LOG}/.dv-deadbeefdead.json" in removed
+    assert os.path.exists(os.path.join(log_dir, refs[0]))
+    assert txlog.read_table(spark, table).count() == 900

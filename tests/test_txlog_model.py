@@ -72,9 +72,9 @@ def test_txlog_matches_model_under_random_op_chain(
             [(k, v) for k, v in rows.items()], ["id", "bucket"]
         )
 
-    ops = ["append", "merge", "delete", "optimize", "restore"]
-    for step in range(14):
-        op = ops[step % len(ops)] if step < 10 else rng.choice(ops)
+    ops = ["append", "merge", "delete", "dv_delete", "optimize", "restore"]
+    for step in range(16):
+        op = ops[step % len(ops)] if step < 12 else rng.choice(ops)
         if op == "append":
             rows = {next_id + i: rng.randrange(10) for i in range(25)}
             next_id += 25
@@ -90,6 +90,14 @@ def test_txlog_matches_model_under_random_op_chain(
         elif op == "delete":
             b = rng.randrange(10)
             v = txlog.delete_where(spark, root, f"bucket = {b}")
+            model = {k: x for k, x in model.items() if x != b}
+        elif op == "dv_delete":
+            # merge-on-read: same logical contract as delete, zero
+            # files rewritten (round-12 deletion vectors)
+            b = rng.randrange(10)
+            v = txlog.delete_where(
+                spark, root, f"bucket = {b}", mode="dv"
+            )
             model = {k: x for k, x in model.items() if x != b}
         elif op == "optimize":
             v = txlog.optimize(
