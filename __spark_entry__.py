@@ -56,37 +56,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OLDEST last-driver-certified round, oldest first, until the 50
     slots are full.
 
-    ROTATION LEDGER (from CORRECTNESS_r01-r10; zero historical reds.
-    Round 10 executed its intended window exactly — verified
-    key-for-key by the round-10 verdict):
+    ROTATION LEDGER (from CORRECTNESS_r01-r11; zero historical reds.
+    Round 11 executed its intended window exactly — verified
+    key-for-key by the round-11 verdict: wordcount + the 8 round-11
+    registrations + the first 41 of the r6-certified cohort):
 
-      round-11 window (THIS round, executed below) = wordcount
-        + the 8 NEW round-11 registrations
-          (txlog_partition_pruned_revenue, type_widening_orders,
-          txlog_checkpoint_log_orders, txlog_clone_orders,
-          txlog_zorder_revenue, txlog_constraints_orders — the
-          partition-column / type-widening / delta-log+checkpoint /
-          hardlink-CLONE / OPTIMIZE-ZORDER / CHECK-constraint+
-          metadata-count txlog surface — plus
-          cdf_stream_dedup_manifest, the streaming change-feed
-          consumer, and dup_cluster_reps, per-cluster longest-member
-          representative selection)
-        + the first 41 of the r6-certified cohort (ann_ivfpq_topk
-          ... scd2_customer_priority — 5 rounds stale, the oldest
-          cohort) = exactly 50 (wordcount + 8 + 41).
-      round-12 window = wordcount + round-12 registrations + the 8
-          r6-cohort leftovers (segment_order_stats_compacted,
+      round-12 window (THIS round, executed below) = wordcount
+        + the 5 NEW round-12 registrations
+          (dv_delete_orders and dv_cdf_orders — merge-on-read
+          deletion vectors and their change feed;
+          column_mapping_orders — rename/drop without rewrite;
+          txlog_sql_orders — the spark.read.format("txlog") Python
+          DataSource reached through plain SQL;
+          txlog_objectstore_orders — the full verb chain on the
+          simulated conditional-PUT LogStore)
+        + the 8 r6-cohort leftovers (segment_order_stats_compacted,
           semantic_dedup_cells, similarity_topk,
           stream_converting_clicks, stream_late_data_drop,
           stream_scd2_user_state, stream_stateful_sessions,
-          weighted_source_sample), then the r7-certified cohort
+          weighted_source_sample — six rounds stale, the oldest
+          cohort, now fully rotated)
+        + the first 36 of the r7-certified cohort (ann_ivf_topk ...
+          returnflag_measures_unpivot) = exactly 50 (1 + 5 + 8 + 36).
+      round-13 window = wordcount + round-13 registrations + the 13
+          r7-cohort leftovers (semantic_dedup ...
+          triangle_count_suppliers), then the r9-certified cohort
           head until full.
-      round-13+ = the r7 cohort remainder, then the r9-certified
-          cohort, then the r10-certified cohort, then the
-          r11-certified cohort, stalest first, forever.
+      round-14+ = the r9 cohort remainder, then the r10-certified
+          cohort, then the r11-certified cohort (the 8 round-11
+          registrations + the 41 re-certified r6 entries), then the
+          r12-certified cohort, stalest first, forever.
 
-    With 205 queries and 50 slots every query is certified at least
-    once per ceil(205/50) = 5 rounds, and every query — window or
+    With 210 queries and 50 slots every query is certified at least
+    once per ceil(210/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -109,101 +111,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feed(dv delete) == feed(cow delete), derived from the dv
         # position diff rather than any file diff.
         "dv_cdf_orders": relational.dv_cdf_orders,
-        # ===== round-11 window: NEW round-11 registrations =====
-        # txlog_partition_pruned_revenue: hive-style partition columns
-        # on the transactional table — untouched partitions eliminated
-        # at planning time from the manifest's file paths; the output
-        # pins that the pruned read planned strictly fewer files, all
-        # under matching partition dirs.
-        "txlog_partition_pruned_revenue": (
-            relational.txlog_partition_pruned_revenue
-        ),
-        # type_widening_orders: lossless type widening (int->long) as
-        # a schema-evolution commit — old narrow files up-cast on
-        # read, time travel at v0 keeps the narrow type; the oracle
-        # pins both dtypes.
-        "type_widening_orders": relational.type_widening_orders,
-        # txlog_checkpoint_log_orders: delta-action manifests +
-        # checkpoint-every-N — ordinary commits log O(touched files)
-        # actions; resolution replays checkpoint+deltas; the oracle
-        # pins the delta-manifest count and a time-travel read at a
-        # delta version.
-        "txlog_checkpoint_log_orders": relational.txlog_checkpoint_log_orders,
-        # txlog_clone_orders: CLONE as hard links — zero-copy, and
-        # source optimize+vacuum cannot break the clone (the upgrade
-        # over Delta's path-referencing shallow clone); the oracle
-        # pins source = full corpus, clone = delete complement AFTER
-        # the source churn.
-        "txlog_clone_orders": relational.txlog_clone_orders,
-        # txlog_zorder_revenue: OPTIMIZE ZORDER as a commit — after
-        # worst-case 2-D scatter, one Z-ordered rewrite makes
-        # manifest-stats scans prune on EITHER dimension; the output
-        # pins a per-dimension pruned flag alongside the plain-SQL
-        # aggregate.
-        "txlog_zorder_revenue": relational.txlog_zorder_revenue,
-        # txlog_constraints_orders: ALTER TABLE ADD CONSTRAINT + the
-        # metadata-only COUNT — a violating append is rejected with
-        # nothing committed (blocked=1, version unchanged), and the
-        # output row count comes from manifest metadata alone, pinned
-        # against the oracle's real COUNT.
-        "txlog_constraints_orders": relational.txlog_constraints_orders,
-        # cdf_stream_dedup_manifest: the change feed consumed as a
-        # STREAM through a durable version cursor (one commit per
-        # micro-batch); SAME oracle as the batch CDF consumer and the
-        # full replay, so the hash match certifies stream == batch ==
-        # replay.
-        "cdf_stream_dedup_manifest": textops.cdf_stream_dedup_manifest,
-        # dup_cluster_reps: per-cluster representative selection —
-        # keep the LONGEST member of each near-dup component (ties ->
-        # smallest doc_id), one struct-max aggregate after the CC, no
-        # corpus window; oracle replays the recursive-CTE closure +
-        # row_number ranking.
-        "dup_cluster_reps": textops.dup_cluster_reps,
-        # ===== round-11 window: r6-certified cohort head (41 of 49;
-        # last driver row in round 6 — five rounds stale) =====
-        "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
-        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
-        "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
-        "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
-        "canonical_part_names": textops.canonical_part_names,
-        "click_next_purchase": events.click_next_purchase,
-        "embedding_gram": vectors.embedding_gram,
-        "events_variant_stats": events.events_variant_stats,
-        "forget_users_events": events.forget_users_events,
-        "frame_checksums_mm": multimodal.frame_checksums_mm,
-        "frequent_brands_sketch": relational.frequent_brands_sketch,
-        "incremental_neardup_manifest": textops.incremental_neardup_manifest,
-        "integrity_report": sampling.integrity_report,
-        "inverted_index_topn": parity.inverted_index_topn,
-        "kv_pipeline": parity.kv_pipeline,
-        "lateral_top_lines": relational.lateral_top_lines,
-        "minhash_dups": textops.minhash_dups,
-        "pagerank_directed_suppliers": relational.pagerank_directed_suppliers,
-        "pagerank_suppliers": relational.pagerank_suppliers,
-        "pit_priority_revenue": relational.pit_priority_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q11_important_brands": relational.q11_important_brands,
-        "q12_ship_latency": relational.q12_ship_latency,
-        "q13_order_distribution": relational.q13_order_distribution,
-        "q14_promo_effect": relational.q14_promo_effect,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
-        "q17_small_quantity": relational.q17_small_quantity,
-        "q19_discounted_revenue": relational.q19_discounted_revenue,
-        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
-        "q22_dormant_rich": relational.q22_dormant_rich,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q4_order_priority": relational.q4_order_priority,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "q6_clustered_scan": relational.q6_clustered_scan,
-        "q6_zorder_scan": relational.q6_zorder_scan,
-        "q7_nation_volume": relational.q7_nation_volume,
-        "q9_product_profit": relational.q9_product_profit,
-        "recursive_month_spine": relational.recursive_month_spine,
-        "revenue_trailing_window": relational.revenue_trailing_window,
-        "scd2_customer_priority": relational.scd2_customer_priority,
-        # ================= end of the 50-slot checked window =================
-        # ----- r6-certified cohort leftovers (round-12 window head) -----
+        # column_mapping_orders: RENAME + DROP as metadata-only
+        # commits (v0 file inodes pinned untouched), appends under the
+        # new name joining old physical columns, a re-added dropped
+        # column reading NULL for pre-drop rows (fresh physical name —
+        # no resurrection), time travel showing the original names.
+        "column_mapping_orders": relational.column_mapping_orders,
+        # txlog_sql_orders: the table reached through PLAIN SQL only —
+        # spark.read.format("txlog") (Spark 4 Python Data Source) ->
+        # temp view -> spark.sql; the source decodes manifests, schema
+        # binding, and deletion vectors identically to the JVM path.
+        "txlog_sql_orders": relational.txlog_sql_orders,
+        # txlog_objectstore_orders: the full verb chain (create,
+        # append, dv delete, optimize, vacuum) on the simulated
+        # object-store LogStore — conditional PUT, no hard links, no
+        # dir fsync — pinning that the commit protocol ports to
+        # S3/GCS-style storage unchanged (time travel included).
+        "txlog_objectstore_orders": relational.txlog_objectstore_orders,
+        # ===== round-12 window: r6-cohort leftovers (certified r6 —
+        # six rounds stale, the oldest cohort) =====
         "segment_order_stats_compacted": (
             relational.segment_order_stats_compacted
         ),
@@ -214,7 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2_user_state": streams.stream_scd2_user_state,
         "stream_stateful_sessions": streams.stream_stateful_sessions,
         "weighted_source_sample": sampling.weighted_source_sample,
-        # ----- round-7-certified cohort (round 12/13) -----
+        # ===== round-12 window: r7-certified cohort head (36 of 49;
+        # completes the 50 slots) =====
         "ann_ivf_topk": vectors.ann_ivf_topk,
         "ann_kmeans_topk": vectors.ann_kmeans_topk,
         "ann_sq8_topk": vectors.ann_sq8_topk,
@@ -251,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": relational.q8_market_share,
         "quality_filter": textops.quality_filter,
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
+        # ================= end of the 50-slot checked window =================
+        # ----- r7-certified cohort remainder (round-13 window head) -----
         "semantic_dedup": vectors.semantic_dedup,
         "simhash_dups": textops.simhash_dups,
         "snapshot_diff_orders": relational.snapshot_diff_orders,
@@ -366,6 +295,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": relational.q18_large_volume,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
+        # ----- round-11-certified cohort (freshest; round 15/16):
+        # the 8 round-11 registrations + the 41 r6-cohort entries the
+        # round-11 window re-certified -----
+        "txlog_partition_pruned_revenue": (
+            relational.txlog_partition_pruned_revenue
+        ),
+        "type_widening_orders": relational.type_widening_orders,
+        "txlog_checkpoint_log_orders": relational.txlog_checkpoint_log_orders,
+        "txlog_clone_orders": relational.txlog_clone_orders,
+        "txlog_zorder_revenue": relational.txlog_zorder_revenue,
+        "txlog_constraints_orders": relational.txlog_constraints_orders,
+        "cdf_stream_dedup_manifest": textops.cdf_stream_dedup_manifest,
+        "dup_cluster_reps": textops.dup_cluster_reps,
+        "ann_ivfpq_topk": vectors.ann_ivfpq_topk,
+        "ann_pq_adc_topk": vectors.ann_pq_adc_topk,
+        "ann_pq_rerank_topk": vectors.ann_pq_rerank_topk,
+        "ann_pq_trained_topk": vectors.ann_pq_trained_topk,
+        "canonical_part_names": textops.canonical_part_names,
+        "click_next_purchase": events.click_next_purchase,
+        "embedding_gram": vectors.embedding_gram,
+        "events_variant_stats": events.events_variant_stats,
+        "forget_users_events": events.forget_users_events,
+        "frame_checksums_mm": multimodal.frame_checksums_mm,
+        "frequent_brands_sketch": relational.frequent_brands_sketch,
+        "incremental_neardup_manifest": textops.incremental_neardup_manifest,
+        "integrity_report": sampling.integrity_report,
+        "inverted_index_topn": parity.inverted_index_topn,
+        "kv_pipeline": parity.kv_pipeline,
+        "lateral_top_lines": relational.lateral_top_lines,
+        "minhash_dups": textops.minhash_dups,
+        "pagerank_directed_suppliers": relational.pagerank_directed_suppliers,
+        "pagerank_suppliers": relational.pagerank_suppliers,
+        "pit_priority_revenue": relational.pit_priority_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q11_important_brands": relational.q11_important_brands,
+        "q12_ship_latency": relational.q12_ship_latency,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q14_promo_effect": relational.q14_promo_effect,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q17_small_quantity": relational.q17_small_quantity,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q20_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q22_dormant_rich": relational.q22_dormant_rich,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q4_order_priority": relational.q4_order_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_clustered_scan": relational.q6_clustered_scan,
+        "q6_zorder_scan": relational.q6_zorder_scan,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "q9_product_profit": relational.q9_product_profit,
+        "recursive_month_spine": relational.recursive_month_spine,
+        "revenue_trailing_window": relational.revenue_trailing_window,
+        "scd2_customer_priority": relational.scd2_customer_priority,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

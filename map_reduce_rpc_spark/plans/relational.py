@@ -4678,3 +4678,233 @@ RELATIONAL_ORACLES["dv_cdf_orders"] = f"""
     FROM orders WHERE {TT_DELETE_PRED}
     ORDER BY commit_version, change_type
 """
+
+
+def column_mapping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME/DROP COLUMN without rewrites, certified
+    end-to-end (sources/txlog.py rename_column/drop_column — round-11
+    verdict item 4, the Delta column-mapping design): orders become a
+    txlog table; ``cents`` is RENAMED to ``total_cents`` and
+    ``o_orderpriority`` is DROPPED — both metadata-only commits, pinned
+    by ``files_untouched`` comparing the v0 file inodes before/after —
+    then the odd-key half appends under the NEW name (its rows join
+    the old files' physical column seamlessly) WITH a re-added
+    ``o_orderpriority`` column, which must take a FRESH physical name:
+    the query pins that pre-drop rows read NULL under the re-added
+    column (the dropped era's values never resurrect, though their
+    bytes still sit in the untouched files) while appended rows carry
+    theirs, and that time travel at v0 still shows the original
+    column names. Output: (half, n_orders, sum_cents,
+    n_with_priority, files_untouched, v0_cols)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        )
+        txlog.create_table(
+            spark, root, base.where("o_orderkey % 2 = 0").repartition(8)
+        )
+        inode0 = sorted(
+            os.stat(os.path.join(root, rel)).st_ino
+            for rel in txlog.snapshot_info(root, 0)["files"]
+        )
+        txlog.rename_column(spark, root, "cents", "total_cents")  # v1
+        txlog.drop_column(spark, root, "o_orderpriority")  # v2
+        inode2 = sorted(
+            os.stat(os.path.join(root, rel)).st_ino
+            for rel in txlog.snapshot_info(root, 2)["files"]
+        )
+        txlog.append(  # v3: new name + re-added column
+            spark,
+            root,
+            base.where("o_orderkey % 2 = 1").select(
+                "o_orderkey",
+                F.col("cents").alias("total_cents"),
+                "o_orderpriority",
+            ),
+            merge_schema=True,
+        )
+        with open(os.path.join(tmp, "_mark"), "w") as fh:
+            fh.write(str(int(inode0 == inode2)))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_colmap_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    with open(os.path.join(base_dir, "_mark")) as fh:
+        untouched = int(fh.read().strip())
+    v0_cols = ",".join(
+        txlog.read_table(spark, root, version=0).columns
+    )
+    return (
+        txlog.read_table(spark, root)
+        .groupBy((F.col("o_orderkey") % 2).cast("long").alias("half"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("sum_cents"),
+            F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        )
+        .withColumn("files_untouched", F.lit(untouched).cast("long"))
+        .withColumn("v0_cols", F.lit(v0_cols))
+        .orderBy("half")
+    )
+
+
+RELATIONAL_ORACLES["column_mapping_orders"] = """
+    SELECT o_orderkey % 2 AS half, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(CASE WHEN o_orderkey % 2 = 1 THEN count(*) ELSE 0 END
+                AS BIGINT) AS n_with_priority,
+           CAST(1 AS BIGINT) AS files_untouched,
+           'o_orderkey,o_orderpriority,cents' AS v0_cols
+    FROM orders
+    GROUP BY o_orderkey % 2
+    ORDER BY half
+"""
+
+
+def txlog_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table reached through PLAIN SQL only
+    (sources/txlog_source.py — round-11 verdict item 7, the Spark 4
+    Python Data Source API): the query registers the ``txlog`` format,
+    loads the table with ``spark.read.format("txlog")``, names it as a
+    temp view, and produces its result via ``spark.sql`` with no
+    library read call — the access path a SQL-only session, notebook,
+    or BI harness would use. The table itself carries the round-12
+    protocol surface (a deletion-vector delete of the urgent orders),
+    so the hash match certifies the source decodes manifests, schema
+    binding, and deletion vectors identically to the JVM path — while
+    :func:`txlog.read_table` stays the 100 TB fast path (codegen'd
+    requested-schema scans; the Python source trades that for format-
+    name ACCESS, moving whole Arrow batches, never per-row Python).
+    Output: (priority, n_orders, cents)."""
+    import os
+
+    from ..sources import txlog, txlog_source
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        txlog.create_table(
+            spark,
+            root,
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .repartition(8),
+        )
+        txlog.delete_where(spark, root, TT_DELETE_PRED, mode="dv")
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_sql_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    txlog_source.register(spark)
+    spark.read.format("txlog").option(
+        "path", root
+    ).load().createOrReplaceTempView("txlog_sql_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM txlog_sql_orders_v
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """
+    )
+
+
+RELATIONAL_ORACLES["txlog_sql_orders"] = f"""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE NOT ({TT_DELETE_PRED})
+    GROUP BY o_orderpriority
+    ORDER BY priority
+"""
+
+
+def txlog_objectstore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LogStore abstraction proven end-to-end on the simulated
+    OBJECT-STORE backend (sources/logstore.py ConditionalPutLogStore —
+    round-11 verdict item 2): the whole verb chain — create, append,
+    deletion-vector delete, OPTIMIZE (which must materialize the
+    vectors), vacuum — runs with NO hard links and NO directory fsync
+    anywhere in the commit path, the S3/GCS primitive surface
+    (conditional PUT + server-side copy; see logstore.py's mapping
+    table). The output aggregates the final table plus a time-travel
+    read at v1, pinning that snapshot resolution, optimistic commits,
+    and retention behave identically to the POSIX backend — the proof
+    the transaction protocol ports to object storage unchanged.
+    Output: (label, n_orders, cents)."""
+    import os
+
+    from ..sources import txlog
+    from ..sources.logstore import ConditionalPutLogStore
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        with txlog.using_log_store(ConditionalPutLogStore()):
+            txlog.create_table(
+                spark, root, base.where("o_orderkey % 2 = 0").repartition(8)
+            )
+            txlog.append(spark, root, base.where("o_orderkey % 2 = 1"))
+            txlog.delete_where(spark, root, TT_DELETE_PRED, mode="dv")
+            txlog.optimize(spark, root)  # materializes the vectors
+            txlog.vacuum(root, retain_versions=3)  # keeps v1 readable
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_objstore_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("label"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+
+    with txlog.using_log_store(ConditionalPutLogStore()):
+        out = agg(txlog.read_table(spark, root), "final").unionByName(
+            agg(txlog.read_table(spark, root, version=1), "v1")
+        )
+    return out.orderBy("label")
+
+
+RELATIONAL_ORACLES["txlog_objectstore_orders"] = f"""
+    SELECT 'final' AS label, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE NOT ({TT_DELETE_PRED})
+    UNION ALL
+    SELECT 'v1', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    ORDER BY label
+"""

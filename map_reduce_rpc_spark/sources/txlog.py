@@ -57,6 +57,29 @@ the properties that actually matter and nothing else:
   evolution shows the OLD shape. Lossy writes still fail loudly.
 - **Exactly-once ingestion.** The Delta (app_id, txn_version)
   idempotence map makes a redelivered CDC/streaming batch a no-op.
+- **Deletion vectors (round-12).** ``delete_where(mode="dv")`` is
+  merge-on-read: the commit records each touched file's deleted row
+  positions in one sidecar — O(deleted rows) of metadata, ZERO files
+  rewritten — and every reader anti-joins the broadcast (file,
+  ``_metadata.row_index``) pairs out. :func:`optimize` materializes
+  vectors away; :func:`row_count` subtracts them with zero IO; the
+  change feed derives dv deletes from the position diff. The 100 TB
+  point-delete (GDPR forget) no longer rewrites GBs to remove KBs.
+- **Column mapping (round-12).** :func:`rename_column` /
+  :func:`drop_column` are metadata-only commits: logical names live
+  in the manifest (``column_mapping``), physical file columns are
+  immutable, and a re-added dropped name takes a FRESH physical name
+  so old bytes never resurrect. Zero overhead until activated.
+- **Pluggable LogStore (round-12).** The commit primitive (atomic
+  claim + full-bytes publish), durability barrier, and CLONE's file
+  share live behind ``logstore.LogStore``: POSIX temp+hardlink by
+  default, a simulated object-store conditional PUT
+  (``ConditionalPutLogStore``) proving the protocol needs no hard
+  links — the S3/GCS port path (see logstore.py's mapping table).
+- **SQL surface (round-12).** ``spark.read.format("txlog")``
+  (``txlog_source.py``, Spark 4 Python Data Source) gives SQL-only
+  sessions the full protocol — snapshot binding, mapping, vectors,
+  partition typing; :func:`read_table` stays the codegen'd fast path.
 
 Retention contract (vacuum): ``vacuum(retain_versions=k)`` keeps the
 newest ``k`` snapshots' files; MANIFESTS are never deleted, but a
@@ -358,6 +381,66 @@ def _hive_path_value(x) -> str | None:
     )
 
 
+def _mapping_at(root: str, version: int) -> dict | None:
+    """The column mapping in force AT a version (round-12 rename/drop
+    without rewrite — Delta's column-mapping design): None until the
+    first rename/drop activates it, afterwards
+    ``{"map": {logical -> physical}, "retired": [physical, ...]}``.
+    Only NON-identity entries live in ``map`` (an unmapped logical
+    name IS its physical name); ``retired`` lists physical names that
+    once carried a since-dropped column — a later re-ADD of the same
+    logical name must take a FRESH physical name so the old files'
+    values can never resurrect. Physical names are immutable for a
+    file's lifetime, which is the whole trick: rename/drop are
+    manifest-only commits, zero data files touched.
+
+    Recorded on the commit that changes it and on every full manifest
+    while active, so this walk is bounded by the checkpoint cadence
+    (a full manifest WITHOUT the key means the mapping was never
+    activated)."""
+    for v in range(version, -1, -1):
+        m = _read_manifest(root, v)
+        if "column_mapping" in m:
+            cm = m["column_mapping"]
+            return {
+                "map": dict(cm.get("map", {})),
+                "retired": list(cm.get("retired", [])),
+            }
+        if _is_full(m):
+            return None
+    return None
+
+
+def _phys_name(mapping: dict | None, logical: str) -> str:
+    if mapping is None:
+        return logical
+    return mapping["map"].get(logical, logical)
+
+
+def _phys_schema(schema, mapping: dict | None):
+    """The PHYSICAL StructType a logical snapshot schema binds to in
+    the parquet files (identical when no mapping is active — the
+    zero-overhead common case)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if mapping is None or not mapping["map"]:
+        return schema
+    return StructType(
+        [
+            StructField(_phys_name(mapping, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+    )
+
+
+def _logical_select(schema, mapping: dict | None):
+    """Projection list physical -> logical for a mapped read."""
+    return [
+        F.col(_phys_name(mapping, f.name)).alias(f.name)
+        for f in schema.fields
+    ]
+
+
 def partition_values(rel: str) -> dict[str, str | None]:
     """Per-file partition values, parsed from the hive-style path
     components (``data/month=2024-01/part-...``) — the manifest's
@@ -579,11 +662,35 @@ def _align_df(df: DataFrame, target) -> DataFrame:
     )
 
 
+def _relabel_for_out(
+    df: DataFrame, sch_from, mp_from: dict | None, out_schema, mp_out
+) -> DataFrame:
+    """Rename a change-feed chunk's columns from one era's LOGICAL
+    names to the output era's, matching by PHYSICAL identity: a
+    renamed column is the SAME column across the feed (physical names
+    never change), so a pre-rename commit's rows surface under the
+    post-rename name instead of as NULLs. Columns whose physical name
+    left the output schema (drops) pass through untouched and are
+    projected away by the _align_df that follows."""
+    if mp_from is None and mp_out is None:
+        return df
+    phys_out = {
+        _phys_name(mp_out, f.name): f.name for f in out_schema.fields
+    }
+    cols = []
+    for f in sch_from.fields:
+        p = _phys_name(mp_from, f.name)
+        tgt = phys_out.get(p, f.name)
+        cols.append(F.col(f.name).alias(tgt) if tgt != f.name else F.col(f.name))
+    return df.select(cols)
+
+
 def _stage_files(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     partition_by: tuple[str, ...] | list[str] = (),
+    mapping: dict | None = None,
 ) -> list[str]:
     """Write df's rows as new uniquely-named parquet files under
     data/ (hive-partitioned subdirs when the table is partitioned);
@@ -603,6 +710,15 @@ def _stage_files(
         raise ValueError(
             f"column names starting with '#' are reserved for manifest "
             f"metadata (the per-file '#rows' stat): {bad}"
+        )
+    if mapping is not None and mapping["map"]:
+        # active column mapping: files store PHYSICAL names, so a
+        # renamed column's new files join the old ones seamlessly
+        df = df.select(
+            [
+                F.col(c).alias(_phys_name(mapping, c))
+                for c in df.columns
+            ]
         )
     stage_tag = uuid.uuid4().hex[:12]
     stage_dir = os.path.join(root, _DATA, f".stage-{stage_tag}")
@@ -744,6 +860,14 @@ def _commit_version(
             sj = _schema_json_at(root, v_new - 1)
             if sj is not None:
                 m["schema"] = sj
+        # an ACTIVE column mapping must appear on every full manifest
+        # (bounds _mapping_at's walk); restore pins the TARGET's
+        # mapping via extra instead (possibly none — a rename rolled
+        # back), so inheriting the parent's would be wrong there
+        if "column_mapping" not in m and op not in ("create", "restore"):
+            mp = _mapping_at(root, v_new - 1) if v_new > 0 else None
+            if mp is not None:
+                m["column_mapping"] = mp
         if op not in ("create",) and v_new % ce == 0:
             m["checkpoint"] = True
     else:
@@ -820,17 +944,19 @@ def _read_raw(
 
 
 def _read_files(
-    spark: SparkSession, root: str, rels: list[str], schema
+    spark: SparkSession, root: str, rels: list[str], schema, mapping=None
 ) -> DataFrame:
     """Read a manifest file list bound to a snapshot schema: files
     written before an evolution lack the later columns (typed NULLs)
     or carry pre-widening narrow types (promoted on read) — the
     requested-schema parquet read handles both without a footer-merge
-    job."""
+    job. With an active column ``mapping`` the read binds the
+    PHYSICAL names and aliases back to the logical ones (rename/drop
+    are manifest-only; the files never change)."""
     if not rels:
         return spark.createDataFrame([], schema)
-    return _read_raw(spark, root, rels, schema).select(
-        [F.col(f.name) for f in schema.fields]
+    return _read_raw(spark, root, rels, _phys_schema(schema, mapping)).select(
+        _logical_select(schema, mapping)
     )
 
 
@@ -912,6 +1038,7 @@ def _live_with_pos(
     rels: list[str],
     schema,
     dv_idx: dict[str, list[int]],
+    mapping=None,
 ) -> DataFrame:
     """The LIVE rows of a file list — DV-deleted rows anti-joined out
     — with the file basename and in-file row position attached as
@@ -920,8 +1047,10 @@ def _live_with_pos(
     which is what makes a deletion vector addressable without any
     physical row id column. The victim side broadcasts: O(DV rows),
     never O(table)."""
-    raw = _read_raw(spark, root, rels, schema).select(
-        *[F.col(f.name) for f in schema.fields],
+    raw = _read_raw(
+        spark, root, rels, _phys_schema(schema, mapping)
+    ).select(
+        *_logical_select(schema, mapping),
         F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1
         ).alias(_DV_FILE),
@@ -942,6 +1071,7 @@ def _rows_at_positions(
     root: str,
     pos_map: dict[str, list[int]],
     schema,
+    mapping=None,
 ) -> DataFrame:
     """The rows of the given files AT the given in-file positions —
     the content of a deletion-vector diff, for the change feed
@@ -950,8 +1080,10 @@ def _rows_at_positions(
     rels = [r for r in pos_map if pos_map[r]]
     if not rels:
         return spark.createDataFrame([], schema)
-    raw = _read_raw(spark, root, rels, schema).select(
-        *[F.col(f.name) for f in schema.fields],
+    raw = _read_raw(
+        spark, root, rels, _phys_schema(schema, mapping)
+    ).select(
+        *_logical_select(schema, mapping),
         F.element_at(
             F.split(F.col("_metadata.file_path"), "/"), -1
         ).alias(_DV_FILE),
@@ -970,6 +1102,7 @@ def _read_files_dv(
     rels: list[str],
     schema,
     dv_idx: dict[str, list[int]],
+    mapping=None,
 ) -> DataFrame:
     """DV-aware snapshot read: files without a deletion vector take
     the plain schema-bound path (zero overhead — the hot path at
@@ -978,12 +1111,12 @@ def _read_files_dv(
     against the broadcast victim pairs."""
     dv_rels = [r for r in rels if dv_idx.get(r)]
     clean = [r for r in rels if not dv_idx.get(r)]
-    base = _read_files(spark, root, clean, schema)
+    base = _read_files(spark, root, clean, schema, mapping)
     if not dv_rels:
         return base
-    live = _live_with_pos(spark, root, dv_rels, schema, dv_idx).select(
-        [F.col(f.name) for f in schema.fields]
-    )
+    live = _live_with_pos(
+        spark, root, dv_rels, schema, dv_idx, mapping
+    ).select([F.col(f.name) for f in schema.fields])
     return base.unionByName(live) if clean else live
 
 
@@ -1009,7 +1142,12 @@ def read_table(
         rels = _prune_partitions(root, rels, partitions)
     dv_idx = _dv_indexes(root, snap.get("dv", {}), rels)
     out = _read_files_dv(
-        spark, root, rels, _snapshot_schema(spark, root, v), dv_idx
+        spark,
+        root,
+        rels,
+        _snapshot_schema(spark, root, v),
+        dv_idx,
+        _mapping_at(root, v),
     )
     if partitions:
         out = out.where(_partition_residual(partitions))
@@ -1047,6 +1185,8 @@ def scan_table(
         raise FileNotFoundError(f"no committed version at {root}")
     snap = snapshot_info(root, v)
     stats = snap["stats"]
+    mp = _mapping_at(root, v)
+    pcol = _phys_name(mp, col)  # manifest stats key by PHYSICAL name
     if col in _table_config(root)["partition_by"]:
         def _pv(rel):
             raw = partition_values(rel).get(col)
@@ -1068,12 +1208,12 @@ def scan_table(
         pruned = [
             rel
             for rel in snap["files"]
-            if (rng := stats.get(rel, {}).get(col)) is None
+            if (rng := stats.get(rel, {}).get(pcol)) is None
             or (rng[0] <= hi and rng[1] >= lo)
         ]
     schema = _snapshot_schema(spark, root, v)
     dv_idx = _dv_indexes(root, snap.get("dv", {}), pruned)
-    return _read_files_dv(spark, root, pruned, schema, dv_idx).where(
+    return _read_files_dv(spark, root, pruned, schema, dv_idx, mp).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
 
@@ -1115,6 +1255,9 @@ def append(
     staged_schema = None
     new_stats: dict = {}
     checked_cons: set[str] = set()
+    stage_mp: dict | None = None
+    write_mp: dict | None = None
+    map_extra: dict = {}
     for _ in range(max_retries):
         v = current_version(root)
         parent_m = _read_manifest(root, v)
@@ -1123,6 +1266,15 @@ def append(
             return v  # duplicate delivery: already committed
         cons = dict(parent_m.get("constraints", {}))
         tbl_schema = _snapshot_schema(spark, root, v)
+        if files is not None and _mapping_at(root, v) != stage_mp:
+            # a rename/drop landed after we staged physical files: the
+            # staged names may no longer be this table's truth — a
+            # genuine metadata conflict, surfaced loudly (the Delta
+            # ConcurrentTransactionException shape)
+            raise RuntimeError(
+                "concurrent column rename/drop during append at "
+                f"{root}: retry the operation"
+            )
         if files is None:
             pby = _table_config(root)["partition_by"]
             lacking = [c for c in pby if c not in df.columns]
@@ -1135,7 +1287,40 @@ def append(
             aligned = _align_df(df, target)
             _validate_constraints(aligned, cons)
             checked_cons = set(cons)
-            files = _stage_files(spark, root, aligned, partition_by=pby)
+            stage_mp = _mapping_at(root, v)
+            write_mp = stage_mp
+            if evolved is not None and stage_mp is not None:
+                # mapping active: a NEW column takes a FRESH physical
+                # name whenever its logical name ever existed before
+                # (retired by a drop) or collides with a live physical
+                # — old files' bytes must never resurrect under a
+                # re-added name
+                old_names = {g.name for g in tbl_schema.fields}
+                new_fields = [
+                    f.name for f in target.fields if f.name not in old_names
+                ]
+                if new_fields:
+                    mp2 = {
+                        "map": dict(stage_mp["map"]),
+                        "retired": list(stage_mp["retired"]),
+                    }
+                    used = set(mp2["retired"]) | {
+                        _phys_name(stage_mp, g.name) for g in tbl_schema.fields
+                    }
+                    for n in new_fields:
+                        p = (
+                            n
+                            if n not in used
+                            else f"{n}_{uuid.uuid4().hex[:8]}"
+                        )
+                        if p != n:
+                            mp2["map"][n] = p
+                        used.add(p)
+                    map_extra = {"column_mapping": mp2}
+                    write_mp = mp2
+            files = _stage_files(
+                spark, root, aligned, partition_by=pby, mapping=write_mp
+            )
             new_stats = _collect_stats(root, files)
             staged_schema = target
         elif set(cons) - checked_cons:
@@ -1144,7 +1329,8 @@ def append(
             # against the NEW rules (O(batch) re-read)
             fresh = {n: p for n, p in cons.items() if n not in checked_cons}
             _validate_constraints(
-                _read_files(spark, root, files, staged_schema), fresh
+                _read_files(spark, root, files, staged_schema, write_mp),
+                fresh,
             )
             checked_cons |= set(fresh)
             evolved = _merge_struct(tbl_schema, staged_schema, True)
@@ -1167,7 +1353,7 @@ def append(
             new_stats,
             txn,
             evolved.json() if evolved is not None else None,
-            {},
+            dict(map_extra),
         )
         if ok:
             return v + 1
@@ -1218,6 +1404,7 @@ def merge(
     upd_files: list[str] | None = None
     aligned: DataFrame | None = None
     checked_cons: set[str] = set()
+    stage_mp: dict | None = None
     for _ in range(max_retries):
         v = current_version(root)
         parent_m = _read_manifest(root, v)
@@ -1226,6 +1413,11 @@ def merge(
             return v  # duplicate delivery: already committed
         cons = dict(parent_m.get("constraints", {}))
         psnap = snapshot_info(root, v)
+        if upd_files is not None and _mapping_at(root, v) != stage_mp:
+            raise RuntimeError(
+                "concurrent column rename/drop during merge at "
+                f"{root}: retry the operation"
+            )
         if upd_files is None:
             tbl_schema = _snapshot_schema(spark, root, v)
             _merge_struct(tbl_schema, updates.schema, False)  # validate
@@ -1249,7 +1441,10 @@ def merge(
                     f"{n_rows} rows, {n_keys} keys"
                 )
             pby = _table_config(root)["partition_by"]
-            upd_files = _stage_files(spark, root, aligned, partition_by=pby)
+            stage_mp = _mapping_at(root, v)
+            upd_files = _stage_files(
+                spark, root, aligned, partition_by=pby, mapping=stage_mp
+            )
         elif set(cons) - checked_cons:
             # concurrent add_constraint during our retry window:
             # validate the (checkpointed) batch against the new rules
@@ -1272,10 +1467,11 @@ def merge(
             lo, hi = row["lo"], row["hi"]
             if lo is not None:
                 stats = psnap["stats"]
+                pkey = _phys_name(stage_mp, key)  # stats key physical
                 candidates = [
                     rel
                     for rel in candidates
-                    if (rng := stats.get(rel, {}).get(key)) is None
+                    if (rng := stats.get(rel, {}).get(pkey)) is None
                     or (rng[0] <= hi and rng[1] >= lo)
                 ]
             else:
@@ -1296,6 +1492,7 @@ def merge(
                 candidates,
                 _snapshot_schema(spark, root, v),
                 dv_idx,
+                stage_mp,
             )
             hit_names = {
                 r[_DV_FILE]
@@ -1316,13 +1513,14 @@ def merge(
         if victims:
             schema = _snapshot_schema(spark, root, v)
             survivors = _read_files_dv(
-                spark, root, victims, schema, dv_idx
+                spark, root, victims, schema, dv_idx, stage_mp
             ).join(keys, list(key_cols), "left_anti")
             staged += _stage_files(
                 spark,
                 root,
                 survivors,
                 partition_by=_table_config(root)["partition_by"],
+                mapping=stage_mp,
             )
         if app_id is not None:
             txn[app_id] = txn_version
@@ -1397,6 +1595,7 @@ def delete_where(
         psnap = snapshot_info(root, v)
         schema = _snapshot_schema(spark, root, v)
         dv_idx = _dv_indexes(root, psnap.get("dv", {}))
+        mp = _mapping_at(root, v)
         if mode == "dv":
             dv_new: dict[str, list[int]] = {}
             n_rows = 0
@@ -1406,7 +1605,7 @@ def delete_where(
                 # memory is O(victim rows), the point-delete budget)
                 hits = (
                     _live_with_pos(
-                        spark, root, psnap["files"], schema, dv_idx
+                        spark, root, psnap["files"], schema, dv_idx, mp
                     )
                     .where(predicate)
                     .groupBy(_DV_FILE)
@@ -1455,7 +1654,7 @@ def delete_where(
                 r[_DV_FILE]
                 for r in (
                     _live_with_pos(
-                        spark, root, psnap["files"], schema, dv_idx
+                        spark, root, psnap["files"], schema, dv_idx, mp
                     )
                     .where(predicate)
                     .select(_DV_FILE)
@@ -1471,13 +1670,14 @@ def delete_where(
         staged: list[str] = []
         if rewrite:
             survivors = _read_files_dv(
-                spark, root, rewrite, schema, dv_idx
+                spark, root, rewrite, schema, dv_idx, mp
             ).where(f"NOT ({predicate})")
             staged = _stage_files(
                 spark,
                 root,
                 survivors,
                 partition_by=_table_config(root)["partition_by"],
+                mapping=mp,
             )
         ok = _commit_version(
             root,
@@ -1565,12 +1765,14 @@ def optimize(
         # removed files take their vectors with them, and the new
         # snapshot is vector-free (the Delta REORG PURGE behavior,
         # folded into compaction)
+        mp = _mapping_at(root, v)
         df = _read_files_dv(
             spark,
             root,
             psnap["files"],
             _snapshot_schema(spark, root, v),
             _dv_indexes(root, psnap.get("dv", {})),
+            mp,
         )
         pby = _table_config(root)["partition_by"]
         if zorder_by:
@@ -1615,7 +1817,7 @@ def optimize(
                 )
             else:
                 out = df.repartition(n)
-        files = _stage_files(spark, root, out, partition_by=pby)
+        files = _stage_files(spark, root, out, partition_by=pby, mapping=mp)
         ok = _commit_version(
             root,
             v + 1,
@@ -1680,6 +1882,7 @@ def read_changes(
             f"version range ({from_version}, {to_v}] outside [-1, {cur}]"
         )
     out_schema = _snapshot_schema(spark, root, max(to_v, 0))
+    map_to = _mapping_at(root, max(to_v, 0))
     cdf_schema = StructType(
         list(out_schema.fields)
         + [
@@ -1754,36 +1957,70 @@ def read_changes(
         # corrupting the feed.
         sch_a = _snapshot_schema(spark, root, v)
         sch_r = _snapshot_schema(spark, root, v - 1) if v > 0 else sch_a
+        mp_a = _mapping_at(root, v)
+        mp_r = _mapping_at(root, v - 1) if v > 0 else mp_a
         # each side's LIVE rows: an added file may arrive with a
         # vector (restore), a removed file's dv'd rows were already
-        # dead at v-1 — neither may surface as a change
+        # dead at v-1 — neither may surface as a change. Columns
+        # relabel to the OUTPUT era's logical names by physical
+        # identity before aligning (renames are identity in the feed).
         a = _align_df(
-            _read_files_dv(
-                spark, root, added, sch_a, _dv_indexes(root, cur_dv, added)
+            _relabel_for_out(
+                _read_files_dv(
+                    spark,
+                    root,
+                    added,
+                    sch_a,
+                    _dv_indexes(root, cur_dv, added),
+                    mp_a,
+                ),
+                sch_a,
+                mp_a,
+                out_schema,
+                map_to,
             ),
             out_schema,
         )
         r = _align_df(
-            _read_files_dv(
-                spark,
-                root,
-                removed,
+            _relabel_for_out(
+                _read_files_dv(
+                    spark,
+                    root,
+                    removed,
+                    sch_r,
+                    _dv_indexes(root, parent_dv, removed),
+                    mp_r,
+                ),
                 sch_r,
-                _dv_indexes(root, parent_dv, removed),
+                mp_r,
+                out_schema,
+                map_to,
             ),
             out_schema,
         )
         if del_pos:
             r = r.unionByName(
                 _align_df(
-                    _rows_at_positions(spark, root, del_pos, sch_a),
+                    _relabel_for_out(
+                        _rows_at_positions(spark, root, del_pos, sch_a, mp_a),
+                        sch_a,
+                        mp_a,
+                        out_schema,
+                        map_to,
+                    ),
                     out_schema,
                 )
             )
         if ins_pos:
             a = a.unionByName(
                 _align_df(
-                    _rows_at_positions(spark, root, ins_pos, sch_a),
+                    _relabel_for_out(
+                        _rows_at_positions(spark, root, ins_pos, sch_a, mp_a),
+                        sch_a,
+                        mp_a,
+                        out_schema,
+                        map_to,
+                    ),
                     out_schema,
                 )
             )
@@ -1915,6 +2152,113 @@ def drop_constraint(
     raise RuntimeError(f"drop_constraint lost {max_retries} races at {root}")
 
 
+def rename_column(
+    spark: SparkSession,
+    root: str,
+    old: str,
+    new: str,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE RENAME COLUMN without rewriting a single data file
+    (round-11 verdict item 4 — Delta's column-mapping design): the
+    commit records the renamed LOGICAL schema plus a logical->physical
+    mapping entry pointing the new name at the column's original
+    PHYSICAL name, which every file on disk keeps forever. Readers
+    bind the physical schema and alias back; writers alias
+    logical->physical before staging; time travel below this commit
+    still shows the old name; the change feed treats the rename as
+    identity (matching by physical name). Partition columns cannot be
+    renamed — their name is baked into every hive directory path."""
+    from pyspark.sql.types import StructField, StructType
+
+    if new.startswith("#"):
+        raise ValueError("column names starting with '#' are reserved")
+    for _ in range(max_retries):
+        v = current_version(root)
+        schema = _snapshot_schema(spark, root, v)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in _table_config(root)["partition_by"]:
+            raise ValueError(
+                f"{old!r} is a partition column: its name is part of "
+                "every data path and cannot be remapped"
+            )
+        mp = _mapping_at(root, v) or {"map": {}, "retired": []}
+        phys = mp["map"].pop(old, old)
+        mp["map"][new] = phys
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, True) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        ok = _commit_version(
+            root,
+            v + 1,
+            "rename_column",
+            snapshot_info(root, v),
+            [],
+            [],
+            {},
+            dict(_read_manifest(root, v).get("txn", {})),
+            new_schema.json(),
+            {"column_mapping": mp, "renamed": [old, new]},
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"rename_column lost {max_retries} races at {root}")
+
+
+def drop_column(
+    spark: SparkSession, root: str, name: str, max_retries: int = 20
+) -> int:
+    """ALTER TABLE DROP COLUMN without rewriting a single data file:
+    the commit removes the field from the logical schema and RETIRES
+    its physical name in the mapping — the bytes stay in the files,
+    unprojected. A later re-ADD of the same logical name takes a
+    FRESH physical name (see :func:`append`), so the dropped values
+    can never resurrect: old rows read NULL under the re-added
+    column, exactly Delta's column-mapping drop semantics. Time
+    travel below this commit still shows (and reads) the column."""
+    for _ in range(max_retries):
+        v = current_version(root)
+        schema = _snapshot_schema(spark, root, v)
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop a table's only column")
+        if name in _table_config(root)["partition_by"]:
+            raise ValueError(f"{name!r} is a partition column")
+        mp = _mapping_at(root, v) or {"map": {}, "retired": []}
+        phys = mp["map"].pop(name, name)
+        if phys not in mp["retired"]:
+            mp["retired"].append(phys)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        ok = _commit_version(
+            root,
+            v + 1,
+            "drop_column",
+            snapshot_info(root, v),
+            [],
+            [],
+            {},
+            dict(_read_manifest(root, v).get("txn", {})),
+            new_schema.json(),
+            {"column_mapping": mp, "dropped_column": name},
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"drop_column lost {max_retries} races at {root}")
+
+
 def clone_table(
     spark: SparkSession,
     src_root: str,
@@ -2002,6 +2346,13 @@ def clone_table(
                 else {}
             ),
             "checkpoint_every": cfg["checkpoint_every"],
+            # an active column mapping travels with the clone (the
+            # linked files carry the PHYSICAL names it decodes)
+            **(
+                {"column_mapping": src_mp}
+                if (src_mp := _mapping_at(src_root, v)) is not None
+                else {}
+            ),
         },
         dv_set=dv_set,
     )
@@ -2049,7 +2400,18 @@ def restore(
             # re-pin the restored snapshot's schema: a later evolution
             # must not leak into the rolled-back view
             schema_json,
-            {"restored_from": version},
+            {
+                "restored_from": version,
+                # re-pin the target's column mapping (possibly none —
+                # a rename/drop being rolled back); _commit_version
+                # skips parent-inheritance for restore so an absent
+                # key here means mapping-inactive, as at the target
+                **(
+                    {"column_mapping": mp_t}
+                    if (mp_t := _mapping_at(root, version)) is not None
+                    else {}
+                ),
+            },
             # the target's deletion vectors travel with its files
             # (sidecars are immutable and never deleted while any
             # manifest references them, so refs are reusable)
@@ -2094,6 +2456,8 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "constraint",
                 "mode",
                 "dv_rows",
+                "renamed",
+                "dropped_column",
             )
             if k in m
         }

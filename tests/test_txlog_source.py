@@ -1,0 +1,92 @@
+"""The ``spark.read.format("txlog")`` Python DataSource (round-12
+SQL/catalog surface): a plain-SQL session reaches a txlog table by
+format name, and the source honors the full protocol — snapshot
+schema binding, column mapping, deletion vectors, hive partition
+values, time travel. Parity oracle: the JVM-path txlog.read_table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.sources import txlog, txlog_source
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A table exercising every protocol feature at once: hive
+    partitions, a rename, a dv delete, and a schema evolution."""
+    root = str(tmp_path / "tx")
+    df = spark.range(0, 200).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("val")
+    )
+    txlog.create_table(spark, root, df, partition_by=("p",))
+    txlog.rename_column(spark, root, "val", "score")
+    txlog.delete_where(spark, root, "id < 20", mode="dv")
+    txlog.append(
+        spark,
+        root,
+        spark.range(200, 250).select(
+            "id",
+            (F.col("id") % 4).alias("p"),
+            (F.col("id") * 3).alias("score"),
+            F.lit("x").alias("tag"),
+        ),
+        merge_schema=True,
+    )
+    txlog_source.register(spark)
+    return root
+
+
+def test_sql_read_matches_library_read(spark, table):
+    got = spark.read.format("txlog").option("path", table).load()
+    got.createOrReplaceTempView("tx_src")
+    r = spark.sql(
+        "SELECT count(*) AS n, sum(score) AS s, count(tag) AS t FROM tx_src"
+    ).first()
+    exp = (
+        txlog.read_table(spark, table)
+        .agg(F.count("*"), F.sum("score"), F.count("tag"))
+        .first()
+    )
+    assert (r["n"], r["s"], r["t"]) == (exp[0], exp[1], exp[2])
+
+
+def test_partition_column_is_typed_from_path(spark, table):
+    got = spark.read.format("txlog").option("path", table).load()
+    assert dict(got.dtypes)["p"] == "bigint"
+    by_p = {
+        r["p"]: r["n"]
+        for r in got.groupBy("p").agg(F.count("*").alias("n")).collect()
+    }
+    exp = {
+        r["p"]: r["n"]
+        for r in txlog.read_table(spark, table)
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_p == exp
+
+
+def test_time_travel_option(spark, table):
+    old = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("version", "0")
+        .load()
+    )
+    assert old.columns == ["id", "p", "val"]  # pre-rename, pre-evolution
+    assert old.count() == 200  # pre-dv-delete
+
+
+def test_dv_rows_are_skipped(spark, table):
+    got = spark.read.format("txlog").option("path", table).load()
+    assert got.where("id < 20").count() == 0
+    assert got.count() == 230
+
+
+def test_evolution_nulls(spark, table):
+    got = spark.read.format("txlog").option("path", table).load()
+    assert got.where("tag IS NOT NULL").count() == 50
+    assert got.where("id < 200 AND tag IS NOT NULL").count() == 0
