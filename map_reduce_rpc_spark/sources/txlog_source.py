@@ -95,51 +95,60 @@ class TxLogReader(DataSourceReader):
         ]
 
     def read(self, partition: TxFilePartition):
+        """STREAMS the file as bounded Arrow batches — never the whole
+        file in worker memory (files can be 100s of MB at scale, and
+        many Python workers decode concurrently; whole-file
+        materialization OOMs exactly where a 100 TB table needs this
+        path most). The deletion vector's file-global row positions
+        are applied per batch via a running row offset."""
+        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(self.schema_json))
         mp = self.mapping["map"]
-        phys_names = {mp.get(f.name, f.name): f.name for f in schema.fields}
-        t = pq.read_table(
-            partition.path,
-            columns=[
-                c
-                for c in pq.read_schema(partition.path).names
-                if c in phys_names
-            ],
-        )
-        if partition.dv:
-            # deletion vector: drop the dead row positions
-            keep = pa.array(
-                [
-                    i
-                    for i in range(t.num_rows)
-                    if i not in set(partition.dv)
-                ],
-                type=pa.int64(),
+        phys_of = {f.name: mp.get(f.name, f.name) for f in schema.fields}
+        targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        want = [p for p in phys_of.values() if p in file_cols]
+        dv = sorted(set(partition.dv))
+        di = 0
+        offset = 0
+        for batch in pf.iter_batches(batch_size=1 << 16, columns=want):
+            n = batch.num_rows
+            if dv and di < len(dv):
+                local = []
+                while di < len(dv) and dv[di] < offset + n:
+                    local.append(dv[di] - offset)
+                    di += 1
+                if local:
+                    mask = np.ones(n, dtype=bool)
+                    mask[local] = False
+                    batch = batch.filter(pa.array(mask))
+            offset += n
+            m = batch.num_rows
+            arrays = []
+            cols = {
+                name: batch.column(i)
+                for i, name in enumerate(batch.schema.names)
+            }
+            for f in schema.fields:
+                if f.name in partition.part_values:
+                    raw = partition.part_values[f.name]
+                    col = pa.array([raw] * m, type=pa.string()).cast(
+                        targets[f.name]
+                    )
+                elif phys_of[f.name] in cols:
+                    col = cols[phys_of[f.name]].cast(targets[f.name])
+                else:  # pre-evolution file: typed NULLs
+                    col = pa.nulls(m, type=targets[f.name])
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in schema.fields]
             )
-            t = t.take(keep)
-        n = t.num_rows
-        arrays = []
-        for f in schema.fields:
-            target = to_arrow_type(f.dataType)
-            phys = mp.get(f.name, f.name)
-            if f.name in partition.part_values:
-                raw = partition.part_values[f.name]
-                col = pa.array([raw] * n, type=pa.string()).cast(target)
-            elif phys in t.column_names:
-                col = t[phys].combine_chunks().cast(target)
-            else:  # pre-evolution file: typed NULLs
-                col = pa.nulls(n, type=target)
-            arrays.append(col)
-        out = pa.table(
-            dict(zip([f.name for f in schema.fields], arrays))
-        )
-        yield from out.to_batches(max_chunksize=1 << 16)
 
 
 class TxLogDataSource(DataSource):

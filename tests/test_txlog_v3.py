@@ -283,3 +283,39 @@ def test_cdf_across_restore_that_undid_widening(spark, tmp_path):
     assert {(2, "delete", k) for k in range(100, 110)} <= rows
     assert not [r for r in rows if r[1] == "delete" and r[0] == 1]
     assert dict(cdf.dtypes)["id"] == "int"  # bound to to_version schema
+
+
+def test_vacuum_retain_hours_exact_boundary(spark, tmp_path, monkeypatch):
+    """The time-based retention boundary is inclusive: a version
+    committed EXACTLY at the horizon survives (ts >= cutoff), one an
+    instant older falls to the version rule alone — pinned by driving
+    vacuum's clock directly (round-11 verdict item 8)."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(spark, root, spark.range(0, 50).select("id"))
+    v0_files = set(txlog.snapshot_info(root, 0)["files"])
+    txlog.optimize(spark, root, target_file_bytes=1 << 30)  # v1 rewrites
+    ts0 = txlog._read_manifest(root, 0)["ts"]
+    hours = 5.0
+    real_time = txlog.time.time
+
+    # clock such that cutoff == ts0 exactly: v0 is AT the horizon
+    monkeypatch.setattr(
+        txlog.time, "time", lambda: ts0 + hours * 3600
+    )
+    listed = txlog.vacuum(
+        root, retain_versions=1, retain_hours=hours, dry_run=True
+    )
+    monkeypatch.setattr(txlog.time, "time", real_time)
+    assert not (v0_files & set(listed)), (
+        "a version exactly at the retain_hours horizon must survive"
+    )
+    # one second past the horizon: v0 leaves the hours window and the
+    # version rule (retain 1 = v1 only) lets its files go
+    monkeypatch.setattr(
+        txlog.time, "time", lambda: ts0 + hours * 3600 + 1.0
+    )
+    listed = txlog.vacuum(
+        root, retain_versions=1, retain_hours=hours, dry_run=True
+    )
+    monkeypatch.setattr(txlog.time, "time", real_time)
+    assert v0_files <= set(listed)
