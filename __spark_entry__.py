@@ -62,12 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registrations + the first 41 of the r6-certified cohort):
 
       round-12 window (THIS round, executed below) = wordcount
-        + the 5 NEW round-12 registrations
-          (dv_delete_orders and dv_cdf_orders — merge-on-read
-          deletion vectors and their change feed;
-          column_mapping_orders — rename/drop without rewrite;
-          txlog_sql_orders — the spark.read.format("txlog") Python
-          DataSource reached through plain SQL;
+        + the 6 NEW round-12 registrations
+          (dv_delete_orders, dv_cdf_orders, dv_merge_orders —
+          merge-on-read deletion vectors: delete, change feed, and
+          CDC upsert; column_mapping_orders — rename/drop without
+          rewrite; txlog_sql_orders — the spark.read.format("txlog")
+          Python DataSource reached through plain SQL;
           txlog_objectstore_orders — the full verb chain on the
           simulated conditional-PUT LogStore)
         + the 8 r6-cohort leftovers (segment_order_stats_compacted,
@@ -76,10 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           stream_scd2_user_state, stream_stateful_sessions,
           weighted_source_sample — six rounds stale, the oldest
           cohort, now fully rotated)
-        + the first 36 of the r7-certified cohort (ann_ivf_topk ...
-          returnflag_measures_unpivot) = exactly 50 (1 + 5 + 8 + 36).
-      round-13 window = wordcount + round-13 registrations + the 13
-          r7-cohort leftovers (semantic_dedup ...
+        + the first 35 of the r7-certified cohort (ann_ivf_topk ...
+          quality_filter) = exactly 50 (1 + 6 + 8 + 35).
+      round-13 window = wordcount + round-13 registrations + the 14
+          r7-cohort leftovers (returnflag_measures_unpivot ...
           triangle_count_suppliers), then the r9-certified cohort
           head until full.
       round-14+ = the r9 cohort remainder, then the r10-certified
@@ -87,8 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           registrations + the 41 re-certified r6 entries), then the
           r12-certified cohort, stalest first, forever.
 
-    With 210 queries and 50 slots every query is certified at least
-    once per ceil(210/50) = 5 rounds, and every query — window or
+    With 211 queries and 50 slots every query is certified at least
+    once per ceil(211/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feed(dv delete) == feed(cow delete), derived from the dv
         # position diff rather than any file diff.
         "dv_cdf_orders": relational.dv_cdf_orders,
+        # dv_merge_orders: merge-on-read MERGE — a CDC upsert whose
+        # matched rows become vector entries while the batch appends;
+        # zero files rewritten (manifest + file-list-prefix pinned),
+        # replace/insert/carry semantics certified in one hash.
+        "dv_merge_orders": relational.dv_merge_orders,
         # column_mapping_orders: RENAME + DROP as metadata-only
         # commits (v0 file inodes pinned untouched), appends under the
         # new name joining old physical columns, a re-added dropped
@@ -177,9 +182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q8_market_share": relational.q8_market_share,
         "quality_filter": textops.quality_filter,
-        "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         # ================= end of the 50-slot checked window =================
         # ----- r7-certified cohort remainder (round-13 window head) -----
+        "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "semantic_dedup": vectors.semantic_dedup,
         "simhash_dups": textops.simhash_dups,
         "snapshot_diff_orders": relational.snapshot_diff_orders,

@@ -4908,3 +4908,96 @@ RELATIONAL_ORACLES["txlog_objectstore_orders"] = f"""
     FROM orders
     ORDER BY label
 """
+
+
+def dv_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors (round-12,
+    sources/txlog.py merge(mode="dv")): a CDC batch — doubled prices
+    + a 'X-MERGED' priority for every 97th order, plus brand-new
+    orders above the key domain — upserts into the orders table as
+    ONE commit that rewrites ZERO files: matched live rows join their
+    files' deletion vectors (O(matched rows) metadata), the batch
+    appends, and every pre-existing data file carries by name
+    (files_rewritten + files_untouched pinned from the manifest and
+    the v0/v1 file-list prefix). At 100 TB this bounds a CDC upsert
+    by the BATCH, not by the table's key spread — the cow form
+    rewrites every file a matched key touches. The aggregate splits
+    merged/unmerged/inserted rows so the oracle certifies replace +
+    insert + carry semantics in one hash. Output: (grp, n_orders,
+    cents, files_rewritten, files_untouched)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        txlog.create_table(spark, root, base.repartition(8))
+        upd = base.where("o_orderkey % 97 = 3").select(
+            "o_orderkey",
+            F.lit("X-MERGED").alias("o_orderpriority"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        ins = base.where("o_orderkey % 311 = 7").select(
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            F.lit("X-INSERTED").alias("o_orderpriority"),
+            "o_totalprice",
+        )
+        txlog.merge(spark, root, upd.unionByName(ins), ("o_orderkey",), mode="dv")
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_dv_merge_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    m = txlog._read_manifest(root, 1)
+    v0_files = txlog.snapshot_info(root, 0)["files"]
+    v1_files = txlog.snapshot_info(root, 1)["files"]
+    untouched = int(v1_files[: len(v0_files)] == v0_files)
+    return (
+        txlog.read_table(spark, root)
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "X-MERGED", "merged")
+            .when(F.col("o_orderpriority") == "X-INSERTED", "inserted")
+            .otherwise("carried")
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(int(m["rewrote"])).cast("long")
+        )
+        .withColumn("files_untouched", F.lit(untouched).cast("long"))
+        .orderBy("grp")
+    )
+
+
+RELATIONAL_ORACLES["dv_merge_orders"] = """
+    SELECT 'carried' AS grp, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST(1 AS BIGINT) AS files_untouched
+    FROM orders WHERE o_orderkey % 97 <> 3
+    UNION ALL
+    SELECT 'inserted', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 311 = 7
+    UNION ALL
+    SELECT 'merged', count(*),
+           CAST(sum(CAST(floor((o_totalprice * 2) * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 97 = 3
+    ORDER BY grp
+"""

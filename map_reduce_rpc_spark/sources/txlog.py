@@ -1120,19 +1120,47 @@ def _read_files_dv(
     return base.unionByName(live) if clean else live
 
 
+def version_at_timestamp(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (the Delta form): the newest version
+    whose commit timestamp is <= ``ts`` (unix seconds). Loud error for
+    a timestamp before the table existed. O(versions) driver walk over
+    cached manifests — commit timestamps are not guaranteed monotone
+    under clock skew, so the walk takes the max matching version, the
+    same contract Delta documents."""
+    cur = current_version(root)
+    if cur < 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    best = -1
+    for v in range(cur + 1):
+        if float(_read_manifest(root, v).get("ts", 0)) <= ts:
+            best = v
+    if best < 0:
+        raise ValueError(
+            f"timestamp {ts} predates the table's first commit "
+            f"(v0 at {_read_manifest(root, 0).get('ts')})"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     partitions: dict | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the file list of one committed version
-    (the latest unless ``version`` pins time travel), projected to the
-    schema AS OF that version. ``partitions={"month": ["2024-01",
-    ...]}`` prunes untouched hive partitions at planning time from the
-    manifest's file paths — the files are eliminated before any
-    listing or footer IO — with the residual filter kept in the plan
-    for exactness."""
+    (the latest unless ``version`` pins VERSION AS OF time travel or
+    ``timestamp`` pins TIMESTAMP AS OF — mutually exclusive),
+    projected to the schema AS OF that version.
+    ``partitions={"month": ["2024-01", ...]}`` prunes untouched hive
+    partitions at planning time from the manifest's file paths — the
+    files are eliminated before any listing or footer IO — with the
+    residual filter kept in the plan for exactness."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version or timestamp, not both")
+    if timestamp is not None:
+        version = version_at_timestamp(root, timestamp)
     v = current_version(root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed version at {root}")
@@ -1368,10 +1396,24 @@ def merge(
     max_retries: int = 20,
     app_id: str | None = None,
     txn_version: int | None = None,
+    mode: str = "cow",
 ) -> int:
     """MERGE (upsert) as ONE atomic version: rows in ``updates``
     REPLACE existing rows with the same ``key_cols``; the rest insert.
     Returns the committed version.
+
+    ``mode="dv"`` (round-12, merge-on-read): instead of rewriting
+    every file containing a matched key, the matched LIVE rows'
+    (file, position) pairs join each file's deletion vector and the
+    update batch simply appends — one commit of O(update batch) new
+    bytes + O(matched rows) metadata, ZERO files rewritten. This is
+    the CDC-upsert answer at 100 TB: a small hot batch against a
+    key-scattered table costs the batch, not the table's file spread.
+    The change feed shows each update as its dv-delete + insert pair
+    (identical semantics to the cow rewrite's diff); OPTIMIZE
+    materializes the accumulated vectors on compaction cadence. High-
+    overlap wholesale upserts should stay ``cow`` for the same reason
+    wholesale deletes do.
 
     File-pruned like :func:`delete_where`, but the victim probe is a
     single job, not one per file: the snapshot is scanned once with
@@ -1401,6 +1443,8 @@ def merge(
     rejected loudly instead."""
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version come together")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     upd_files: list[str] | None = None
     aligned: DataFrame | None = None
     checked_cons: set[str] = set()
@@ -1482,6 +1526,67 @@ def merge(
         # broadcasts the key side when small.
         victims: list[str] = []
         dv_idx = _dv_indexes(root, psnap.get("dv", {}))
+        if mode == "dv":
+            # merge-on-read: matched LIVE rows become deletion-vector
+            # entries (one probe job, grouped positions back to the
+            # driver — O(matched rows), the CDC-batch budget) and the
+            # update batch appends; nothing is rewritten.
+            dv_new: dict[str, list[int]] = {}
+            n_hit = 0
+            if candidates:
+                hits = (
+                    _live_with_pos(
+                        spark,
+                        root,
+                        candidates,
+                        _snapshot_schema(spark, root, v),
+                        dv_idx,
+                        stage_mp,
+                    )
+                    .join(keys, list(key_cols), "left_semi")
+                    .groupBy(_DV_FILE)
+                    .agg(F.collect_list(_DV_POS).alias("_pos"))
+                    .collect()
+                )
+                by_base = {
+                    os.path.basename(rel): rel for rel in candidates
+                }
+                for r in hits:
+                    rel = by_base[r[_DV_FILE]]
+                    merged = set(dv_idx.get(rel, [])) | {
+                        int(p) for p in r["_pos"]
+                    }
+                    n_hit += len(r["_pos"])
+                    dv_new[rel] = sorted(merged)
+            dv_set: dict[str, str] = {}
+            if dv_new:
+                ref = _write_dv(root, dv_new)
+                dv_set = {rel: ref for rel in dv_new}
+            if app_id is not None:
+                txn[app_id] = txn_version
+            ok = _commit_version(
+                root,
+                v + 1,
+                "merge",
+                psnap,
+                [],
+                list(upd_files),
+                _collect_stats(root, upd_files),
+                txn,
+                None,
+                {
+                    "key_cols": list(key_cols),
+                    "mode": "dv",
+                    "dv_rows": n_hit,
+                    "rewrote": 0,
+                    "carried": len(psnap["files"]),
+                    "probed": len(candidates),
+                },
+                dv_set=dv_set,
+            )
+            if ok:
+                return v + 1
+            continue
         if candidates:
             # LIVE rows only: a row already hidden by a deletion
             # vector can neither mark its file a victim nor resurrect

@@ -175,3 +175,81 @@ def test_dv_sidecar_vacuum_keeps_referenced(spark, table, tmp_path):
     assert f"{txlog._LOG}/.dv-deadbeefdead.json" in removed
     assert os.path.exists(os.path.join(log_dir, refs[0]))
     assert txlog.read_table(spark, table).count() == 900
+
+
+def test_dv_merge_rewrites_zero_files(spark, table):
+    """mode='dv' MERGE: matched rows become vector entries, updates
+    append, nothing is rewritten — and the result is row-identical to
+    the copy-on-write merge."""
+    before = _inode_map(table, 0)
+    upd = spark.createDataFrame(
+        [(3, -1), (500, -2), (5000, -3)], ["id", "bucket"]
+    )  # two updates + one pure insert
+    v = txlog.merge(spark, table, upd, ("id",), mode="dv")
+    m = txlog._read_manifest(table, v)
+    assert m["mode"] == "dv" and m["rewrote"] == 0 and m["dv_rows"] == 2
+    # every v0 file carried untouched; only new append files added
+    after = _inode_map(table, v)
+    assert all(after[r] == i for r, i in before.items())
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1001
+    assert {
+        r["id"]: r["bucket"]
+        for r in got.where("id IN (3, 500, 5000)").collect()
+    } == {3: -1, 500: -2, 5000: -3}
+    # CDF: each update is its delete+insert pair, the insert is alone
+    cdf = txlog.read_changes(spark, table, from_version=0)
+    rows = {
+        (r["_change_type"], r["id"], r["bucket"]) for r in cdf.collect()
+    }
+    assert ("delete", 3, 3) in rows and ("insert", 3, -1) in rows
+    assert ("delete", 500, 0) in rows and ("insert", 500, -2) in rows
+    assert ("insert", 5000, -3) in rows
+    assert not [r for r in rows if r[0] == "delete" and r[1] == 5000]
+
+
+def test_dv_merge_idempotent_redelivery(spark, table):
+    upd = spark.createDataFrame([(7, -9)], ["id", "bucket"])
+    v1 = txlog.merge(
+        spark, table, upd, ("id",), app_id="cdc", txn_version=1, mode="dv"
+    )
+    v2 = txlog.merge(
+        spark, table, upd, ("id",), app_id="cdc", txn_version=1, mode="dv"
+    )
+    assert v1 == 1 and v2 == 1  # redelivery is a committed no-op
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1000
+    assert got.where("id = 7").first()["bucket"] == -9
+
+
+def test_dv_merge_then_optimize_materializes(spark, table):
+    txlog.merge(
+        spark,
+        table,
+        spark.createDataFrame([(1, -1), (2, -2)], ["id", "bucket"]),
+        ("id",),
+        mode="dv",
+    )
+    v = txlog.optimize(spark, table)
+    assert txlog.snapshot_info(table, v)["dv"] == {}
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1000
+    assert got.where("id = 1").first()["bucket"] == -1
+
+
+def test_timestamp_time_travel(spark, table):
+    """TIMESTAMP AS OF: read_table(timestamp=...) resolves the newest
+    version committed at or before the instant; the boundary is
+    inclusive."""
+    txlog.delete_where(spark, table, "bucket = 3", mode="dv")  # v1
+    ts0 = txlog._read_manifest(table, 0)["ts"]
+    ts1 = txlog._read_manifest(table, 1)["ts"]
+    assert txlog.version_at_timestamp(table, ts0) == 0
+    assert txlog.version_at_timestamp(table, ts1) == 1
+    assert txlog.version_at_timestamp(table, (ts0 + ts1) / 2) == 0
+    assert txlog.read_table(spark, table, timestamp=ts0).count() == 1000
+    assert txlog.read_table(spark, table, timestamp=ts1 + 5).count() == 900
+    with pytest.raises(ValueError, match="predates"):
+        txlog.version_at_timestamp(table, ts0 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read_table(spark, table, version=0, timestamp=ts0)
