@@ -46,8 +46,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -151,6 +153,128 @@ class TxLogReader(DataSourceReader):
             )
 
 
+class TxFileCommit(WriterCommitMessage):
+    def __init__(self, rel: str):
+        self.rel = rel
+
+
+class TxLogWriter(DataSourceArrowWriter):
+    """``df.write.format("txlog").mode("append").save()`` — the SQL
+    session's INSERT path. Each executor task streams its Arrow
+    batches into ONE uniquely-named parquet file directly under the
+    table's data/ dir (unreferenced files are invisible — the same
+    staged-then-published contract the library writers use, and the
+    same vacuum age-guard cleans up a crashed write); the driver-side
+    ``commit`` then runs the ordinary optimistic append protocol:
+    schema enforcement against the snapshot (lossless casts only, no
+    silent evolution), CHECK-constraint validation of exactly the
+    written files, footer stats collection, and the atomic manifest
+    claim via the active LogStore — so a DataSource write and a
+    :func:`txlog.append` are indistinguishable in the log.
+
+    Deliberate v1 limits (loud errors, not silent wrongness):
+    append mode only (no overwrite), unpartitioned tables only (hive
+    layout splitting belongs to the library writer), and the table
+    must already exist (create_table fixes schema + config)."""
+
+    def __init__(self, root: str, schema_json: str, mapping: dict | None):
+        self.root = root
+        self.schema_json = schema_json
+        self.mapping = mapping or {"map": {}, "retired": []}
+
+    def write(self, iterator) -> TxFileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"data/part-w{uuid.uuid4().hex[:12]}-00000.parquet"
+        path = os.path.join(self.root, rel)
+        mp = self.mapping["map"]
+        writer = None
+        try:
+            for batch in iterator:
+                if mp:
+                    # files store PHYSICAL column names
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns),
+                        names=[mp.get(n, n) for n in batch.schema.names],
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return TxFileCommit("")  # empty task: nothing written
+        return TxFileCommit(rel)
+
+    def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.types import StructType
+
+        from . import txlog
+
+        rels = [m.rel for m in messages if m and m.rel]
+        # commit() runs on a driver-side worker thread where no
+        # session is "active"; getOrCreate reuses the live context
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
+        incoming = StructType.fromJson(json.loads(self.schema_json))
+        stats = txlog._collect_stats(self.root, rels)
+        for _ in range(20):
+            v = txlog.current_version(self.root)
+            tbl_schema = txlog._snapshot_schema(spark, self.root, v)
+            # no silent evolution through the SQL path: incompatible
+            # frames fail here, after staging, before any commit
+            txlog._merge_struct(tbl_schema, incoming, False)
+            if txlog._mapping_at(self.root, v) != (
+                self.mapping
+                if (self.mapping["map"] or self.mapping["retired"])
+                else None
+            ):
+                raise RuntimeError(
+                    "concurrent column rename/drop during the write: "
+                    "retry the operation"
+                )
+            cons = dict(
+                txlog._read_manifest(self.root, v).get("constraints", {})
+            )
+            if cons and rels:
+                txlog._validate_constraints(
+                    txlog._read_files(
+                        spark, self.root, rels, incoming, self.mapping
+                    ),
+                    cons,
+                )
+            ok = txlog._commit_version(
+                self.root,
+                v + 1,
+                "append",
+                txlog.snapshot_info(self.root, v),
+                [],
+                rels,
+                stats,
+                dict(txlog._read_manifest(self.root, v).get("txn", {})),
+                None,
+                {"writer": "datasource"},
+            )
+            if ok:
+                return
+        raise RuntimeError(f"write lost 20 commit races at {self.root}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.rel:
+                try:
+                    os.remove(os.path.join(self.root, m.rel))
+                except OSError:
+                    pass
+
+
 class TxLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -181,6 +305,39 @@ class TxLogDataSource(DataSource):
     def reader(self, schema) -> TxLogReader:
         _v, sj, mp = self._resolve()
         return TxLogReader(self.options, sj, mp)
+
+    def writer(self, schema, overwrite: bool) -> TxLogWriter:
+        from pyspark.sql.types import StructType
+
+        from . import txlog
+
+        if overwrite:
+            raise ValueError(
+                "the txlog format supports mode('append') only; "
+                "overwrite semantics belong to the library verbs "
+                "(delete_where / restore / create_table)"
+            )
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("txlog sink requires .option('path', root)")
+        v = txlog.current_version(root)
+        if v < 0:
+            raise FileNotFoundError(
+                f"no txlog table at {root}: create it with "
+                "txlog.create_table (schema + partitioning + checkpoint "
+                "cadence are fixed at create)"
+            )
+        if txlog._table_config(root)["partition_by"]:
+            raise ValueError(
+                "the txlog DataSource sink writes unpartitioned tables "
+                "only; use txlog.append for hive-partitioned layouts"
+            )
+        sj = txlog._schema_json_at(root, v)
+        tbl_schema = StructType.fromJson(json.loads(sj))
+        # fail FAST on an incompatible frame (commit re-validates
+        # against the then-current snapshot under the retry loop)
+        txlog._merge_struct(tbl_schema, schema, False)
+        return TxLogWriter(root, schema.json(), txlog._mapping_at(root, v))
 
 
 def register(spark) -> None:

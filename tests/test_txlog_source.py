@@ -90,3 +90,112 @@ def test_evolution_nulls(spark, table):
     got = spark.read.format("txlog").option("path", table).load()
     assert got.where("tag IS NOT NULL").count() == 50
     assert got.where("id < 200 AND tag IS NOT NULL").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# the write path: df.write.format("txlog").mode("append")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def plain_table(spark, tmp_path):
+    root = str(tmp_path / "wtx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 100).select("id", (F.col("id") % 10).alias("bucket")),
+    )
+    txlog_source.register(spark)
+    return root
+
+
+def test_sql_write_appends_through_the_protocol(spark, plain_table):
+    (
+        spark.range(100, 150)
+        .select("id", F.lit(99).alias("bucket"))
+        .write.format("txlog")
+        .option("path", plain_table)
+        .mode("append")
+        .save()
+    )
+    got = txlog.read_table(spark, plain_table)
+    assert got.count() == 150
+    assert got.where("bucket = 99").count() == 50
+    assert txlog.current_version(plain_table) == 1
+    assert txlog._read_manifest(plain_table, 1)["writer"] == "datasource"
+    assert txlog.row_count(plain_table) == 150  # stats recorded
+
+
+def test_sql_write_respects_column_mapping(spark, plain_table):
+    txlog.rename_column(spark, plain_table, "bucket", "grp")
+    (
+        spark.range(150, 160)
+        .select("id", F.lit(7).alias("grp"))
+        .write.format("txlog")
+        .option("path", plain_table)
+        .mode("append")
+        .save()
+    )
+    got = txlog.read_table(spark, plain_table)
+    assert got.count() == 110
+    # 10 new rows + the 10 original bucket==7 rows, under the NEW name
+    assert got.where("grp = 7").count() == 20
+
+
+def test_sql_write_guards(spark, plain_table, tmp_path):
+    import pyspark.errors
+
+    # incompatible frame: loud, nothing committed
+    with pytest.raises(Exception, match="schema mismatch|mismatch"):
+        (
+            spark.range(5)
+            .select("id", F.lit("x").alias("other"))
+            .write.format("txlog")
+            .option("path", plain_table)
+            .mode("append")
+            .save()
+        )
+    assert txlog.current_version(plain_table) == 0
+    # overwrite refused
+    with pytest.raises(Exception, match="append"):
+        (
+            spark.range(5)
+            .select("id", F.lit(1).alias("bucket"))
+            .write.format("txlog")
+            .option("path", plain_table)
+            .mode("overwrite")
+            .save()
+        )
+    # partitioned tables are the library writer's job
+    proot = str(tmp_path / "ptx")
+    txlog.create_table(
+        spark,
+        proot,
+        spark.range(10).select("id", (F.col("id") % 2).alias("p")),
+        partition_by=("p",),
+    )
+    with pytest.raises(Exception, match="unpartitioned"):
+        (
+            spark.range(5)
+            .select("id", F.lit(0).alias("p"))
+            .write.format("txlog")
+            .option("path", proot)
+            .mode("append")
+            .save()
+        )
+
+
+def test_sql_write_enforces_constraints(spark, plain_table):
+    txlog.add_constraint(spark, plain_table, "nonneg", "bucket >= 0")
+    with pytest.raises(Exception, match="constraint|CHECK"):
+        (
+            spark.range(5)
+            .select("id", F.lit(-1).alias("bucket"))
+            .write.format("txlog")
+            .option("path", plain_table)
+            .mode("append")
+            .save()
+        )
+    # add_constraint committed v1; the blocked write added nothing
+    assert txlog.current_version(plain_table) == 1
+    assert txlog.read_table(spark, plain_table).count() == 100
