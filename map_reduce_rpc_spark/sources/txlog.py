@@ -1813,6 +1813,8 @@ def optimize(
     cluster_by: tuple[str, ...] = (),
     zorder_by: tuple[str, ...] = (),
     zorder_bits: int = 12,
+    partitions: dict | None = None,
+    only_smaller_than: int | None = None,
 ) -> int:
     """Compaction as a COMMIT (the Delta/Iceberg OPTIMIZE verb): the
     current snapshot's files are rewritten into
@@ -1853,16 +1855,43 @@ def optimize(
     :func:`scan_table` and the MERGE probe prune on — skip files for
     predicates on ANY clustered column, where 1-D clustering prunes
     only its leading one. Numeric columns only (cast upstream for
-    dates). Mutually exclusive with ``cluster_by``."""
+    dates). Mutually exclusive with ``cluster_by``.
+
+    SUBSET compaction (round-12 — at 100 TB you never compact the
+    whole table in one commit): ``partitions={"col": vals}`` scopes
+    the rewrite to matching hive partitions (exact — a file holds
+    exactly one partition tuple), and ``only_smaller_than=bytes``
+    scopes it to files below a size threshold (the Delta small-file
+    selection: freshly compacted big files are never re-churned).
+    Untouched files — including their deletion vectors — carry into
+    the new version by name; only the REWRITTEN subset's vectors
+    materialize. Both filters compose; an empty selection (or a
+    singleton already-right-sized selection) returns the current
+    version without committing."""
     if cluster_by and zorder_by:
         raise ValueError("pass cluster_by or zorder_by, not both")
     for _ in range(max_retries):
         v = current_version(root)
         psnap = snapshot_info(root, v)
-        if not psnap["files"]:
-            return v
+        subset = list(psnap["files"])
+        if partitions:
+            subset = _prune_partitions(root, subset, partitions)
+        if only_smaller_than is not None:
+            subset = [
+                rel
+                for rel in subset
+                if os.path.getsize(os.path.join(root, rel))
+                < only_smaller_than
+            ]
+        if not subset or (
+            len(subset) == 1
+            and not cluster_by
+            and not zorder_by
+            and not psnap.get("dv", {}).get(subset[0])
+        ):
+            return v  # nothing to do: no commit, no churn
         total = sum(
-            os.path.getsize(os.path.join(root, f)) for f in psnap["files"]
+            os.path.getsize(os.path.join(root, f)) for f in subset
         )
         n = max(1, math.ceil(total / target_file_bytes))
         # reading THROUGH the deletion vectors makes OPTIMIZE also the
@@ -1874,9 +1903,9 @@ def optimize(
         df = _read_files_dv(
             spark,
             root,
-            psnap["files"],
+            subset,
             _snapshot_schema(spark, root, v),
-            _dv_indexes(root, psnap.get("dv", {})),
+            _dv_indexes(root, psnap.get("dv", {}), subset),
             mp,
         )
         pby = _table_config(root)["partition_by"]
@@ -1928,13 +1957,18 @@ def optimize(
             v + 1,
             "optimize",
             psnap,
-            list(psnap["files"]),
+            subset,
             files,
             _collect_stats(root, files),
             dict(_read_manifest(root, v).get("txn", {})),
             None,
             {
-                "compacted_from": len(psnap["files"]),
+                "compacted_from": len(subset),
+                **(
+                    {"carried": len(psnap["files"]) - len(subset)}
+                    if len(subset) != len(psnap["files"])
+                    else {}
+                ),
                 **({"cluster_by": list(cluster_by)} if cluster_by else {}),
                 **({"zorder_by": list(zorder_by)} if zorder_by else {}),
             },

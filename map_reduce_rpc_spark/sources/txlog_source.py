@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -158,6 +159,112 @@ class TxFileCommit(WriterCommitMessage):
         self.rel = rel
 
 
+def _write_task_batches(root: str, mapping: dict, iterator) -> TxFileCommit:
+    """One executor task's write: stream its Arrow batches into a
+    single uniquely-named parquet file under data/ (invisible until a
+    manifest references it; physical column names when a mapping is
+    active). Shared by the batch and streaming sinks."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel = f"data/part-w{uuid.uuid4().hex[:12]}-00000.parquet"
+    path = os.path.join(root, rel)
+    mp = mapping["map"]
+    writer = None
+    try:
+        for batch in iterator:
+            if mp:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns),
+                    names=[mp.get(n, n) for n in batch.schema.names],
+                )
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return TxFileCommit("")  # empty task: nothing written
+    return TxFileCommit(rel)
+
+
+def _commit_rels(
+    root: str,
+    schema_json: str,
+    mapping: dict,
+    rels: list[str],
+    app_id: str | None = None,
+    txn_version: int | None = None,
+) -> None:
+    """Driver-side commit of already-written files through the
+    ordinary optimistic append protocol: schema enforcement against
+    the then-current snapshot, CHECK validation of exactly the
+    written files, footer stats, the atomic LogStore claim — plus the
+    (app_id, txn_version) idempotence map when the caller is a
+    streaming sink (a redelivered micro-batch deletes its duplicate
+    files and commits NOTHING: exactly-once on top of Spark's
+    at-least-once redelivery)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import StructType
+
+    from . import txlog
+
+    # commit() runs on a driver-side worker thread where no session
+    # is "active"; getOrCreate reuses the live context
+    spark = (
+        SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    )
+    incoming = StructType.fromJson(json.loads(schema_json))
+    stats = txlog._collect_stats(root, rels)
+    for _ in range(20):
+        v = txlog.current_version(root)
+        txn = dict(txlog._read_manifest(root, v).get("txn", {}))
+        if app_id is not None and txn.get(app_id, -1) >= txn_version:
+            for rel in rels:  # duplicate delivery: drop our files
+                try:
+                    os.remove(os.path.join(root, rel))
+                except OSError:
+                    pass
+            return
+        tbl_schema = txlog._snapshot_schema(spark, root, v)
+        # no silent evolution through the SQL path: incompatible
+        # frames fail here, after staging, before any commit
+        txlog._merge_struct(tbl_schema, incoming, False)
+        if txlog._mapping_at(root, v) != (
+            mapping if (mapping["map"] or mapping["retired"]) else None
+        ):
+            raise RuntimeError(
+                "concurrent column rename/drop during the write: "
+                "retry the operation"
+            )
+        cons = dict(txlog._read_manifest(root, v).get("constraints", {}))
+        if cons and rels:
+            txlog._validate_constraints(
+                txlog._read_files(spark, root, rels, incoming, mapping),
+                cons,
+            )
+        if app_id is not None:
+            txn[app_id] = txn_version
+        ok = txlog._commit_version(
+            root,
+            v + 1,
+            "append",
+            txlog.snapshot_info(root, v),
+            [],
+            rels,
+            stats,
+            txn,
+            None,
+            {"writer": "datasource"},
+        )
+        if ok:
+            return
+    raise RuntimeError(f"write lost 20 commit races at {root}")
+
+
 class TxLogWriter(DataSourceArrowWriter):
     """``df.write.format("txlog").mode("append").save()`` — the SQL
     session's INSERT path. Each executor task streams its Arrow
@@ -183,90 +290,60 @@ class TxLogWriter(DataSourceArrowWriter):
         self.mapping = mapping or {"map": {}, "retired": []}
 
     def write(self, iterator) -> TxFileCommit:
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rel = f"data/part-w{uuid.uuid4().hex[:12]}-00000.parquet"
-        path = os.path.join(self.root, rel)
-        mp = self.mapping["map"]
-        writer = None
-        try:
-            for batch in iterator:
-                if mp:
-                    # files store PHYSICAL column names
-                    batch = pa.RecordBatch.from_arrays(
-                        list(batch.columns),
-                        names=[mp.get(n, n) for n in batch.schema.names],
-                    )
-                if writer is None:
-                    writer = pq.ParquetWriter(path, batch.schema)
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return TxFileCommit("")  # empty task: nothing written
-        return TxFileCommit(rel)
+        return _write_task_batches(self.root, self.mapping, iterator)
 
     def commit(self, messages) -> None:
-        from pyspark.sql import SparkSession
-        from pyspark.sql.types import StructType
-
-        from . import txlog
-
-        rels = [m.rel for m in messages if m and m.rel]
-        # commit() runs on a driver-side worker thread where no
-        # session is "active"; getOrCreate reuses the live context
-        spark = (
-            SparkSession.getActiveSession()
-            or SparkSession.builder.getOrCreate()
+        _commit_rels(
+            self.root,
+            self.schema_json,
+            self.mapping,
+            [m.rel for m in messages if m and m.rel],
         )
-        incoming = StructType.fromJson(json.loads(self.schema_json))
-        stats = txlog._collect_stats(self.root, rels)
-        for _ in range(20):
-            v = txlog.current_version(self.root)
-            tbl_schema = txlog._snapshot_schema(spark, self.root, v)
-            # no silent evolution through the SQL path: incompatible
-            # frames fail here, after staging, before any commit
-            txlog._merge_struct(tbl_schema, incoming, False)
-            if txlog._mapping_at(self.root, v) != (
-                self.mapping
-                if (self.mapping["map"] or self.mapping["retired"])
-                else None
-            ):
-                raise RuntimeError(
-                    "concurrent column rename/drop during the write: "
-                    "retry the operation"
-                )
-            cons = dict(
-                txlog._read_manifest(self.root, v).get("constraints", {})
-            )
-            if cons and rels:
-                txlog._validate_constraints(
-                    txlog._read_files(
-                        spark, self.root, rels, incoming, self.mapping
-                    ),
-                    cons,
-                )
-            ok = txlog._commit_version(
-                self.root,
-                v + 1,
-                "append",
-                txlog.snapshot_info(self.root, v),
-                [],
-                rels,
-                stats,
-                dict(txlog._read_manifest(self.root, v).get("txn", {})),
-                None,
-                {"writer": "datasource"},
-            )
-            if ok:
-                return
-        raise RuntimeError(f"write lost 20 commit races at {self.root}")
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.rel:
+                try:
+                    os.remove(os.path.join(self.root, m.rel))
+                except OSError:
+                    pass
+
+
+class TxLogStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("txlog")`` — EXACTLY-ONCE streaming
+    ingestion through the format name: each micro-batch's files
+    commit through :func:`_commit_rels` with the Delta (app_id,
+    txn_version=batchId) idempotence map, so Spark's at-least-once
+    batch redelivery (restart from checkpoint, sink retry) becomes a
+    committed no-op whose duplicate files are deleted — the same
+    contract `txlog.append(app_id=..., txn_version=...)` gives a
+    foreachBatch sink (certified by `stream_txlog_append`), now
+    without leaving SQL. Set ``.option("app_id", ...)`` per logical
+    stream (default ``txlog-stream``); two different streams into one
+    table need distinct ids."""
+
+    def __init__(
+        self, root: str, schema_json: str, mapping: dict | None, app_id: str
+    ):
+        self.root = root
+        self.schema_json = schema_json
+        self.mapping = mapping or {"map": {}, "retired": []}
+        self.app_id = app_id
+
+    def write(self, iterator) -> TxFileCommit:
+        return _write_task_batches(self.root, self.mapping, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_rels(
+            self.root,
+            self.schema_json,
+            self.mapping,
+            [m.rel for m in messages if m and m.rel],
+            app_id=self.app_id,
+            txn_version=int(batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m and m.rel:
                 try:
@@ -338,6 +415,19 @@ class TxLogDataSource(DataSource):
         # against the then-current snapshot under the retry loop)
         txlog._merge_struct(tbl_schema, schema, False)
         return TxLogWriter(root, schema.json(), txlog._mapping_at(root, v))
+
+    def streamWriter(self, schema, overwrite: bool) -> TxLogStreamWriter:
+        from . import txlog
+
+        w = self.writer(schema, overwrite)  # same guards + validation
+        root = self.options.get("path")
+        v = txlog.current_version(root)
+        return TxLogStreamWriter(
+            root,
+            schema.json(),
+            txlog._mapping_at(root, v),
+            str(self.options.get("app_id", "txlog-stream")),
+        )
 
 
 def register(spark) -> None:

@@ -199,3 +199,42 @@ def test_sql_write_enforces_constraints(spark, plain_table):
     # add_constraint committed v1; the blocked write added nothing
     assert txlog.current_version(plain_table) == 1
     assert txlog.read_table(spark, plain_table).count() == 100
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    """writeStream.format("txlog"): a micro-batch commits through the
+    (app_id, batchId) idempotence map, so replaying the SAME logical
+    stream from a fresh checkpoint (at-least-once redelivery) commits
+    nothing and deletes its duplicate files — exactly-once through
+    the format name."""
+    root = str(tmp_path / "tx")
+    src = str(tmp_path / "src")
+    txlog.create_table(
+        spark, root, spark.range(0, 10).select("id", F.lit(0).alias("b"))
+    )
+    spark.range(100, 200).select("id", F.lit(1).alias("b")).write.parquet(src)
+    txlog_source.register(spark)
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("id long, b int")
+            .parquet(src)
+            .writeStream.format("txlog")
+            .option("path", root)
+            .option("app_id", "stream-a")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert txlog.read_table(spark, root).count() == 110
+    assert txlog.current_version(root) == 1
+    run("ck2")  # fresh checkpoint, same app_id: batch 0 redelivered
+    assert txlog.read_table(spark, root).count() == 110
+    assert txlog.current_version(root) == 1
+    m = txlog._read_manifest(root, 1)
+    assert m["txn"] == {"stream-a": 0} and m["writer"] == "datasource"
+    # no orphan duplicate files left behind
+    assert txlog.vacuum(root, dry_run=True) == []

@@ -824,7 +824,9 @@ def test_vacuum_retain_hours_keeps_recent_versions(spark, tmp_path):
     root = str(tmp_path / "tx")
     txlog.create_table(spark, root, spark.range(0, 50).select(F.col("id")))
     txlog.optimize(spark, root)  # v1 rewrites everything
-    txlog.optimize(spark, root, target_file_bytes=1 << 30)  # v2
+    # v2: cluster_by forces a real rewrite commit (a bare re-optimize
+    # of one right-sized file is a round-12 no-op by design)
+    txlog.optimize(spark, root, target_file_bytes=1 << 30, cluster_by=("id",))
     # age v0's manifest far outside the window (rewrite its ts)
     p = txlog._manifest_path(root, 0)
     m = _json.load(open(p))

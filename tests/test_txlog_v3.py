@@ -319,3 +319,70 @@ def test_vacuum_retain_hours_exact_boundary(spark, tmp_path, monkeypatch):
     )
     monkeypatch.setattr(txlog.time, "time", real_time)
     assert v0_files <= set(listed)
+
+
+# ---------------------------------------------------------------------------
+# subset OPTIMIZE (round-12): partition-scoped + small-file-only
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_partition_scoped(spark, tmp_path):
+    """optimize(partitions=...) compacts ONLY the matching hive
+    partitions; other partitions' files (and their deletion vectors)
+    carry by name."""
+    root = str(tmp_path / "tx")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 2).alias("p")
+    ).repartition(8)
+    txlog.create_table(spark, root, df, partition_by=("p",))
+    txlog.delete_where(spark, root, "id < 10 AND p = 1", mode="dv")
+    files_v1 = txlog.snapshot_info(root, 1)["files"]
+    p0_before = {r for r in files_v1 if "/p=0/" in r}
+    v = txlog.optimize(spark, root, partitions={"p": 0})
+    snap = txlog.snapshot_info(root, v)
+    # p=0 rewritten into fewer files; p=1 carried by NAME with its dv
+    p0_after = {r for r in snap["files"] if "/p=0/" in r}
+    p1_after = {r for r in snap["files"] if "/p=1/" in r}
+    assert p0_after.isdisjoint(p0_before)
+    assert p1_after == {r for r in files_v1 if "/p=1/" in r}
+    assert snap["dv"], "the untouched partition keeps its vectors"
+    got = txlog.read_table(spark, root)
+    assert got.count() == 400 - 5  # ids 1,3,5,7,9 dv-deleted in p=1
+    assert got.where("p = 1 AND id < 10").count() == 0
+    # change feed across the scoped optimize is empty (identity)
+    assert txlog.read_changes(spark, root, from_version=v - 1).count() == 0
+
+
+def test_optimize_small_files_only(spark, tmp_path):
+    """only_smaller_than: already-right-sized files are never
+    re-churned (the Delta small-file selection)."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark, root, spark.range(0, 200_000).select("id").coalesce(1)
+    )
+    big = txlog.snapshot_info(root, 0)["files"]
+    assert len(big) == 1
+    big_size = os.path.getsize(os.path.join(root, big[0]))
+    for lo in range(0, 50, 10):  # five tiny appends
+        txlog.append(spark, root, spark.range(200_000 + lo, 200_010 + lo).select("id").coalesce(1))
+    v = txlog.optimize(spark, root, only_smaller_than=big_size // 2)
+    snap = txlog.snapshot_info(root, v)
+    assert big[0] in snap["files"], "the big file must carry untouched"
+    assert len(snap["files"]) == 2  # big + one compacted small-file blob
+    assert txlog.read_table(spark, root).count() == 200_050
+    m = txlog._read_manifest(root, v)
+    assert m["compacted_from"] == 5 and m["carried"] == 1
+
+
+def test_optimize_noop_selection_commits_nothing(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark, root, spark.range(0, 100).select("id").coalesce(1)
+    )
+    v0 = txlog.current_version(root)
+    # single right-sized file, no dv, no clustering: nothing to do
+    assert txlog.optimize(spark, root) == v0
+    assert txlog.current_version(root) == v0
+    # empty subset: nothing to do
+    assert txlog.optimize(spark, root, only_smaller_than=1) == v0
+    assert txlog.current_version(root) == v0
