@@ -253,3 +253,33 @@ def test_timestamp_time_travel(spark, table):
         txlog.version_at_timestamp(table, ts0 - 1)
     with pytest.raises(ValueError, match="not both"):
         txlog.read_table(spark, table, version=0, timestamp=ts0)
+
+
+def test_dv_commit_on_checkpoint_version(spark, tmp_path):
+    """A dv delete whose version lands exactly on the checkpoint
+    cadence writes a FULL manifest: the complete dv map must survive
+    the checkpoint (snapshot resolution starts from it) and the feed
+    must still derive the position diff."""
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 100).select("id", (F.col("id") % 10).alias("bucket")),
+        checkpoint_every=2,
+    )
+    txlog.append(
+        spark, root, spark.range(100, 200).select("id", (F.col("id") % 10).alias("bucket"))
+    )  # v1
+    v = txlog.delete_where(spark, root, "bucket = 3", mode="dv")  # v2 = ckpt
+    m = txlog._read_manifest(root, v)
+    assert txlog._is_full(m) and m.get("checkpoint") is True
+    assert m.get("dv"), "checkpoint manifest must snapshot the dv map"
+    assert txlog.read_table(spark, root).count() == 180
+    assert txlog.row_count(root) == 180
+    # another dv delete at v3 (delta) unions with the checkpointed one
+    txlog.delete_where(spark, root, "bucket = 7", mode="dv")
+    assert txlog.read_table(spark, root).count() == 160
+    cdf = txlog.read_changes(spark, root, from_version=1)
+    rows = {r["_commit_version"]: r["n"] for r in
+            cdf.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()}
+    assert rows == {2: 20, 3: 20}

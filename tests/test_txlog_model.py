@@ -168,8 +168,10 @@ def test_txlog_matches_model_partitioned_checkpointed(
         return df
 
     widened = False
+    # dv_delete at step 7 exercises merge-on-read against the
+    # partitioned + checkpoint_every=3 + widened + restored chain
     ops = ["append", "merge", "delete", "widen", "append", "merge",
-           "restore", "delete", "merge", "append", "optimize", "merge"]
+           "restore", "dv_delete", "merge", "append", "optimize", "merge"]
     for step, op in enumerate(ops):
         if op == "append":
             rows = {next_id + i: rng.randrange(5) for i in range(20)}
@@ -199,6 +201,12 @@ def test_txlog_matches_model_partitioned_checkpointed(
         elif op == "delete":
             b = rng.randrange(5)
             v = txlog.delete_where(spark, root, f"bucket = {b}")
+            model = {k: x for k, x in model.items() if x != b}
+        elif op == "dv_delete":
+            b = rng.randrange(5)
+            v = txlog.delete_where(
+                spark, root, f"bucket = {b}", mode="dv"
+            )
             model = {k: x for k, x in model.items() if x != b}
         elif op == "optimize":
             v = txlog.optimize(
