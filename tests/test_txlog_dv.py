@@ -283,3 +283,34 @@ def test_dv_commit_on_checkpoint_version(spark, tmp_path):
     rows = {r["_commit_version"]: r["n"] for r in
             cdf.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()}
     assert rows == {2: 20, 3: 20}
+
+
+def test_concurrent_dv_deletes_serialize(spark, table):
+    """Two dv deletes racing the same commit slot: the loser re-probes
+    against the winner's snapshot, so both predicates land and the
+    vectors UNION — no lost deletes, no resurrection (the optimistic
+    protocol's serializability, now for metadata-only commits)."""
+    import threading
+
+    errs: list[Exception] = []
+
+    def dv_del(pred: str) -> None:
+        try:
+            txlog.delete_where(spark, table, pred, mode="dv")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=dv_del, args=("bucket = 3",))
+    t2 = threading.Thread(target=dv_del, args=("bucket = 7",))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs
+    assert txlog.current_version(table) == 2
+    got = txlog.read_table(spark, table)
+    assert got.count() == 800
+    assert got.where("bucket IN (3, 7)").count() == 0
+    assert txlog.row_count(table) == 800
+    # the change feed attributes each commit its own predicate's rows
+    cdf = txlog.read_changes(spark, table, from_version=0)
+    assert cdf.count() == 200
+    assert cdf.where("_change_type <> 'delete'").count() == 0
