@@ -56,7 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OLDEST last-driver-certified round, oldest first, until the 50
     slots are full.
 
-    ROTATION LEDGER (from CORRECTNESS_r01-r11; zero historical reds.
+    ROTATION LEDGER (from CORRECTNESS_r01-r12; zero reds since round 2
+    — the 11 round-1 entries were bootstrap environment errors, fixed
+    in round 2.
     Round 11 executed its intended window exactly — verified
     key-for-key by the round-11 verdict: wordcount + the 8 round-11
     registrations + the first 41 of the r6-certified cohort):

@@ -189,6 +189,63 @@ def compute_regressions(
     }
 
 
+def final_stdout_line(
+    total: float,
+    sf_val,
+    timings: dict[str, float],
+    errors: dict,
+    regressions: dict[str, dict[str, float]],
+    ladder_exponents: dict,
+    ladder_superlinear: list,
+    warm_total: float,
+    cold_total: float | None,
+) -> str:
+    """The one-JSON-line driver contract, as a pure function so
+    tests/test_scale.py can pin its SIZE. The driver's tail capture is
+    ~2 KB, so the line must stay bounded no matter how noisy the run
+    is: round 12's contended run produced 30 regression flags and the
+    then-unbounded inline dict (+ 23 ladder exponents) pushed the line
+    to ~2.9 KB — BENCH_r12.json came back `parsed: null`. Every
+    unbounded field is therefore capped: the worst 5 regressions
+    inline (`n_regressions` carries the true count), slowest 10 query
+    timings, and `ladder_superlinear` only (the full exponents live in
+    bench_results.json and the full stderr/stdout line)."""
+    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    worst_regs = dict(
+        sorted(
+            regressions.items(),
+            key=lambda kv: kv[1]["now_sec"] - kv[1]["prev_sec"],
+            reverse=True,
+        )[:5]
+    )
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "n_regressions": len(regressions),
+            **({"regressions": worst_regs} if worst_regs else {}),
+            **(
+                {"ladder_superlinear": ladder_superlinear[:5]}
+                if ladder_exponents
+                else {}
+            ),
+            "warm_runs": WARM_RUNS,
+            "timed_runs": TIMED_RUNS,
+            "warm_total_sec": warm_total,
+            **(
+                {"cold_total_sec": cold_total}
+                if cold_total is not None
+                else {}
+            ),
+            "queries": slow10,
+        }
+    )
+
+
 def _regen_scale_md(
     n_queries: int,
     n_errors: int,
@@ -408,37 +465,17 @@ def main() -> None:
             )
     print(json.dumps(full), file=sys.stderr)
     print(json.dumps(full))
-    # Final stdout line: compact, guaranteed to fit the driver's tail buffer.
-    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "n_regressions": len(regressions),
-                **({"regressions": regressions} if regressions else {}),
-                **(
-                    {
-                        "ladder_exponents": ladder_exponents,
-                        "ladder_superlinear": ladder_superlinear,
-                    }
-                    if ladder_exponents
-                    else {}
-                ),
-                "warm_runs": WARM_RUNS,
-                "timed_runs": TIMED_RUNS,
-                "warm_total_sec": warm_total,
-                **(
-                    {"cold_total_sec": cold_total}
-                    if cold_total is not None
-                    else {}
-                ),
-                "queries": slow10,
-            }
+        final_stdout_line(
+            total,
+            sf_val,
+            timings,
+            errors,
+            regressions,
+            ladder_exponents,
+            ladder_superlinear,
+            warm_total,
+            cold_total,
         )
     )
     spark.stop()

@@ -366,6 +366,23 @@ def _hive_path_value(x) -> str | None:
         return x
     if isinstance(x, int):
         return str(x)
+    if isinstance(x, float):
+        # In the plain-decimal range (1e-3 <= |x| < 1e7, where Java's
+        # Double.toString — Spark's cast-to-string — avoids scientific
+        # notation) Python repr produces the same shortest round-trip
+        # decimal string, so float partition filters prune correctly
+        # (round-12 ADVICE: the blanket raise regressed working float
+        # pruning). Outside it the two notations diverge ('1e+20' vs
+        # '1.0E20') and non-finite values have no stable path form —
+        # those stay a LOUD error.
+        if x == 0.0 or (x == x and 1e-3 <= abs(x) < 1e7):
+            return repr(x)
+        raise ValueError(
+            f"cannot derive the hive path form of float {x!r} "
+            "(scientific-notation/non-finite forms differ between "
+            "Python and Spark): pass the exact partition-directory "
+            "string instead"
+        )
     if isinstance(x, datetime.datetime):
         raise ValueError(
             f"cannot derive the hive path form of timestamp {x!r} "

@@ -781,6 +781,60 @@ def test_bench_regression_gate():
     assert bench.compute_regressions(now, prev, 0.01, 0.1) == {}
 
 
+def test_bench_final_line_bounded():
+    """The driver parses bench.py's LAST stdout line from a ~2 KB tail
+    capture; round 12's 30-flag contended run overflowed it and the
+    round recorded no bench metric at all (BENCH_r12 parsed: null).
+    Pin the contract: even a pathologically noisy run — 40 regression
+    flags with long query names, 23 ladder families, hundreds of
+    timings — emits a final line comfortably under 2000 bytes, and the
+    capped fields still carry the true counts."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timings = {f"very_long_query_name_{i:03d}": i / 7.0 for i in range(211)}
+    regressions = {
+        f"very_long_query_name_{i:03d}": {
+            "prev_sec": 1.0 + i / 10,
+            "now_sec": 3.0 + i,
+        }
+        for i in range(40)
+    }
+    exponents = {f"family_with_a_long_name_{i}": 0.5 for i in range(23)}
+    superlinear = [f"family_with_a_long_name_{i}" for i in range(23)]
+    line = bench.final_stdout_line(
+        total=228.5,
+        sf_val=0.1,
+        timings=timings,
+        errors={},
+        regressions=regressions,
+        ladder_exponents=exponents,
+        ladder_superlinear=superlinear,
+        warm_total=228.5,
+        cold_total=352.1,
+    )
+    assert len(line.encode()) < 2000, len(line.encode())
+    parsed = json.loads(line)
+    assert parsed["n_regressions"] == 40  # true count survives the cap
+    assert len(parsed["regressions"]) == 5  # worst 5 inline only
+    # worst-by-absolute-slowdown ordering: the last flags dominate
+    assert "very_long_query_name_039" in parsed["regressions"]
+    assert len(parsed["queries"]) == 10
+    # the clean-run shape the driver usually sees parses too
+    clean = bench.final_stdout_line(
+        169.0, 0.1, timings, {}, {}, exponents, [], 169.0, 257.4
+    )
+    assert len(clean.encode()) < 2000
+    assert "regressions" not in json.loads(clean)
+
+
 def test_merge_delete_torn_write_rerun_converges(spark, tmp_path, monkeypatch):
     """Crash-under-write for the delete verb (the reference's whole
     test philosophy, test-mr.sh crash suite): merge_delete_parquet

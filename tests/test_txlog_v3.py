@@ -187,17 +187,35 @@ def test_partition_prune_bool_matches_spark_path_form(spark, tmp_path):
     )
 
 
-def test_partition_prune_unmappable_type_is_loud(spark, tmp_path):
+def test_partition_prune_float_values(spark, tmp_path):
+    """Floats in the plain-decimal range prune natively (Python repr ==
+    Spark's Double.toString there — the round-12 ADVICE regression
+    fix); scientific-notation-range floats, where the two encoders
+    disagree ('1e+20' vs '1.0E20'), stay a loud error with the exact
+    path string as the escape hatch."""
     root = str(tmp_path / "tx")
     df = spark.range(0, 10).select(
         "id", (F.col("id") / 4.0).alias("frac")
     )
     txlog.create_table(spark, root, df, partition_by=("frac",))
-    with pytest.raises(ValueError, match="hive path form"):
-        txlog.read_table(spark, root, partitions={"frac": 0.25})
-    # the escape hatch: pass the exact path string
+    got = txlog.read_table(spark, root, partitions={"frac": 0.25})
+    assert got.count() == 1
+    assert got.collect()[0]["id"] == 1
+    # zero and whole-valued doubles too (Spark writes frac=0.0, 1.0 …)
+    assert (
+        txlog.read_table(spark, root, partitions={"frac": 0.0}).count() == 1
+    )
+    assert (
+        txlog.read_table(spark, root, partitions={"frac": 1.0}).count() == 1
+    )
+    # the path-string escape hatch still works
     got = txlog.read_table(spark, root, partitions={"frac": "0.25"})
     assert got.count() == 1
+    # outside the shared plain-decimal range: loud, never silent
+    with pytest.raises(ValueError, match="hive path form"):
+        txlog.read_table(spark, root, partitions={"frac": 1e20})
+    with pytest.raises(ValueError, match="hive path form"):
+        txlog.read_table(spark, root, partitions={"frac": float("nan")})
 
 
 def test_partition_prune_date_values(spark, tmp_path):
