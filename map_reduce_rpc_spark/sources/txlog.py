@@ -187,10 +187,38 @@ def current_version(root: str) -> int:
     return max(vs, default=-1)
 
 
-@_lru_cache(maxsize=16)
+@_lru_cache(maxsize=64)
 def _read_manifest_keyed(path: str, mtime_ns: int, size: int) -> dict:
     with open(path) as fh:
         return json.load(fh)
+
+
+@_lru_cache(maxsize=None)
+def _manifest_meta_keyed(
+    path: str, mtime_ns: int, size: int
+) -> tuple[float, bool, str | None]:
+    """(commit ts, is_full, column-mapping JSON or None) for one
+    immutable manifest — the few-dozen-byte subset the per-version
+    driver WALKS need (version_at_timestamp, vacuum's retain-hours
+    scan, _mapping_at). Parsed once per process and cached UNBOUNDED
+    (tiny tuples), so a walk over hundreds of versions costs one
+    parse per version EVER instead of re-parsing checkpoint-sized
+    JSON each call through the bounded full-manifest cache (round-12
+    ADVICE: O(versions x manifest bytes) per call at 100 TB table
+    ages)."""
+    m = _read_manifest_keyed(path, mtime_ns, size)
+    cm = m.get("column_mapping")
+    return (
+        float(m.get("ts", 0)),
+        "files" in m or "files_ref" in m,
+        json.dumps(cm, sort_keys=True) if cm is not None else None,
+    )
+
+
+def _manifest_meta(root: str, version: int) -> tuple[float, bool, str | None]:
+    p = _manifest_path(root, version)
+    st = os.stat(p)
+    return _manifest_meta_keyed(p, st.st_mtime_ns, st.st_size)
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -222,18 +250,32 @@ def _table_config(root: str) -> dict:
 @_lru_cache(maxsize=4)
 def _read_sidecar_keyed(
     path: str, mtime_ns: int, size: int
-) -> tuple[list[str], dict]:
+) -> tuple[list[str], dict, dict]:
     """Parse one columnar checkpoint sidecar (immutable once written,
-    like manifests — cached per process). Returns (files, stats)."""
+    like manifests — cached per process). Returns (files, stats,
+    dv map); sidecars written before the dv spill (round 13) lack the
+    dv_ref column and resolve to an empty map — their manifests still
+    carry dv inline."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["rel", "stats_json"])
+    cols = ["rel", "stats_json"]
+    schema_names = pq.ParquetFile(path).schema_arrow.names
+    if "dv_ref" in schema_names:
+        cols.append("dv_ref")
+    t = pq.read_table(path, columns=cols)
     rels = t.column("rel").to_pylist()
     stats_json = t.column("stats_json").to_pylist()
     stats = {
         r: json.loads(s) for r, s in zip(rels, stats_json) if s
     }
-    return rels, stats
+    dv = {}
+    if "dv_ref" in schema_names:
+        dv = {
+            r: ref
+            for r, ref in zip(rels, t.column("dv_ref").to_pylist())
+            if ref
+        }
+    return rels, stats, dv
 
 
 def _load_full(root: str, m: dict) -> tuple[list[str], dict]:
@@ -243,30 +285,50 @@ def _load_full(root: str, m: dict) -> tuple[list[str], dict]:
         return m["files"], m.get("stats", {})
     p = os.path.join(_log_dir(root), m["files_ref"])
     st = os.stat(p)
-    return _read_sidecar_keyed(p, st.st_mtime_ns, st.st_size)
+    return _read_sidecar_keyed(p, st.st_mtime_ns, st.st_size)[:2]
+
+
+def _full_dv(root: str, m: dict) -> dict:
+    """The deletion-vector map {rel -> dv sidecar ref} of ONE
+    manifest: inline for small tables and all delta manifests, the
+    checkpoint sidecar's dv_ref column when the file list spilled
+    (round-12 ADVICE: inlining the complete dv map as JSON in a
+    checkpoint whose FILES already outgrew inline JSON defeated the
+    sidecar threshold's intent)."""
+    if "files_ref" in m and "dv" not in m:
+        p = os.path.join(_log_dir(root), m["files_ref"])
+        st = os.stat(p)
+        return _read_sidecar_keyed(p, st.st_mtime_ns, st.st_size)[2]
+    return m.get("dv", {})
 
 
 def _is_full(m: dict) -> bool:
     return "files" in m or "files_ref" in m
 
 
-def _write_sidecar(root: str, files: list[str], stats: dict) -> str:
+def _write_sidecar(
+    root: str, files: list[str], stats: dict, dv: dict | None = None
+) -> str:
     """Write a columnar checkpoint sidecar under the log dir; returns
-    its log-relative name. Written + fsynced BEFORE the manifest link
-    publishes it — a crash or a lost commit race leaves an orphan
-    that vacuum sweeps."""
+    its log-relative name. Carries the dv map as a per-file ref
+    column so a checkpoint whose file list outgrew inline JSON never
+    re-inlines its deletion vectors either. Written + fsynced BEFORE
+    the manifest link publishes it — a crash or a lost commit race
+    leaves an orphan that vacuum sweeps."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(_log_dir(root), exist_ok=True)
     name = f".ckpt-{uuid.uuid4().hex[:12]}.parquet"
     path = os.path.join(_log_dir(root), name)
+    dv = dv or {}
     t = pa.table(
         {
             "rel": files,
             "stats_json": [
                 json.dumps(stats[r]) if r in stats else None for r in files
             ],
+            "dv_ref": [dv.get(r) for r in files],
         }
     )
     pq.write_table(t, path)
@@ -299,7 +361,7 @@ def snapshot_info(root: str, version: int) -> dict:
     base_files, base_stats = _load_full(root, chain[-1])
     files = list(base_files)
     stats = dict(base_stats)
-    dv = dict(chain[-1].get("dv", {}))
+    dv = dict(_full_dv(root, chain[-1]))
     for m in reversed(chain[:-1]):
         rm = set(m.get("remove", []))
         if rm:
@@ -416,14 +478,14 @@ def _mapping_at(root: str, version: int) -> dict | None:
     (a full manifest WITHOUT the key means the mapping was never
     activated)."""
     for v in range(version, -1, -1):
-        m = _read_manifest(root, v)
-        if "column_mapping" in m:
-            cm = m["column_mapping"]
+        _ts, is_full, cm_json = _manifest_meta(root, v)
+        if cm_json is not None:
+            cm = json.loads(cm_json)
             return {
                 "map": dict(cm.get("map", {})),
                 "retired": list(cm.get("retired", [])),
             }
-        if _is_full(m):
+        if is_full:
             return None
     return None
 
@@ -851,16 +913,14 @@ def _commit_version(
         m.pop("constraints", None)
     if schema_json is not None:
         m["schema"] = schema_json
-    full = op in ("create", "restore", "optimize") or v_new % ce == 0
+    full = (
+        op in ("create", "restore", "optimize", "overwrite")
+        or v_new % ce == 0
+    )
     if full:
         keep_set = set(keep)
         stats = {r: s for r, s in psnap["stats"].items() if r in keep_set}
         stats.update(add_stats)
-        if len(files) >= SIDECAR_MIN_FILES:
-            m["files_ref"] = _write_sidecar(root, files, stats)
-        else:
-            m["files"] = files
-            m["stats"] = stats
         # complete dv map: parent entries on surviving files, plus
         # this commit's changes, restricted to the final file list
         file_set = set(files)
@@ -871,8 +931,15 @@ def _commit_version(
         }
         dv_full.update(dv_set or {})
         dv_full = {r: ref for r, ref in dv_full.items() if r in file_set}
-        if dv_full:
-            m["dv"] = dv_full
+        if len(files) >= SIDECAR_MIN_FILES:
+            # the dv map spills WITH the file list (one row each):
+            # readers resolve it via _full_dv, never a giant inline
+            m["files_ref"] = _write_sidecar(root, files, stats, dv_full)
+        else:
+            m["files"] = files
+            m["stats"] = stats
+            if dv_full:
+                m["dv"] = dv_full
         if "schema" not in m:
             sj = _schema_json_at(root, v_new - 1)
             if sj is not None:
@@ -1149,7 +1216,7 @@ def version_at_timestamp(root: str, ts: float) -> int:
         raise FileNotFoundError(f"no committed version at {root}")
     best = -1
     for v in range(cur + 1):
-        if float(_read_manifest(root, v).get("ts", 0)) <= ts:
+        if _manifest_meta(root, v)[0] <= ts:
             best = v
     if best < 0:
         raise ValueError(
@@ -2058,7 +2125,7 @@ def read_changes(
         m = _read_manifest(root, v)
         if _is_full(m):
             cur_files = set(_load_full(root, m)[0])
-            cur_dv = dict(m.get("dv", {}))
+            cur_dv = dict(_full_dv(root, m))
             added = sorted(cur_files - prev)
             removed = sorted(prev - cur_files)
         else:
@@ -2696,7 +2763,7 @@ def vacuum(
             (
                 v
                 for v in range(cur + 1)
-                if _read_manifest(root, v).get("ts", 0) >= cutoff
+                if _manifest_meta(root, v)[0] >= cutoff
             ),
             cur,
         )
@@ -2795,7 +2862,7 @@ def vacuum(
                     dv_refs = set()
                     for v in range(cur + 1):
                         dv_refs.update(
-                            _read_manifest(root, v).get("dv", {}).values()
+                            _full_dv(root, _read_manifest(root, v)).values()
                         )
                 if name not in dv_refs:
                     if not dry_run:

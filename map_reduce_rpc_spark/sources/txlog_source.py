@@ -14,7 +14,11 @@ applies it to the format that matters).
     spark.sql("SELECT count(*) FROM orders_tx")
 
 The reader honors the FULL table protocol, resolved from the manifest
-at planning time on the driver:
+ONCE at planning time on the driver (the snapshot — version, schema,
+column mapping — is pinned on first resolution, so repeated actions on
+one DataFrame and the schema/reader pair always bind the SAME
+committed version even while writers race: snapshot isolation, the
+round-12 ADVICE fix):
 
 - snapshot isolation + time travel (the ``version`` option pins one
   committed manifest's exact file list);
@@ -24,7 +28,29 @@ at planning time on the driver:
 - deletion vectors (each partition skips its file's dead row
   positions);
 - hive partition columns (values parsed from the file path and cast
-  to the snapshot schema's type).
+  to the snapshot schema's type);
+- FILE PRUNING, two forms. ``.option("partition_filter",
+  '{"month": ["2024-01"]}')`` prunes hive partitions as part of the
+  DataFrame's identity — always safe, the SQL twin of
+  ``read_table(partitions=...)``. ``.option("pushdown", "true")``
+  additionally turns WHERE clauses into planning-time file
+  elimination via Spark 4.1 ``pushFilters`` (partition path values
+  + manifest min/max stats, the ``scan_table`` prunings) — OPT-IN
+  because Spark 4.1's relation caches one partitions() result per
+  plan and can replay a filter-pruned file list into a later
+  unfiltered action on the SAME DataFrame/view (see
+  ``TxLogReader.pushFilters``); enable it for one-shot reads. Every
+  filter is always RETURNED to Spark for post-scan evaluation, so
+  pruning is pure IO elimination — never a correctness dependency.
+
+Write side: ``df.write.format("txlog")`` appends or atomically
+OVERWRITES, hive-partitioned tables included (each executor task
+splits its Arrow batches by partition value and stages one file per
+partition directory); ``df.writeStream.format("txlog")`` is the
+exactly-once streaming sink. ``spark.readStream.format("txlog")`` is
+the streaming SOURCE over the commit log's version cursor — the
+append feed by default, the full change feed with
+``.option("change_feed", "true")``.
 
 One input partition per data file — the same planning unit the JVM
 path uses. Rows cross the Arrow boundary as whole RecordBatches
@@ -43,15 +69,29 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import quote
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
+
+# ---------------------------------------------------------------------------
+# shared per-file Arrow decode (batch reader + streaming source)
+# ---------------------------------------------------------------------------
 
 
 class TxFilePartition(InputPartition):
@@ -66,129 +106,634 @@ class TxFilePartition(InputPartition):
         self.part_values = part_values
 
 
-class TxLogReader(DataSourceReader):
-    """Plans one partition per snapshot file; each partition decodes
-    its file with pyarrow, applies the deletion vector, aliases
-    physical->logical, casts to the snapshot schema, and fills
-    partition/missing columns — yielding Arrow RecordBatches."""
+def _decode_file_batches(
+    path: str,
+    schema_json: str,
+    mapping: dict,
+    part_values: dict[str, str | None],
+    positions: list[int],
+    take: bool = False,
+):
+    """STREAM one parquet file as bounded Arrow batches bound to the
+    snapshot schema — never the whole file in worker memory (files can
+    be 100s of MB at scale, and many Python workers decode
+    concurrently; whole-file materialization OOMs exactly where a
+    100 TB table needs this path most). ``positions`` are file-global
+    row indexes applied per batch via a running row offset: with
+    ``take=False`` they are a DELETION VECTOR (those rows are
+    dropped); with ``take=True`` they are the ONLY rows yielded (the
+    change feed's dv-diff rows). Physical columns alias back to
+    logical names, absent columns surface as typed NULLs, partition
+    columns fill from the path values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
 
-    def __init__(self, options: dict, schema_json: str, mapping: dict | None):
+    schema = StructType.fromJson(json.loads(schema_json))
+    mp = mapping["map"]
+    phys_of = {f.name: mp.get(f.name, f.name) for f in schema.fields}
+    targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+    pf = pq.ParquetFile(path)
+    file_cols = set(pf.schema_arrow.names)
+    want = [p for p in phys_of.values() if p in file_cols]
+    pos = sorted(set(positions))
+    pi = 0
+    offset = 0
+    for batch in pf.iter_batches(batch_size=1 << 16, columns=want):
+        n = batch.num_rows
+        local = []
+        if pos and pi < len(pos):
+            while pi < len(pos) and pos[pi] < offset + n:
+                local.append(pos[pi] - offset)
+                pi += 1
+        offset += n
+        if take:
+            if not local:
+                continue
+            batch = batch.take(pa.array(local, type=pa.int64()))
+        elif local:
+            mask = np.ones(n, dtype=bool)
+            mask[local] = False
+            batch = batch.filter(pa.array(mask))
+        m = batch.num_rows
+        if m == 0:
+            continue
+        arrays = []
+        cols = {
+            name: batch.column(i)
+            for i, name in enumerate(batch.schema.names)
+        }
+        for f in schema.fields:
+            if f.name in part_values:
+                raw = part_values[f.name]
+                col = pa.array([raw] * m, type=pa.string()).cast(
+                    targets[f.name]
+                )
+            elif phys_of[f.name] in cols:
+                col = cols[phys_of[f.name]].cast(targets[f.name])
+            else:  # pre-evolution file: typed NULLs
+                col = pa.nulls(m, type=targets[f.name])
+            arrays.append(col)
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=[f.name for f in schema.fields]
+        )
+
+
+class TxLogReader(DataSourceReader):
+    """Plans one partition per snapshot file of the PINNED version;
+    each partition decodes its file with pyarrow, applies the deletion
+    vector, aliases physical->logical, casts to the snapshot schema,
+    and fills partition/missing columns — yielding Arrow RecordBatches.
+
+    ``pushFilters`` keeps every supported top-level predicate for
+    PLANNING-TIME file elimination (hive path values for partition
+    columns, manifest min/max stats otherwise) and returns ALL filters
+    to Spark, so the post-scan evaluation stays exact no matter how
+    conservative the pruning was — the same contract the library's
+    ``scan_table`` documents."""
+
+    def __init__(
+        self, options: dict, version: int, schema_json: str, mapping: dict | None
+    ):
         self.root = options.get("path")
-        self.version = options.get("version")
+        self.version = int(version)
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
+        self.pushed: list = []
+        # dynamic pushdown pruning is OPT-IN (see pushFilters for why)
+        self.dynamic = (
+            str(options.get("pushdown", "")).lower() == "true"
+        )
+        # explicit partition pruning — part of the DataFrame's
+        # identity (an option), so plan caching can never leak it
+        # across queries; mirrors read_table(partitions=...)
+        pf = options.get("partition_filter")
+        self.partition_filter: dict = json.loads(pf) if pf else {}
+
+    def pushFilters(self, filters):
+        supported = (
+            EqualTo,
+            In,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNull,
+            IsNotNull,
+        )
+        # Dynamic (per-query) pruning only applies with
+        # .option("pushdown", "true"), because Spark 4.1's relation
+        # node caches ONE partitions() result in a shared slot: when
+        # the FIRST action planned on a DataFrame (or a temp view over
+        # it) carries pushed filters, its PRUNED file list is reused
+        # verbatim by later UNfiltered actions on the same plan — rows
+        # silently vanish (measured here on 4.1.2: where().count()
+        # then count() returned the pruned scan both times; returning
+        # every filter as residual or consuming them all makes no
+        # difference). Until the upstream cache keys on the pushed
+        # filter set, dynamic pruning is safe only for one-shot reads,
+        # so the caller must ask for it; the always-safe alternative
+        # is .option("partition_filter", ...), which is part of the
+        # DataFrame's identity and therefore cache-consistent.
+        # Starting fresh each call still matters — the planning worker
+        # caches this reader instance across queries of one DataFrame,
+        # so state must never ACCUMULATE across plans (partitions()
+        # consumes-and-clears for the same reason).
+        self.pushed = []
+        for f in filters:
+            if (
+                self.dynamic
+                and isinstance(f, supported)
+                and len(f.attribute) == 1
+            ):
+                self.pushed.append(f)
+            # every filter goes BACK to Spark: pruning here only
+            # eliminates IO, correctness never depends on it
+            yield f
+
+    # -- planning-time file elimination ---------------------------------
+
+    def _keep_by_partition(self, col: str, pv: dict, pushed: list) -> bool | None:
+        """None = this file has no path value for col (not a partition
+        column) — the stats path decides instead."""
+        from . import txlog
+
+        if col not in pv:
+            return None
+        raw = pv[col]  # decoded path string, None for the hive NULL
+        for f in pushed:
+            if f.attribute[0] != col:
+                continue
+            if isinstance(f, IsNull):
+                if raw is not None:
+                    return False
+                continue
+            if isinstance(f, IsNotNull):
+                if raw is None:
+                    return False
+                continue
+            if raw is None:
+                return False  # value compares never match NULL
+            vals = list(f.value) if isinstance(f, In) else [f.value]
+            try:
+                enc = {txlog._hive_path_value(v) for v in vals}
+            except ValueError:
+                continue  # unencodable value: keep the file
+            if isinstance(f, (EqualTo, In)):
+                if raw not in enc:
+                    return False
+            else:
+                # range compare: numeric when the bound is numeric,
+                # lexicographic otherwise (exact for ISO dates) — the
+                # scan_table contract
+                v = vals[0]
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    try:
+                        pvv: object = float(raw)
+                    except ValueError:
+                        continue
+                    bound: object = float(v)
+                else:
+                    pvv, bound = raw, txlog._hive_path_value(v)
+                if isinstance(f, GreaterThan) and not pvv > bound:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and not pvv >= bound:
+                    return False
+                if isinstance(f, LessThan) and not pvv < bound:
+                    return False
+                if isinstance(f, LessThanOrEqual) and not pvv <= bound:
+                    return False
+        return True
+
+    def _keep_by_stats(self, rel: str, stats: dict, pushed: list) -> bool:
+        """Manifest min/max pruning — conservative: missing stats,
+        non-comparable types, or any doubt keeps the file."""
+        rng_by_col = stats.get(rel) or {}
+        mp = self.mapping["map"]
+        for f in pushed:
+            if isinstance(f, (IsNull, IsNotNull)):
+                continue  # footers here record min/max only
+            col = f.attribute[0]
+            rng = rng_by_col.get(mp.get(col, col))
+            if not isinstance(rng, (list, tuple)) or len(rng) != 2:
+                continue
+            lo, hi = rng
+            vals = list(f.value) if isinstance(f, In) else [f.value]
+            ok_types = all(
+                isinstance(v, (int, float, str))
+                and not isinstance(v, bool)
+                and isinstance(lo, type(v) if isinstance(v, str) else (int, float))
+                for v in vals
+            )
+            if not ok_types or lo is None or hi is None:
+                continue
+            if isinstance(f, (EqualTo, In)):
+                if all(v < lo or v > hi for v in vals):
+                    return False
+            elif isinstance(f, GreaterThan) and not hi > vals[0]:
+                return False
+            elif isinstance(f, GreaterThanOrEqual) and not hi >= vals[0]:
+                return False
+            elif isinstance(f, LessThan) and not lo < vals[0]:
+                return False
+            elif isinstance(f, LessThanOrEqual) and not lo <= vals[0]:
+                return False
+        return True
 
     def partitions(self) -> list[TxFilePartition]:
         from . import txlog
 
-        v = (
-            int(self.version)
-            if self.version is not None
-            else txlog.current_version(self.root)
-        )
-        snap = txlog.snapshot_info(self.root, v)
-        dv_idx = txlog._dv_indexes(self.root, snap.get("dv", {}))
+        # CONSUME the pushed filters: Spark's planning worker reuses
+        # this instance across queries on one DataFrame and only calls
+        # pushFilters when the query HAS filters — without the clear,
+        # a later unfiltered query on the same DataFrame would plan
+        # against the earlier query's pruned file list (wrong results,
+        # found live: count()-after-where() returned the pruned scan)
+        pushed, self.pushed = self.pushed, []
+        snap = txlog.snapshot_info(self.root, self.version)
+        rels = snap["files"]
+        if self.partition_filter:
+            rels = txlog._prune_partitions(
+                self.root, rels, self.partition_filter
+            )
+        if pushed:
+            kept = []
+            for rel in rels:
+                pv = txlog.partition_values(rel)
+                keep = True
+                for f in pushed:
+                    kp = self._keep_by_partition(f.attribute[0], pv, pushed)
+                    if kp is False:
+                        keep = False
+                        break
+                if keep and self._keep_by_stats(
+                    rel, snap.get("stats", {}), pushed
+                ):
+                    kept.append(rel)
+            rels = kept
+        dv_idx = txlog._dv_indexes(self.root, snap.get("dv", {}), rels)
         return [
             TxFilePartition(
                 os.path.join(self.root, rel),
                 dv_idx.get(rel, []),
                 txlog.partition_values(rel),
             )
-            for rel in snap["files"]
+            for rel in rels
         ]
 
     def read(self, partition: TxFilePartition):
-        """STREAMS the file as bounded Arrow batches — never the whole
-        file in worker memory (files can be 100s of MB at scale, and
-        many Python workers decode concurrently; whole-file
-        materialization OOMs exactly where a 100 TB table needs this
-        path most). The deletion vector's file-global row positions
-        are applied per batch via a running row offset."""
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-        from pyspark.sql.types import StructType
+        yield from _decode_file_batches(
+            partition.path,
+            self.schema_json,
+            self.mapping,
+            partition.part_values,
+            partition.dv,
+        )
 
-        schema = StructType.fromJson(json.loads(self.schema_json))
-        mp = self.mapping["map"]
-        phys_of = {f.name: mp.get(f.name, f.name) for f in schema.fields}
-        targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
-        pf = pq.ParquetFile(partition.path)
-        file_cols = set(pf.schema_arrow.names)
-        want = [p for p in phys_of.values() if p in file_cols]
-        dv = sorted(set(partition.dv))
-        di = 0
-        offset = 0
-        for batch in pf.iter_batches(batch_size=1 << 16, columns=want):
-            n = batch.num_rows
-            if dv and di < len(dv):
-                local = []
-                while di < len(dv) and dv[di] < offset + n:
-                    local.append(dv[di] - offset)
-                    di += 1
-                if local:
-                    mask = np.ones(n, dtype=bool)
-                    mask[local] = False
-                    batch = batch.filter(pa.array(mask))
-            offset += n
-            m = batch.num_rows
-            arrays = []
-            cols = {
-                name: batch.column(i)
-                for i, name in enumerate(batch.schema.names)
-            }
-            for f in schema.fields:
-                if f.name in partition.part_values:
-                    raw = partition.part_values[f.name]
-                    col = pa.array([raw] * m, type=pa.string()).cast(
-                        targets[f.name]
+
+# ---------------------------------------------------------------------------
+# the streaming SOURCE: spark.readStream.format("txlog")
+# ---------------------------------------------------------------------------
+
+
+class TxCDFPartition(InputPartition):
+    def __init__(
+        self,
+        path: str,
+        positions: list[int],
+        take: bool,
+        part_values: dict[str, str | None],
+        change: str,
+        version: int,
+    ):
+        self.path = path
+        self.positions = positions
+        self.take = take
+        self.part_values = part_values
+        self.change = change
+        self.version = version
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("txlog")`` — the table's commit log
+    as a Structured Streaming SOURCE, the symmetric twin of the
+    round-12 sink. The offset is the committed VERSION number
+    ({"version": N}, durably checkpointed by Spark's own offset log —
+    the same cursor streaming/cdf.py's ChangeFeedReader keeps by
+    hand), so restart/redelivery replays exact commit ranges and an
+    idempotent sink gets exactly-once end to end.
+
+    Two modes:
+
+    - default: the APPEND FEED (Delta's readStream default) — each
+      new commit's appended rows, table schema unchanged. Any
+      non-append change (a delete, a rewrite) is a LOUD error: a
+      consumer that declared itself append-only must never silently
+      miss deletes.
+    - ``.option("change_feed", "true")``: the CHANGE FEED — table
+      columns + ``_change_type`` ('insert'|'delete') +
+      ``_commit_version``, covering appends, cow deletes, and
+      deletion-vector deletes/merges (dv diffs deliver exactly the
+      newly-dead rows, O(dv) per commit). Commits that rewrite data
+      without changing it (OPTIMIZE) deliver nothing, matching
+      read_changes' multiset cancellation at zero cost. Commits that
+      BOTH add and remove files (cow rewrites: cow merge/restore)
+      need cross-file row cancellation a per-file streaming source
+      cannot do — those raise, directing the consumer to the library's
+      ChangeFeedReader, whose read_changes derivation handles them.
+
+    A schema or column-mapping change mid-stream raises (restart the
+    stream to bind the new schema — Delta's contract); planning is
+    O(touched files) per commit straight from the logged actions,
+    never a corpus diff. ``starting_version`` (default -1 = the full
+    history) bounds the initial offset like Delta's startingVersion."""
+
+    def __init__(
+        self,
+        options: dict,
+        pinned_version: int,
+        schema_json: str,
+        mapping: dict | None,
+        change_feed: bool,
+    ):
+        self.root = options.get("path")
+        self.pinned_version = int(pinned_version)
+        self.schema_json = schema_json
+        self.mapping = mapping or {"map": {}, "retired": []}
+        self.change_feed = change_feed
+        self.starting = int(options.get("starting_version", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        from . import txlog
+
+        return {"version": txlog.current_version(self.root)}
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log IS the durable cursor
+
+    def stop(self) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict):
+        from . import txlog
+
+        s, e = int(start["version"]), int(end["version"])
+        out: list[TxCDFPartition] = []
+        if e <= s:
+            return out
+        if s >= 0:
+            snap0 = txlog.snapshot_info(self.root, s)
+            prev = set(snap0["files"])
+            prev_dv: dict[str, str] = dict(snap0.get("dv", {}))
+        else:
+            prev, prev_dv = set(), {}
+        for v in range(s + 1, e + 1):
+            m = txlog._read_manifest(self.root, v)
+            # drift guards apply only PAST the pinned version: history
+            # at or before it decodes fine under the pinned schema
+            # (typed NULLs / lossless upcasts, like the batch reader);
+            # a NEWER schema would mean new files carrying data the
+            # pinned decode silently drops — loud instead
+            if v > self.pinned_version:
+                if "schema" in m and m["schema"] != self.schema_json:
+                    raise RuntimeError(
+                        f"schema changed at version {v} of {self.root}: "
+                        "restart the stream to bind the new schema"
                     )
-                elif phys_of[f.name] in cols:
-                    col = cols[phys_of[f.name]].cast(targets[f.name])
-                else:  # pre-evolution file: typed NULLs
-                    col = pa.nulls(m, type=targets[f.name])
-                arrays.append(col)
+                if "column_mapping" in m and m["column_mapping"] != (
+                    self.mapping
+                    if (self.mapping["map"] or self.mapping["retired"])
+                    else None
+                ):
+                    raise RuntimeError(
+                        f"column mapping changed at version {v} of "
+                        f"{self.root}: restart the stream"
+                    )
+            if txlog._is_full(m):
+                cur_files = set(txlog._load_full(self.root, m)[0])
+                cur_dv = dict(txlog._full_dv(self.root, m))
+                added = sorted(cur_files - prev)
+                removed = sorted(prev - cur_files)
+            else:
+                added = sorted(m.get("add", []))
+                removed = sorted(m.get("remove", []))
+                cur_files = (prev - set(removed)) | set(added)
+                cur_dv = {
+                    rel: ref
+                    for rel, ref in prev_dv.items()
+                    if rel in cur_files
+                }
+                cur_dv.update(m.get("dv", {}))
+            carried = (prev & cur_files) if (prev_dv or cur_dv) else set()
+            dv_grown: dict[str, list[int]] = {}
+            if carried:
+                changed = [
+                    rel
+                    for rel in carried
+                    if prev_dv.get(rel) != cur_dv.get(rel)
+                ]
+                if changed:
+                    old_idx = txlog._dv_indexes(self.root, prev_dv, changed)
+                    new_idx = txlog._dv_indexes(self.root, cur_dv, changed)
+                    for rel in changed:
+                        o = set(old_idx.get(rel, []))
+                        n_ = set(new_idx.get(rel, []))
+                        if o - n_:
+                            raise RuntimeError(
+                                f"deletion vector SHRANK at version {v} "
+                                f"of {self.root} (a restore?): consume "
+                                "this table with ChangeFeedReader"
+                            )
+                        if n_ - o:
+                            dv_grown[rel] = sorted(n_ - o)
+            parent_dv = prev_dv
+            prev, prev_dv = cur_files, cur_dv
+            if m.get("op") == "optimize":
+                continue  # dataChange=false: net zero by construction
+            if not self.change_feed and (removed or dv_grown):
+                raise RuntimeError(
+                    f"non-append change at version {v} of {self.root}: "
+                    "the default stream is the APPEND feed — set "
+                    ".option('change_feed', 'true') for row-level "
+                    "changes, or consume with ChangeFeedReader"
+                )
+            if added and removed:
+                raise RuntimeError(
+                    f"rewrite commit at version {v} of {self.root} "
+                    f"(op={m.get('op')!r}): per-file streaming cannot "
+                    "cancel carried rows — consume this table with "
+                    "ChangeFeedReader / read_changes"
+                )
+            add_dv = txlog._dv_indexes(self.root, cur_dv, added)
+            for rel in added:
+                out.append(
+                    TxCDFPartition(
+                        os.path.join(self.root, rel),
+                        add_dv.get(rel, []),
+                        False,
+                        txlog.partition_values(rel),
+                        "insert",
+                        v,
+                    )
+                )
+            rm_dv = txlog._dv_indexes(self.root, parent_dv, removed)
+            for rel in removed:
+                out.append(
+                    TxCDFPartition(
+                        os.path.join(self.root, rel),
+                        rm_dv.get(rel, []),
+                        False,
+                        txlog.partition_values(rel),
+                        "delete",
+                        v,
+                    )
+                )
+            for rel, pos in dv_grown.items():
+                out.append(
+                    TxCDFPartition(
+                        os.path.join(self.root, rel),
+                        pos,
+                        True,
+                        txlog.partition_values(rel),
+                        "delete",
+                        v,
+                    )
+                )
+        return out
+
+    def read(self, partition: TxCDFPartition):
+        import pyarrow as pa
+
+        for batch in _decode_file_batches(
+            partition.path,
+            self.schema_json,
+            self.mapping,
+            partition.part_values,
+            partition.positions,
+            take=partition.take,
+        ):
+            if not self.change_feed:
+                yield batch
+                continue
+            n = batch.num_rows
             yield pa.RecordBatch.from_arrays(
-                arrays, names=[f.name for f in schema.fields]
+                list(batch.columns)
+                + [
+                    pa.array([partition.change] * n, type=pa.string()),
+                    pa.array([partition.version] * n, type=pa.int64()),
+                ],
+                names=list(batch.schema.names)
+                + ["_change_type", "_commit_version"],
             )
 
 
+# ---------------------------------------------------------------------------
+# the write path (batch append/overwrite + exactly-once streaming sink)
+# ---------------------------------------------------------------------------
+
+
 class TxFileCommit(WriterCommitMessage):
-    def __init__(self, rel: str):
-        self.rel = rel
+    def __init__(self, rels: list[str]):
+        self.rels = rels
 
 
-def _write_task_batches(root: str, mapping: dict, iterator) -> TxFileCommit:
-    """One executor task's write: stream its Arrow batches into a
-    single uniquely-named parquet file under data/ (invisible until a
-    manifest references it; physical column names when a mapping is
-    active). Shared by the batch and streaming sinks."""
+def _hive_dir_value(v) -> str:
+    """The path form of one partition VALUE this writer emits:
+    Spark-compatible for the common types (str/int/bool/date via
+    txlog._hive_path_value), percent-escaped so separators and '='
+    can never corrupt the layout; the hive NULL sentinel for NULLs.
+    partition_values() unquotes on read, so pruning and typed fill
+    see the raw value regardless of escaping aggressiveness."""
+    from . import txlog
+
+    if hasattr(v, "item"):  # numpy scalar from the pandas groupby
+        v = v.item()
+    try:
+        if v is None or v != v:  # None or float NaN
+            return txlog._HIVE_NULL
+    except (TypeError, ValueError):
+        pass
+    try:
+        s = txlog._hive_path_value(v)
+    except ValueError:
+        s = str(v)
+    return quote(s if s is not None else txlog._HIVE_NULL, safe="")
+
+
+def _write_task_batches(
+    root: str,
+    mapping: dict,
+    partition_by: tuple[str, ...],
+    iterator,
+) -> TxFileCommit:
+    """One executor task's write: stream its Arrow batches into
+    uniquely-named parquet files under data/ (invisible until a
+    manifest references them; physical column names when a mapping is
+    active). A PARTITIONED table splits every batch by its partition
+    tuple — one open writer per partition directory seen by this task,
+    partition columns carried in the PATH and dropped from the file
+    bytes, exactly the hive layout the library's Spark-side
+    partitionBy staging produces. Shared by the batch and streaming
+    sinks."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rel = f"data/part-w{uuid.uuid4().hex[:12]}-00000.parquet"
-    path = os.path.join(root, rel)
     mp = mapping["map"]
-    writer = None
+    tag = uuid.uuid4().hex[:12]
+    writers: dict[str, tuple] = {}  # subdir -> (writer, rel)
+    seq = 0
+
+    def _sink_batch(subdir: str, batch: pa.RecordBatch) -> None:
+        nonlocal seq
+        if mp:
+            batch = pa.RecordBatch.from_arrays(
+                list(batch.columns),
+                names=[mp.get(n, n) for n in batch.schema.names],
+            )
+        got = writers.get(subdir)
+        if got is None:
+            rel_dir = f"data/{subdir}" if subdir else "data"
+            os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+            rel = f"{rel_dir}/part-w{tag}-{seq:05d}.parquet"
+            seq += 1
+            got = (
+                pq.ParquetWriter(os.path.join(root, rel), batch.schema),
+                rel,
+            )
+            writers[subdir] = got
+        got[0].write_batch(batch)
+
     try:
         for batch in iterator:
-            if mp:
-                batch = pa.RecordBatch.from_arrays(
-                    list(batch.columns),
-                    names=[mp.get(n, n) for n in batch.schema.names],
+            if not partition_by:
+                _sink_batch("", batch)
+                continue
+            names = list(batch.schema.names)
+            keep = [n for n in names if n not in partition_by]
+            pdf = batch.select(list(partition_by)).to_pandas()
+            for key, idx in pdf.groupby(
+                list(partition_by), dropna=False, sort=False
+            ).indices.items():
+                tup = key if isinstance(key, tuple) else (key,)
+                subdir = "/".join(
+                    f"{quote(c, safe='')}={_hive_dir_value(v)}"
+                    for c, v in zip(partition_by, tup)
                 )
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
+                _sink_batch(
+                    subdir,
+                    batch.select(keep).take(pa.array(idx, type=pa.int64())),
+                )
     finally:
-        if writer is not None:
-            writer.close()
-    if writer is None:
-        return TxFileCommit("")  # empty task: nothing written
-    return TxFileCommit(rel)
+        for w, _rel in writers.values():
+            w.close()
+    return TxFileCommit([rel for _w, rel in writers.values()])
 
 
 def _commit_rels(
@@ -198,15 +743,20 @@ def _commit_rels(
     rels: list[str],
     app_id: str | None = None,
     txn_version: int | None = None,
+    overwrite: bool = False,
 ) -> None:
     """Driver-side commit of already-written files through the
-    ordinary optimistic append protocol: schema enforcement against
-    the then-current snapshot, CHECK validation of exactly the
-    written files, footer stats, the atomic LogStore claim — plus the
+    ordinary optimistic protocol: schema enforcement against the
+    then-current snapshot, CHECK validation of exactly the written
+    files, footer stats, the atomic LogStore claim — plus the
     (app_id, txn_version) idempotence map when the caller is a
     streaming sink (a redelivered micro-batch deletes its duplicate
     files and commits NOTHING: exactly-once on top of Spark's
-    at-least-once redelivery)."""
+    at-least-once redelivery). ``overwrite=True`` commits a FULL
+    'overwrite' manifest whose file list is exactly ``rels`` — every
+    prior file (and its deletion vector) drops in the same atomic
+    claim, the Delta ``mode("overwrite")`` shape; time travel to the
+    pre-overwrite versions still works until vacuum."""
     from pyspark.sql import SparkSession
     from pyspark.sql.types import StructType
 
@@ -248,12 +798,13 @@ def _commit_rels(
             )
         if app_id is not None:
             txn[app_id] = txn_version
+        psnap = txlog.snapshot_info(root, v)
         ok = txlog._commit_version(
             root,
             v + 1,
-            "append",
-            txlog.snapshot_info(root, v),
-            [],
+            "overwrite" if overwrite else "append",
+            psnap,
+            list(psnap["files"]) if overwrite else [],
             rels,
             stats,
             txn,
@@ -266,45 +817,55 @@ def _commit_rels(
 
 
 class TxLogWriter(DataSourceArrowWriter):
-    """``df.write.format("txlog").mode("append").save()`` — the SQL
-    session's INSERT path. Each executor task streams its Arrow
-    batches into ONE uniquely-named parquet file directly under the
-    table's data/ dir (unreferenced files are invisible — the same
-    staged-then-published contract the library writers use, and the
-    same vacuum age-guard cleans up a crashed write); the driver-side
-    ``commit`` then runs the ordinary optimistic append protocol:
-    schema enforcement against the snapshot (lossless casts only, no
-    silent evolution), CHECK-constraint validation of exactly the
-    written files, footer stats collection, and the atomic manifest
-    claim via the active LogStore — so a DataSource write and a
-    :func:`txlog.append` are indistinguishable in the log.
+    """``df.write.format("txlog").mode("append" | "overwrite")`` — the
+    SQL session's INSERT / INSERT OVERWRITE path. Each executor task
+    streams its Arrow batches into uniquely-named parquet files under
+    the table's data/ dir — one per hive partition directory it
+    touches on a partitioned table — staged-then-published exactly
+    like the library writers (unreferenced files are invisible; the
+    vacuum age-guard cleans up a crashed write). The driver-side
+    ``commit`` then runs the ordinary optimistic protocol: schema
+    enforcement against the snapshot (lossless casts only, no silent
+    evolution), CHECK-constraint validation of exactly the written
+    files, footer stats collection, and the atomic manifest claim via
+    the active LogStore. ``mode("overwrite")`` maps to ONE atomic
+    full-manifest replace commit (op 'overwrite') — readers see the
+    old table or the new one, never a mixture, and time travel keeps
+    the history."""
 
-    Deliberate v1 limits (loud errors, not silent wrongness):
-    append mode only (no overwrite), unpartitioned tables only (hive
-    layout splitting belongs to the library writer), and the table
-    must already exist (create_table fixes schema + config)."""
-
-    def __init__(self, root: str, schema_json: str, mapping: dict | None):
+    def __init__(
+        self,
+        root: str,
+        schema_json: str,
+        mapping: dict | None,
+        partition_by: tuple[str, ...],
+        overwrite: bool,
+    ):
         self.root = root
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
+        self.partition_by = tuple(partition_by)
+        self.overwrite = overwrite
 
     def write(self, iterator) -> TxFileCommit:
-        return _write_task_batches(self.root, self.mapping, iterator)
+        return _write_task_batches(
+            self.root, self.mapping, self.partition_by, iterator
+        )
 
     def commit(self, messages) -> None:
         _commit_rels(
             self.root,
             self.schema_json,
             self.mapping,
-            [m.rel for m in messages if m and m.rel],
+            [rel for m in messages if m for rel in m.rels],
+            overwrite=self.overwrite,
         )
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m and m.rel:
+            for rel in m.rels if m else []:
                 try:
-                    os.remove(os.path.join(self.root, m.rel))
+                    os.remove(os.path.join(self.root, rel))
                 except OSError:
                     pass
 
@@ -318,36 +879,46 @@ class TxLogStreamWriter(DataSourceStreamArrowWriter):
     committed no-op whose duplicate files are deleted — the same
     contract `txlog.append(app_id=..., txn_version=...)` gives a
     foreachBatch sink (certified by `stream_txlog_append`), now
-    without leaving SQL. Set ``.option("app_id", ...)`` per logical
-    stream (default ``txlog-stream``); two different streams into one
-    table need distinct ids."""
+    without leaving SQL. ``.option("app_id", ...)`` is REQUIRED and
+    must be unique per logical stream: two streams sharing an id
+    share an idempotence key, and each would silently swallow the
+    other's micro-batches as duplicates — data loss by default was
+    the round-12 ADVICE finding that made this loud."""
 
     def __init__(
-        self, root: str, schema_json: str, mapping: dict | None, app_id: str
+        self,
+        root: str,
+        schema_json: str,
+        mapping: dict | None,
+        partition_by: tuple[str, ...],
+        app_id: str,
     ):
         self.root = root
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
+        self.partition_by = tuple(partition_by)
         self.app_id = app_id
 
     def write(self, iterator) -> TxFileCommit:
-        return _write_task_batches(self.root, self.mapping, iterator)
+        return _write_task_batches(
+            self.root, self.mapping, self.partition_by, iterator
+        )
 
     def commit(self, messages, batchId: int) -> None:
         _commit_rels(
             self.root,
             self.schema_json,
             self.mapping,
-            [m.rel for m in messages if m and m.rel],
+            [rel for m in messages if m for rel in m.rels],
             app_id=self.app_id,
             txn_version=int(batchId),
         )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m and m.rel:
+            for rel in m.rels if m else []:
                 try:
-                    os.remove(os.path.join(self.root, m.rel))
+                    os.remove(os.path.join(self.root, rel))
                 except OSError:
                     pass
 
@@ -358,8 +929,17 @@ class TxLogDataSource(DataSource):
         return "txlog"
 
     def _resolve(self):
+        """Resolve (version, schema, mapping) ONCE per DataSource
+        instance and PIN it: schema() and reader() must bind the same
+        committed snapshot even while writers race (a commit landing
+        between two unpinned resolutions would decode a newer file
+        list under a stale schema — the round-12 ADVICE snapshot-
+        isolation hole)."""
         from . import txlog
 
+        pinned = getattr(self, "_pinned", None)
+        if pinned is not None:
+            return pinned
         root = self.options.get("path")
         if not root:
             raise ValueError("txlog source requires .option('path', root)")
@@ -371,29 +951,53 @@ class TxLogDataSource(DataSource):
                 f"txlog table at {root} predates schema recording — "
                 "read it with txlog.read_table instead"
             )
-        return v, sj, txlog._mapping_at(root, v)
+        self._pinned = (v, sj, txlog._mapping_at(root, v))
+        return self._pinned
+
+    def _change_feed(self) -> bool:
+        return str(self.options.get("change_feed", "")).lower() == "true"
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
         _v, sj, _mp = self._resolve()
-        return StructType.fromJson(json.loads(sj))
+        base = StructType.fromJson(json.loads(sj))
+        if self._change_feed():
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema) -> TxLogReader:
-        _v, sj, mp = self._resolve()
-        return TxLogReader(self.options, sj, mp)
+        if self._change_feed():
+            raise ValueError(
+                "change_feed is a STREAMING read option "
+                "(spark.readStream); batch change feeds are "
+                "txlog.read_changes"
+            )
+        v, sj, mp = self._resolve()
+        return TxLogReader(self.options, v, sj, mp)
 
-    def writer(self, schema, overwrite: bool) -> TxLogWriter:
+    def streamReader(self, schema) -> TxLogStreamReader:
+        v, sj, mp = self._resolve()
+        return TxLogStreamReader(
+            self.options, v, sj, mp, self._change_feed()
+        )
+
+    def _writer_parts(self, schema, overwrite: bool):
         from pyspark.sql.types import StructType
 
         from . import txlog
 
-        if overwrite:
-            raise ValueError(
-                "the txlog format supports mode('append') only; "
-                "overwrite semantics belong to the library verbs "
-                "(delete_where / restore / create_table)"
-            )
         root = self.options.get("path")
         if not root:
             raise ValueError("txlog sink requires .option('path', root)")
@@ -404,32 +1008,40 @@ class TxLogDataSource(DataSource):
                 "txlog.create_table (schema + partitioning + checkpoint "
                 "cadence are fixed at create)"
             )
-        if txlog._table_config(root)["partition_by"]:
+        pby = tuple(txlog._table_config(root)["partition_by"])
+        missing = [c for c in pby if c not in schema.fieldNames()]
+        if missing:
             raise ValueError(
-                "the txlog DataSource sink writes unpartitioned tables "
-                "only; use txlog.append for hive-partitioned layouts"
+                f"write is missing partition columns {missing}"
             )
         sj = txlog._schema_json_at(root, v)
         tbl_schema = StructType.fromJson(json.loads(sj))
         # fail FAST on an incompatible frame (commit re-validates
         # against the then-current snapshot under the retry loop)
         txlog._merge_struct(tbl_schema, schema, False)
-        return TxLogWriter(root, schema.json(), txlog._mapping_at(root, v))
+        return root, pby, txlog._mapping_at(root, v)
+
+    def writer(self, schema, overwrite: bool) -> TxLogWriter:
+        root, pby, mp = self._writer_parts(schema, overwrite)
+        return TxLogWriter(root, schema.json(), mp, pby, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> TxLogStreamWriter:
-        from . import txlog
-
-        w = self.writer(schema, overwrite)  # same guards + validation
-        root = self.options.get("path")
-        v = txlog.current_version(root)
-        return TxLogStreamWriter(
-            root,
-            schema.json(),
-            txlog._mapping_at(root, v),
-            str(self.options.get("app_id", "txlog-stream")),
-        )
+        app_id = self.options.get("app_id")
+        if not app_id:
+            raise ValueError(
+                "the txlog streaming sink requires .option('app_id', "
+                "<unique-per-logical-stream>): it is the idempotence "
+                "key — two streams sharing one id would silently drop "
+                "each other's micro-batches as duplicate deliveries"
+            )
+        root, pby, mp = self._writer_parts(schema, overwrite)
+        return TxLogStreamWriter(root, schema.json(), mp, pby, str(app_id))
 
 
 def register(spark) -> None:
-    """Idempotently register the format with a session."""
+    """Idempotently register the format with a session. Python-source
+    filter pushdown is opt-in session-wide (SPARK-50993) and a reader
+    that implements ``pushFilters`` FAILS analysis when it is off, so
+    registering the format enables it (runtime-settable conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)

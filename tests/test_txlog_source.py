@@ -86,6 +86,74 @@ def test_dv_rows_are_skipped(spark, table):
     assert got.count() == 230
 
 
+def test_partition_filter_option_prunes_files(spark, table):
+    """.option('partition_filter', ...) is the SQL twin of
+    read_table(partitions=...): file elimination at PLANNING time,
+    safe under plan caching because it is part of the DataFrame's
+    identity. The files-opened count is asserted directly on the
+    reader's partitions() — the planning unit IS one file."""
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    ds = TxLogDataSource({"path": table, "partition_filter": '{"p": [1]}'})
+    all_ds = TxLogDataSource({"path": table})
+    n_all = len(all_ds.reader(None).partitions())
+    n_pruned = len(ds.reader(None).partitions())
+    assert 0 < n_pruned < n_all
+    got = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("partition_filter", '{"p": [1]}')
+        .load()
+    )
+    exp = txlog.read_table(spark, table, partitions={"p": 1})
+    assert got.count() == exp.count()
+    assert {r["p"] for r in got.select("p").distinct().collect()} == {1}
+    # reuse of the SAME DataFrame across filtered + unfiltered
+    # queries stays consistent (the declared pruned table)
+    n = got.count()
+    assert got.where("id >= 0").count() == n
+    assert got.count() == n
+
+
+def test_pushdown_filters_prune_files(spark, table):
+    """With .option('pushdown','true'), pushed predicates eliminate
+    files at planning time: partition-column equality drops hive dirs,
+    min/max stats drop files whose range can't match — mirroring
+    tests/test_scale.py's pruning asserts with a files-opened count.
+    Results stay exact because every filter returns to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    ds = TxLogDataSource({"path": table, "pushdown": "true"})
+    reader = ds.reader(None)
+    n_all = len(reader.partitions())
+    # partition-column pushdown: p = 1 keeps only that hive dir
+    list(reader.pushFilters([EqualTo(("p",), 1)]))
+    n_part = len(reader.partitions())
+    assert 0 < n_part < n_all
+    # stats pushdown: id >= 200 keeps only the appended files
+    list(reader.pushFilters([GreaterThanOrEqual(("id",), 200)]))
+    n_stats = len(reader.partitions())
+    assert 0 < n_stats < n_all
+    # consumed-and-cleared: the next unfiltered plan sees every file
+    assert len(reader.partitions()) == n_all
+    # end-to-end: a one-shot pushdown read returns exact results
+    got = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("pushdown", "true")
+        .load()
+        .where("p = 1 AND id >= 100")
+    )
+    exp = (
+        txlog.read_table(spark, table)
+        .where("p = 1 AND id >= 100")
+        .count()
+    )
+    assert got.count() == exp
+
+
 def test_evolution_nulls(spark, table):
     got = spark.read.format("txlog").option("path", table).load()
     assert got.where("tag IS NOT NULL").count() == 50
@@ -143,8 +211,6 @@ def test_sql_write_respects_column_mapping(spark, plain_table):
 
 
 def test_sql_write_guards(spark, plain_table, tmp_path):
-    import pyspark.errors
-
     # incompatible frame: loud, nothing committed
     with pytest.raises(Exception, match="schema mismatch|mismatch"):
         (
@@ -156,17 +222,7 @@ def test_sql_write_guards(spark, plain_table, tmp_path):
             .save()
         )
     assert txlog.current_version(plain_table) == 0
-    # overwrite refused
-    with pytest.raises(Exception, match="append"):
-        (
-            spark.range(5)
-            .select("id", F.lit(1).alias("bucket"))
-            .write.format("txlog")
-            .option("path", plain_table)
-            .mode("overwrite")
-            .save()
-        )
-    # partitioned tables are the library writer's job
+    # a write missing the table's partition columns: loud
     proot = str(tmp_path / "ptx")
     txlog.create_table(
         spark,
@@ -174,15 +230,92 @@ def test_sql_write_guards(spark, plain_table, tmp_path):
         spark.range(10).select("id", (F.col("id") % 2).alias("p")),
         partition_by=("p",),
     )
-    with pytest.raises(Exception, match="unpartitioned"):
+    with pytest.raises(Exception, match="partition columns"):
         (
             spark.range(5)
-            .select("id", F.lit(0).alias("p"))
+            .select("id")
             .write.format("txlog")
             .option("path", proot)
             .mode("append")
             .save()
         )
+
+
+def test_sql_write_partitioned_hive_layout(spark, tmp_path):
+    """The round-12 'unpartitioned only' contract is retired: the
+    DataSource writer splits each task's Arrow batches by partition
+    tuple into hive directories, and the files it stages are then
+    prunable by BOTH read paths — read_table(partitions=...) and the
+    pushed-filter SQL scan."""
+    root = str(tmp_path / "ptx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 0).select(
+            "id", (F.col("id") % 3).alias("p"), F.lit("x").alias("tag")
+        ),
+        partition_by=("p",),
+    )
+    txlog_source.register(spark)
+    (
+        spark.range(0, 90)
+        .select("id", (F.col("id") % 3).alias("p"), F.lit("a").alias("tag"))
+        .write.format("txlog")
+        .option("path", root)
+        .mode("append")
+        .save()
+    )
+    got = txlog.read_table(spark, root)
+    assert got.count() == 90
+    # the hive layout is real: partition dirs on disk, values typed
+    rels = txlog.snapshot_info(root, txlog.current_version(root))["files"]
+    assert all("/p=" in r for r in rels)
+    assert {r["p"] for r in got.select("p").distinct().collect()} == {0, 1, 2}
+    # library-path pruning sees the DataSource-written layout
+    pruned = txlog.read_table(spark, root, partitions={"p": 1})
+    assert pruned.count() == 30
+    assert {r["p"] for r in pruned.select("p").distinct().collect()} == {1}
+    # and the SQL read returns the same table
+    sql = spark.read.format("txlog").option("path", root).load()
+    assert sql.where("p = 1").count() == 30
+    assert sql.groupBy().sum("id").first()[0] == sum(range(90))
+
+
+def test_sql_write_overwrite_atomic_replace(spark, plain_table):
+    """mode('overwrite') = ONE full-manifest 'overwrite' commit: the
+    new file list replaces the old atomically, prior versions stay
+    time-travelable, and a dv on the old files dies with them."""
+    txlog.delete_where(spark, plain_table, "id < 5", mode="dv")
+    assert txlog.read_table(spark, plain_table).count() == 95
+    (
+        spark.range(1000, 1010)
+        .select("id", F.lit(1).alias("bucket"))
+        .write.format("txlog")
+        .option("path", plain_table)
+        .mode("overwrite")
+        .save()
+    )
+    v = txlog.current_version(plain_table)
+    m = txlog._read_manifest(plain_table, v)
+    assert m["op"] == "overwrite" and m["writer"] == "datasource"
+    got = txlog.read_table(spark, plain_table)
+    assert got.count() == 10
+    assert got.agg(F.min("id"), F.max("id")).first() == (1000, 1009)
+    # no stale dv carried onto the new snapshot
+    assert not txlog.snapshot_info(plain_table, v).get("dv")
+    # history intact: the pre-overwrite dv snapshot still reads
+    assert txlog.read_table(spark, plain_table, version=v - 1).count() == 95
+    # schema still enforced on the overwrite path
+    with pytest.raises(Exception, match="mismatch"):
+        (
+            spark.range(5)
+            .select("id", F.lit("x").alias("other"))
+            .write.format("txlog")
+            .option("path", plain_table)
+            .mode("overwrite")
+            .save()
+        )
+    assert txlog.read_table(spark, plain_table).count() == 10
 
 
 def test_sql_write_enforces_constraints(spark, plain_table):

@@ -1,0 +1,255 @@
+"""``spark.readStream.format("txlog")`` — the streaming SOURCE over
+the commit-log version cursor (round-12 verdict item 3): append feed
+by default, full change feed with ``change_feed=true``; exact offset
+ranges via Spark's own checkpointed offset log (restart = replay from
+the committed version, no duplicates); loud errors for the shapes a
+per-file streaming source must not guess at (rewrites, schema drift,
+non-append changes in append mode)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_rpc_spark.sources import txlog, txlog_source
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+        ),
+        partition_by=("p",),
+    )
+    txlog_source.register(spark)
+    return root
+
+
+def _drain(spark, root, ckpt, sink, view, **opts):
+    reader = spark.readStream.format("txlog").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink)
+    got.createOrReplaceTempView(view)
+    return got
+
+
+def test_append_feed_exact_and_incremental(spark, table, tmp_path):
+    """First drain delivers the full history (starting_version=-1),
+    a second drain from the SAME checkpoint delivers only commits
+    after the stored offset — and a third with nothing new delivers
+    nothing (no duplicates across restarts: the offset IS the version
+    cursor)."""
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(spark, table, ckpt, sink, "s1")
+    assert got.count() == 40
+    assert got.agg(F.sum("id")).first()[0] == sum(range(40))
+    assert dict(got.dtypes)["p"] == "bigint"  # typed from the path
+
+    txlog.append(
+        spark,
+        table,
+        spark.range(40, 50).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+        ),
+    )
+    got = _drain(spark, table, ckpt, sink, "s2")
+    assert got.count() == 50  # only the 10 new rows were read
+    got = _drain(spark, table, ckpt, sink, "s3")
+    assert got.count() == 50
+
+
+def test_append_feed_starting_version(spark, table, tmp_path):
+    """starting_version=N skips the history at or before N (Delta's
+    startingVersion): only commits in (N, current] stream."""
+    txlog.append(
+        spark,
+        table,
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+        ),
+    )
+    got = _drain(
+        spark,
+        table,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        "sv",
+        starting_version="0",
+    )
+    assert got.count() == 10
+    assert got.agg(F.min("id")).first()[0] == 100
+
+
+def test_append_feed_refuses_deletes(spark, table, tmp_path):
+    """The default stream declared itself append-only: a dv delete
+    arriving mid-stream is a LOUD failure, never silently missing
+    rows (Delta's default readStream contract)."""
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    _drain(spark, table, ckpt, sink, "d1")
+    txlog.delete_where(spark, table, "id < 4", mode="dv")
+    with pytest.raises(Exception, match="non-append|APPEND feed"):
+        _drain(spark, table, ckpt, sink, "d2")
+
+
+def test_change_feed_dv_delete_and_inserts(spark, table, tmp_path):
+    """change_feed=true delivers row-level changes: creates/appends
+    as inserts, a dv delete as EXACTLY its newly-dead rows (O(dv) —
+    the positions are taken from the parquet file, never a diff),
+    each stamped with _change_type and _commit_version."""
+    txlog.delete_where(spark, table, "id IN (3, 17)", mode="dv")
+    got = _drain(
+        spark,
+        table,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        "cf",
+        change_feed="true",
+    )
+    assert set(got.columns) >= {"id", "p", "val", "_change_type", "_commit_version"}
+    ins = got.where("_change_type = 'insert'")
+    dels = got.where("_change_type = 'delete'")
+    assert ins.count() == 40 and dels.count() == 2
+    assert {r["id"] for r in dels.collect()} == {3, 17}
+    assert dels.select("_commit_version").distinct().first()[0] == 1
+    # parity with the library change feed
+    exp = txlog.read_changes(spark, table, -1)
+    assert exp.count() == got.count()
+    assert (
+        exp.groupBy("_change_type").count().orderBy("_change_type").collect()
+        == got.groupBy("_change_type").count().orderBy("_change_type").collect()
+    )
+
+
+def test_change_feed_skips_optimize_and_refuses_rewrites(
+    spark, table, tmp_path
+):
+    """OPTIMIZE commits (dataChange=false) stream ZERO rows; a
+    copy-on-write rewrite (delete mode=cow rewrites survivors) raises
+    and points at ChangeFeedReader — per-file streaming cannot cancel
+    carried rows and must say so rather than emit phantom changes."""
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(
+        spark, table, ckpt, sink, "o1", change_feed="true"
+    )
+    assert got.count() == 40
+    txlog.optimize(spark, table)
+    got = _drain(
+        spark, table, ckpt, sink, "o2", change_feed="true"
+    )
+    assert got.count() == 40  # nothing new: optimize nets to zero
+    txlog.delete_where(spark, table, "id < 8", mode="cow")
+    with pytest.raises(Exception, match="rewrite|ChangeFeedReader"):
+        _drain(spark, table, ckpt, sink, "o3", change_feed="true")
+
+
+def test_stream_schema_change_is_loud(spark, table, tmp_path):
+    """A schema evolution arriving while a stream is LIVE raises
+    (silently reading new-schema files under the pinned schema would
+    drop the new column's data); a RESTARTED stream rebinds the new
+    schema and reads the delta — the Delta contract on both sides."""
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    # a live reader instance, pinned at the pre-evolution schema
+    ds = TxLogDataSource({"path": table})
+    reader = ds.streamReader(None)
+    assert len(reader.partitions({"version": -1}, {"version": 0})) > 0
+    v0 = txlog.current_version(table)
+    txlog.append(
+        spark,
+        table,
+        spark.range(50, 60).select(
+            "id",
+            (F.col("id") % 4).alias("p"),
+            (F.col("id") * 2).alias("val"),
+            F.lit("x").alias("tag"),
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(RuntimeError, match="[Ss]chema changed"):
+        reader.partitions(
+            {"version": v0}, {"version": txlog.current_version(table)}
+        )
+    # a fresh stream (restart) rebinds and delivers everything
+    got = _drain(
+        spark, table, str(tmp_path / "ck"), str(tmp_path / "out"), "e2"
+    )
+    assert got.count() == 50
+    assert got.where("tag IS NOT NULL").count() == 10
+
+
+def test_stream_writer_requires_app_id(spark, table, tmp_path):
+    """The round-12 ADVICE fix: a default shared app_id would make two
+    independent streams swallow each other's batches as duplicates —
+    the sink now refuses to start without an explicit one."""
+    src = str(tmp_path / "src")
+    spark.range(0, 5).select(
+        "id", F.lit(0).alias("p"), F.lit(0).alias("val")
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, p bigint, val long")
+        .parquet(src)
+        .writeStream.format("txlog")
+        .option("path", table)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+    )
+    with pytest.raises(Exception, match="app_id"):
+        q.start().awaitTermination(120)
+
+
+def test_stream_read_write_roundtrip_exactly_once(spark, tmp_path):
+    """The full loop through the format name: readStream from one
+    txlog table -> writeStream into another, exactly-once on both
+    sides (offset log upstream, (app_id, batchId) idempotence
+    downstream); a second availableNow run moves nothing."""
+    src_root = str(tmp_path / "src_tx")
+    dst_root = str(tmp_path / "dst_tx")
+    txlog.create_table(
+        spark, src_root, spark.range(0, 30).select("id", (F.col("id") % 3).alias("b"))
+    )
+    txlog.append(
+        spark, src_root, spark.range(30, 45).select("id", (F.col("id") % 3).alias("b"))
+    )
+    txlog.create_table(
+        spark, dst_root, spark.range(0, 0).select("id", (F.col("id") % 3).alias("b"))
+    )
+    txlog_source.register(spark)
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", src_root)
+            .load()
+            .writeStream.format("txlog")
+            .option("path", dst_root)
+            .option("app_id", "relay")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert txlog.read_table(spark, dst_root).count() == 45
+    v1 = txlog.current_version(dst_root)
+    run()  # caught up: no new offsets, no new commits
+    assert txlog.read_table(spark, dst_root).count() == 45
+    assert txlog.current_version(dst_root) == v1
+    # no orphan files from any duplicate delivery
+    assert txlog.vacuum(dst_root, dry_run=True) == []

@@ -507,6 +507,57 @@ def test_columnar_sidecar_checkpoints(spark, tmp_path, monkeypatch):
     assert txlog.read_table(spark, root, version=0).count() == 1000
 
 
+def test_dv_map_spills_into_sidecar(spark, tmp_path, monkeypatch):
+    """Round-12 ADVICE: a checkpoint whose FILE LIST spilled to the
+    parquet sidecar must not re-inline its deletion-vector map as
+    manifest JSON — the dv refs ride the sidecar's dv_ref column, the
+    manifest stays O(1) bytes, and every dv consumer (snapshot reads,
+    CDF, the streaming source, vacuum's sidecar protection) resolves
+    them through _full_dv."""
+    monkeypatch.setattr(txlog, "SIDECAR_MIN_FILES", 5)
+    root = str(tmp_path / "tx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 1000)
+        .select(F.col("id"), (F.col("id") % 4).alias("bucket"))
+        .repartition(8),
+        checkpoint_every=2,
+    )
+    txlog.delete_where(spark, root, "id IN (7, 501)", mode="dv")  # v1 delta
+    txlog.append(  # v2: checkpoint cadence -> FULL sidecar manifest
+        spark,
+        root,
+        spark.range(1000, 1010).select(F.col("id"), F.lit(9).alias("bucket")),
+    )
+    m2 = _manifest(root, 2)
+    assert m2.get("checkpoint") is True and "files_ref" in m2
+    assert "dv" not in m2  # spilled, not inlined
+    snap = txlog.snapshot_info(root, 2)
+    assert len(snap["dv"]) > 0  # resolved through the sidecar
+    got = txlog.read_table(spark, root)
+    assert got.count() == 1008
+    assert got.where("id IN (7, 501)").count() == 0
+    # CDF across the sidecar checkpoint keeps the dv continuity:
+    # replaying from v1 must NOT re-emit the v1 deletes
+    cdf = txlog.read_changes(spark, root, 1)
+    assert cdf.where("_change_type = 'delete'").count() == 0
+    assert cdf.count() == 10
+    # metadata row_count subtracts spilled vectors too
+    assert txlog.row_count(root) == 1008
+    # vacuum never sweeps the sidecar-referenced dv file
+    import time as _time
+
+    log_dir = txlog._log_dir(root)
+    refs = txlog._full_dv(root, m2)
+    dv_file = os.path.join(log_dir, next(iter(refs.values())))
+    old = _time.time() - 2 * txlog._TMP_RETAIN_SECS
+    os.utime(dv_file, (old, old))
+    txlog.vacuum(root)
+    assert os.path.exists(dv_file)
+    assert txlog.read_table(spark, root).count() == 1008
+
+
 # ---------------------------------------------------------------- #
 # CLONE (hardlink shallow clone)
 # ---------------------------------------------------------------- #
