@@ -58,39 +58,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ROTATION LEDGER (from CORRECTNESS_r01-r12; zero reds since round 2
     — the 11 round-1 entries were bootstrap environment errors, fixed
-    in round 2.
-    Round 11 executed its intended window exactly — verified
-    key-for-key by the round-11 verdict: wordcount + the 8 round-11
-    registrations + the first 41 of the r6-certified cohort):
+    in round 2. Round 12 executed its intended window exactly —
+    verified key-for-key by the round-12 verdict: wordcount + the 6
+    round-12 registrations + the 8 r6-cohort leftovers + the first 35
+    of the r7-certified cohort):
 
-      round-12 window (THIS round, executed below) = wordcount
-        + the 6 NEW round-12 registrations
-          (dv_delete_orders, dv_cdf_orders, dv_merge_orders —
-          merge-on-read deletion vectors: delete, change feed, and
-          CDC upsert; column_mapping_orders — rename/drop without
-          rewrite; txlog_sql_orders — the spark.read.format("txlog")
-          Python DataSource reached through plain SQL;
-          txlog_objectstore_orders — the full verb chain on the
-          simulated conditional-PUT LogStore)
-        + the 8 r6-cohort leftovers (segment_order_stats_compacted,
-          semantic_dedup_cells, similarity_topk,
-          stream_converting_clicks, stream_late_data_drop,
-          stream_scd2_user_state, stream_stateful_sessions,
-          weighted_source_sample — six rounds stale, the oldest
-          cohort, now fully rotated)
-        + the first 35 of the r7-certified cohort (ann_ivf_topk ...
-          quality_filter) = exactly 50 (1 + 6 + 8 + 35).
-      round-13 window = wordcount + round-13 registrations + the 14
-          r7-cohort leftovers (returnflag_measures_unpivot ...
-          triangle_count_suppliers), then the r9-certified cohort
-          head until full.
-      round-14+ = the r9 cohort remainder, then the r10-certified
-          cohort, then the r11-certified cohort (the 8 round-11
-          registrations + the 41 re-certified r6 entries), then the
-          r12-certified cohort, stalest first, forever.
+      round-13 window (THIS round, executed below) = wordcount
+        + the 4 NEW round-13 registrations
+          (txlog_sql_partitioned_orders — hive-partitioned writes
+          through df.write.format("txlog") + the cache-safe
+          partition_filter pruned read; txlog_sql_overwrite_orders —
+          mode("overwrite") as ONE atomic full-manifest replace
+          commit burying the prior dv; txlog_zorder_dv_revenue —
+          OPTIMIZE ZORDER composed through a dv-carrying snapshot
+          (vectors materialize, both dimensions prune);
+          stream_txlog_cdf_source — the change feed consumed via
+          spark.readStream.format("txlog"), Spark's offset log as the
+          version cursor, sharing the incremental-dedup oracle)
+        + the 14 r7-cohort leftovers (returnflag_measures_unpivot ...
+          triangle_count_suppliers — the oldest cohort, now fully
+          rotated)
+        + the first 31 of the r9-certified cohort
+          (hdr_quantile_rollup_values ... retention_cohorts)
+        = exactly 50 (1 + 4 + 14 + 31).
+      round-14 window = wordcount + round-14 registrations + the 18
+          r9-cohort leftovers (lm_quality_mix_sample ... token_counts),
+          then the r10-certified cohort head until full.
+      round-15+ = the r10 remainder, then the r11-certified cohort,
+          then the r12-certified cohort (the 6 round-12 registrations
+          + the 8 r6 re-certs + the 35 r7 re-certs), then the
+          r13-certified cohort, stalest first, forever.
 
-    With 211 queries and 50 slots every query is certified at least
-    once per ceil(211/50) = 5 rounds, and every query — window or
+    With 215 queries and 50 slots every query is certified at least
+    once per ceil(215/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -100,92 +100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ===== round-12 window slot 1: flagship parity sentinel =====
+        # ===== round-13 window slot 1: flagship parity sentinel =====
         "wordcount": parity.wordcount,
-        # ===== round-12 window: NEW round-12 registrations =====
-        # dv_delete_orders: merge-on-read DELETE via deletion vectors
-        # — zero data files rewritten (manifest "rewrote" + file-list
-        # identity pinned), table reads as the exact complement,
-        # metadata-only row_count subtracts the vectors.
-        "dv_delete_orders": relational.dv_delete_orders,
-        # dv_cdf_orders: the change feed across a dv delete — SAME
-        # oracle as cdf_order_changes, so the hash match certifies
-        # feed(dv delete) == feed(cow delete), derived from the dv
-        # position diff rather than any file diff.
-        "dv_cdf_orders": relational.dv_cdf_orders,
-        # dv_merge_orders: merge-on-read MERGE — a CDC upsert whose
-        # matched rows become vector entries while the batch appends;
-        # zero files rewritten (manifest + file-list-prefix pinned),
-        # replace/insert/carry semantics certified in one hash.
-        "dv_merge_orders": relational.dv_merge_orders,
-        # column_mapping_orders: RENAME + DROP as metadata-only
-        # commits (v0 file inodes pinned untouched), appends under the
-        # new name joining old physical columns, a re-added dropped
-        # column reading NULL for pre-drop rows (fresh physical name —
-        # no resurrection), time travel showing the original names.
-        "column_mapping_orders": relational.column_mapping_orders,
-        # txlog_sql_orders: the table reached through PLAIN SQL only —
-        # spark.read.format("txlog") (Spark 4 Python Data Source) ->
-        # temp view -> spark.sql; the source decodes manifests, schema
-        # binding, and deletion vectors identically to the JVM path.
-        "txlog_sql_orders": relational.txlog_sql_orders,
-        # txlog_objectstore_orders: the full verb chain (create,
-        # append, dv delete, optimize, vacuum) on the simulated
-        # object-store LogStore — conditional PUT, no hard links, no
-        # dir fsync — pinning that the commit protocol ports to
-        # S3/GCS-style storage unchanged (time travel included).
-        "txlog_objectstore_orders": relational.txlog_objectstore_orders,
-        # ===== round-12 window: r6-cohort leftovers (certified r6 —
-        # six rounds stale, the oldest cohort) =====
-        "segment_order_stats_compacted": (
-            relational.segment_order_stats_compacted
+        # ===== round-13 window: NEW round-13 registrations =====
+        "txlog_sql_partitioned_orders": (
+            relational.txlog_sql_partitioned_orders
         ),
-        "semantic_dedup_cells": vectors.semantic_dedup_cells,
-        "similarity_topk": vectors.similarity_topk,
-        "stream_converting_clicks": streams.stream_converting_clicks,
-        "stream_late_data_drop": streams.stream_late_data_drop,
-        "stream_scd2_user_state": streams.stream_scd2_user_state,
-        "stream_stateful_sessions": streams.stream_stateful_sessions,
-        "weighted_source_sample": sampling.weighted_source_sample,
-        # ===== round-12 window: r7-certified cohort head (36 of 49;
-        # completes the 50 slots) =====
-        "ann_ivf_topk": vectors.ann_ivf_topk,
-        "ann_kmeans_topk": vectors.ann_kmeans_topk,
-        "ann_sq8_topk": vectors.ann_sq8_topk,
-        "audio_features_mm": multimodal.audio_features_mm,
-        "chunk_documents": textops.chunk_documents,
-        "containment_dups": textops.containment_dups,
-        "curation_pipeline": textops.curation_pipeline,
-        "customers_with_big_orders": relational.customers_with_big_orders,
-        "daily_revenue_moving": relational.daily_revenue_moving,
-        "distinct_parts_per_flag": relational.distinct_parts_per_flag,
-        "doc_fingerprints": textops.doc_fingerprints,
-        "doc_quality": textops.doc_quality,
-        "doc_repetition": textops.doc_repetition,
-        "domain_mix_sample": sampling.domain_mix_sample,
-        "dup_clusters_star": textops.dup_clusters_star,
-        "early_user_activity": events.early_user_activity,
-        "events_skew_profile": events.events_skew_profile,
-        "forget_customers_scd2": relational.forget_customers_scd2,
-        "forget_docs_neardup_manifest": textops.forget_docs_neardup_manifest,
-        "funnel_conversion": events.funnel_conversion,
-        "fuzzy_part_names": textops.fuzzy_part_names,
-        "gopher_rules": textops.gopher_rules,
-        "image_features_mm": multimodal.image_features_mm,
-        "image_resize_mm": multimodal.image_resize_mm,
-        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
-        "leakage_safe_split": textops.leakage_safe_split,
-        "order_line_arrays": relational.order_line_arrays,
-        "order_priority_counts": relational.order_priority_counts,
-        "order_ship_calendar": relational.order_ship_calendar,
-        "order_value_robust_stats": relational.order_value_robust_stats,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q8_market_share": relational.q8_market_share,
-        "quality_filter": textops.quality_filter,
-        # ================= end of the 50-slot checked window =================
-        # ----- r7-certified cohort remainder (round-13 window head) -----
+        "txlog_sql_overwrite_orders": relational.txlog_sql_overwrite_orders,
+        "txlog_zorder_dv_revenue": relational.txlog_zorder_dv_revenue,
+        "stream_txlog_cdf_source": textops.stream_txlog_cdf_source,
+        # ===== round-13 window: r7-cohort leftovers (certified r7 —
+        # the oldest cohort, now fully rotated) =====
         "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
         "semantic_dedup": vectors.semantic_dedup,
         "simhash_dups": textops.simhash_dups,
@@ -200,7 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_rank": relational.supplier_balance_rank,
         "top_customers_by_revenue": relational.top_customers_by_revenue,
         "triangle_count_suppliers": relational.triangle_count_suppliers,
-        # ----- round-9-certified cohort (round 13/14) -----
+        # ===== round-13 window: r9-certified cohort head (31 of 49;
+        # completes the 50 slots) =====
         "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
         "avro_events_roundtrip": parity.avro_events_roundtrip,
         "mad_outlier_days": events.mad_outlier_days,
@@ -232,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_topk": vectors.ann_mmr_topk,
         "events_hourly_interp": events.events_hourly_interp,
         "retention_cohorts": events.retention_cohorts,
+        # ================= end of the 50-slot checked window =================
+        # ----- r9-certified cohort remainder (round-14 window head) -----
         "lm_quality_mix_sample": textops.lm_quality_mix_sample,
         "repeated_spans": textops.repeated_spans,
         "dpp_quarter_revenue": relational.dpp_quarter_revenue,
@@ -250,7 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
         "token_counts": textops.token_counts,
-        # ----- round-10-certified cohort (freshest; round 14/15) -----
+        # ----- round-10-certified cohort (round 14/15) -----
         "merge_upsert_orders": relational.merge_upsert_orders,
         "cdf_order_changes": relational.cdf_order_changes,
         "optimize_orders_compaction": relational.optimize_orders_compaction,
@@ -302,9 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": relational.q18_large_volume,
         "stream_sliding_counts": streams.stream_sliding_counts,
         "stream_static_hourly": streams.stream_static_hourly,
-        # ----- round-11-certified cohort (freshest; round 15/16):
-        # the 8 round-11 registrations + the 41 r6-cohort entries the
-        # round-11 window re-certified -----
+        # ----- round-11-certified cohort (round 15/16) -----
         "txlog_partition_pruned_revenue": (
             relational.txlog_partition_pruned_revenue
         ),
@@ -356,6 +282,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_month_spine": relational.recursive_month_spine,
         "revenue_trailing_window": relational.revenue_trailing_window,
         "scd2_customer_priority": relational.scd2_customer_priority,
+        # ----- round-12-certified cohort (freshest; round 16/17):
+        # the 6 round-12 registrations + the 8 r6 re-certs + the 35
+        # r7 re-certs -----
+        "dv_delete_orders": relational.dv_delete_orders,
+        "dv_cdf_orders": relational.dv_cdf_orders,
+        "dv_merge_orders": relational.dv_merge_orders,
+        "column_mapping_orders": relational.column_mapping_orders,
+        "txlog_sql_orders": relational.txlog_sql_orders,
+        "txlog_objectstore_orders": relational.txlog_objectstore_orders,
+        "segment_order_stats_compacted": (
+            relational.segment_order_stats_compacted
+        ),
+        "semantic_dedup_cells": vectors.semantic_dedup_cells,
+        "similarity_topk": vectors.similarity_topk,
+        "stream_converting_clicks": streams.stream_converting_clicks,
+        "stream_late_data_drop": streams.stream_late_data_drop,
+        "stream_scd2_user_state": streams.stream_scd2_user_state,
+        "stream_stateful_sessions": streams.stream_stateful_sessions,
+        "weighted_source_sample": sampling.weighted_source_sample,
+        "ann_ivf_topk": vectors.ann_ivf_topk,
+        "ann_kmeans_topk": vectors.ann_kmeans_topk,
+        "ann_sq8_topk": vectors.ann_sq8_topk,
+        "audio_features_mm": multimodal.audio_features_mm,
+        "chunk_documents": textops.chunk_documents,
+        "containment_dups": textops.containment_dups,
+        "curation_pipeline": textops.curation_pipeline,
+        "customers_with_big_orders": relational.customers_with_big_orders,
+        "daily_revenue_moving": relational.daily_revenue_moving,
+        "distinct_parts_per_flag": relational.distinct_parts_per_flag,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "doc_quality": textops.doc_quality,
+        "doc_repetition": textops.doc_repetition,
+        "domain_mix_sample": sampling.domain_mix_sample,
+        "dup_clusters_star": textops.dup_clusters_star,
+        "early_user_activity": events.early_user_activity,
+        "events_skew_profile": events.events_skew_profile,
+        "forget_customers_scd2": relational.forget_customers_scd2,
+        "forget_docs_neardup_manifest": textops.forget_docs_neardup_manifest,
+        "funnel_conversion": events.funnel_conversion,
+        "fuzzy_part_names": textops.fuzzy_part_names,
+        "gopher_rules": textops.gopher_rules,
+        "image_features_mm": multimodal.image_features_mm,
+        "image_resize_mm": multimodal.image_resize_mm,
+        "incremental_dedup_manifest": textops.incremental_dedup_manifest,
+        "leakage_safe_split": textops.leakage_safe_split,
+        "order_line_arrays": relational.order_line_arrays,
+        "order_priority_counts": relational.order_priority_counts,
+        "order_ship_calendar": relational.order_ship_calendar,
+        "order_value_robust_stats": relational.order_value_robust_stats,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q8_market_share": relational.q8_market_share,
+        "quality_filter": textops.quality_filter,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

@@ -5001,3 +5001,252 @@ RELATIONAL_ORACLES["dv_merge_orders"] = """
     FROM orders WHERE o_orderkey % 97 = 3
     ORDER BY grp
 """
+
+
+def txlog_sql_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED writes through the format name (round-12 verdict
+    item 4, retiring the 'unpartitioned only' v1 contract of
+    sources/txlog_source.py): a hive-partitioned orders table is fed
+    ENTIRELY by ``df.write.format("txlog")`` — each executor task
+    splits its Arrow batches by o_orderpriority and stages one file
+    per partition directory — and then read back through plain SQL
+    with ``.option("partition_filter", ...)``, the cache-safe SQL twin
+    of ``read_table(partitions=...)``. The emitted ``pruned`` flag is
+    1 iff the filtered scan planned strictly fewer input partitions
+    (== files) than the snapshot holds, certifying that file
+    elimination actually happened at PLANNING time — the property that
+    turns a 100 TB table scan into an O(partition) read. Output:
+    (priority, n_orders, cents, pruned)."""
+    import json as _json
+    import os
+
+    from ..sources import txlog, txlog_source
+    from ..sources.txlog_source import TxLogDataSource
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        txlog.create_table(
+            spark, root, base.limit(0), partition_by=("o_orderpriority",)
+        )
+        txlog_source.register(spark)
+        (
+            base.repartition(4)
+            .write.format("txlog")
+            .option("path", root)
+            .mode("append")
+            .save()
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_sql_part_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    txlog_source.register(spark)
+    pf = _json.dumps({"o_orderpriority": ["1-URGENT", "2-HIGH"]})
+    n_all = len(TxLogDataSource({"path": root}).reader(None).partitions())
+    n_kept = len(
+        TxLogDataSource(
+            {"path": root, "partition_filter": pf}
+        ).reader(None).partitions()
+    )
+    pruned = int(0 < n_kept < n_all)
+    (
+        spark.read.format("txlog")
+        .option("path", root)
+        .option("partition_filter", pf)
+        .load()
+        .createOrReplaceTempView("txlog_part_orders_v")
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST({pruned} AS BIGINT) AS pruned
+        FROM txlog_part_orders_v
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """
+    )
+
+
+RELATIONAL_ORACLES["txlog_sql_partitioned_orders"] = """
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS pruned
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY priority
+"""
+
+
+def txlog_sql_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode("overwrite")`` through the format name (round-12 verdict
+    item 4): the urgent slice of orders atomically REPLACES the full
+    table in ONE full-manifest 'overwrite' commit — readers see the
+    old table or the new one, never a mixture, prior versions stay
+    time-travelable, and the pre-overwrite deletion vector dies with
+    the files it indexed (no stale dv can ever leak into the new
+    snapshot). The output unions the overwritten table with a
+    time-travel read of v0, so the hash certifies both the replace
+    semantics and the preserved history. Output: (label, n_orders,
+    cents)."""
+    import os
+
+    from ..sources import txlog, txlog_source
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        txlog.create_table(spark, root, base.repartition(8))
+        # a dv delete the overwrite must bury with its files
+        txlog.delete_where(spark, root, "o_orderkey % 53 = 1", mode="dv")
+        txlog_source.register(spark)
+        (
+            base.where(TT_DELETE_PRED)
+            .write.format("txlog")
+            .option("path", root)
+            .mode("overwrite")
+            .save()
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_sql_ovw_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    cur = txlog.current_version(root)
+    assert txlog._read_manifest(root, cur)["op"] == "overwrite"
+    assert not txlog.snapshot_info(root, cur).get("dv")  # buried
+    now = txlog.read_table(spark, root).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents"),
+    ).select(F.lit("current").alias("label"), "n_orders", "cents")
+    v0 = txlog.read_table(spark, root, version=0).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents"),
+    ).select(F.lit("v0").alias("label"), "n_orders", "cents")
+    return now.unionByName(v0).orderBy("label")
+
+
+RELATIONAL_ORACLES["txlog_sql_overwrite_orders"] = f"""
+    SELECT 'current' AS label, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE {TT_DELETE_PRED}
+    UNION ALL
+    SELECT 'v0', count(*),
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    ORDER BY label
+"""
+
+
+def txlog_zorder_dv_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER composed THROUGH a deletion-vector-carrying
+    snapshot (round-12 verdict item 6 — txlog_zorder_revenue predates
+    dv, so the interaction was uncertified): lineitem is created as 4
+    full-range files, a scattered dv delete (every 101st orderkey)
+    vectors rows in EVERY file, then one Z-ordered OPTIMIZE rewrites
+    the table — which must MATERIALIZE the vectors (the dead rows
+    vanish physically, the new snapshot carries zero dv entries) while
+    producing files whose per-dimension [min,max] boxes prune on both
+    keys. Flags: pruned_orderkey / pruned_partkey as in
+    txlog_zorder_revenue, plus dv_cleared = 1 iff the optimized
+    snapshot's dv map is EMPTY. Output: (n_rows, cents,
+    pruned_orderkey, pruned_partkey, dv_cleared)."""
+    import os
+
+    from ..sources import txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "lineitem_tx")
+        txlog.create_table(
+            spark,
+            root,
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_extendedprice")
+            .repartition(4),
+        )
+        txlog.delete_where(spark, root, "l_orderkey % 101 = 0", mode="dv")
+        assert txlog.snapshot_info(root, 1)["dv"]  # vectors really exist
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in txlog.snapshot_info(root, 0)["files"]
+        )
+        txlog.optimize(
+            spark,
+            root,
+            target_file_bytes=max(8 << 10, total // 12),
+            zorder_by=("l_orderkey", "l_partkey"),
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_zorder_dv_lineitem", ("lineitem",), build
+    )
+    root = os.path.join(base_dir, "lineitem_tx")
+    cur = txlog.current_version(root)
+    dv_cleared = int(not txlog.snapshot_info(root, cur).get("dv"))
+    bounds = txlog.read_table(spark, root).agg(
+        F.max("l_orderkey").alias("mk"), F.max("l_partkey").alias("mp")
+    ).first()
+    khi = int(bounds["mk"]) // 4
+    plo, phi = int(bounds["mp"]) // 4, int(bounds["mp"]) // 2
+    n_total = len(txlog.snapshot_info(root, cur)["files"])
+    k_scan = txlog.scan_table(spark, root, "l_orderkey", 0, khi)
+    p_scan = txlog.scan_table(spark, root, "l_partkey", plo, phi)
+    pruned_k = int(0 < len(k_scan.inputFiles()) < n_total)
+    pruned_p = int(0 < len(p_scan.inputFiles()) < n_total)
+    return k_scan.where(
+        (F.col("l_partkey") >= plo) & (F.col("l_partkey") <= phi)
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("long")
+        .alias("cents"),
+        F.lit(pruned_k).cast("long").alias("pruned_orderkey"),
+        F.lit(pruned_p).cast("long").alias("pruned_partkey"),
+        F.lit(dv_cleared).cast("long").alias("dv_cleared"),
+    )
+
+
+RELATIONAL_ORACLES["txlog_zorder_dv_revenue"] = """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(1 AS BIGINT) AS pruned_orderkey,
+           CAST(1 AS BIGINT) AS pruned_partkey,
+           CAST(1 AS BIGINT) AS dv_cleared
+    FROM lineitem
+    WHERE l_orderkey % 101 <> 0
+      AND l_orderkey <= (SELECT CAST(floor(max(l_orderkey) / 4) AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 101 <> 0)
+      AND l_partkey BETWEEN
+          (SELECT CAST(floor(max(l_partkey) / 4) AS BIGINT)
+           FROM lineitem WHERE l_orderkey % 101 <> 0)
+          AND (SELECT CAST(floor(max(l_partkey) / 2) AS BIGINT)
+               FROM lineitem WHERE l_orderkey % 101 <> 0)
+"""

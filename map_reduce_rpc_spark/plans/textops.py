@@ -3898,3 +3898,122 @@ TEXTOPS_ORACLES["dup_cluster_reps"] = f"""
     FROM ranked WHERE rn = 1
     ORDER BY component
 """
+
+
+def stream_txlog_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed through the FORMAT NAME —
+    ``spark.readStream.format("txlog").option("change_feed", "true")``
+    (sources/txlog_source.py TxLogStreamReader, round-12 verdict item
+    3): the same two-commit documents txlog as
+    cdf_incremental_dedup_manifest, but the stream is a real
+    Structured Streaming source whose OFFSET is the commit version —
+    Spark's own checkpointed offset log plays the durable-cursor role
+    streaming/cdf.py's ChangeFeedReader keeps by hand, so this is the
+    plain-SQL/DataStreamReader twin of cdf_stream_dedup_manifest and
+    shares its oracle: stream-source-driven == cursor-driven ==
+    full-replay, certified by one hash. The foreachBatch sink folds
+    the feed per COMMIT (ordered by _commit_version, the column the
+    source stamps on every row) into the first-arrival-wins dedup
+    manifest, exactly the one-commit-per-micro-batch semantics,
+    independent of how many versions Spark packs into a trigger.
+    Output: (content_hash, keeper_id, arrival_batch, n_batch_copies).
+    """
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from ..sources import txlog, txlog_source
+    from ..sources.sinks import merge_upsert_parquet
+    from ..streaming import core
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "docs_tx")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        txlog.create_table(
+            spark, root, docs.where("doc_id % 2 = 0").repartition(8)
+        )
+        txlog.append(spark, root, docs.where("doc_id % 2 = 1"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    # same cached source table as the batch + cursor-driven consumers
+    base_dir = derived_cache_dir(sf_dir, "txlog_cdf_docs", ("documents",), build)
+    root = os.path.join(base_dir, "docs_tx")
+    txlog_source.register(spark)
+
+    tag = hashlib.md5(f"stxsrc:{sf_dir}".encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_stxsrc_{tag}_*"):
+        m = re.search(r"_(\d+)$", stale)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+    path = f"/tmp/spark_graft_stxsrc_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    store = os.path.join(path, "store")
+    ckpt = os.path.join(path, "ckpt")
+
+    def sink(changes: DataFrame, _bid: int) -> None:
+        # fold per COMMIT in version order: one availableNow trigger
+        # may deliver several versions in one micro-batch, and
+        # first-arrival-wins must still resolve by commit, not batch
+        versions = sorted(
+            r[0]
+            for r in changes.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            batch = (
+                changes.where(
+                    (F.col("_change_type") == "insert")
+                    & (F.col("_commit_version") == v)
+                )
+                .select(
+                    F.md5(dedup.normalize_text("text")).alias("content_hash"),
+                    F.col("doc_id"),
+                )
+                .groupBy("content_hash")
+                .agg(
+                    F.min("doc_id").alias("keeper_id"),
+                    F.count("*").alias("n_batch_copies"),
+                )
+                .withColumn("arrival_batch", F.lit(int(v)).cast("int"))
+            )
+            if os.path.exists(store):
+                seen = spark.read.parquet(store).select("content_hash")
+                batch = batch.join(seen, "content_hash", "left_anti")
+            merge_upsert_parquet(spark, store, batch, ("content_hash",))
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", root)
+        .option("change_feed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        core.EXECUTED_PLANS.append(
+            ("stream_txlog_cdf_source", q._jsq.explainInternal(True))
+        )
+        del core.EXECUTED_PLANS[: -core._EXECUTED_PLANS_MAX]
+    except Exception:
+        pass  # py4j surface drift must not fail the query itself
+    return spark.read.parquet(store).select(
+        "content_hash", "keeper_id", "arrival_batch", "n_batch_copies"
+    )
+
+
+# stream-source-driven must reproduce the full-replay answer exactly:
+# identical oracle to incremental_dedup_manifest / both CDF consumers
+TEXTOPS_ORACLES["stream_txlog_cdf_source"] = TEXTOPS_ORACLES[
+    "incremental_dedup_manifest"
+]

@@ -110,6 +110,50 @@ def main() -> None:
     out["bytes_ratio_cow_over_dv"] = round(
         out["cow"]["bytes_written"] / max(1, out["dv"]["bytes_written"]), 1
     )
+
+    # ---- read-back cost vs VECTOR COVERAGE (round-12 verdict item 8):
+    # the worst case above vectors EVERY file; real tables sit between
+    # OPTIMIZE runs with a small vectored fraction. Measure the read
+    # wall at ~1% / 10% / 50% of files carrying vectors, on a
+    # range-laid-out clone so victims confine to a file fraction, and
+    # report the clean baseline alongside — the curve that justifies
+    # "the dv debt retires on compaction cadence".
+    cad_src = os.path.join(BASE, "cad_src")
+    txlog.create_table(
+        spark,
+        cad_src,
+        spark.range(0, n_rows)
+        .select(
+            "id",
+            (F.col("id") % 97).alias("bucket"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartitionByRange(n_files, "id"),  # contiguous id per file
+    )
+    t0 = time.time()
+    assert txlog.read_table(spark, cad_src).count() == n_rows
+    cadence: dict = {"clean_read_s": round(time.time() - t0, 2)}
+    for frac in (0.01, 0.10, 0.50):
+        root = os.path.join(BASE, f"cad_{int(frac * 100)}")
+        txlog.clone_table(spark, cad_src, root)
+        hi = int(n_rows * frac)
+        stride_f = max(1, hi // k)
+        txlog.delete_where(
+            spark, root, f"id < {hi} AND id % {stride_f} = 0", mode="dv"
+        )
+        snap = txlog.snapshot_info(root, txlog.current_version(root))
+        t0 = time.time()
+        n_live = txlog.read_table(spark, root).count()
+        read_s = time.time() - t0
+        assert n_live == n_rows - len(
+            range(0, hi, stride_f)
+        ), (n_live, hi, stride_f)
+        cadence[f"vectored_{int(frac * 100)}pct"] = {
+            "files_vectored": len(snap["dv"]),
+            "files_total": len(snap["files"]),
+            "read_wall_s": round(read_s, 2),
+        }
+    out["dv_read_cadence"] = cadence
     print(json.dumps(out))
     shutil.rmtree(BASE, ignore_errors=True)
 
