@@ -1060,7 +1060,12 @@ def _write_dv(root: str, dv_rows: dict[str, list[int]]) -> str:
     vacuum sweeps. JSON int lists are the simplicity-first encoding
     for the point-delete workload this path serves (GDPR forget:
     KB-scale vectors); a roaring-bitmap upgrade slots in here without
-    touching the protocol."""
+    touching the protocol. BOUND: each touched file's entry is its
+    cumulative vector, so repeated deletes against one file grow a
+    commit's sidecar up to O(rows deleted in that file) — capped by
+    rows-per-file (~1M for 128 MB files) and reset to zero by every
+    OPTIMIZE; delta-encoding would trade that for a chain walk on
+    read (round-12 ADVICE, accepted as documented)."""
     os.makedirs(_log_dir(root), exist_ok=True)
     name = f".dv-{uuid.uuid4().hex[:12]}.json"
     path = os.path.join(_log_dir(root), name)
