@@ -2650,18 +2650,11 @@ def restore(
     raise RuntimeError(f"restore lost {max_retries} commit races at {root}")
 
 
-def history(spark: SparkSession, root: str) -> DataFrame:
-    """DESCRIBE HISTORY: one row per committed version — operation,
-    parent, file count, op-specific detail — straight from the
-    manifests (driver-side metadata, bounded by version count)."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
+def _history_rows(root: str) -> list[tuple]:
+    """One (version, op, parent, n_files, detail_json, ts) tuple per
+    committed version, straight from the manifests — pure file I/O,
+    shared by :func:`history` and the DataSource history read
+    (``spark.read.format("txlog").option("history", "true")``)."""
     rows = []
     for v in range(current_version(root) + 1):
         m = _read_manifest(root, v)
@@ -2686,6 +2679,7 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 "dv_rows",
                 "renamed",
                 "dropped_column",
+                "writer",
             )
             if k in m
         }
@@ -2702,6 +2696,22 @@ def history(spark: SparkSession, root: str) -> DataFrame:
                 float(m["ts"]),
             )
         )
+    return rows
+
+
+def history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — operation,
+    parent, file count, op-specific detail — straight from the
+    manifests (driver-side metadata, bounded by version count)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = _history_rows(root)
     schema = StructType(
         [
             StructField("version", LongType(), False),

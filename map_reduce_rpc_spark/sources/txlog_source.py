@@ -43,6 +43,10 @@ round-12 ADVICE fix):
   filter is always RETURNED to Spark for post-scan evaluation, so
   pruning is pure IO elimination — never a correctness dependency.
 
+Other read options: ``.option("timestamp", <unix-seconds|ISO-8601>)``
+is TIMESTAMP AS OF; ``.option("history", "true")`` returns DESCRIBE
+HISTORY (one row per committed version) instead of data.
+
 Write side: ``df.write.format("txlog")`` appends or atomically
 OVERWRITES, hive-partitioned tables included (each executor task
 splits its Arrow batches by partition value and stages one file per
@@ -50,7 +54,8 @@ partition directory); ``df.writeStream.format("txlog")`` is the
 exactly-once streaming sink. ``spark.readStream.format("txlog")`` is
 the streaming SOURCE over the commit log's version cursor — the
 append feed by default, the full change feed with
-``.option("change_feed", "true")``.
+``.option("change_feed", "true")``, steady-state batches bounded by
+``.option("max_versions_per_trigger", N)``.
 
 One input partition per data file — the same planning unit the JVM
 path uses. Rows cross the Arrow boundary as whole RecordBatches
@@ -393,6 +398,38 @@ class TxLogReader(DataSourceReader):
         )
 
 
+class TxLogHistoryReader(DataSourceReader):
+    """``.option("history", "true")`` — DESCRIBE HISTORY through the
+    format name: one row per committed version (version, op, parent,
+    n_files, detail JSON, ts), the SQL-surface twin of
+    :func:`txlog.history`. O(versions) driver-side metadata in a
+    single partition — the history is manifest headers, never data."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from . import txlog
+
+        rows = txlog._history_rows(self.root)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.int64()),
+                pa.array([r[1] for r in rows], type=pa.string()),
+                pa.array([r[2] for r in rows], type=pa.int64()),
+                pa.array([r[3] for r in rows], type=pa.int64()),
+                pa.array([r[4] for r in rows], type=pa.string()),
+                pa.array([r[5] for r in rows], type=pa.float64()),
+            ],
+            names=["version", "op", "parent", "n_files", "detail", "ts"],
+        )
+
+
 # ---------------------------------------------------------------------------
 # the streaming SOURCE: spark.readStream.format("txlog")
 # ---------------------------------------------------------------------------
@@ -464,6 +501,11 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.mapping = mapping or {"map": {}, "retired": []}
         self.change_feed = change_feed
         self.starting = int(options.get("starting_version", -1))
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting}
@@ -471,7 +513,23 @@ class TxLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from . import txlog
 
-        return {"version": txlog.current_version(self.root)}
+        cur = txlog.current_version(self.root)
+        # rate limiting (Delta's maxFilesPerTrigger shape, by COMMIT):
+        # cap each micro-batch at max_versions_per_trigger commits past
+        # the last batch end this reader PLANNED. The cursor comes from
+        # partitions(start, end) — the only authoritative signal: the
+        # runner prefetches latestOffset BEFORE initialOffset (measured
+        # on 4.1.2) and never tells the reader the checkpointed offset
+        # directly, so capping relative to anything else could return
+        # an offset BELOW the recovered cursor and wedge the stream.
+        # Net contract: the FIRST batch after a (re)start is uncapped —
+        # it drains the backlog — and every steady-state batch after it
+        # is bounded; the long-running-stream case the option exists
+        # for.
+        if self.max_versions is not None and self._last_end is not None:
+            cur = max(min(cur, self._last_end + self.max_versions),
+                      self._last_end)
+        return {"version": cur}
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log IS the durable cursor
@@ -483,6 +541,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         from . import txlog
 
         s, e = int(start["version"]), int(end["version"])
+        # the authoritative cursor for the rate-limit cap (see
+        # latestOffset); monotone by construction
+        if self._last_end is None or e > self._last_end:
+            self._last_end = e
         out: list[TxCDFPartition] = []
         if e <= s:
             return out
@@ -944,6 +1006,20 @@ class TxLogDataSource(DataSource):
         if not root:
             raise ValueError("txlog source requires .option('path', root)")
         v = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if ts is not None:
+            # TIMESTAMP AS OF through the format name: unix seconds or
+            # an ISO-8601 string, resolved by the library's clock-skew-
+            # safe max-matching walk
+            try:
+                at = float(ts)
+            except ValueError:
+                import datetime
+
+                at = datetime.datetime.fromisoformat(str(ts)).timestamp()
+            v = txlog.version_at_timestamp(root, at)
         v = int(v) if v is not None else txlog.current_version(root)
         sj = txlog._schema_json_at(root, v)
         if sj is None:
@@ -957,14 +1033,29 @@ class TxLogDataSource(DataSource):
     def _change_feed(self) -> bool:
         return str(self.options.get("change_feed", "")).lower() == "true"
 
+    def _history(self) -> bool:
+        return str(self.options.get("history", "")).lower() == "true"
+
     def schema(self):
         from pyspark.sql.types import (
+            DoubleType,
             LongType,
             StringType,
             StructField,
             StructType,
         )
 
+        if self._history():
+            return StructType(
+                [
+                    StructField("version", LongType(), False),
+                    StructField("op", StringType(), False),
+                    StructField("parent", LongType(), True),
+                    StructField("n_files", LongType(), False),
+                    StructField("detail", StringType(), True),
+                    StructField("ts", DoubleType(), False),
+                ]
+            )
         _v, sj, _mp = self._resolve()
         base = StructType.fromJson(json.loads(sj))
         if self._change_feed():
@@ -977,13 +1068,20 @@ class TxLogDataSource(DataSource):
             )
         return base
 
-    def reader(self, schema) -> TxLogReader:
+    def reader(self, schema):
         if self._change_feed():
             raise ValueError(
                 "change_feed is a STREAMING read option "
                 "(spark.readStream); batch change feeds are "
                 "txlog.read_changes"
             )
+        if self._history():
+            from . import txlog
+
+            root = self.options.get("path")
+            if not root or txlog.current_version(root) < 0:
+                raise FileNotFoundError(f"no txlog table at {root!r}")
+            return TxLogHistoryReader(root)
         v, sj, mp = self._resolve()
         return TxLogReader(self.options, v, sj, mp)
 

@@ -334,6 +334,142 @@ def test_sql_write_enforces_constraints(spark, plain_table):
     assert txlog.read_table(spark, plain_table).count() == 100
 
 
+def test_timestamp_as_of_option(spark, table):
+    """.option('timestamp', ...) — TIMESTAMP AS OF through the format
+    name, unix seconds or ISO-8601, resolved by the library's
+    max-matching walk; mutually exclusive with 'version'."""
+    import datetime
+
+    ts0 = txlog._manifest_meta(table, 0)[0]
+    old = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("timestamp", str(ts0))
+        .load()
+    )
+    assert old.columns == ["id", "p", "val"] and old.count() == 200
+    iso = datetime.datetime.fromtimestamp(ts0).isoformat()
+    old2 = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("timestamp", iso)
+        .load()
+    )
+    assert old2.count() == 200
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("timestamp", str(ts0))
+            .option("version", "1")
+            .load()
+            .count()
+        )
+    with pytest.raises(Exception, match="predates"):
+        (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("timestamp", str(ts0 - 9999))
+            .load()
+            .count()
+        )
+
+
+def test_history_option(spark, table):
+    """.option('history', 'true') — DESCRIBE HISTORY through plain
+    SQL: one row per version, matching the library's history() on the
+    shared columns."""
+    got = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("history", "true")
+        .load()
+    )
+    got.createOrReplaceTempView("tx_hist")
+    rows = spark.sql(
+        "SELECT version, op, n_files FROM tx_hist ORDER BY version"
+    ).collect()
+    exp = (
+        txlog.history(spark, table)
+        .select("version", "op", "n_files")
+        .orderBy("version")
+        .collect()
+    )
+    assert rows == exp
+    assert [r["op"] for r in rows][:2] == ["create", "rename_column"]
+
+
+def test_overwrite_races_append(spark, plain_table):
+    """An overwrite and an append race the same parent: the LogStore
+    serializes them in SOME order, both commit, and the final state is
+    order-consistent — overwrite-last leaves exactly the overwrite
+    payload; append-last leaves overwrite payload + appended rows (the
+    append re-validates and lands on TOP of the replace, the
+    WriteSerializable blind-append semantics). Each thread pins the
+    JVM-side ACTIVE session first: Spark 4.1's DataFrameWriter
+    resolves Python data sources through the thread-local active
+    session, so a write (unlike a read) from a fresh py4j thread
+    otherwise fails with ClassNotFoundException txlog.DefaultSource —
+    found and documented here; reads are unaffected."""
+    from pyspark import InheritableThread
+
+    errs: list[Exception] = []
+
+    def _pin_session() -> None:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+
+    def do_overwrite() -> None:
+        try:
+            _pin_session()
+            (
+                spark.range(500, 520)
+                .select("id", F.lit(5).alias("bucket"))
+                .write.format("txlog")
+                .option("path", plain_table)
+                .mode("overwrite")
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def do_append() -> None:
+        try:
+            _pin_session()
+            (
+                spark.range(900, 910)
+                .select("id", F.lit(9).alias("bucket"))
+                .write.format("txlog")
+                .option("path", plain_table)
+                .mode("append")
+                .save()
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = InheritableThread(target=do_overwrite)
+    t2 = InheritableThread(target=do_append)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert txlog.current_version(plain_table) == 2
+    ops = [
+        txlog._read_manifest(plain_table, v)["op"] for v in (1, 2)
+    ]
+    assert sorted(ops) == ["append", "overwrite"]
+    got = txlog.read_table(spark, plain_table)
+    n = got.count()
+    if ops[-1] == "overwrite":  # replace landed last: table == payload
+        assert n == 20
+        assert got.where("bucket = 5").count() == 20
+    else:  # append landed on top of the replace
+        assert n == 30
+        assert got.where("bucket = 5").count() == 20
+        assert got.where("bucket = 9").count() == 10
+    # no orphans either way
+    assert all(".stage" not in r for r in txlog.vacuum(plain_table, dry_run=True))
+
+
 def test_stream_write_exactly_once(spark, tmp_path):
     """writeStream.format("txlog"): a micro-batch commits through the
     (app_id, batchId) idempotence map, so replaying the SAME logical

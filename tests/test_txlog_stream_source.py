@@ -193,6 +193,67 @@ def test_stream_schema_change_is_loud(spark, table, tmp_path):
     assert got.where("tag IS NOT NULL").count() == 10
 
 
+def test_max_versions_per_trigger_rate_limit(spark, table, tmp_path):
+    """max_versions_per_trigger bounds each STEADY-STATE micro-batch
+    to N commits past the last batch the reader planned. The cursor is
+    anchored in partitions(start, end) — the only authoritative signal
+    the Python stream reader gets (Spark 4.1's runner prefetches
+    latestOffset BEFORE initialOffset and never exposes the recovered
+    checkpoint offset, so capping from anything else could wedge a
+    restarted stream below its committed cursor; measured, see
+    latestOffset). Net: the first batch after (re)start drains the
+    backlog uncapped, every batch after it is bounded — pinned at the
+    runner-call level here, plus an e2e drain that must stay
+    exactly-once with the option set."""
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    for lo in (100, 200):
+        txlog.append(
+            spark,
+            table,
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+            ),
+        )
+    ds = TxLogDataSource({"path": table, "max_versions_per_trigger": "1"})
+    r = ds.streamReader(None)
+    # the runner's real call order: latestOffset FIRST (no cursor yet
+    # -> uncapped backlog drain), then initialOffset, then partitions
+    assert r.latestOffset() == {"version": 2}
+    assert r.initialOffset() == {"version": -1}
+    r.partitions({"version": -1}, {"version": 2})  # batch 0 planned
+    # three more commits land; steady-state batches now cap at 1 each
+    for lo in (300, 400, 500):
+        txlog.append(
+            spark,
+            table,
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+            ),
+        )
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 2}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}
+    r.partitions({"version": 3}, {"version": 4})
+    assert r.latestOffset() == {"version": 5}
+    r.partitions({"version": 4}, {"version": 5})
+    assert r.latestOffset() == {"version": 5}  # caught up: no regress
+    with pytest.raises(ValueError, match=">= 1"):
+        TxLogDataSource(
+            {"path": table, "max_versions_per_trigger": "0"}
+        ).streamReader(None)
+    # e2e: a drain with the option set stays exactly-once
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+    got = _drain(
+        spark, table, ckpt, sink, "rl1", max_versions_per_trigger="2"
+    )
+    assert got.count() == 90
+    got = _drain(
+        spark, table, ckpt, sink, "rl2", max_versions_per_trigger="2"
+    )
+    assert got.count() == 90  # caught up: nothing redelivered
+
+
 def test_stream_writer_requires_app_id(spark, table, tmp_path):
     """The round-12 ADVICE fix: a default shared app_id would make two
     independent streams swallow each other's batches as duplicates —
