@@ -72,9 +72,22 @@ def test_txlog_matches_model_under_random_op_chain(
             [(k, v) for k, v in rows.items()], ["id", "bucket"]
         )
 
-    ops = ["append", "merge", "delete", "dv_delete", "optimize", "restore"]
-    for step in range(16):
-        op = ops[step % len(ops)] if step < 12 else rng.choice(ops)
+    from map_reduce_rpc_spark.sources import txlog_source
+
+    txlog_source.register(spark)
+
+    ops = [
+        "append",
+        "merge",
+        "delete",
+        "dv_delete",
+        "optimize",
+        "restore",
+        "sql_append",
+        "sql_overwrite",
+    ]
+    for step in range(20):
+        op = ops[step % len(ops)] if step < 16 else rng.choice(ops)
         if op == "append":
             rows = {next_id + i: rng.randrange(10) for i in range(25)}
             next_id += 25
@@ -104,6 +117,37 @@ def test_txlog_matches_model_under_random_op_chain(
                 spark, root, target_file_bytes=16 << 10, cluster_by=("id",)
             )
             # logical no-op
+        elif op == "sql_append":
+            # the DataSource write path interleaved with library verbs
+            # (round-13: df.write.format("txlog") must be
+            # indistinguishable from txlog.append in the log)
+            rows = {next_id + i: rng.randrange(10) for i in range(15)}
+            next_id += 15
+            (
+                frame(rows)
+                .write.format("txlog")
+                .option("path", root)
+                .mode("append")
+                .save()
+            )
+            v = txlog.current_version(root)
+            model.update(rows)
+        elif op == "sql_overwrite":
+            # atomic wholesale replace through the format name: the
+            # model swaps entirely; prior versions must STILL read
+            # back exactly (checked by the retroactive loop below),
+            # including across deletion vectors the replace buried
+            rows = {next_id + i: rng.randrange(10) for i in range(30)}
+            next_id += 30
+            (
+                frame(rows)
+                .write.format("txlog")
+                .option("path", root)
+                .mode("overwrite")
+                .save()
+            )
+            v = txlog.current_version(root)
+            model = dict(rows)
         else:  # restore
             target = rng.randrange(0, txlog.current_version(root) + 1)
             v = txlog.restore(spark, root, target)
