@@ -704,6 +704,13 @@ class TxFileCommit(WriterCommitMessage):
         self.rels = rels
 
 
+# Cap on concurrently-open parquet writers per task in the partitioned
+# write path: each open writer buffers a row group, so an unbounded
+# writer map scales executor memory with partition CARDINALITY — the
+# overflow policy rolls files instead (see _write_task_batches).
+_MAX_OPEN_WRITERS = 64
+
+
 def _hive_dir_value(v) -> str:
     """The path form of one partition VALUE this writer emits:
     Spark-compatible for the common types (str/int/bool/date via
@@ -740,8 +747,14 @@ def _write_task_batches(
     tuple — one open writer per partition directory seen by this task,
     partition columns carried in the PATH and dropped from the file
     bytes, exactly the hive layout the library's Spark-side
-    partitionBy staging produces. Shared by the batch and streaming
-    sinks."""
+    partitionBy staging produces. Open writers are CAPPED at
+    ``_MAX_OPEN_WRITERS``: a high-cardinality partition column would
+    otherwise hold one buffering parquet writer per value per task —
+    the classic executor-OOM shape at 100 TB. Past the cap the
+    oldest-opened writer closes and any later rows for its partition
+    roll into a NEW uniquely-named file (more, smaller files for the
+    overflow partitions; OPTIMIZE compacts them — never memory
+    growth). Shared by the batch and streaming sinks."""
     import uuid
 
     import pyarrow as pa
@@ -749,7 +762,8 @@ def _write_task_batches(
 
     mp = mapping["map"]
     tag = uuid.uuid4().hex[:12]
-    writers: dict[str, tuple] = {}  # subdir -> (writer, rel)
+    writers: dict[str, tuple] = {}  # subdir -> (writer, rel); dict = FIFO
+    done: list[str] = []  # rels of rolled (closed) files
     seq = 0
 
     def _sink_batch(subdir: str, batch: pa.RecordBatch) -> None:
@@ -761,6 +775,11 @@ def _write_task_batches(
             )
         got = writers.get(subdir)
         if got is None:
+            if len(writers) >= _MAX_OPEN_WRITERS:
+                oldest = next(iter(writers))
+                w, rel = writers.pop(oldest)
+                w.close()
+                done.append(rel)
             rel_dir = f"data/{subdir}" if subdir else "data"
             os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
             rel = f"{rel_dir}/part-w{tag}-{seq:05d}.parquet"
@@ -795,7 +814,7 @@ def _write_task_batches(
     finally:
         for w, _rel in writers.values():
             w.close()
-    return TxFileCommit([rel for _w, rel in writers.values()])
+    return TxFileCommit(done + [rel for _w, rel in writers.values()])
 
 
 def _commit_rels(

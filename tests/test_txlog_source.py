@@ -340,15 +340,21 @@ def test_timestamp_as_of_option(spark, table):
     max-matching walk; mutually exclusive with 'version'."""
     import datetime
 
+    # between v0 and v1's commit times -> resolves to v0 (an EXACT
+    # boundary timestamp is fragile: option strings round-trip through
+    # Spark and can lose the last float digit)
     ts0 = txlog._manifest_meta(table, 0)[0]
+    ts1 = txlog._manifest_meta(table, 1)[0]
+    assert ts1 > ts0
+    mid = (ts0 + ts1) / 2
     old = (
         spark.read.format("txlog")
         .option("path", table)
-        .option("timestamp", str(ts0))
+        .option("timestamp", str(mid))
         .load()
     )
     assert old.columns == ["id", "p", "val"] and old.count() == 200
-    iso = datetime.datetime.fromtimestamp(ts0).isoformat()
+    iso = datetime.datetime.fromtimestamp(mid).isoformat()
     old2 = (
         spark.read.format("txlog")
         .option("path", table)
@@ -507,3 +513,51 @@ def test_stream_write_exactly_once(spark, tmp_path):
     assert m["txn"] == {"stream-a": 0} and m["writer"] == "datasource"
     # no orphan duplicate files left behind
     assert txlog.vacuum(root, dry_run=True) == []
+
+
+def test_partitioned_writer_caps_open_files(spark, tmp_path, monkeypatch):
+    """The partitioned task writer holds at most _MAX_OPEN_WRITERS
+    parquet writers: past the cap the oldest closes and later rows for
+    its partition ROLL into a new file — memory stays bounded by the
+    cap, never by partition cardinality, and every row still lands
+    exactly once (the 100 TB high-cardinality-partition shape)."""
+    import pyarrow as pa
+
+    from map_reduce_rpc_spark.sources import txlog_source as ts
+
+    monkeypatch.setattr(ts, "_MAX_OPEN_WRITERS", 4)
+    root = str(tmp_path / "tx")
+    df0 = spark.range(0, 0).select(
+        "id", (F.col("id") % 10).alias("p")
+    )
+    txlog.create_table(spark, root, df0, partition_by=("p",))
+
+    def batches():
+        # 3 Arrow batches, each spanning all 10 partitions, so rolled
+        # partitions get re-opened in later batches
+        for b in range(3):
+            ids = list(range(b * 100, b * 100 + 100))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array([i % 10 for i in ids], type=pa.int64()),
+                ],
+                names=["id", "p"],
+            )
+
+    msg = ts._write_task_batches(
+        root, {"map": {}, "retired": []}, ("p",), batches()
+    )
+    assert len(msg.rels) > 10  # rolling produced extra per-partition files
+    schema_json = df0.schema.json()
+    ts._commit_rels(root, schema_json, {"map": {}, "retired": []}, msg.rels)
+    got = txlog.read_table(spark, root)
+    assert got.count() == 300
+    assert got.select("id").distinct().count() == 300  # exactly once
+    by_p = {
+        r["p"]: r["n"]
+        for r in got.groupBy("p").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_p == {p: 30 for p in range(10)}
+    # pruning still works on the rolled layout
+    assert txlog.read_table(spark, root, partitions={"p": 3}).count() == 30
