@@ -45,7 +45,10 @@ round-12 ADVICE fix):
 
 Other read options: ``.option("timestamp", <unix-seconds|ISO-8601>)``
 is TIMESTAMP AS OF; ``.option("history", "true")`` returns DESCRIBE
-HISTORY (one row per committed version) instead of data.
+HISTORY (one row per committed version) instead of data;
+``.option("change_feed", "true")`` with ``from_version`` (exclusive)
+/ ``to_version`` is the BATCH change-feed read (Delta's
+readChangeFeed + startingVersion shape — see ``TxLogCDFReader``).
 
 Write side: ``df.write.format("txlog")`` appends or atomically
 OVERWRITES, hive-partitioned tables included (each executor task
@@ -389,6 +392,10 @@ class TxLogReader(DataSourceReader):
         ]
 
     def read(self, partition: TxFilePartition):
+        if partition is None:
+            # empty snapshot or fully-pruned scan: Spark calls
+            # read(None) when partitions() returned []
+            return
         yield from _decode_file_batches(
             partition.path,
             self.schema_json,
@@ -451,6 +458,241 @@ class TxCDFPartition(InputPartition):
         self.part_values = part_values
         self.change = change
         self.version = version
+
+
+def _plan_change_partitions(
+    root: str,
+    s: int,
+    e: int,
+    pinned_version: int,
+    schema_json: str,
+    mapping: dict,
+    change_feed: bool,
+) -> list[TxCDFPartition]:
+    """Plan the change partitions for the commit range ``(s, e]`` —
+    shared by the STREAMING source (per micro-batch) and the BATCH
+    change-feed read (one fixed range). O(touched files) per commit
+    straight from the logged actions, never a corpus diff. Raises for
+    the shapes per-file planning cannot express (see the callers'
+    docstrings): schema/mapping drift past the pinned version, dv
+    shrinks, cow rewrite commits; non-append changes also raise when
+    ``change_feed`` is off (the append-feed contract)."""
+    from . import txlog
+
+    out: list[TxCDFPartition] = []
+    if e <= s:
+        return out
+    if s >= 0:
+        snap0 = txlog.snapshot_info(root, s)
+        prev = set(snap0["files"])
+        prev_dv: dict[str, str] = dict(snap0.get("dv", {}))
+    else:
+        prev, prev_dv = set(), {}
+    for v in range(s + 1, e + 1):
+        m = txlog._read_manifest(root, v)
+        # drift guards apply only PAST the pinned version: history
+        # at or before it decodes fine under the pinned schema
+        # (typed NULLs / lossless upcasts, like the batch reader);
+        # a NEWER schema would mean new files carrying data the
+        # pinned decode silently drops — loud instead
+        if v > pinned_version:
+            if "schema" in m and m["schema"] != schema_json:
+                raise RuntimeError(
+                    f"schema changed at version {v} of {root}: "
+                    "restart the stream to bind the new schema"
+                )
+            if "column_mapping" in m and m["column_mapping"] != (
+                mapping
+                if (mapping["map"] or mapping["retired"])
+                else None
+            ):
+                raise RuntimeError(
+                    f"column mapping changed at version {v} of "
+                    f"{root}: restart the stream"
+                )
+        if txlog._is_full(m):
+            cur_files = set(txlog._load_full(root, m)[0])
+            cur_dv = dict(txlog._full_dv(root, m))
+            added = sorted(cur_files - prev)
+            removed = sorted(prev - cur_files)
+        else:
+            added = sorted(m.get("add", []))
+            removed = sorted(m.get("remove", []))
+            cur_files = (prev - set(removed)) | set(added)
+            cur_dv = {
+                rel: ref
+                for rel, ref in prev_dv.items()
+                if rel in cur_files
+            }
+            cur_dv.update(m.get("dv", {}))
+        carried = (prev & cur_files) if (prev_dv or cur_dv) else set()
+        dv_grown: dict[str, list[int]] = {}
+        if carried:
+            changed = [
+                rel
+                for rel in carried
+                if prev_dv.get(rel) != cur_dv.get(rel)
+            ]
+            if changed:
+                old_idx = txlog._dv_indexes(root, prev_dv, changed)
+                new_idx = txlog._dv_indexes(root, cur_dv, changed)
+                for rel in changed:
+                    o = set(old_idx.get(rel, []))
+                    n_ = set(new_idx.get(rel, []))
+                    if o - n_:
+                        raise RuntimeError(
+                            f"deletion vector SHRANK at version {v} "
+                            f"of {root} (a restore?): consume this "
+                            "table with ChangeFeedReader"
+                        )
+                    if n_ - o:
+                        dv_grown[rel] = sorted(n_ - o)
+        parent_dv = prev_dv
+        prev, prev_dv = cur_files, cur_dv
+        if m.get("op") == "optimize":
+            continue  # dataChange=false: net zero by construction
+        if not change_feed and (removed or dv_grown):
+            raise RuntimeError(
+                f"non-append change at version {v} of {root}: "
+                "the default stream is the APPEND feed — set "
+                ".option('change_feed', 'true') for row-level "
+                "changes, or consume with ChangeFeedReader"
+            )
+        if added and removed:
+            raise RuntimeError(
+                f"rewrite commit at version {v} of {root} "
+                f"(op={m.get('op')!r}): per-file planning cannot "
+                "cancel carried rows — consume this table with "
+                "ChangeFeedReader / read_changes"
+            )
+        add_dv = txlog._dv_indexes(root, cur_dv, added)
+        for rel in added:
+            out.append(
+                TxCDFPartition(
+                    os.path.join(root, rel),
+                    add_dv.get(rel, []),
+                    False,
+                    txlog.partition_values(rel),
+                    "insert",
+                    v,
+                )
+            )
+        rm_dv = txlog._dv_indexes(root, parent_dv, removed)
+        for rel in removed:
+            out.append(
+                TxCDFPartition(
+                    os.path.join(root, rel),
+                    rm_dv.get(rel, []),
+                    False,
+                    txlog.partition_values(rel),
+                    "delete",
+                    v,
+                )
+            )
+        for rel, pos in dv_grown.items():
+            out.append(
+                TxCDFPartition(
+                    os.path.join(root, rel),
+                    pos,
+                    True,
+                    txlog.partition_values(rel),
+                    "delete",
+                    v,
+                )
+            )
+    return out
+
+
+def _read_change_batches(
+    partition: TxCDFPartition,
+    schema_json: str,
+    mapping: dict,
+    change_feed: bool,
+):
+    """Decode one change partition's Arrow batches, stamping
+    ``_change_type``/``_commit_version`` in change-feed mode — shared
+    by the streaming source and the batch change-feed read."""
+    import pyarrow as pa
+
+    for batch in _decode_file_batches(
+        partition.path,
+        schema_json,
+        mapping,
+        partition.part_values,
+        partition.positions,
+        take=partition.take,
+    ):
+        if not change_feed:
+            yield batch
+            continue
+        n = batch.num_rows
+        yield pa.RecordBatch.from_arrays(
+            list(batch.columns)
+            + [
+                pa.array([partition.change] * n, type=pa.string()),
+                pa.array([partition.version] * n, type=pa.int64()),
+            ],
+            names=list(batch.schema.names)
+            + ["_change_type", "_commit_version"],
+        )
+
+
+class TxLogCDFReader(DataSourceReader):
+    """BATCH change-feed read through the format name — Delta's
+    ``.option("readChangeFeed", "true").option("startingVersion", N)``
+    shape:
+
+        (spark.read.format("txlog").option("path", root)
+              .option("change_feed", "true")
+              .option("from_version", "3")       # EXCLUSIVE lower
+              .option("to_version", "7")         # optional, <= pinned
+              .load())
+
+    Table columns + ``_change_type``/``_commit_version`` for the
+    commits in ``(from_version, to_version]``, planned by the same
+    per-commit action walk the streaming source uses (appends, cow
+    deletes, dv deletes/merges; OPTIMIZE nets to zero; cow REWRITE
+    commits raise toward the library's read_changes, which does the
+    full multiset cancellation those need). The plain-SQL incremental
+    consumer loop: persist max(_commit_version) as the high-water
+    mark, pass it back as from_version next run."""
+
+    def __init__(
+        self,
+        root: str,
+        from_version: int,
+        to_version: int,
+        schema_json: str,
+        mapping: dict | None,
+    ):
+        self.root = root
+        self.from_version = int(from_version)
+        self.to_version = int(to_version)
+        self.schema_json = schema_json
+        self.mapping = mapping or {"map": {}, "retired": []}
+
+    def partitions(self) -> list[TxCDFPartition]:
+        return _plan_change_partitions(
+            self.root,
+            self.from_version,
+            self.to_version,
+            # schema is pinned AT to_version, so every commit in range
+            # is at or before the pin: drift inside the range is
+            # decode-safe history, exactly like time travel
+            self.to_version,
+            self.schema_json,
+            self.mapping,
+            change_feed=True,
+        )
+
+    def read(self, partition: TxCDFPartition):
+        if partition is None:
+            # an EMPTY feed (e.g. only optimize commits in range):
+            # Spark calls read(None) when partitions() returned []
+            return
+        yield from _read_change_batches(
+            partition, self.schema_json, self.mapping, True
+        )
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -538,160 +780,25 @@ class TxLogStreamReader(DataSourceStreamReader):
         pass
 
     def partitions(self, start: dict, end: dict):
-        from . import txlog
-
         s, e = int(start["version"]), int(end["version"])
         # the authoritative cursor for the rate-limit cap (see
         # latestOffset); monotone by construction
         if self._last_end is None or e > self._last_end:
             self._last_end = e
-        out: list[TxCDFPartition] = []
-        if e <= s:
-            return out
-        if s >= 0:
-            snap0 = txlog.snapshot_info(self.root, s)
-            prev = set(snap0["files"])
-            prev_dv: dict[str, str] = dict(snap0.get("dv", {}))
-        else:
-            prev, prev_dv = set(), {}
-        for v in range(s + 1, e + 1):
-            m = txlog._read_manifest(self.root, v)
-            # drift guards apply only PAST the pinned version: history
-            # at or before it decodes fine under the pinned schema
-            # (typed NULLs / lossless upcasts, like the batch reader);
-            # a NEWER schema would mean new files carrying data the
-            # pinned decode silently drops — loud instead
-            if v > self.pinned_version:
-                if "schema" in m and m["schema"] != self.schema_json:
-                    raise RuntimeError(
-                        f"schema changed at version {v} of {self.root}: "
-                        "restart the stream to bind the new schema"
-                    )
-                if "column_mapping" in m and m["column_mapping"] != (
-                    self.mapping
-                    if (self.mapping["map"] or self.mapping["retired"])
-                    else None
-                ):
-                    raise RuntimeError(
-                        f"column mapping changed at version {v} of "
-                        f"{self.root}: restart the stream"
-                    )
-            if txlog._is_full(m):
-                cur_files = set(txlog._load_full(self.root, m)[0])
-                cur_dv = dict(txlog._full_dv(self.root, m))
-                added = sorted(cur_files - prev)
-                removed = sorted(prev - cur_files)
-            else:
-                added = sorted(m.get("add", []))
-                removed = sorted(m.get("remove", []))
-                cur_files = (prev - set(removed)) | set(added)
-                cur_dv = {
-                    rel: ref
-                    for rel, ref in prev_dv.items()
-                    if rel in cur_files
-                }
-                cur_dv.update(m.get("dv", {}))
-            carried = (prev & cur_files) if (prev_dv or cur_dv) else set()
-            dv_grown: dict[str, list[int]] = {}
-            if carried:
-                changed = [
-                    rel
-                    for rel in carried
-                    if prev_dv.get(rel) != cur_dv.get(rel)
-                ]
-                if changed:
-                    old_idx = txlog._dv_indexes(self.root, prev_dv, changed)
-                    new_idx = txlog._dv_indexes(self.root, cur_dv, changed)
-                    for rel in changed:
-                        o = set(old_idx.get(rel, []))
-                        n_ = set(new_idx.get(rel, []))
-                        if o - n_:
-                            raise RuntimeError(
-                                f"deletion vector SHRANK at version {v} "
-                                f"of {self.root} (a restore?): consume "
-                                "this table with ChangeFeedReader"
-                            )
-                        if n_ - o:
-                            dv_grown[rel] = sorted(n_ - o)
-            parent_dv = prev_dv
-            prev, prev_dv = cur_files, cur_dv
-            if m.get("op") == "optimize":
-                continue  # dataChange=false: net zero by construction
-            if not self.change_feed and (removed or dv_grown):
-                raise RuntimeError(
-                    f"non-append change at version {v} of {self.root}: "
-                    "the default stream is the APPEND feed — set "
-                    ".option('change_feed', 'true') for row-level "
-                    "changes, or consume with ChangeFeedReader"
-                )
-            if added and removed:
-                raise RuntimeError(
-                    f"rewrite commit at version {v} of {self.root} "
-                    f"(op={m.get('op')!r}): per-file streaming cannot "
-                    "cancel carried rows — consume this table with "
-                    "ChangeFeedReader / read_changes"
-                )
-            add_dv = txlog._dv_indexes(self.root, cur_dv, added)
-            for rel in added:
-                out.append(
-                    TxCDFPartition(
-                        os.path.join(self.root, rel),
-                        add_dv.get(rel, []),
-                        False,
-                        txlog.partition_values(rel),
-                        "insert",
-                        v,
-                    )
-                )
-            rm_dv = txlog._dv_indexes(self.root, parent_dv, removed)
-            for rel in removed:
-                out.append(
-                    TxCDFPartition(
-                        os.path.join(self.root, rel),
-                        rm_dv.get(rel, []),
-                        False,
-                        txlog.partition_values(rel),
-                        "delete",
-                        v,
-                    )
-                )
-            for rel, pos in dv_grown.items():
-                out.append(
-                    TxCDFPartition(
-                        os.path.join(self.root, rel),
-                        pos,
-                        True,
-                        txlog.partition_values(rel),
-                        "delete",
-                        v,
-                    )
-                )
-        return out
-
-    def read(self, partition: TxCDFPartition):
-        import pyarrow as pa
-
-        for batch in _decode_file_batches(
-            partition.path,
+        return _plan_change_partitions(
+            self.root,
+            s,
+            e,
+            self.pinned_version,
             self.schema_json,
             self.mapping,
-            partition.part_values,
-            partition.positions,
-            take=partition.take,
-        ):
-            if not self.change_feed:
-                yield batch
-                continue
-            n = batch.num_rows
-            yield pa.RecordBatch.from_arrays(
-                list(batch.columns)
-                + [
-                    pa.array([partition.change] * n, type=pa.string()),
-                    pa.array([partition.version] * n, type=pa.int64()),
-                ],
-                names=list(batch.schema.names)
-                + ["_change_type", "_commit_version"],
-            )
+            self.change_feed,
+        )
+
+    def read(self, partition: TxCDFPartition):
+        yield from _read_change_batches(
+            partition, self.schema_json, self.mapping, self.change_feed
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1075,7 +1182,18 @@ class TxLogDataSource(DataSource):
                     StructField("ts", DoubleType(), False),
                 ]
             )
-        _v, sj, _mp = self._resolve()
+        if self._change_feed() and self.options.get("to_version"):
+            # a batch CDF read bound to an explicit upper version: the
+            # feed's schema is the schema AS OF to_version, which may
+            # predate the current snapshot's
+            from . import txlog
+
+            sj = txlog._schema_json_at(
+                self.options.get("path"),
+                int(self.options.get("to_version")),
+            )
+        else:
+            _v, sj, _mp = self._resolve()
         base = StructType.fromJson(json.loads(sj))
         if self._change_feed():
             return StructType(
@@ -1089,10 +1207,29 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema):
         if self._change_feed():
-            raise ValueError(
-                "change_feed is a STREAMING read option "
-                "(spark.readStream); batch change feeds are "
-                "txlog.read_changes"
+            from . import txlog
+
+            root = self.options.get("path")
+            to_v = self.options.get("to_version")
+            to_v = (
+                int(to_v)
+                if to_v is not None
+                else txlog.current_version(root)
+            )
+            frm = int(self.options.get("from_version", -1))
+            if frm > to_v:
+                raise ValueError(
+                    f"from_version {frm} > to_version {to_v}"
+                )
+            # the feed's output schema binds AT to_version — every
+            # commit in range is at-or-before it (decode-safe history)
+            sj = txlog._schema_json_at(root, to_v)
+            if sj is None:
+                raise ValueError(
+                    f"txlog table at {root} predates schema recording"
+                )
+            return TxLogCDFReader(
+                root, frm, to_v, sj, txlog._mapping_at(root, to_v)
             )
         if self._history():
             from . import txlog

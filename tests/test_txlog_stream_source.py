@@ -314,3 +314,71 @@ def test_stream_read_write_roundtrip_exactly_once(spark, tmp_path):
     assert txlog.current_version(dst_root) == v1
     # no orphan files from any duplicate delivery
     assert txlog.vacuum(dst_root, dry_run=True) == []
+
+
+def test_batch_change_feed_read(spark, table, tmp_path):
+    """BATCH change-feed through the format name (the readChangeFeed +
+    startingVersion shape): spark.read.format('txlog') with
+    change_feed=true + from_version/to_version returns exactly the
+    commits in (from, to] — matching the library's read_changes on an
+    append + dv-delete history — and the plain-SQL incremental loop
+    (persist max(_commit_version), pass it back) reads each commit
+    exactly once."""
+    txlog.append(
+        spark,
+        table,
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+        ),
+    )
+    txlog.delete_where(spark, table, "id IN (5, 105)", mode="dv")
+
+    def feed(frm, to=None):
+        r = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("change_feed", "true")
+            .option("from_version", str(frm))
+        )
+        if to is not None:
+            r = r.option("to_version", str(to))
+        return r.load()
+
+    got = feed(-1)
+    exp = txlog.read_changes(spark, table, -1)
+    assert got.count() == exp.count() == 52  # 40 + 10 inserts + 2 dels
+    assert (
+        got.groupBy("_change_type", "_commit_version").count().orderBy(
+            "_commit_version", "_change_type"
+        ).collect()
+        == exp.groupBy("_change_type", "_commit_version").count().orderBy(
+            "_commit_version", "_change_type"
+        ).collect()
+    )
+    # range bounds: (0, 1] = just the append; (1, 2] = just the deletes
+    assert feed(0, 1).count() == 10
+    dels = feed(1, 2)
+    assert dels.count() == 2
+    assert {r["id"] for r in dels.collect()} == {5, 105}
+    assert {r["_change_type"] for r in dels.collect()} == {"delete"}
+    # the incremental consumer loop: each commit exactly once
+    hw = -1
+    seen = 0
+    while True:
+        batch = feed(hw)
+        n = batch.count()
+        if n == 0:
+            break
+        seen += n
+        hw = batch.agg(F.max("_commit_version")).first()[0]
+    assert seen == 52 and hw == 2
+    # guards: inverted range and rewrite commits stay loud
+    with pytest.raises(Exception, match="from_version"):
+        feed(3, 1).count()
+    txlog.optimize(spark, table)  # nets to zero in the feed
+    assert feed(2).count() == 0
+    txlog.delete_where(spark, table, "id < 2", mode="cow")
+    with pytest.raises(Exception, match="rewrite|ChangeFeedReader"):
+        feed(2).count()
+    # ...but a range that STOPS before the rewrite still reads fine
+    assert feed(0, 2).count() == 12
