@@ -558,7 +558,15 @@ def _plan_change_partitions(
                 ".option('change_feed', 'true') for row-level "
                 "changes, or consume with ChangeFeedReader"
             )
-        if added and removed:
+        if added and removed and m.get("op") != "overwrite":
+            # cow merge/delete/restore replace files whose rewrites
+            # CARRY surviving rows — netting those to zero needs the
+            # cross-file multiset cancellation only read_changes does.
+            # An OVERWRITE commit is exempt: it replaces the table
+            # wholesale, so every removed live row IS a delete and
+            # every added row IS an insert — exactly Delta's CDF
+            # semantics for INSERT OVERWRITE (full delete+insert sets,
+            # no cancellation of incidentally-identical rows).
             raise RuntimeError(
                 f"rewrite commit at version {v} of {root} "
                 f"(op={m.get('op')!r}): per-file planning cannot "

@@ -382,3 +382,58 @@ def test_batch_change_feed_read(spark, table, tmp_path):
         feed(2).count()
     # ...but a range that STOPS before the rewrite still reads fine
     assert feed(0, 2).count() == 12
+
+
+def test_change_feed_overwrite_delivers_replace(spark, table, tmp_path):
+    """An OVERWRITE commit flows through the change feed as the full
+    delete+insert pair set (Delta's CDF-on-INSERT-OVERWRITE
+    semantics): every pre-overwrite live row deletes, every new row
+    inserts, one commit version - no carried rows exist, so per-file
+    planning is exact. Works identically through the streaming source
+    and the batch change-feed read; the append feed still refuses."""
+    txlog.delete_where(spark, table, "id IN (1, 2)", mode="dv")  # v1
+    txlog_source.register(spark)
+    (
+        spark.range(1000, 1005)
+        .select("id", (F.col("id") % 4).alias("p"), F.lit(0).alias("val"))
+        .write.format("txlog")
+        .option("path", table)
+        .mode("overwrite")  # v2
+        .save()
+    )
+    got = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("change_feed", "true")
+        .option("from_version", "1")
+        .load()
+    )
+    dels = got.where("_change_type = 'delete'")
+    ins = got.where("_change_type = 'insert'")
+    assert dels.count() == 38  # 40 created - 2 already dv-dead
+    assert dels.where("id IN (1, 2)").count() == 0  # dead rows don't re-delete
+    assert ins.count() == 5
+    assert {r["id"] for r in ins.collect()} == set(range(1000, 1005))
+    assert got.select("_commit_version").distinct().first()[0] == 2
+    # streaming form: same rows via readStream + change_feed
+    sgot = _drain(
+        spark,
+        table,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        "ow",
+        change_feed="true",
+        starting_version="1",
+    )
+    assert sgot.count() == 43
+    assert sgot.where("_change_type = 'delete'").count() == 38
+    # the append feed still refuses an overwrite (non-append change)
+    with pytest.raises(Exception, match="non-append|APPEND feed"):
+        _drain(
+            spark,
+            table,
+            str(tmp_path / "ck2"),
+            str(tmp_path / "out2"),
+            "ow2",
+            starting_version="1",
+        )
