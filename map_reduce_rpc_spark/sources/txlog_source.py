@@ -468,6 +468,7 @@ def _plan_change_partitions(
     schema_json: str,
     mapping: dict,
     change_feed: bool,
+    partitions: dict | None = None,
 ) -> list[TxCDFPartition]:
     """Plan the change partitions for the commit range ``(s, e]`` —
     shared by the STREAMING source (per micro-batch) and the BATCH
@@ -549,6 +550,24 @@ def _plan_change_partitions(
                         dv_grown[rel] = sorted(n_ - o)
         parent_dv = prev_dv
         prev, prev_dv = cur_files, cur_dv
+        if partitions:
+            # per-partition consumers pay only their partition's
+            # changes (read_changes' partitions= contract): each
+            # commit's touched-file lists are path-pruned BEFORE the
+            # feed-mode guards and any read — exact because a file
+            # holds exactly one partition tuple, and changes confined
+            # to filtered-out partitions must not raise for a consumer
+            # that declared them out of scope
+            added = txlog._prune_partitions(root, added, partitions)
+            removed = txlog._prune_partitions(root, removed, partitions)
+            keep_dv = set(
+                txlog._prune_partitions(
+                    root, sorted(dv_grown), partitions
+                )
+            )
+            dv_grown = {
+                rel: pos for rel, pos in dv_grown.items() if rel in keep_dv
+            }
         if m.get("op") == "optimize":
             continue  # dataChange=false: net zero by construction
         if not change_feed and (removed or dv_grown):
@@ -672,12 +691,14 @@ class TxLogCDFReader(DataSourceReader):
         to_version: int,
         schema_json: str,
         mapping: dict | None,
+        partition_filter: dict | None = None,
     ):
         self.root = root
         self.from_version = int(from_version)
         self.to_version = int(to_version)
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
+        self.partition_filter = partition_filter or None
 
     def partitions(self) -> list[TxCDFPartition]:
         return _plan_change_partitions(
@@ -691,6 +712,7 @@ class TxLogCDFReader(DataSourceReader):
             self.schema_json,
             self.mapping,
             change_feed=True,
+            partitions=self.partition_filter,
         )
 
     def read(self, partition: TxCDFPartition):
@@ -755,6 +777,8 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("max_versions_per_trigger must be >= 1")
+        pf = options.get("partition_filter")
+        self.partition_filter = json.loads(pf) if pf else None
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -801,6 +825,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             self.schema_json,
             self.mapping,
             self.change_feed,
+            partitions=self.partition_filter,
         )
 
     def read(self, partition: TxCDFPartition):
@@ -1236,8 +1261,14 @@ class TxLogDataSource(DataSource):
                 raise ValueError(
                     f"txlog table at {root} predates schema recording"
                 )
+            pf = self.options.get("partition_filter")
             return TxLogCDFReader(
-                root, frm, to_v, sj, txlog._mapping_at(root, to_v)
+                root,
+                frm,
+                to_v,
+                sj,
+                txlog._mapping_at(root, to_v),
+                json.loads(pf) if pf else None,
             )
         if self._history():
             from . import txlog

@@ -437,3 +437,59 @@ def test_change_feed_overwrite_delivers_replace(spark, table, tmp_path):
             "ow2",
             starting_version="1",
         )
+
+
+def test_change_feed_partition_filter(spark, table, tmp_path):
+    """partition_filter on the change feed (read_changes' partitions=
+    contract through the format name): a per-partition consumer pays
+    ONLY its partition's changes — planned file lists are path-pruned
+    before the feed-mode guards, so deletes confined to OTHER
+    partitions neither deliver nor raise, batch and streaming alike."""
+    txlog.append(  # v1: rows in all partitions
+        spark,
+        table,
+        spark.range(100, 120).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("val")
+        ),
+    )
+    # v2: dv delete confined to partition p=1 (ids 1 mod 4)
+    txlog.delete_where(spark, table, "id IN (5, 13, 105)", mode="dv")
+
+    def feed(pf, **extra):
+        r = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("change_feed", "true")
+            .option("from_version", "-1")
+            .option("partition_filter", pf)
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    got = feed('{"p": [1]}')
+    assert got.where("p != 1").count() == 0
+    # 10 created + 5 appended inserts in p=1, 3 dv deletes (all p=1)
+    assert got.where("_change_type = 'insert'").count() == 15
+    dels = got.where("_change_type = 'delete'")
+    assert {r["id"] for r in dels.collect()} == {5, 13, 105}
+    # a consumer of p=2 sees NO deletes at all — and doesn't raise
+    got2 = feed('{"p": [2]}')
+    assert got2.where("_change_type = 'delete'").count() == 0
+    assert got2.count() == 15
+    # the APPEND feed scoped away from the deletes doesn't raise either
+    sgot = _drain(
+        spark,
+        table,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        "pf1",
+        partition_filter='{"p": [2]}',
+    )
+    assert sgot.count() == 15
+    assert {r["p"] for r in sgot.select("p").distinct().collect()} == {2}
+    # ...but the UNfiltered append feed still refuses the delete
+    with pytest.raises(Exception, match="non-append|APPEND feed"):
+        _drain(
+            spark, table, str(tmp_path / "ck2"), str(tmp_path / "out2"), "pf2"
+        )
