@@ -561,3 +561,52 @@ def test_partitioned_writer_caps_open_files(spark, tmp_path, monkeypatch):
     assert by_p == {p: 30 for p in range(10)}
     # pruning still works on the rolled layout
     assert txlog.read_table(spark, root, partitions={"p": 3}).count() == 30
+
+
+def test_library_feed_and_vacuum_across_overwrite(spark, plain_table):
+    """The library surfaces compose with the DataSource's overwrite
+    commit: read_changes nets an overwrite to delete(all old live) +
+    insert(all new) WITH multiset cancellation of identical rows (one
+    row is written back verbatim here and must vanish from the feed —
+    the cancellation the per-file CDF readers document as their
+    difference), history() records the op, and vacuum(retain_versions=1)
+    reclaims every buried file while the current snapshot keeps
+    reading."""
+    import os
+
+    txlog.delete_where(spark, plain_table, "id >= 90", mode="dv")  # v1
+    # v2: overwrite = 5 fresh rows + ONE row identical to a live old row
+    (
+        spark.range(500, 505)
+        .select("id", F.lit(7).alias("bucket"))
+        .unionByName(
+            spark.range(3, 4).select("id", (F.col("id") % 10).alias("bucket"))
+        )
+        .write.format("txlog")
+        .option("path", plain_table)
+        .mode("overwrite")
+        .save()
+    )
+    feed = txlog.read_changes(spark, plain_table, 1)
+    dels = feed.where("_change_type = 'delete'")
+    ins = feed.where("_change_type = 'insert'")
+    # 90 live old rows, minus the carried-identical (3,3) pair that
+    # cancels; 6 new rows minus the same pair
+    assert dels.count() == 89 and ins.count() == 5
+    assert dels.where("id = 3").count() == 0
+    assert ins.where("id = 3").count() == 0
+    hist = txlog.history(spark, plain_table).orderBy("version").collect()
+    assert [r["op"] for r in hist] == ["create", "delete", "overwrite"]
+    # vacuum reclaims the buried generation (age-ignored: the old
+    # files ARE manifest-referenced, just out of retention)
+    removed = txlog.vacuum(plain_table, retain_versions=1)
+    assert len(removed) > 0
+    got = txlog.read_table(spark, plain_table)
+    assert got.count() == 6
+    assert got.where("bucket = 7").count() == 5
+    for rel in removed:
+        assert not os.path.exists(os.path.join(plain_table, rel))
+    # time travel to the buried generation now fails mid-scan (the
+    # documented Delta VACUUM hazard), never silently half-reads
+    with pytest.raises(Exception):  # noqa: B017 — files gone
+        txlog.read_table(spark, plain_table, version=0).count()
