@@ -773,6 +773,8 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.mapping = mapping or {"map": {}, "retired": []}
         self.change_feed = change_feed
         self.starting = int(options.get("starting_version", -1))
+        if self.starting < -1:
+            raise ValueError("starting_version must be >= -1")
         mv = options.get("max_versions_per_trigger")
         self.max_versions = int(mv) if mv is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -1221,9 +1223,15 @@ class TxLogDataSource(DataSource):
             # predate the current snapshot's
             from . import txlog
 
+            root = self.options.get("path")
+            # clamp so an out-of-range to_version fails in reader()
+            # with the range error, not a raw manifest miss here
             sj = txlog._schema_json_at(
-                self.options.get("path"),
-                int(self.options.get("to_version")),
+                root,
+                min(
+                    int(self.options.get("to_version")),
+                    txlog.current_version(root),
+                ),
             )
         else:
             _v, sj, _mp = self._resolve()
@@ -1244,15 +1252,13 @@ class TxLogDataSource(DataSource):
 
             root = self.options.get("path")
             to_v = self.options.get("to_version")
-            to_v = (
-                int(to_v)
-                if to_v is not None
-                else txlog.current_version(root)
-            )
+            cur = txlog.current_version(root)
+            to_v = int(to_v) if to_v is not None else cur
             frm = int(self.options.get("from_version", -1))
-            if frm > to_v:
+            if not (-1 <= frm <= to_v <= cur):
                 raise ValueError(
-                    f"from_version {frm} > to_version {to_v}"
+                    f"change-feed range ({frm}, {to_v}] outside "
+                    f"[-1, {cur}] for {root}"
                 )
             # the feed's output schema binds AT to_version — every
             # commit in range is at-or-before it (decode-safe history)

@@ -372,9 +372,13 @@ def test_batch_change_feed_read(spark, table, tmp_path):
         seen += n
         hw = batch.agg(F.max("_commit_version")).first()[0]
     assert seen == 52 and hw == 2
-    # guards: inverted range and rewrite commits stay loud
-    with pytest.raises(Exception, match="from_version"):
+    # guards: inverted/out-of-range bounds and rewrite commits stay loud
+    with pytest.raises(Exception, match="outside"):
         feed(3, 1).count()
+    with pytest.raises(Exception, match="outside"):
+        feed(-5).count()
+    with pytest.raises(Exception, match="outside"):
+        feed(0, 99).count()
     txlog.optimize(spark, table)  # nets to zero in the feed
     assert feed(2).count() == 0
     txlog.delete_where(spark, table, "id < 2", mode="cow")
