@@ -56,41 +56,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     OLDEST last-driver-certified round, oldest first, until the 50
     slots are full.
 
-    ROTATION LEDGER (from CORRECTNESS_r01-r12; zero reds since round 2
+    ROTATION LEDGER (from CORRECTNESS_r01-r13; zero reds since round 2
     — the 11 round-1 entries were bootstrap environment errors, fixed
-    in round 2. Round 12 executed its intended window exactly —
-    verified key-for-key by the round-12 verdict: wordcount + the 6
-    round-12 registrations + the 8 r6-cohort leftovers + the first 35
-    of the r7-certified cohort):
+    in round 2. Round 13 executed its intended window exactly —
+    verified key-for-key by the round-13 verdict: wordcount + the 4
+    round-13 registrations + the 14 r7-cohort leftovers + the first
+    31 of the r9-certified cohort, 50/50 green):
 
-      round-13 window (THIS round, executed below) = wordcount
-        + the 4 NEW round-13 registrations
-          (txlog_sql_partitioned_orders — hive-partitioned writes
-          through df.write.format("txlog") + the cache-safe
-          partition_filter pruned read; txlog_sql_overwrite_orders —
-          mode("overwrite") as ONE atomic full-manifest replace
-          commit burying the prior dv; txlog_zorder_dv_revenue —
-          OPTIMIZE ZORDER composed through a dv-carrying snapshot
-          (vectors materialize, both dimensions prune);
-          stream_txlog_cdf_source — the change feed consumed via
-          spark.readStream.format("txlog"), Spark's offset log as the
-          version cursor, sharing the incremental-dedup oracle)
-        + the 14 r7-cohort leftovers (returnflag_measures_unpivot ...
-          triangle_count_suppliers — the oldest cohort, now fully
+      round-14 window (THIS round, executed below) = wordcount
+        + the 3 NEW round-14 registrations
+          (txlog_update_orders — UPDATE, the last DML verb of the
+          Delta triad, certified in BOTH modes on one chain: a cow
+          update rewriting only matched files then a dv update
+          vectoring old images and appending new ones;
+          txlog_update_cdf — the change feed across both UPDATE
+          modes, delete(old image)+insert(new image) pairs with the
+          v2 old images reflecting v1's change, same oracle shape as
+          dv_cdf_orders; stream_txlog_append_source — the APPEND feed
+          via spark.readStream.format("txlog") without change_feed,
+          the non-CDF sibling of stream_txlog_cdf_source, so both
+          stream-source feed modes are driver-certified)
+        + the 18 r9-cohort leftovers (lm_quality_mix_sample ...
+          token_counts — the oldest remaining cohort, now fully
           rotated)
-        + the first 31 of the r9-certified cohort
-          (hdr_quantile_rollup_values ... retention_cohorts)
-        = exactly 50 (1 + 4 + 14 + 31).
-      round-14 window = wordcount + round-14 registrations + the 18
-          r9-cohort leftovers (lm_quality_mix_sample ... token_counts),
-          then the r10-certified cohort head until full.
-      round-15+ = the r10 remainder, then the r11-certified cohort,
-          then the r12-certified cohort (the 6 round-12 registrations
-          + the 8 r6 re-certs + the 35 r7 re-certs), then the
-          r13-certified cohort, stalest first, forever.
+        + the first 28 of the r10-certified cohort
+          (merge_upsert_orders ... ngram_jaccard_dups)
+        = exactly 50 (1 + 3 + 18 + 28).
+      round-15 window = wordcount + round-15 registrations + the 21
+          r10-cohort leftovers (order_price_percentiles ...
+          stream_static_hourly), then the r11-certified cohort head
+          until full.
+      round-16+ = the r11 remainder, then the r12-certified cohort
+          (the 6 round-12 registrations + the 8 r6 re-certs + the 35
+          r7 re-certs), then the r13-certified cohort (the 4 round-13
+          registrations + the 14 r7 re-certs + the 31 r9 re-certs),
+          then the r14-certified cohort, stalest first, forever.
 
-    With 215 queries and 50 slots every query is certified at least
-    once per ceil(215/50) = 5 rounds, and every query — window or
+    With 218 queries and 50 slots every query is certified at least
+    once per ceil(218/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -100,66 +103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # ===== round-13 window slot 1: flagship parity sentinel =====
+        # ===== round-14 window slot 1: flagship parity sentinel =====
         "wordcount": parity.wordcount,
-        # ===== round-13 window: NEW round-13 registrations =====
-        "txlog_sql_partitioned_orders": (
-            relational.txlog_sql_partitioned_orders
-        ),
-        "txlog_sql_overwrite_orders": relational.txlog_sql_overwrite_orders,
-        "txlog_zorder_dv_revenue": relational.txlog_zorder_dv_revenue,
-        "stream_txlog_cdf_source": textops.stream_txlog_cdf_source,
-        # ===== round-13 window: r7-cohort leftovers (certified r7 —
-        # the oldest cohort, now fully rotated) =====
-        "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
-        "semantic_dedup": vectors.semantic_dedup,
-        "simhash_dups": textops.simhash_dups,
-        "snapshot_diff_orders": relational.snapshot_diff_orders,
-        "srp_near_dups": vectors.srp_near_dups,
-        "stream_click_attribution": streams.stream_click_attribution,
-        "stream_click_purchase_full": streams.stream_click_purchase_full,
-        "stream_dedup_events": streams.stream_dedup_events,
-        "stream_events_etl": streams.stream_events_etl,
-        "stream_purchase_click_join": streams.stream_purchase_click_join,
-        "stream_session_stats": streams.stream_session_stats,
-        "supplier_balance_rank": relational.supplier_balance_rank,
-        "top_customers_by_revenue": relational.top_customers_by_revenue,
-        "triangle_count_suppliers": relational.triangle_count_suppliers,
-        # ===== round-13 window: r9-certified cohort head (31 of 49;
-        # completes the 50 slots) =====
-        "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
-        "avro_events_roundtrip": parity.avro_events_roundtrip,
-        "mad_outlier_days": events.mad_outlier_days,
-        "user_latest_state": events.user_latest_state,
-        "bfs_hops_suppliers": relational.bfs_hops_suppliers,
-        "skipgram_cooc_topk": textops.skipgram_cooc_topk,
-        "bm25_search_topk": textops.bm25_search_topk,
-        "doc_outlier_embeddings": vectors.doc_outlier_embeddings,
-        "cross_split_contamination": textops.cross_split_contamination,
-        "stream_hdr_quantiles": streams.stream_hdr_quantiles,
-        "bpe_pair_counts": textops.bpe_pair_counts,
-        "user_sessions_skewproof": events.user_sessions_skewproof,
-        "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
-        "classifier_quality_scores": textops.classifier_quality_scores,
-        "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
-        "trigram_lm_scores": textops.trigram_lm_scores,
-        "boilerplate_ratio": textops.boilerplate_ratio,
-        "ann_filtered_topk": vectors.ann_filtered_topk,
-        "collocation_pmi": textops.collocation_pmi,
-        "bpe_learn_merges": textops.bpe_learn_merges,
-        "pca_power_pc1": vectors.pca_power_pc1,
-        "kcore_suppliers": relational.kcore_suppliers,
-        "keyword_search_topk": textops.keyword_search_topk,
-        "label_prop_communities": relational.label_prop_communities,
-        "split_token_drift": sampling.split_token_drift,
-        "decontaminate_fuzzy": textops.decontaminate_fuzzy,
-        "ppr_supplier_recs": relational.ppr_supplier_recs,
-        "covisitation_lift": events.covisitation_lift,
-        "ann_mmr_topk": vectors.ann_mmr_topk,
-        "events_hourly_interp": events.events_hourly_interp,
-        "retention_cohorts": events.retention_cohorts,
-        # ================= end of the 50-slot checked window =================
-        # ----- r9-certified cohort remainder (round-14 window head) -----
+        # ===== round-14 window: NEW round-14 registrations =====
+        "txlog_update_orders": relational.txlog_update_orders,
+        "txlog_update_cdf": relational.txlog_update_cdf,
+        "stream_txlog_append_source": textops.stream_txlog_append_source,
+        # ===== round-14 window: r9-cohort leftovers (certified r9 —
+        # the oldest remaining cohort, now fully rotated) =====
         "lm_quality_mix_sample": textops.lm_quality_mix_sample,
         "repeated_spans": textops.repeated_spans,
         "dpp_quarter_revenue": relational.dpp_quarter_revenue,
@@ -178,7 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": sampling.split_assign,
         "stratified_sample": sampling.stratified_sample,
         "token_counts": textops.token_counts,
-        # ----- round-10-certified cohort (round 14/15) -----
+        # ===== round-14 window: r10-certified cohort head (28 of 49;
+        # completes the 50 slots) =====
         "merge_upsert_orders": relational.merge_upsert_orders,
         "cdf_order_changes": relational.cdf_order_changes,
         "optimize_orders_compaction": relational.optimize_orders_compaction,
@@ -209,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": events.hypertable_rollup,
         "inverted_index": parity.inverted_index,
         "ngram_jaccard_dups": textops.ngram_jaccard_dups,
+        # ================= end of the 50-slot checked window =================
+        # ----- r10-certified cohort remainder (round-15 window head) -----
         "order_price_percentiles": relational.order_price_percentiles,
         "pack_sequences": sampling.pack_sequences,
         "parts_top3_per_brand": relational.parts_top3_per_brand,
@@ -336,6 +290,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q8_market_share": relational.q8_market_share,
         "quality_filter": textops.quality_filter,
+        # ----- round-13-certified cohort (freshest; round 17/18):
+        # the 4 round-13 registrations + the 14 r7 re-certs + the 31
+        # r9 re-certs -----
+        "txlog_sql_partitioned_orders": (
+            relational.txlog_sql_partitioned_orders
+        ),
+        "txlog_sql_overwrite_orders": relational.txlog_sql_overwrite_orders,
+        "txlog_zorder_dv_revenue": relational.txlog_zorder_dv_revenue,
+        "stream_txlog_cdf_source": textops.stream_txlog_cdf_source,
+        "returnflag_measures_unpivot": relational.returnflag_measures_unpivot,
+        "semantic_dedup": vectors.semantic_dedup,
+        "simhash_dups": textops.simhash_dups,
+        "snapshot_diff_orders": relational.snapshot_diff_orders,
+        "srp_near_dups": vectors.srp_near_dups,
+        "stream_click_attribution": streams.stream_click_attribution,
+        "stream_click_purchase_full": streams.stream_click_purchase_full,
+        "stream_dedup_events": streams.stream_dedup_events,
+        "stream_events_etl": streams.stream_events_etl,
+        "stream_purchase_click_join": streams.stream_purchase_click_join,
+        "stream_session_stats": streams.stream_session_stats,
+        "supplier_balance_rank": relational.supplier_balance_rank,
+        "top_customers_by_revenue": relational.top_customers_by_revenue,
+        "triangle_count_suppliers": relational.triangle_count_suppliers,
+        "hdr_quantile_rollup_values": events.hdr_quantile_rollup_values,
+        "avro_events_roundtrip": parity.avro_events_roundtrip,
+        "mad_outlier_days": events.mad_outlier_days,
+        "user_latest_state": events.user_latest_state,
+        "bfs_hops_suppliers": relational.bfs_hops_suppliers,
+        "skipgram_cooc_topk": textops.skipgram_cooc_topk,
+        "bm25_search_topk": textops.bm25_search_topk,
+        "doc_outlier_embeddings": vectors.doc_outlier_embeddings,
+        "cross_split_contamination": textops.cross_split_contamination,
+        "stream_hdr_quantiles": streams.stream_hdr_quantiles,
+        "bpe_pair_counts": textops.bpe_pair_counts,
+        "user_sessions_skewproof": events.user_sessions_skewproof,
+        "bloom_pruned_urgent_revenue": relational.bloom_pruned_urgent_revenue,
+        "classifier_quality_scores": textops.classifier_quality_scores,
+        "hll_sketch_rollup_users": events.hll_sketch_rollup_users,
+        "trigram_lm_scores": textops.trigram_lm_scores,
+        "boilerplate_ratio": textops.boilerplate_ratio,
+        "ann_filtered_topk": vectors.ann_filtered_topk,
+        "collocation_pmi": textops.collocation_pmi,
+        "bpe_learn_merges": textops.bpe_learn_merges,
+        "pca_power_pc1": vectors.pca_power_pc1,
+        "kcore_suppliers": relational.kcore_suppliers,
+        "keyword_search_topk": textops.keyword_search_topk,
+        "label_prop_communities": relational.label_prop_communities,
+        "split_token_drift": sampling.split_token_drift,
+        "decontaminate_fuzzy": textops.decontaminate_fuzzy,
+        "ppr_supplier_recs": relational.ppr_supplier_recs,
+        "covisitation_lift": events.covisitation_lift,
+        "ann_mmr_topk": vectors.ann_mmr_topk,
+        "events_hourly_interp": events.events_hourly_interp,
+        "retention_cohorts": events.retention_cohorts,
         # NOT registered: streams.stream_tws_sessions (Spark 4
         # transformWithStateInPandas). Its state protocol needs the
         # python protobuf runtime, permanently absent in this

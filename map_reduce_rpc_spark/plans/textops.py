@@ -4017,3 +4017,104 @@ def stream_txlog_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXTOPS_ORACLES["stream_txlog_cdf_source"] = TEXTOPS_ORACLES[
     "incremental_dedup_manifest"
 ]
+
+
+def stream_txlog_append_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND feed consumed through the format name (round-13
+    verdict item 8 — the non-CDF sibling of stream_txlog_cdf_source,
+    so BOTH feed modes of ``spark.readStream.format("txlog")`` are
+    driver-certified): the same cached two-commit documents txlog
+    (evens v0, odds v1), streamed WITHOUT ``change_feed`` — plain
+    table rows, no ``_change_type``/``_commit_version`` columns, the
+    mode whose planner raises toward ChangeFeedReader on any
+    non-append commit. The foreachBatch sink parquet-appends each
+    micro-batch, the final aggregate dedupes by doc_id first (a
+    redelivered batch must not double-count), and the oracle is the
+    plain batch aggregate over documents — streamed == batch, per
+    parity so both commits' arrivals are pinned separately. Output:
+    (parity, n_docs, sum_ids, sum_text_len)."""
+    import glob
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from ..sources import txlog, txlog_source
+    from ..streaming import core
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "docs_tx")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        txlog.create_table(
+            spark, root, docs.where("doc_id % 2 = 0").repartition(8)
+        )
+        txlog.append(spark, root, docs.where("doc_id % 2 = 1"))
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    # the SAME cached source table as stream_txlog_cdf_source — one
+    # chain certifies both feed modes
+    base_dir = derived_cache_dir(sf_dir, "txlog_cdf_docs", ("documents",), build)
+    root = os.path.join(base_dir, "docs_tx")
+    txlog_source.register(spark)
+
+    tag = hashlib.md5(f"stxapp:{sf_dir}".encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_stxapp_{tag}_*"):
+        m = re.search(r"_(\d+)$", stale)
+        if m and int(m.group(1)) != os.getpid() and not os.path.exists(
+            f"/proc/{m.group(1)}"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+    path = f"/tmp/spark_graft_stxapp_{tag}_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    store = os.path.join(path, "store")
+    ckpt = os.path.join(path, "ckpt")
+
+    def sink(rows: DataFrame, _bid: int) -> None:
+        rows.select("doc_id", F.length("text").alias("text_len")).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        core.EXECUTED_PLANS.append(
+            ("stream_txlog_append_source", q._jsq.explainInternal(True))
+        )
+        del core.EXECUTED_PLANS[: -core._EXECUTED_PLANS_MAX]
+    except Exception:
+        pass  # py4j surface drift must not fail the query itself
+    return (
+        spark.read.parquet(store)
+        .dropDuplicates(["doc_id"])
+        .groupBy((F.col("doc_id") % 2).cast("long").alias("parity"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+        )
+        .orderBy("parity")
+    )
+
+
+TEXTOPS_ORACLES["stream_txlog_append_source"] = """
+    SELECT CAST(doc_id % 2 AS BIGINT) AS parity,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY 1
+    ORDER BY parity
+"""

@@ -126,6 +126,27 @@ DEFAULT_CHECKPOINT_EVERY = 20
 # parse. Below it, inline JSON keeps small tables single-file simple.
 SIDECAR_MIN_FILES = 20_000
 
+# Reader-feature gating (round-14, the Delta minReaderVersion /
+# readerFeatures answer): every commit records the set of format
+# features a reader MUST understand to reconstruct that snapshot
+# correctly, and every manifest read checks it against this build's
+# known set. Without the gate, an older build of this library (or a
+# third-party reader of the format) silently IGNORES unknown manifest
+# keys — a pre-deletion-vector reader skips m["dv"] and RESURRECTS
+# deleted rows; a pre-mapping reader decodes physical column names as
+# logical ones. Sticky per table: once a snapshot requires a feature,
+# every later manifest carries it (history still binds per-manifest,
+# so time travel to a pre-feature version never over-requires).
+_KNOWN_READER_FEATURES = frozenset(
+    {
+        "deletion_vectors",  # dv sidecars hide rows in-place
+        "column_mapping",  # physical<->logical name indirection
+        "partitioning",  # hive path dirs carry dropped columns
+        "file_sidecar",  # file list/stats/dv spilled to parquet
+        "overwrite",  # full-manifest wholesale replace commits
+    }
+)
+
 # The storage backend for the COMMIT primitive (atomic claim + full-
 # bytes publish), the post-publish durability barrier, and CLONE's
 # zero-copy file share — everything else in this module is plain reads
@@ -196,7 +217,7 @@ def _read_manifest_keyed(path: str, mtime_ns: int, size: int) -> dict:
 @_lru_cache(maxsize=None)
 def _manifest_meta_keyed(
     path: str, mtime_ns: int, size: int
-) -> tuple[float, bool, str | None]:
+) -> tuple[float, bool, str | None, tuple[str, ...]]:
     """(commit ts, is_full, column-mapping JSON or None) for one
     immutable manifest — the few-dozen-byte subset the per-version
     driver WALKS need (version_at_timestamp, vacuum's retain-hours
@@ -212,13 +233,40 @@ def _manifest_meta_keyed(
         float(m.get("ts", 0)),
         "files" in m or "files_ref" in m,
         json.dumps(cm, sort_keys=True) if cm is not None else None,
+        tuple(m.get("required_features", ())),
     )
 
 
 def _manifest_meta(root: str, version: int) -> tuple[float, bool, str | None]:
     p = _manifest_path(root, version)
     st = os.stat(p)
-    return _manifest_meta_keyed(p, st.st_mtime_ns, st.st_size)
+    ts, full, cm, req = _manifest_meta_keyed(p, st.st_mtime_ns, st.st_size)
+    # metadata walks gate too: _mapping_at resolving a mapping it does
+    # not understand is the same silent-corruption class as row reads
+    _check_reader_features(
+        {"required_features": req}, f"v{version} of {root}"
+    )
+    return ts, full, cm
+
+
+def _check_reader_features(m: dict, where: str) -> None:
+    """Refuse to bind a snapshot whose manifest requires a format
+    feature this build does not know — the loud-failure half of the
+    feature-gating contract (the write half is _commit_version
+    recording ``required_features``). Checked OUTSIDE the manifest
+    cache so a reader downgrade (or a test shrinking the known set)
+    takes effect immediately; a set difference per read is noise."""
+    req = m.get("required_features")
+    if req:
+        unknown = sorted(set(req) - _KNOWN_READER_FEATURES)
+        if unknown:
+            raise RuntimeError(
+                f"manifest {where} requires reader features "
+                f"{unknown} this build does not support (knows "
+                f"{sorted(_KNOWN_READER_FEATURES)}); reading anyway "
+                "would silently corrupt results (e.g. resurrect "
+                "deletion-vectored rows) — upgrade the reader"
+            )
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -230,7 +278,9 @@ def _read_manifest(root: str, version: int) -> dict:
     path). Callers must treat the returned dict as read-only."""
     p = _manifest_path(root, version)
     st = os.stat(p)
-    return _read_manifest_keyed(p, st.st_mtime_ns, st.st_size)
+    m = _read_manifest_keyed(p, st.st_mtime_ns, st.st_size)
+    _check_reader_features(m, f"v{version} of {root}")
+    return m
 
 
 def _table_config(root: str) -> dict:
@@ -764,6 +814,40 @@ def _relabel_for_out(
     return df.select(cols)
 
 
+def _optimized_repartition(
+    df: DataFrame,
+    partition_by: tuple[str, ...] | list[str],
+    target_file_bytes: int,
+) -> DataFrame:
+    """Delta's 'optimized write' shuffle: repartition the frame so
+    each write task produces ~target-size parquet files INSTEAD of
+    whatever the upstream task layout happens to be — the at-write
+    answer to small files (a high-frequency ingest otherwise leans on
+    OPTIMIZE cadence to repair 10^4 tiny appends; at 100 TB the
+    repair job is the cost you wanted to avoid). Partitioned tables
+    hash on the partition columns, so one task holds whole hive
+    directories and the per-dir file count collapses from
+    tasks x dirs to ~1 x dirs. Sizing uses Catalyst's optimizedPlan
+    sizeInBytes — an estimate (decompressed for scans, a sentinel for
+    stat-less plans), so the clamp matters more than the point value:
+    n stays within [1, 4x current partitions], and an unknown-stats
+    sentinel (>= 2^60) skips the shuffle entirely rather than
+    repartitioning to a garbage count. Opt-in (one extra shuffle)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if est <= 0 or est >= 1 << 60:
+        return df
+    n = max(1, min((est + target_file_bytes - 1) // target_file_bytes,
+                   max(cur, 1) * 4))
+    cols = [F.col(c) for c in partition_by]
+    return df.repartition(int(n), *cols) if cols else df.repartition(int(n))
+
+
 def _stage_files(
     spark: SparkSession,
     root: str,
@@ -894,6 +978,30 @@ def _commit_version(
         if op == "create"
         else _table_config(root)["checkpoint_every"]
     )
+    # reader-feature set: STICKY from the parent (a feature once
+    # required stays required — Delta's readerFeatures monotonicity),
+    # plus whatever THIS commit first uses. Tables written before the
+    # gate existed carry no list and keep reading (.get defaults).
+    feats: set[str] = (
+        set(_read_manifest(root, v_new - 1).get("required_features", []))
+        if v_new > 0
+        else set()
+    )
+    pby = (
+        extra.get("partition_by")
+        if op == "create"
+        else _table_config(root)["partition_by"]
+    )
+    if pby:
+        feats.add("partitioning")
+    if op == "overwrite":
+        feats.add("overwrite")
+    if dv_set or psnap.get("dv"):
+        feats.add("deletion_vectors")
+    if extra.get("column_mapping") or (
+        v_new > 0 and _mapping_at(root, v_new - 1) is not None
+    ):
+        feats.add("column_mapping")
     m: dict = {
         "version": v_new,
         "op": op,
@@ -960,6 +1068,12 @@ def _commit_version(
         m["add_stats"] = add_stats
         if dv_set:
             m["dv"] = dict(dv_set)
+    if "files_ref" in m:
+        feats.add("file_sidecar")
+    if m.get("column_mapping"):
+        feats.add("column_mapping")
+    if feats:
+        m["required_features"] = sorted(feats)
     return _try_commit(root, v_new, m)
 
 
@@ -1343,6 +1457,8 @@ def append(
     app_id: str | None = None,
     txn_version: int | None = None,
     merge_schema: bool = False,
+    optimized_write: bool = False,
+    target_file_bytes: int = 128 << 20,
 ) -> int:
     """Optimistically append df as new files; returns the committed
     version. Staging happens once — on conflict only the manifest
@@ -1365,7 +1481,15 @@ def append(
     WIDEN existing ones (lossless only): the commit records the
     widened schema, every earlier file reads back with NULLs /
     up-casts, and time travel before this version still shows the old
-    shape."""
+    shape.
+
+    ``optimized_write=True`` (round-14, Delta's optimizeWrite): one
+    extra shuffle sizes the staged files to ``target_file_bytes`` so
+    a high-frequency ingest stops manufacturing the small files that
+    :func:`optimize` would otherwise repair on cadence — see
+    :func:`_optimized_repartition` for the sizing contract. Off by
+    default: the shuffle is a real cost, and a batch whose task
+    layout is already right shouldn't pay it."""
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version come together")
     files: list[str] | None = None
@@ -1435,8 +1559,13 @@ def append(
                         used.add(p)
                     map_extra = {"column_mapping": mp2}
                     write_mp = mp2
+            staged_df = (
+                _optimized_repartition(aligned, pby, target_file_bytes)
+                if optimized_write
+                else aligned
+            )
             files = _stage_files(
-                spark, root, aligned, partition_by=pby, mapping=write_mp
+                spark, root, staged_df, partition_by=pby, mapping=write_mp
             )
             new_stats = _collect_stats(root, files)
             staged_schema = target
@@ -1892,6 +2021,211 @@ def delete_where(
         if ok:
             return v + 1
     raise RuntimeError(f"delete lost {max_retries} commit races at {root}")
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    set: dict[str, str],
+    predicate: str,
+    max_retries: int = 20,
+    mode: str = "cow",
+) -> int:
+    """UPDATE: rewrite the rows matching the SQL ``predicate`` with
+    ``set`` (column name -> SQL expression, evaluated against the
+    matched row — ``{"o_comment": "upper(o_comment)"}``) as ONE atomic
+    version; returns the committed version. The last DML verb of the
+    Delta triad (DELETE :func:`delete_where`, MERGE :func:`merge`,
+    UPDATE here) — without it a set-columns-where rewrite needs a
+    hand-rolled merge against a self-scan. Reference: N/A (the Go
+    engine mutates nothing, SURVEY §2.4); semantics follow Delta's
+    UPDATE.
+
+    ``mode="cow"`` (default): the victim probe is ONE job — the live
+    snapshot scanned once (parquet predicate pushdown applies; a
+    partition-column predicate prunes directories inside that scan),
+    distinct file names back to the driver. Only files CONTAINING a
+    match are rewritten, in one combined job that applies the set
+    expressions under ``CASE WHEN predicate`` so unmatched rows in a
+    touched file carry byte-identical; clean files carry over by
+    reference. At 100 TB the cost is the matched rows' file spread,
+    never the table.
+
+    ``mode="dv"`` (merge-on-read): NO file is rewritten — the matched
+    LIVE rows' (file, position) pairs union into each touched file's
+    deletion vector (one probe job, O(matched rows) driver memory) and
+    the UPDATED images of exactly those rows append as new files, the
+    same commit shape as dv MERGE. The point-update answer for a hot
+    predicate over a cold 100 TB table; OPTIMIZE materializes the
+    vectors on compaction cadence. Wholesale updates should stay cow.
+
+    Both modes observe existing vectors (a dv-deleted row can neither
+    match nor resurrect through the rewrite), re-validate CHECK
+    constraints against the post-update rows, type-check every set
+    expression against the column's declared type (lossless casts
+    only — an expression that would narrow fails loudly), and surface
+    in the change feed as the standard delete+insert pair per updated
+    row with carried rows cancelling exactly (cow) or never read (dv).
+    Updating a PARTITION column is allowed and moves the row's file to
+    the new hive directory (both modes re-stage through the table's
+    ``partition_by``). On a commit conflict the update re-probes and
+    re-stages against the new snapshot — a logical op, like DELETE."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+    if not set:
+        raise ValueError("update_where needs at least one SET column")
+    for _ in range(max_retries):
+        v = current_version(root)
+        psnap = snapshot_info(root, v)
+        schema = _snapshot_schema(spark, root, v)
+        known = schema.fieldNames()
+        missing = [c for c in set if c not in known]
+        if missing:
+            raise ValueError(
+                f"SET targets {missing} are not columns of {root} "
+                f"(schema: {known})"
+            )
+        cons = dict(_read_manifest(root, v).get("constraints", {}))
+        dv_idx = _dv_indexes(root, psnap.get("dv", {}))
+        mp = _mapping_at(root, v)
+        pby = _table_config(root)["partition_by"]
+        cond = F.expr(predicate)
+
+        def _updated_cols(prefix_when: bool):
+            # the post-update row image: SET expressions cast back to
+            # the column's DECLARED type — lossless only, validated
+            # below via _merge_struct, then pinned by _align_df
+            return [
+                (
+                    (
+                        F.when(cond, F.expr(set[f.name]))
+                        .otherwise(F.col(f.name))
+                        if prefix_when
+                        else F.expr(set[f.name])
+                    ).alias(f.name)
+                    if f.name in set
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+
+        if mode == "dv":
+            dv_new: dict[str, list[int]] = {}
+            n_rows = 0
+            staged: list[str] = []
+            if psnap["files"]:
+                matched = _live_with_pos(
+                    spark, root, psnap["files"], schema, dv_idx, mp
+                ).where(predicate)
+                # probe job: matched positions -> cumulative vectors
+                hits = (
+                    matched.groupBy(_DV_FILE)
+                    .agg(F.collect_list(_DV_POS).alias("_pos"))
+                    .collect()
+                )
+                by_base = {
+                    os.path.basename(rel): rel for rel in psnap["files"]
+                }
+                for r in hits:
+                    rel = by_base[r[_DV_FILE]]
+                    # set literal, not the builtin: the SET-clause
+                    # parameter shadows `set` in this scope
+                    merged = {
+                        *dv_idx.get(rel, []),
+                        *(int(p) for p in r["_pos"]),
+                    }
+                    n_rows += len(r["_pos"])
+                    dv_new[rel] = sorted(merged)
+                if dv_new:
+                    # second pass over the same IMMUTABLE files: the
+                    # updated images of exactly the dv'd rows, staged
+                    # as ordinary new files
+                    updated = matched.select(*_updated_cols(False))
+                    _merge_struct(schema, updated.schema, False)
+                    updated = _align_df(updated, schema)
+                    _validate_constraints(updated, cons)
+                    staged = _stage_files(
+                        spark, root, updated, partition_by=pby, mapping=mp
+                    )
+            dv_set: dict[str, str] = {}
+            if dv_new:
+                ref = _write_dv(root, dv_new)
+                dv_set = {rel: ref for rel in dv_new}
+            ok = _commit_version(
+                root,
+                v + 1,
+                "update",
+                psnap,
+                [],
+                staged,
+                _collect_stats(root, staged),
+                dict(_read_manifest(root, v).get("txn", {})),
+                None,
+                {
+                    "predicate": predicate,
+                    "set": dict(set),
+                    "mode": "dv",
+                    "dv_rows": n_rows,
+                    "rewrote": 0,
+                    "carried": len(psnap["files"]),
+                },
+                dv_set=dv_set,
+            )
+            if ok:
+                return v + 1
+            continue
+        rewrite: list[str] = []
+        if psnap["files"]:
+            hit_names = {
+                r[_DV_FILE]
+                for r in (
+                    _live_with_pos(
+                        spark, root, psnap["files"], schema, dv_idx, mp
+                    )
+                    .where(predicate)
+                    .select(_DV_FILE)
+                    .distinct()
+                    .collect()
+                )
+            }
+            rewrite = [
+                rel
+                for rel in psnap["files"]
+                if os.path.basename(rel) in hit_names
+            ]
+        staged = []
+        if rewrite:
+            rewritten = _read_files_dv(
+                spark, root, rewrite, schema, dv_idx, mp
+            ).select(*_updated_cols(True))
+            _merge_struct(schema, rewritten.schema, False)
+            rewritten = _align_df(rewritten, schema)
+            # carried rows already satisfied the constraints at v, so
+            # a violation here can only come from an updated row
+            _validate_constraints(rewritten, cons)
+            staged = _stage_files(
+                spark, root, rewritten, partition_by=pby, mapping=mp
+            )
+        ok = _commit_version(
+            root,
+            v + 1,
+            "update",
+            psnap,
+            rewrite,
+            staged,
+            _collect_stats(root, staged),
+            dict(_read_manifest(root, v).get("txn", {})),
+            None,
+            {
+                "predicate": predicate,
+                "set": dict(set),
+                "rewrote": len(rewrite),
+                "carried": len(psnap["files"]) - len(rewrite),
+            },
+        )
+        if ok:
+            return v + 1
+    raise RuntimeError(f"update lost {max_retries} commit races at {root}")
 
 
 def optimize(

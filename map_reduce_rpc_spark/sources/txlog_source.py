@@ -871,8 +871,18 @@ def _hive_dir_value(v) -> str:
         pass
     try:
         s = txlog._hive_path_value(v)
-    except ValueError:
-        s = str(v)
+    except ValueError as e:
+        # NO str(v) fallback: a Python-repr path form ('2024-01-01
+        # 00:00:00', '1e+20') is exactly what the read/prune side
+        # refuses as un-derivable — writing it would strand the
+        # partition behind the reader's loud-error contract. Fail the
+        # write instead (round-13 ADVICE).
+        raise ValueError(
+            f"partition value {v!r} ({type(v).__name__}) has no "
+            "hive-path encoding this format's readers can re-derive; "
+            "cast the partition column to string/int/bool/date before "
+            "writing"
+        ) from e
     return quote(s if s is not None else txlog._HIVE_NULL, safe="")
 
 
@@ -881,6 +891,7 @@ def _write_task_batches(
     mapping: dict,
     partition_by: tuple[str, ...],
     iterator,
+    target_file_bytes: int = 0,
 ) -> TxFileCommit:
     """One executor task's write: stream its Arrow batches into
     uniquely-named parquet files under data/ (invisible until a
@@ -896,7 +907,18 @@ def _write_task_batches(
     oldest-opened writer closes and any later rows for its partition
     roll into a NEW uniquely-named file (more, smaller files for the
     overflow partitions; OPTIMIZE compacts them — never memory
-    growth). Shared by the batch and streaming sinks."""
+    growth). Shared by the batch and streaming sinks.
+
+    ``target_file_bytes`` > 0 (``.option("target_file_bytes", N)``,
+    round-14 optimized write) additionally ROLLS a file once its
+    accumulated Arrow batch bytes pass the target — the cap that
+    stops one hot task/partition from writing a multi-GB monster no
+    downstream split can cheaply read. Sizing is by IN-MEMORY Arrow
+    bytes (parquet compresses further), so files land at-or-under
+    target. Cross-TASK coalescing of small outputs cannot happen
+    here (each task sees only its own rows) — that is the library
+    path's ``append(optimized_write=True)`` shuffle, or a caller-side
+    repartition before ``df.write``."""
     import uuid
 
     import pyarrow as pa
@@ -904,11 +926,30 @@ def _write_task_batches(
 
     mp = mapping["map"]
     tag = uuid.uuid4().hex[:12]
-    writers: dict[str, tuple] = {}  # subdir -> (writer, rel); dict = FIFO
+    # subdir -> (writer, rel, bytes written so far); dict = FIFO
+    writers: dict[str, list] = {}
     done: list[str] = []  # rels of rolled (closed) files
     seq = 0
 
     def _sink_batch(subdir: str, batch: pa.RecordBatch) -> None:
+        # an Arrow batch larger than the target would blow straight
+        # through the roll threshold in one write (Spark hands us
+        # ~10k-row batches regardless of the target) — slice it so
+        # file sizes honor the target at sub-batch granularity
+        if (
+            target_file_bytes > 0
+            and batch.num_rows > 1
+            and batch.nbytes > target_file_bytes
+        ):
+            per = max(
+                1, (batch.num_rows * target_file_bytes) // batch.nbytes
+            )
+            for off in range(0, batch.num_rows, per):
+                _write_one(subdir, batch.slice(off, per))
+        else:
+            _write_one(subdir, batch)
+
+    def _write_one(subdir: str, batch: pa.RecordBatch) -> None:
         nonlocal seq
         if mp:
             batch = pa.RecordBatch.from_arrays(
@@ -919,19 +960,27 @@ def _write_task_batches(
         if got is None:
             if len(writers) >= _MAX_OPEN_WRITERS:
                 oldest = next(iter(writers))
-                w, rel = writers.pop(oldest)
+                w, rel, _b = writers.pop(oldest)
                 w.close()
                 done.append(rel)
             rel_dir = f"data/{subdir}" if subdir else "data"
             os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
             rel = f"{rel_dir}/part-w{tag}-{seq:05d}.parquet"
             seq += 1
-            got = (
+            got = [
                 pq.ParquetWriter(os.path.join(root, rel), batch.schema),
                 rel,
-            )
+                0,
+            ]
             writers[subdir] = got
         got[0].write_batch(batch)
+        got[2] += batch.nbytes
+        if target_file_bytes > 0 and got[2] >= target_file_bytes:
+            # target reached: roll — the NEXT batch for this
+            # partition opens a fresh uniquely-named file
+            writers.pop(subdir)
+            got[0].close()
+            done.append(got[1])
 
     try:
         for batch in iterator:
@@ -954,9 +1003,9 @@ def _write_task_batches(
                     batch.select(keep).take(pa.array(idx, type=pa.int64())),
                 )
     finally:
-        for w, _rel in writers.values():
+        for w, _rel, _b in writers.values():
             w.close()
-    return TxFileCommit(done + [rel for _w, rel in writers.values()])
+    return TxFileCommit(done + [rel for _w, rel, _b in writers.values()])
 
 
 def _commit_rels(
@@ -1063,16 +1112,22 @@ class TxLogWriter(DataSourceArrowWriter):
         mapping: dict | None,
         partition_by: tuple[str, ...],
         overwrite: bool,
+        target_file_bytes: int = 0,
     ):
         self.root = root
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
         self.partition_by = tuple(partition_by)
         self.overwrite = overwrite
+        self.target_file_bytes = int(target_file_bytes)
 
     def write(self, iterator) -> TxFileCommit:
         return _write_task_batches(
-            self.root, self.mapping, self.partition_by, iterator
+            self.root,
+            self.mapping,
+            self.partition_by,
+            iterator,
+            self.target_file_bytes,
         )
 
     def commit(self, messages) -> None:
@@ -1115,16 +1170,22 @@ class TxLogStreamWriter(DataSourceStreamArrowWriter):
         mapping: dict | None,
         partition_by: tuple[str, ...],
         app_id: str,
+        target_file_bytes: int = 0,
     ):
         self.root = root
         self.schema_json = schema_json
         self.mapping = mapping or {"map": {}, "retired": []}
         self.partition_by = tuple(partition_by)
         self.app_id = app_id
+        self.target_file_bytes = int(target_file_bytes)
 
     def write(self, iterator) -> TxFileCommit:
         return _write_task_batches(
-            self.root, self.mapping, self.partition_by, iterator
+            self.root,
+            self.mapping,
+            self.partition_by,
+            iterator,
+            self.target_file_bytes,
         )
 
     def commit(self, messages, batchId: int) -> None:
@@ -1251,21 +1312,38 @@ class TxLogDataSource(DataSource):
             from . import txlog
 
             root = self.options.get("path")
-            to_v = self.options.get("to_version")
-            cur = txlog.current_version(root)
-            to_v = int(to_v) if to_v is not None else cur
+            to_v_opt = self.options.get("to_version")
+            if to_v_opt is None:
+                # No explicit upper bound: bind the PINNED snapshot
+                # from _resolve() — the same version schema() bound —
+                # never a fresh current_version(), which a commit
+                # landing between analysis and planning would advance
+                # past the schema Spark planned with (round-13 ADVICE:
+                # the same unpinned-resolution race _resolve() closes
+                # for plain reads).
+                to_v, sj, mp = self._resolve()
+            else:
+                cur = txlog.current_version(root)
+                to_v = int(to_v_opt)
+                if to_v > cur:
+                    raise ValueError(
+                        f"change-feed to_version {to_v} is outside the "
+                        f"committed history [-1, {cur}] of {root}"
+                    )
+                # the feed's output schema binds AT to_version — every
+                # commit in range is at-or-before it (decode-safe
+                # history)
+                sj = txlog._schema_json_at(root, to_v)
+                if sj is None:
+                    raise ValueError(
+                        f"txlog table at {root} predates schema recording"
+                    )
+                mp = txlog._mapping_at(root, to_v)
             frm = int(self.options.get("from_version", -1))
-            if not (-1 <= frm <= to_v <= cur):
+            if not (-1 <= frm <= to_v):
                 raise ValueError(
-                    f"change-feed range ({frm}, {to_v}] outside "
-                    f"[-1, {cur}] for {root}"
-                )
-            # the feed's output schema binds AT to_version — every
-            # commit in range is at-or-before it (decode-safe history)
-            sj = txlog._schema_json_at(root, to_v)
-            if sj is None:
-                raise ValueError(
-                    f"txlog table at {root} predates schema recording"
+                    f"change-feed range ({frm}, {to_v}] is inverted or "
+                    f"outside the committed history of {root}"
                 )
             pf = self.options.get("partition_filter")
             return TxLogCDFReader(
@@ -1273,7 +1351,7 @@ class TxLogDataSource(DataSource):
                 frm,
                 to_v,
                 sj,
-                txlog._mapping_at(root, to_v),
+                mp,
                 json.loads(pf) if pf else None,
             )
         if self._history():
@@ -1320,11 +1398,38 @@ class TxLogDataSource(DataSource):
         txlog._merge_struct(tbl_schema, schema, False)
         return root, pby, txlog._mapping_at(root, v)
 
+    def _target_file_bytes(self) -> int:
+        tfb = self.options.get("target_file_bytes")
+        if tfb is None:
+            return 0
+        n = int(tfb)
+        if n <= 0:
+            raise ValueError(
+                f"target_file_bytes must be positive, got {n}"
+            )
+        return n
+
     def writer(self, schema, overwrite: bool) -> TxLogWriter:
         root, pby, mp = self._writer_parts(schema, overwrite)
-        return TxLogWriter(root, schema.json(), mp, pby, overwrite)
+        return TxLogWriter(
+            root, schema.json(), mp, pby, overwrite,
+            self._target_file_bytes(),
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> TxLogStreamWriter:
+        if overwrite:
+            # outputMode('complete') asks the sink to TRUNCATE each
+            # micro-batch; this sink is append-only (each batch is one
+            # idempotent append commit) — appending under a truncate
+            # contract would silently accumulate every batch's rows
+            # (round-13 ADVICE). Refuse loudly instead.
+            raise ValueError(
+                "the txlog streaming sink is append-only: "
+                "outputMode('complete'/'update' with truncate) is not "
+                "supported — use outputMode('append'), or a "
+                "foreachBatch sink calling df.write.format('txlog')"
+                ".mode('overwrite') for replace-per-batch semantics"
+            )
         app_id = self.options.get("app_id")
         if not app_id:
             raise ValueError(
@@ -1334,13 +1439,40 @@ class TxLogDataSource(DataSource):
                 "each other's micro-batches as duplicate deliveries"
             )
         root, pby, mp = self._writer_parts(schema, overwrite)
-        return TxLogStreamWriter(root, schema.json(), mp, pby, str(app_id))
+        return TxLogStreamWriter(
+            root, schema.json(), mp, pby, str(app_id),
+            self._target_file_bytes(),
+        )
 
 
 def register(spark) -> None:
-    """Idempotently register the format with a session. Python-source
-    filter pushdown is opt-in session-wide (SPARK-50993) and a reader
-    that implements ``pushFilters`` FAILS analysis when it is off, so
-    registering the format enables it (runtime-settable conf)."""
+    """Idempotently register the format with a session.
+
+    SESSION-WIDE side effect, by necessity: Python-source filter
+    pushdown is one global conf (SPARK-50993,
+    ``spark.sql.python.filterPushdown.enabled``) and a reader that
+    implements ``pushFilters`` FAILS analysis when it is off — every
+    filtered txlog read needs it true, so registering the format
+    enables it for the WHOLE session, which also lets any OTHER
+    registered Python data source's ``pushFilters`` run. If the caller
+    had deliberately set it false, we warn rather than flip silently
+    (round-13 ADVICE) — but it must still be true for txlog reads to
+    analyze, so the warning names the conflict instead of deferring
+    it to an opaque analysis error later."""
+    try:
+        cur = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    except Exception:
+        cur = None
+    if str(cur).lower() == "false":
+        import warnings
+
+        warnings.warn(
+            "txlog_source.register() is overriding "
+            "spark.sql.python.filterPushdown.enabled=false: the txlog "
+            "reader implements pushFilters and fails analysis with it "
+            "off. The conf is session-wide — other Python data "
+            "sources' pushFilters will now run too.",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)

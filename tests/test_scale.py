@@ -776,9 +776,40 @@ def test_bench_regression_gate():
     # mid: +0.2s, 1.2x -> clean;  new_query: no previous -> skipped
     got = bench.compute_regressions(now, prev, 0.1, 0.1)
     assert set(got) == {"slow"}
-    assert got["slow"] == {"prev_sec": 2.0, "now_sec": 2.9}
+    assert got["slow"] == {
+        "prev_sec": 2.0,
+        "now_sec": 2.9,
+        "prev_median_sec": 2.0,
+    }
     # different scale factor -> gate disarmed entirely
     assert bench.compute_regressions(now, prev, 0.01, 0.1) == {}
+
+    # MEDIAN anchoring (round-13 verdict item 1, replayed verbatim):
+    # the committed pagerank_directed_suppliers baseline was min-of-
+    # [5.06, 4.89, 3.675] = a one-in-three lucky tail; the driver's
+    # consistent re-run of UNTOUCHED code ([5.20, 4.79, 5.22], min
+    # 4.79) must produce ZERO flags once the gate anchors on the
+    # baseline median (4.89) instead of its min
+    prev2 = {"pagerank_directed_suppliers": 3.675}
+    samples2 = {"pagerank_directed_suppliers": [5.06, 4.89, 3.675]}
+    assert (
+        bench.compute_regressions(
+            {"pagerank_directed_suppliers": 4.793}, prev2, 0.1, 0.1, samples2
+        )
+        == {}
+    )
+    # a GENUINE regression still flags: well past 1.25x the median
+    got2 = bench.compute_regressions(
+        {"pagerank_directed_suppliers": 6.5}, prev2, 0.1, 0.1, samples2
+    )
+    assert set(got2) == {"pagerank_directed_suppliers"}
+    assert got2["pagerank_directed_suppliers"]["prev_median_sec"] == 4.89
+    # corrupt/short samples can only RAISE the anchor, never lower it
+    # below the recorded min (even-length list -> midpoint average)
+    got3 = bench.compute_regressions(
+        {"q": 2.9}, {"q": 2.0}, 0.1, 0.1, {"q": [0.1, 0.2]}
+    )
+    assert got3["q"]["prev_median_sec"] == 2.0
 
 
 def test_bench_final_line_bounded():

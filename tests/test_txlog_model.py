@@ -81,13 +81,15 @@ def test_txlog_matches_model_under_random_op_chain(
         "merge",
         "delete",
         "dv_delete",
+        "update",
         "optimize",
         "restore",
         "sql_append",
         "sql_overwrite",
+        "dv_update",
     ]
-    for step in range(20):
-        op = ops[step % len(ops)] if step < 16 else rng.choice(ops)
+    for step in range(24):
+        op = ops[step % len(ops)] if step < 20 else rng.choice(ops)
         if op == "append":
             rows = {next_id + i: rng.randrange(10) for i in range(25)}
             next_id += 25
@@ -112,6 +114,28 @@ def test_txlog_matches_model_under_random_op_chain(
                 spark, root, f"bucket = {b}", mode="dv"
             )
             model = {k: x for k, x in model.items() if x != b}
+        elif op == "update":
+            # round-14 UPDATE verb: cow rewrite of the matched files
+            b = rng.randrange(10)
+            v = txlog.update_where(
+                spark, root, {"bucket": "bucket + 100"}, f"bucket = {b}"
+            )
+            model = {
+                k: (x + 100 if x == b else x) for k, x in model.items()
+            }
+        elif op == "dv_update":
+            # merge-on-read UPDATE: dv the old images, append the new
+            b = rng.randrange(10)
+            v = txlog.update_where(
+                spark,
+                root,
+                {"bucket": "bucket - 7"},
+                f"bucket = {b}",
+                mode="dv",
+            )
+            model = {
+                k: (x - 7 if x == b else x) for k, x in model.items()
+            }
         elif op == "optimize":
             v = txlog.optimize(
                 spark, root, target_file_bytes=16 << 10, cluster_by=("id",)
@@ -214,8 +238,9 @@ def test_txlog_matches_model_partitioned_checkpointed(
     widened = False
     # dv_delete at step 7 exercises merge-on-read against the
     # partitioned + checkpoint_every=3 + widened + restored chain
-    ops = ["append", "merge", "delete", "widen", "append", "merge",
-           "restore", "dv_delete", "merge", "append", "optimize", "merge"]
+    ops = ["append", "merge", "delete", "widen", "update", "append",
+           "merge", "restore", "dv_delete", "merge", "dv_update",
+           "append", "optimize", "merge"]
     for step, op in enumerate(ops):
         if op == "append":
             rows = {next_id + i: rng.randrange(5) for i in range(20)}
@@ -252,6 +277,28 @@ def test_txlog_matches_model_partitioned_checkpointed(
                 spark, root, f"bucket = {b}", mode="dv"
             )
             model = {k: x for k, x in model.items() if x != b}
+        elif op == "update":
+            # UPDATE of the PARTITION column: matched rows must move
+            # to the new hive directory and pruned reads must follow
+            b = rng.randrange(5)
+            v = txlog.update_where(
+                spark, root, {"bucket": "bucket + 1"}, f"bucket = {b}"
+            )
+            model = {
+                k: (x + 1 if x == b else x) for k, x in model.items()
+            }
+        elif op == "dv_update":
+            b = rng.randrange(5)
+            v = txlog.update_where(
+                spark,
+                root,
+                {"bucket": "bucket + 1"},
+                f"bucket = {b}",
+                mode="dv",
+            )
+            model = {
+                k: (x + 1 if x == b else x) for k, x in model.items()
+            }
         elif op == "optimize":
             v = txlog.optimize(
                 spark, root, target_file_bytes=16 << 10

@@ -610,3 +610,115 @@ def test_library_feed_and_vacuum_across_overwrite(spark, plain_table):
     # documented Delta VACUUM hazard), never silently half-reads
     with pytest.raises(Exception):  # noqa: B017 — files gone
         txlog.read_table(spark, plain_table, version=0).count()
+
+
+def test_stream_writer_refuses_truncate(spark, plain_table):
+    """outputMode('complete') asks the sink to TRUNCATE each
+    micro-batch; the txlog streaming sink is append-only, and before
+    round 14 it silently APPENDED under the truncate contract —
+    accumulating every batch's rows (round-13 ADVICE). Now it refuses
+    at sink construction."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    ds = TxLogDataSource(
+        {"path": plain_table, "app_id": "truncate_probe"}
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    # append mode still constructs
+    assert ds.streamWriter(schema, overwrite=False) is not None
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(schema, overwrite=True)
+
+
+def test_partitioned_write_rejects_unencodable_values(spark, tmp_path):
+    """_hive_dir_value must NOT fall back to str(v) for values
+    _hive_path_value refuses (timestamps, out-of-plain-range floats):
+    a Python-repr path form ('1e+20') is exactly what the read/prune
+    side rejects as un-derivable, stranding the partition behind the
+    loud-error contract (round-13 ADVICE). The write itself fails."""
+    root = str(tmp_path / "badpart")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 4).selectExpr("id", "CAST(id AS DOUBLE) AS p"),
+        partition_by=("p",),
+    )
+    txlog_source.register(spark)
+    bad = spark.range(0, 2).selectExpr("id", "CAST(1e20 AS DOUBLE) AS p")
+    with pytest.raises(Exception, match="hive-path|no hive"):
+        (
+            bad.write.format("txlog")
+            .option("path", root)
+            .mode("append")
+            .save()
+        )
+    # the failed write staged nothing visible
+    assert txlog.read_table(spark, root).count() == 4
+
+
+def test_register_warns_on_deliberate_pushdown_off(spark):
+    """register() must not SILENTLY flip a conf the user set false
+    (round-13 ADVICE): it warns naming the conflict, then still
+    enables it — the txlog reader's pushFilters fails analysis with
+    it off, so false can never work anyway."""
+    import warnings
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            txlog_source.register(spark)
+        assert any("filterPushdown" in str(x.message) for x in w)
+        assert spark.conf.get(key) == "true"
+        # already-true: idempotent and silent
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            txlog_source.register(spark)
+        assert not [x for x in w2 if "filterPushdown" in str(x.message)]
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+
+
+def test_change_feed_reader_pins_resolved_snapshot(spark, plain_table):
+    """A batch change-feed read WITHOUT to_version must bind the
+    version _resolve() pinned at schema() time — not a fresh
+    current_version() at reader() time: a commit landing between
+    analysis and planning would otherwise bind the feed (and its
+    schema-at-to_version) past the schema Spark planned with
+    (round-13 ADVICE, the same race class _resolve() pinning closed
+    for plain reads)."""
+    from map_reduce_rpc_spark.sources.txlog_source import TxLogDataSource
+
+    ds = TxLogDataSource({"path": plain_table, "change_feed": "true"})
+    ds.schema()  # analysis: pins the snapshot
+    v_at_bind = txlog.current_version(plain_table)
+    # a commit lands between analysis and planning
+    txlog.append(
+        spark,
+        plain_table,
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 10).alias("bucket")
+        ),
+    )
+    rd = ds.reader(None)
+    assert rd.to_version == v_at_bind  # pinned, not the new tip
+    # an EXPLICIT to_version still binds exactly where asked
+    ds2 = TxLogDataSource(
+        {
+            "path": plain_table,
+            "change_feed": "true",
+            "to_version": str(v_at_bind),
+        }
+    )
+    ds2.schema()
+    assert ds2.reader(None).to_version == v_at_bind
