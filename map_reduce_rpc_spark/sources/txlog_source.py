@@ -1454,25 +1454,31 @@ def register(spark) -> None:
     implements ``pushFilters`` FAILS analysis when it is off — every
     filtered txlog read needs it true, so registering the format
     enables it for the WHOLE session, which also lets any OTHER
-    registered Python data source's ``pushFilters`` run. If the caller
-    had deliberately set it false, we warn rather than flip silently
-    (round-13 ADVICE) — but it must still be true for txlog reads to
-    analyze, so the warning names the conflict instead of deferring
-    it to an opaque analysis error later."""
+    registered Python data source's ``pushFilters`` run. A deliberate
+    caller-set ``false`` is warned about rather than flipped silently
+    (round-13 ADVICE) — but Spark's DEFAULT is also false, and an
+    unset conf reads back as its default, so the first register in a
+    session enables quietly (nothing to defer to: false can never
+    work for txlog) and only a false found AFTER we already enabled
+    it — someone flipped it back on purpose — draws the warning."""
+    key = "spark.sql.python.filterPushdown.enabled"
     try:
-        cur = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+        cur = spark.conf.get(key)
     except Exception:
         cur = None
-    if str(cur).lower() == "false":
+    if getattr(spark, "_txlog_fp_enabled", False) and (
+        str(cur).lower() == "false"
+    ):
         import warnings
 
         warnings.warn(
             "txlog_source.register() is overriding "
-            "spark.sql.python.filterPushdown.enabled=false: the txlog "
-            "reader implements pushFilters and fails analysis with it "
-            "off. The conf is session-wide — other Python data "
-            "sources' pushFilters will now run too.",
+            f"{key}=false: the txlog reader implements pushFilters "
+            "and fails analysis with it off. The conf is session-wide "
+            "— other Python data sources' pushFilters will now run "
+            "too.",
             stacklevel=2,
         )
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.conf.set(key, "true")
+    spark._txlog_fp_enabled = True
     spark.dataSource.register(TxLogDataSource)

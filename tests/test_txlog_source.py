@@ -665,14 +665,19 @@ def test_partitioned_write_rejects_unencodable_values(spark, tmp_path):
 
 def test_register_warns_on_deliberate_pushdown_off(spark):
     """register() must not SILENTLY flip a conf the user set false
-    (round-13 ADVICE): it warns naming the conflict, then still
-    enables it — the txlog reader's pushFilters fails analysis with
-    it off, so false can never work anyway."""
+    (round-13 ADVICE): a false found AFTER register already enabled
+    it in this session — someone flipped it back on purpose — warns
+    naming the conflict, then still enables (the txlog reader's
+    pushFilters fails analysis with it off, so false can never work).
+    Spark's DEFAULT is also false, so the first register in a session
+    stays quiet: an unset conf reads back as its default and warning
+    every fresh session would be pure noise."""
     import warnings
 
     key = "spark.sql.python.filterPushdown.enabled"
     old = spark.conf.get(key, None)
     try:
+        txlog_source.register(spark)  # ensure session is marked enabled
         spark.conf.set(key, "false")
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
