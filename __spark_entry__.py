@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     31 of the r9-certified cohort, 50/50 green):
 
       round-14 window (THIS round, executed below) = wordcount
-        + the 3 NEW round-14 registrations
+        + the 4 NEW round-14 registrations
           (txlog_update_orders — UPDATE, the last DML verb of the
           Delta triad, certified in BOTH modes on one chain: a cow
           update rewriting only matched files then a dv update
@@ -72,18 +72,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           txlog_update_cdf — the change feed across both UPDATE
           modes, delete(old image)+insert(new image) pairs with the
           v2 old images reflecting v1's change, same oracle shape as
-          dv_cdf_orders; stream_txlog_append_source — the APPEND feed
+          dv_cdf_orders; txlog_dml_orders — DELETE/UPDATE/MERGE as
+          SQL TEXT via sources/sql_dml.py, closing the spark.sql-DML
+          catalog boundary with a pure-parser front-end over the
+          library verbs; stream_txlog_append_source — the APPEND feed
           via spark.readStream.format("txlog") without change_feed,
           the non-CDF sibling of stream_txlog_cdf_source, so both
           stream-source feed modes are driver-certified)
         + the 18 r9-cohort leftovers (lm_quality_mix_sample ...
           token_counts — the oldest remaining cohort, now fully
           rotated)
-        + the first 28 of the r10-certified cohort
-          (merge_upsert_orders ... ngram_jaccard_dups)
-        = exactly 50 (1 + 3 + 18 + 28).
-      round-15 window = wordcount + round-15 registrations + the 21
-          r10-cohort leftovers (order_price_percentiles ...
+        + the first 27 of the r10-certified cohort
+          (merge_upsert_orders ... inverted_index)
+        = exactly 50 (1 + 4 + 18 + 27).
+      round-15 window = wordcount + round-15 registrations + the 22
+          r10-cohort leftovers (ngram_jaccard_dups ...
           stream_static_hourly), then the r11-certified cohort head
           until full.
       round-16+ = the r11 remainder, then the r12-certified cohort
@@ -92,8 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           registrations + the 14 r7 re-certs + the 31 r9 re-certs),
           then the r14-certified cohort, stalest first, forever.
 
-    With 218 queries and 50 slots every query is certified at least
-    once per ceil(218/50) = 5 rounds, and every query — window or
+    With 219 queries and 50 slots every query is certified at least
+    once per ceil(219/50) = 5 rounds, and every query — window or
     tail — is hash-checked against its DuckDB oracle by pytest
     (tests/test_relational.py auto-parametrizes over EVERY oracle_sql
     entry) every round. All registered queries are fully
@@ -108,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== round-14 window: NEW round-14 registrations =====
         "txlog_update_orders": relational.txlog_update_orders,
         "txlog_update_cdf": relational.txlog_update_cdf,
+        "txlog_dml_orders": relational.txlog_dml_orders,
         "stream_txlog_append_source": textops.stream_txlog_append_source,
         # ===== round-14 window: r9-cohort leftovers (certified r9 —
         # the oldest remaining cohort, now fully rotated) =====
@@ -160,9 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_sales": relational.grouping_sets_sales,
         "hypertable_rollup": events.hypertable_rollup,
         "inverted_index": parity.inverted_index,
-        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         # ================= end of the 50-slot checked window =================
         # ----- r10-certified cohort remainder (round-15 window head) -----
+        "ngram_jaccard_dups": textops.ngram_jaccard_dups,
         "order_price_percentiles": relational.order_price_percentiles,
         "pack_sequences": sampling.pack_sequences,
         "parts_top3_per_brand": relational.parts_top3_per_brand,

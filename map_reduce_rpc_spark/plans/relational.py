@@ -5356,6 +5356,108 @@ RELATIONAL_ORACLES["txlog_update_orders"] = f"""
 """
 
 
+def txlog_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three DML verbs driven by SQL TEXT (sources/sql_dml.py —
+    round-14: the catalog boundary every round carried as 'SQL DML
+    verbs remain library calls' closed with a text front-end, since a
+    Python DataSource cannot register catalog DML for spark.sql):
+    v1 ``DELETE FROM`` (cow) drops every 50th-residue-1 key, v2
+    ``UPDATE`` (dv) adds 1.0 to urgent survivors' price, v3 ``MERGE
+    INTO`` with a parenthesized SELECT source zeroes every 97th key's
+    price — REINSERTING the v1-deleted keys in that residue class, the
+    interaction the oracle must model. Statements pass through the
+    pure parser (quoted-literal/paren-safe clause splitting) to the
+    library verbs, which own all semantics; the final state + the
+    op history certify the dispatch end to end. Output: (n_orders,
+    cents, n_zeroed, ops_ok, final_version)."""
+    import os
+
+    from ..sources import sql_dml, txlog
+    from ..tables import derived_cache_dir
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        root = os.path.join(tmp, "orders_tx")
+        txlog.create_table(
+            spark,
+            root,
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .repartition(8),
+        )
+        sql_dml.sql(
+            spark, f"DELETE FROM `{root}` WHERE o_orderkey % 50 = 1"
+        )
+        sql_dml.sql(
+            spark,
+            f"UPDATE `{root}` SET o_totalprice = o_totalprice + 1.0 "
+            f"WHERE {TT_DELETE_PRED}",
+            mode="dv",
+        )
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "dml_orders_src"
+        )
+        sql_dml.sql(
+            spark,
+            f"MERGE INTO `{root}` USING "
+            "(SELECT o_orderkey, o_orderpriority, "
+            " CAST(0.0 AS DOUBLE) AS o_totalprice "
+            " FROM dml_orders_src WHERE o_orderkey % 97 = 0) "
+            "ON t.o_orderkey = s.o_orderkey",
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+            fh.write("ok")
+
+    base_dir = derived_cache_dir(
+        sf_dir, "txlog_dml_orders", ("orders",), build
+    )
+    root = os.path.join(base_dir, "orders_tx")
+    ops = [
+        txlog._read_manifest(root, v)["op"]
+        for v in range(txlog.current_version(root) + 1)
+    ]
+    ops_ok = int(ops == ["create", "delete", "update", "merge"])
+    return txlog.read_table(spark, root).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("cents"),
+        F.sum((F.col("o_totalprice") == 0.0).cast("long")).alias(
+            "n_zeroed"
+        ),
+        F.lit(ops_ok).cast("long").alias("ops_ok"),
+        F.lit(txlog.current_version(root)).cast("long").alias(
+            "final_version"
+        ),
+    )
+
+
+RELATIONAL_ORACLES["txlog_dml_orders"] = f"""
+    WITH final AS (
+        -- merged keys (every 97th): price zeroed, present even if
+        -- the v1 delete removed them (merge reinserts)
+        SELECT o_orderkey, 0.0 AS price FROM orders
+        WHERE o_orderkey % 97 = 0
+        UNION ALL
+        -- survivors: v1 delete drops %50=1, v2 dv-update adds 1.0 to
+        -- urgent rows
+        SELECT o_orderkey,
+               CASE WHEN {TT_DELETE_PRED} THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 97 <> 0 AND o_orderkey % 50 <> 1
+    )
+    SELECT count(*) AS n_orders,
+           CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(sum(CASE WHEN price = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeroed,
+           CAST(1 AS BIGINT) AS ops_ok,
+           CAST(3 AS BIGINT) AS final_version
+    FROM final
+"""
+
+
 def txlog_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The change feed ACROSS both UPDATE modes (round-13 verdict item
     2's certification clause, same oracle shape as ``dv_cdf_orders``):

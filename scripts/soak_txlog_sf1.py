@@ -84,6 +84,31 @@ def main() -> None:
         merges.append(round(time.perf_counter() - t0, 3))
     out["merge_sec"] = merges
 
+    # round-14 verb: UPDATE in both modes against the grown table —
+    # cow cost = matched rows' file spread (scattered predicate, so
+    # the honest ceiling: most files contain a match), dv cost =
+    # O(matched rows) metadata + one small append, files untouched
+    t0 = time.perf_counter()
+    txlog.update_where(
+        spark,
+        ROOT,
+        {"o_totalprice": "o_totalprice + 1"},
+        "o_custkey % 211 = 5",
+    )
+    out["update_cow_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    txlog.update_where(
+        spark,
+        ROOT,
+        {"o_totalprice": "o_totalprice + 1"},
+        "o_custkey % 211 = 6",
+        mode="dv",
+    )
+    out["update_dv_sec"] = round(time.perf_counter() - t0, 3)
+    m_dv = txlog._read_manifest(ROOT, txlog.current_version(ROOT))
+    assert m_dv["op"] == "update" and m_dv["rewrote"] == 0
+    out["update_dv_rows"] = int(m_dv["dv_rows"])
+
     v_before_opt = txlog.current_version(ROOT)
     t0 = time.perf_counter()
     txlog.optimize(spark, ROOT, cluster_by=("o_orderkey",))

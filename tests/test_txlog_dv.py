@@ -314,3 +314,42 @@ def test_concurrent_dv_deletes_serialize(spark, table):
     cdf = txlog.read_changes(spark, table, from_version=0)
     assert cdf.count() == 200
     assert cdf.where("_change_type <> 'delete'").count() == 0
+
+
+def test_concurrent_updates_serialize(spark, table):
+    """Two UPDATEs racing the same commit slot — one cow, one dv, on
+    DISJOINT predicates: the loser re-probes and re-stages against
+    the winner's snapshot, so both transformations land exactly once
+    (the delete-race guarantee extended to the round-14 verb, across
+    both execution modes at once)."""
+    import threading
+
+    errs: list[Exception] = []
+
+    def upd(pred: str, set_expr: str, mode: str) -> None:
+        try:
+            txlog.update_where(
+                spark, table, {"bucket": set_expr}, pred, mode=mode
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(
+        target=upd, args=("bucket = 3", "bucket + 100", "cow")
+    )
+    t2 = threading.Thread(
+        target=upd, args=("bucket = 7", "bucket + 200", "dv")
+    )
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errs
+    assert txlog.current_version(table) == 2
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1000  # updates never change cardinality
+    assert got.where("bucket = 103").count() == 100
+    assert got.where("bucket = 207").count() == 100
+    assert got.where("bucket IN (3, 7)").count() == 0
+    # each updated row surfaces in the feed as its delete+insert pair
+    cdf = txlog.read_changes(spark, table, from_version=0)
+    assert cdf.where("_change_type = 'delete'").count() == 200
+    assert cdf.where("_change_type = 'insert'").count() == 200
