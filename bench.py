@@ -214,6 +214,53 @@ def compute_regressions(
     }
 
 
+def fold_adjudication(
+    timings: dict[str, float],
+    timed_samples: dict[str, list[float]],
+    rerun_samples: dict[str, list[float]],
+    prev_q: dict[str, float],
+    prev_sf,
+    sf_val,
+    prev_samples: dict[str, list[float]] | None = None,
+) -> tuple[dict[str, dict[str, float]], dict[str, dict]]:
+    """Fold post-run adjudication samples into the timing maps and
+    recompute the gate; returns (regressions, adjudication_record).
+    MUTATES timings/timed_samples in place (appending the new samples,
+    min over ALL samples — the same steady-state estimator, over more
+    observations).
+
+    Why (round 14): this host has external load bursts (load avg >3
+    with zero of our processes) that inflate whichever queries are
+    mid-flight, and a 15-minute full-registry run almost always
+    overlaps one — three consecutive full runs each flagged a
+    DIFFERENT random subset, while the flagged queries re-measured at
+    or under baseline minutes later in isolation (label_prop 6.67 s
+    in-run vs 2.72 s isolated vs 3.18 s baseline median). Re-timing
+    the flagged set AFTER the pass — exactly the manual isolated
+    adjudication protocol, automated — keeps burst luck out of the
+    gate while every sample (inflated and clean) stays recorded in
+    timed_samples_sec. A REAL regression re-measures slow and keeps
+    its flag. Pure fold so tests/test_scale.py can pin it."""
+    record: dict[str, dict] = {}
+    for name, samples in rerun_samples.items():
+        if not samples or name not in timings:
+            continue
+        timed_samples.setdefault(name, []).extend(
+            round(s, 3) for s in samples
+        )
+        timings[name] = round(min(timings[name], min(samples)), 3)
+    regressions = compute_regressions(
+        timings, prev_q, prev_sf, sf_val, prev_samples
+    )
+    for name, samples in rerun_samples.items():
+        if samples and name in timings:
+            record[name] = {
+                "rerun_samples_sec": [round(s, 3) for s in samples],
+                "cleared": name not in regressions,
+            }
+    return regressions, record
+
+
 def final_stdout_line(
     total: float,
     sf_val,
@@ -404,6 +451,58 @@ def main() -> None:
     regressions = compute_regressions(
         timings, prev_q, prev_sf, sf_val, prev_samples
     )
+    # Post-run adjudication (round 14, see fold_adjudication): re-time
+    # the flagged set in a fresh session AFTER the pass, when the
+    # external burst that inflated them has usually moved on. Skipped
+    # for filtered/reversed diagnostic runs (their baselines don't
+    # line up) and via SPARK_GRAFT_BENCH_ADJUDICATE=0.
+    adjudication: dict[str, dict] = {}
+    if (
+        regressions
+        and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        and not os.environ.get("SPARK_GRAFT_BENCH_ORDER")
+        and os.environ.get("SPARK_GRAFT_BENCH_ADJUDICATE") != "0"
+    ):
+        flagged = [
+            name
+            for name, _ in sorted(
+                regressions.items(),
+                key=lambda kv: kv[1]["now_sec"] - kv[1]["prev_sec"],
+                reverse=True,
+            )
+        ][:25]
+        print(
+            f"  adjudicating {len(flagged)} regression flags in a "
+            "fresh session...",
+            file=sys.stderr,
+        )
+        spark.stop()
+        spark = _fresh_session()
+        by_name = dict(qs)
+        rerun: dict[str, list[float]] = {}
+        for name in flagged:
+            fn = by_name[name]
+            try:
+                for _ in range(WARM_RUNS):
+                    fn(spark, SF_DIR).count()
+                samples = []
+                for _ in range(TIMED_RUNS):
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).count()
+                    samples.append(time.perf_counter() - t0)
+                rerun[name] = samples
+                print(
+                    f"  rerun {name}: min {min(samples):.3f}s "
+                    f"(was {regressions[name]['now_sec']:.3f}s)",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # keep the original flag on error
+                print(f"  rerun {name}: ERROR {exc}", file=sys.stderr)
+        regressions, adjudication = fold_adjudication(
+            timings, timed_samples, rerun, prev_q, prev_sf, sf_val,
+            prev_samples,
+        )
+        total = sum(timings.values())
     for name, r in regressions.items():
         print(
             f"  REGRESSION {name}: {r['prev_sec']:.3f}s -> "
@@ -454,6 +553,10 @@ def main() -> None:
         "per_query_sec": timings,
         "timed_samples_sec": timed_samples,
         "regressions": regressions,
+        **({"adjudication": adjudication} if adjudication else {}),
+        # contention telemetry: 1/5/15-min load at run end — a burst
+        # that poisoned this run's samples is visible next to them
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         **({"first_run_sec": first_run} if first_run else {}),
         **({"errors": errors} if errors else {}),
         **(

@@ -812,6 +812,44 @@ def test_bench_regression_gate():
     assert got3["q"]["prev_median_sec"] == 2.0
 
 
+def test_bench_adjudication_fold():
+    """bench.py's post-run adjudication (round 14): re-run samples of
+    flagged queries fold into the timing maps (min over ALL samples,
+    appended to timed_samples), and the gate recomputes — a burst-
+    inflated flag whose re-run lands at baseline CLEARS; a genuine
+    regression that re-measures slow KEEPS its flag."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {"bursty": 2.0, "broken": 2.0}
+    timings = {"bursty": 5.0, "broken": 5.0}
+    samples = {"bursty": [5.0, 5.2, 5.1], "broken": [5.0, 5.2, 5.1]}
+    # bursty re-measures at baseline; broken re-measures slow
+    rerun = {"bursty": [2.05, 1.98, 2.1], "broken": [4.9, 5.0, 5.1]}
+    regs, record = bench.fold_adjudication(
+        timings, samples, rerun, prev, 0.1, 0.1
+    )
+    assert set(regs) == {"broken"}
+    assert record["bursty"]["cleared"] is True
+    assert record["broken"]["cleared"] is False
+    # min over all samples becomes the reported number...
+    assert timings["bursty"] == 1.98
+    assert timings["broken"] == 4.9
+    # ...and every sample (inflated and clean) stays recorded
+    assert len(samples["bursty"]) == 6
+    # a re-run of an unknown/errored query is ignored, not folded
+    regs2, record2 = bench.fold_adjudication(
+        {"q": 1.0}, {"q": [1.0]}, {"ghost": [9.9], "q": []}, {}, 0.1, 0.1
+    )
+    assert regs2 == {} and record2 == {}
+
+
 def test_bench_final_line_bounded():
     """The driver parses bench.py's LAST stdout line from a ~2 KB tail
     capture; round 12's 30-flag contended run overflowed it and the
