@@ -50,6 +50,15 @@ HISTORY (one row per committed version) instead of data;
 / ``to_version`` is the BATCH change-feed read (Delta's
 readChangeFeed + startingVersion shape — see ``TxLogCDFReader``).
 
+Pure SQL TEXT works too (round 14): ``CREATE [OR REPLACE] TEMPORARY
+VIEW v USING txlog OPTIONS (path '...', version '...', ...)`` —
+Spark's own DSv2 view syntax instantiates this DataSource with the
+OPTIONS map, so a session that only ever calls ``spark.sql`` can
+read a table, time-travel it, or consume its batch change feed with
+no DataFrame call sites (tests/test_txlog_source.py pins the OPTIONS
+round-trip). With ``sources/sql_dml.py`` carrying DELETE/UPDATE/
+MERGE as text, the whole txlog surface is reachable from SQL strings.
+
 Write side: ``df.write.format("txlog")`` appends or atomically
 OVERWRITES, hive-partitioned tables included (each executor task
 splits its Arrow batches by partition value and stages one file per

@@ -727,3 +727,56 @@ def test_change_feed_reader_pins_resolved_snapshot(spark, plain_table):
     )
     ds2.schema()
     assert ds2.reader(None).to_version == v_at_bind
+
+
+def test_sql_text_view_matches_library_read(spark, table):
+    """The pure-SQL-TEXT read surface (round 14, the read-side
+    complement of sources/sql_dml.py): ``CREATE TEMPORARY VIEW ...
+    USING txlog OPTIONS (path ...)`` — Spark's own DSv2 SQL syntax
+    instantiates the Python DataSource with the OPTIONS map, so a
+    session that only ever calls spark.sql() reads a txlog table with
+    the full protocol honored (dv anti-join, column mapping, evolved
+    schema, hive partition typing). No code path of ours runs between
+    the SQL text and the DataSource — this pins that the OPTIONS
+    plumbing itself round-trips."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tx_sqltext "
+        f"USING txlog OPTIONS (path '{table}')"
+    )
+    r = spark.sql(
+        "SELECT count(*) AS n, sum(score) AS s, count(tag) AS t "
+        "FROM tx_sqltext"
+    ).first()
+    exp = (
+        txlog.read_table(spark, table)
+        .agg(F.count("*"), F.sum("score"), F.count("tag"))
+        .first()
+    )
+    assert (r["n"], r["s"], r["t"]) == (exp[0], exp[1], exp[2])
+    spark.catalog.dropTempView("tx_sqltext")
+
+
+def test_sql_text_view_time_travel_and_change_feed(spark, table):
+    """OPTIONS pass through the SQL-text view verbatim, so time travel
+    and the batch change feed work from pure SQL too. version '0' must
+    show the era-correct shape: pre-rename column name, pre-dv rows,
+    pre-evolution schema (no tag)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tx_v0 "
+        f"USING txlog OPTIONS (path '{table}', version '0')"
+    )
+    v0 = spark.table("tx_v0")
+    assert "val" in v0.columns and "tag" not in v0.columns
+    assert v0.count() == 200  # dv delete (v2) not yet applied at v0
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tx_feed "
+        f"USING txlog OPTIONS (path '{table}', change_feed 'true', "
+        "from_version '1', to_version '2')"  # exclusive start: v2 only
+    )
+    feed = spark.table("tx_feed")
+    # v2 is the dv delete of id < 20: exactly those rows, as deletes
+    assert feed.where("_change_type = 'delete'").count() == 20
+    assert feed.where("_change_type <> 'delete'").count() == 0
+    assert feed.agg(F.max("id")).first()[0] == 19
+    spark.catalog.dropTempView("tx_v0")
+    spark.catalog.dropTempView("tx_feed")
