@@ -35,11 +35,13 @@ column whose name collides with a keyword must be backtick-quoted
 (``SET `where` = 1``) — backticks are quoting to the scanner, so the
 clause splitter never mistakes them for the keyword.
 
-The READ side needs no front-end at all: ``CREATE TEMPORARY VIEW v
+READ and INSERT need no front-end at all: ``CREATE TEMPORARY VIEW v
 USING txlog OPTIONS (path '...')`` is native Spark DSv2 syntax that
-reaches :mod:`txlog_source` directly (pinned in
-tests/test_txlog_source.py), so SQL-text pipelines read through
-views and mutate through :func:`sql` — the whole surface as strings.
+reaches :mod:`txlog_source` directly, and ``INSERT INTO`` / ``INSERT
+OVERWRITE`` on that view route through Spark's own insert planning
+into the txlog writer (both pinned in tests/test_txlog_source.py) —
+so SQL-text pipelines read and insert through views and mutate
+through :func:`sql`: the whole surface as strings.
 
 Reference: N/A — the Go engine has no SQL or mutation surface
 (SURVEY §2.4); Delta's equivalent is its catalog-integrated DML,

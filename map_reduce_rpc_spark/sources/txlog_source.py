@@ -56,8 +56,12 @@ Spark's own DSv2 view syntax instantiates this DataSource with the
 OPTIONS map, so a session that only ever calls ``spark.sql`` can
 read a table, time-travel it, or consume its batch change feed with
 no DataFrame call sites (tests/test_txlog_source.py pins the OPTIONS
-round-trip). With ``sources/sql_dml.py`` carrying DELETE/UPDATE/
-MERGE as text, the whole txlog surface is reachable from SQL strings.
+round-trip). ``INSERT INTO v ...`` and ``INSERT OVERWRITE v ...`` on
+such a view route through Spark's own DSv2 insert planning into this
+writer — an ordinary append commit and the one atomic full-manifest
+overwrite commit respectively, schema enforcement included. With
+``sources/sql_dml.py`` carrying DELETE/UPDATE/MERGE as text, the
+whole txlog surface is reachable from SQL strings.
 
 Write side: ``df.write.format("txlog")`` appends or atomically
 OVERWRITES, hive-partitioned tables included (each executor task

@@ -780,3 +780,42 @@ def test_sql_text_view_time_travel_and_change_feed(spark, table):
     assert feed.agg(F.max("id")).first()[0] == 19
     spark.catalog.dropTempView("tx_v0")
     spark.catalog.dropTempView("tx_feed")
+
+
+def test_sql_text_insert_into_and_overwrite(spark, plain_table):
+    """INSERT INTO / INSERT OVERWRITE through the SQL-text view are
+    Spark's own DSv2 insert routing into this DataSource's writer —
+    with the view read path and sources/sql_dml.py this completes the
+    all-verbs-as-SQL-strings surface (SELECT, INSERT, INSERT
+    OVERWRITE natively; DELETE/UPDATE/MERGE via the front-end).
+    INSERT INTO must land as an ordinary append commit, INSERT
+    OVERWRITE as the ONE atomic full-manifest overwrite commit; both
+    run the writer's usual schema enforcement."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tvw "
+        f"USING txlog OPTIONS (path '{plain_table}')"
+    )
+    spark.sql(
+        "INSERT INTO tvw SELECT id, CAST(id % 7 AS BIGINT) AS bucket "
+        "FROM range(100, 130)"
+    )
+    assert txlog.current_version(plain_table) == 1
+    assert txlog._read_manifest(plain_table, 1)["op"] == "append"
+    got = txlog.read_table(spark, plain_table)
+    assert got.count() == 130
+    assert got.where("id >= 100").count() == 30
+    spark.sql(
+        "INSERT OVERWRITE tvw SELECT id, CAST(0 AS BIGINT) AS bucket "
+        "FROM range(5)"
+    )
+    assert txlog.current_version(plain_table) == 2
+    assert txlog._read_manifest(plain_table, 2)["op"] == "overwrite"
+    assert txlog.read_table(spark, plain_table).count() == 5
+    # v1 stays time-travelable under the overwrite
+    assert txlog.read_table(spark, plain_table, version=1).count() == 130
+    # schema enforcement runs on the SQL path too: a column Spark
+    # cannot cast losslessly to the declared schema fails loudly
+    with pytest.raises(Exception):
+        spark.sql("INSERT INTO tvw SELECT 'oops' AS id, 'x' AS bucket")
+    assert txlog.current_version(plain_table) == 2  # nothing committed
+    spark.catalog.dropTempView("tvw")
