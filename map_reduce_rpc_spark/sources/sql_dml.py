@@ -25,6 +25,12 @@ table path so it can never be confused with a keyword):
         WHERE <predicate>
     MERGE INTO `<table root>` USING <view name | (SELECT ...)>
         ON <key> [, <key>]...                     -- or t.k = s.k AND ...
+    VACUUM `<table root>` [RETAIN <n> HOURS] [DRY RUN]
+    OPTIMIZE `<table root>` [WHERE <partcol> = <literal> [AND ...]]
+        [ZORDER BY (<col> [, <col>]...)]
+    RESTORE [TABLE] `<table root>` TO VERSION AS OF <n>
+                                 | TO TIMESTAMP AS OF <unix | 'ISO'>
+    DESCRIBE HISTORY `<table root>`
 
 ``mode="cow"|"dv"`` applies to DELETE/UPDATE/MERGE exactly as on the
 library verbs. MERGE's ON clause accepts either a bare key-column
@@ -247,6 +253,126 @@ def _parse_merge(body: str) -> dict:
     return {"op": "merge", "path": path, "source": source, "keys": keys}
 
 
+_NUM = re.compile(r"[+-]?\d+(\.\d+)?$")
+
+
+def _literal(tok: str):
+    """One SQL literal: integer, float, 'string' (with '' escapes),
+    TRUE/FALSE/NULL. Loud error otherwise — partition values in
+    maintenance verbs are literals by contract, never expressions."""
+    t = tok.strip()
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        return t[1:-1].replace("''", "'")
+    u = t.upper()
+    if u == "TRUE":
+        return True
+    if u == "FALSE":
+        return False
+    if u == "NULL":
+        return None
+    if _NUM.fullmatch(t):
+        return float(t) if "." in t else int(t)
+    raise ValueError(f"expected a literal value, got {tok!r}")
+
+
+def _parse_vacuum(body: str) -> dict:
+    path, rest = _table_path(body)
+    out: dict = {"op": "vacuum", "path": path}
+    m = re.fullmatch(
+        r"(?is)\s*(RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*(DRY\s+RUN)?\s*",
+        rest,
+    )
+    if not m:
+        raise ValueError(
+            f"VACUUM accepts only [RETAIN <n> HOURS] [DRY RUN], got "
+            f"{rest.strip()!r}"
+        )
+    if m.group(2):
+        out["retain_hours"] = float(m.group(2))
+    if m.group(3):
+        out["dry_run"] = True
+    return out
+
+
+def _parse_optimize(body: str) -> dict:
+    path, rest = _table_path(body)
+    out: dict = {"op": "optimize", "path": path}
+    w = _find_keyword(rest, "WHERE")
+    z = _find_keyword(rest, "ZORDER")
+    if w >= 0:
+        pred_end = z if z > w else len(rest)
+        # WHERE here is the PARTITION-scoped optimize: a literal
+        # equality chain naming partition columns, mapped to
+        # optimize(partitions=...) — planning-time dir selection, not
+        # row filtering, so expressions are rejected loudly
+        parts: dict = {}
+        for chunk in re.split(
+            r"(?i)\bAND\b", rest[w + len("WHERE") : pred_end]
+        ):
+            eq = next(
+                (i for i, c in _scan_toplevel(chunk) if c == "="), -1
+            )
+            if eq <= 0:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE accepts only `col = literal "
+                    f"[AND ...]` partition equalities, got {chunk.strip()!r}"
+                )
+            parts[chunk[:eq].strip().strip("`")] = _literal(chunk[eq + 1 :])
+        out["partitions"] = parts
+        rest = rest[:w] + (rest[pred_end:] if z > w else "")
+        z = _find_keyword(rest, "ZORDER")
+    if z >= 0:
+        head, zrest = rest[:z], rest[z + len("ZORDER") :]
+        if head.strip():
+            raise ValueError(
+                f"unexpected tokens before ZORDER: {head.strip()!r}"
+            )
+        b = _find_keyword(zrest, "BY")
+        if b < 0 or zrest[:b].strip():
+            raise ValueError("expected ZORDER BY (col, ...)")
+        cols_sql = zrest[b + len("BY") :].strip()
+        if cols_sql.startswith("(") and cols_sql.endswith(")"):
+            cols_sql = cols_sql[1:-1]
+        cols = tuple(
+            c.strip().strip("`")
+            for c in _split_toplevel(cols_sql, ",")
+            if c.strip()
+        )
+        if not cols or not all(
+            re.fullmatch(r"\w+", c) for c in cols
+        ):
+            raise ValueError(
+                f"ZORDER BY needs plain column names, got {cols_sql!r}"
+            )
+        out["zorder_by"] = cols
+    elif rest.strip():
+        raise ValueError(
+            f"unexpected tokens after OPTIMIZE target: {rest.strip()!r}"
+        )
+    return out
+
+
+def _parse_restore(body: str) -> dict:
+    t = _find_keyword(body, "TABLE")
+    if t >= 0 and not body[:t].strip():
+        body = body[t + len("TABLE") :]
+    path, rest = _table_path(body)
+    m = re.fullmatch(
+        r"(?is)\s*TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*", rest
+    )
+    if not m:
+        raise ValueError(
+            "expected RESTORE [TABLE] `<root>` TO VERSION AS OF <n> "
+            "| TO TIMESTAMP AS OF <ts>"
+        )
+    kind, val = m.group(1).upper(), m.group(2).strip()
+    if kind == "VERSION":
+        if not re.fullmatch(r"\d+", val):
+            raise ValueError(f"VERSION AS OF needs an integer, got {val!r}")
+        return {"op": "restore", "path": path, "version": int(val)}
+    return {"op": "restore", "path": path, "timestamp": _literal(val)}
+
+
 def parse(statement: str) -> dict:
     """Parse one DML statement into a dispatch dict (pure — no Spark,
     no filesystem — so the grammar is unit-testable in isolation)."""
@@ -269,9 +395,24 @@ def parse(statement: str) -> dict:
         if i < 0 or s[len("MERGE") : i].strip():
             raise ValueError("expected MERGE INTO `<table root>` ...")
         return _parse_merge(s[i + len("INTO") :])
+    if up.startswith("VACUUM"):
+        return _parse_vacuum(s[len("VACUUM") :])
+    if up.startswith("OPTIMIZE"):
+        return _parse_optimize(s[len("OPTIMIZE") :])
+    if up.startswith("RESTORE"):
+        return _parse_restore(s[len("RESTORE") :])
+    if re.match(r"(?is)DESCRIBE\s+HISTORY\b", s):
+        path, rest = _table_path(
+            s[len("DESCRIBE") :].lstrip()[len("HISTORY") :]
+        )
+        if rest.strip():
+            raise ValueError(
+                f"unexpected tokens after DESCRIBE HISTORY: {rest.strip()!r}"
+            )
+        return {"op": "history", "path": path}
     raise ValueError(
-        f"unsupported DML statement (DELETE/UPDATE/MERGE only): "
-        f"{s[:40]!r}..."
+        f"unsupported statement (DELETE/UPDATE/MERGE/VACUUM/OPTIMIZE/"
+        f"RESTORE/DESCRIBE HISTORY only): {s[:40]!r}..."
     )
 
 
@@ -281,14 +422,52 @@ def sql(
     mode: str = "cow",
     app_id: str | None = None,
     txn_version: int | None = None,
-) -> int:
-    """Execute one DML statement against a txlog table; returns the
-    committed version. ``mode``/``app_id``/``txn_version`` carry the
-    library verbs' exact semantics (dv merge-on-read, exactly-once
-    idempotence for MERGE). MERGE's USING source may be a registered
-    view/table name or a parenthesized SELECT — either way it is
-    resolved by ``spark.sql``, i.e. the full SQL language."""
+):
+    """Execute one statement against a txlog table. Returns what the
+    dispatched library verb returns: the committed version (int) for
+    DELETE/UPDATE/MERGE/OPTIMIZE/RESTORE, the removed-path list for
+    VACUUM, a DataFrame for DESCRIBE HISTORY.
+    ``mode``/``app_id``/``txn_version`` carry the library verbs'
+    exact semantics (dv merge-on-read, exactly-once idempotence for
+    MERGE); they apply to the three DML verbs only. MERGE's USING
+    source may be a registered view/table name or a parenthesized
+    SELECT — either way it is resolved by ``spark.sql``, i.e. the
+    full SQL language. Maintenance grammar (Delta's SQL forms):
+
+        VACUUM `<root>` [RETAIN <n> HOURS] [DRY RUN]
+        OPTIMIZE `<root>` [WHERE <partcol> = <literal> [AND ...]]
+            [ZORDER BY (col, ...)]
+        RESTORE [TABLE] `<root>` TO VERSION AS OF <n>
+                                | TO TIMESTAMP AS OF <unix | 'ISO'>
+        DESCRIBE HISTORY `<root>`
+    """
     d = parse(statement)
+    if d["op"] == "vacuum":
+        return txlog.vacuum(
+            d["path"],
+            retain_hours=d.get("retain_hours"),
+            dry_run=d.get("dry_run", False),
+        )
+    if d["op"] == "optimize":
+        return txlog.optimize(
+            spark,
+            d["path"],
+            zorder_by=d.get("zorder_by", ()),
+            partitions=d.get("partitions"),
+        )
+    if d["op"] == "restore":
+        if "version" in d:
+            v = d["version"]
+        else:
+            ts = d["timestamp"]
+            if isinstance(ts, str):
+                import datetime
+
+                ts = datetime.datetime.fromisoformat(ts).timestamp()
+            v = txlog.version_at_timestamp(d["path"], float(ts))
+        return txlog.restore(spark, d["path"], v)
+    if d["op"] == "history":
+        return txlog.history(spark, d["path"])
     if d["op"] == "delete":
         return txlog.delete_where(
             spark, d["path"], d["predicate"], mode=mode

@@ -66,7 +66,7 @@ def test_parse_rejections():
         sql_dml.parse("UPDATE `/t` SET a = 1, a = 2 WHERE true")
     with pytest.raises(ValueError, match="SAME column"):
         sql_dml.parse("MERGE INTO `/t` USING v ON t.id = s.other")
-    with pytest.raises(ValueError, match="unsupported DML"):
+    with pytest.raises(ValueError, match="unsupported statement"):
         sql_dml.parse("SELECT * FROM t")
     with pytest.raises(ValueError, match="unterminated"):
         sql_dml.parse("DELETE FROM `/t` WHERE name = 'oops")
@@ -218,3 +218,115 @@ if _HYP:
     def test_delete_roundtrips_arbitrary_predicates(pred):
         d = sql_dml.parse(f"DELETE FROM `/t` WHERE f({pred}, {pred})")
         assert d["predicate"] == f"f({pred}, {pred})"
+
+
+# ------------------------------------------------- maintenance verbs
+
+
+def test_parse_maintenance_verbs():
+    assert sql_dml.parse("VACUUM `/t`") == {"op": "vacuum", "path": "/t"}
+    assert sql_dml.parse("vacuum `/t` retain 2.5 hours dry run") == {
+        "op": "vacuum",
+        "path": "/t",
+        "retain_hours": 2.5,
+        "dry_run": True,
+    }
+    assert sql_dml.parse("OPTIMIZE `/t`") == {
+        "op": "optimize",
+        "path": "/t",
+    }
+    d = sql_dml.parse(
+        "OPTIMIZE `/t` WHERE p = 3 AND q = 'x' ZORDER BY (a, `b`)"
+    )
+    assert d == {
+        "op": "optimize",
+        "path": "/t",
+        "partitions": {"p": 3, "q": "x"},
+        "zorder_by": ("a", "b"),
+    }
+    assert sql_dml.parse("optimize `/t` zorder by a")["zorder_by"] == ("a",)
+    assert sql_dml.parse("RESTORE TABLE `/t` TO VERSION AS OF 4") == {
+        "op": "restore",
+        "path": "/t",
+        "version": 4,
+    }
+    assert sql_dml.parse(
+        "RESTORE `/t` TO TIMESTAMP AS OF '2026-01-01T00:00:00'"
+    ) == {"op": "restore", "path": "/t", "timestamp": "2026-01-01T00:00:00"}
+    assert sql_dml.parse("DESCRIBE HISTORY `/t`") == {
+        "op": "history",
+        "path": "/t",
+    }
+    for bad in [
+        "VACUUM `/t` RETAIN HOURS",
+        "VACUUM `/t` FULL",
+        "OPTIMIZE `/t` WHERE p > 3",          # not a literal equality
+        "OPTIMIZE `/t` ZORDER a",             # missing BY
+        "RESTORE `/t` TO VERSION AS OF x",
+        "RESTORE `/t`",
+        "DESCRIBE HISTORY `/t` extra",
+    ]:
+        with pytest.raises(ValueError):
+            sql_dml.parse(bad)
+
+
+def test_sql_maintenance_end_to_end(spark, table):
+    """Each maintenance statement produces EXACTLY the library verb's
+    effect: OPTIMIZE ZORDER commits a compaction, DESCRIBE HISTORY
+    returns the op rows, RESTORE rolls back as a new commit, VACUUM
+    DRY RUN lists without deleting and the real VACUUM reclaims."""
+    import os
+
+    sql_dml.sql(spark, f"DELETE FROM `{table}` WHERE bucket = 9")
+    v = sql_dml.sql(spark, f"OPTIMIZE `{table}` ZORDER BY (id)")
+    assert v == 2
+    assert txlog._read_manifest(table, 2)["op"] == "optimize"
+    hist = sql_dml.sql(spark, f"DESCRIBE HISTORY `{table}`")
+    assert [r["op"] for r in hist.collect()] == [
+        "create",
+        "delete",
+        "optimize",
+    ]
+    assert sql_dml.sql(
+        spark, f"RESTORE TABLE `{table}` TO VERSION AS OF 1"
+    ) == 3
+    assert txlog.read_table(spark, table).count() == 90
+    dry = sql_dml.sql(spark, f"VACUUM `{table}` DRY RUN")
+    # paths are table-root-relative (the on-disk manifest form)
+    assert dry and all(
+        os.path.exists(os.path.join(table, p)) for p in dry
+    )
+    gone = sql_dml.sql(spark, f"VACUUM `{table}`")
+    assert set(gone) == set(dry)
+    assert not any(os.path.exists(os.path.join(table, p)) for p in gone)
+    # the restored snapshot still reads after the vacuum
+    assert txlog.read_table(spark, table).count() == 90
+
+
+def test_sql_restore_timestamp_and_partition_scoped_optimize(
+    spark, tmp_path
+):
+    import time
+
+    root = str(tmp_path / "pt")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 2).alias("p")
+        ),
+        partition_by=("p",),
+    )
+    t_after_create = time.time()
+    time.sleep(1.1)
+    sql_dml.sql(spark, f"DELETE FROM `{root}` WHERE id < 10")
+    # partition-scoped OPTIMIZE touches only p=1's dirs
+    v = sql_dml.sql(spark, f"OPTIMIZE `{root}` WHERE p = 1")
+    m = txlog._read_manifest(root, v)
+    assert m["op"] == "optimize"
+    # timestamp restore resolves to the newest version at that time
+    sql_dml.sql(
+        spark,
+        f"RESTORE `{root}` TO TIMESTAMP AS OF {t_after_create}",
+    )
+    assert txlog.read_table(spark, root).count() == 40
