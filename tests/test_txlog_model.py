@@ -23,7 +23,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from map_reduce_rpc_spark.sources import txlog
+from map_reduce_rpc_spark.sources import sql_dml, txlog
 from map_reduce_rpc_spark.sources.logstore import (
     ConditionalPutLogStore,
     PosixLogStore,
@@ -87,9 +87,17 @@ def test_txlog_matches_model_under_random_op_chain(
         "sql_append",
         "sql_overwrite",
         "dv_update",
+        # round-14 SQL-TEXT surface interleaved with everything else:
+        # the string front-end (sources/sql_dml.py) and the DSv2
+        # INSERT INTO routing must be indistinguishable from the
+        # library verbs in the log AND under snapshot isolation
+        "sql_text_delete",
+        "sql_text_update",
+        "sql_text_merge",
+        "sql_text_insert",
     ]
     for step in range(24):
-        op = ops[step % len(ops)] if step < 20 else rng.choice(ops)
+        op = ops[step % len(ops)] if step < len(ops) else rng.choice(ops)
         if op == "append":
             rows = {next_id + i: rng.randrange(10) for i in range(25)}
             next_id += 25
@@ -172,6 +180,46 @@ def test_txlog_matches_model_under_random_op_chain(
             )
             v = txlog.current_version(root)
             model = dict(rows)
+        elif op == "sql_text_delete":
+            b = rng.randrange(10)
+            v = sql_dml.sql(
+                spark, f"DELETE FROM `{root}` WHERE bucket = {b}"
+            )
+            model = {k: x for k, x in model.items() if x != b}
+        elif op == "sql_text_update":
+            b = rng.randrange(10)
+            v = sql_dml.sql(
+                spark,
+                f"UPDATE `{root}` SET bucket = bucket + 50 "
+                f"WHERE bucket = {b}",
+            )
+            model = {
+                k: (x + 50 if x == b else x) for k, x in model.items()
+            }
+        elif op == "sql_text_merge":
+            existing = rng.sample(sorted(model), k=min(10, len(model)))
+            rows = {k: -500 - step for k in existing}
+            rows.update({next_id + i: -500 - step for i in range(5)})
+            next_id += 5
+            frame(rows).createOrReplaceTempView("model_merge_src")
+            v = sql_dml.sql(
+                spark,
+                f"MERGE INTO `{root}` USING model_merge_src ON id",
+            )
+            model.update(rows)
+        elif op == "sql_text_insert":
+            rows = {next_id + i: rng.randrange(10) for i in range(10)}
+            next_id += 10
+            frame(rows).createOrReplaceTempView("model_insert_src")
+            spark.sql(
+                "CREATE OR REPLACE TEMPORARY VIEW model_tv "
+                f"USING txlog OPTIONS (path '{root}')"
+            )
+            spark.sql(
+                "INSERT INTO model_tv SELECT * FROM model_insert_src"
+            )
+            v = txlog.current_version(root)
+            model.update(rows)
         else:  # restore
             target = rng.randrange(0, txlog.current_version(root) + 1)
             v = txlog.restore(spark, root, target)

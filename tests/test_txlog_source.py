@@ -819,3 +819,36 @@ def test_sql_text_insert_into_and_overwrite(spark, plain_table):
         spark.sql("INSERT INTO tvw SELECT 'oops' AS id, 'x' AS bucket")
     assert txlog.current_version(plain_table) == 2  # nothing committed
     spark.catalog.dropTempView("tvw")
+
+
+def test_sql_text_insert_into_partitioned_table(spark, tmp_path):
+    """INSERT INTO through the SQL-text view on a HIVE-PARTITIONED
+    table routes into the partitioned task writer: new rows land in
+    their partition directories (prunable by both read paths), not a
+    flat layout."""
+    import os
+
+    root = str(tmp_path / "ptx")
+    txlog.create_table(
+        spark,
+        root,
+        spark.range(0, 40).select("id", (F.col("id") % 2).alias("p")),
+        partition_by=("p",),
+    )
+    txlog_source.register(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW ptv "
+        f"USING txlog OPTIONS (path '{root}')"
+    )
+    spark.sql(
+        "INSERT INTO ptv SELECT id, CAST(id % 2 AS BIGINT) AS p "
+        "FROM range(40, 60)"
+    )
+    assert txlog.current_version(root) == 1
+    got = txlog.read_table(spark, root)
+    assert got.count() == 60
+    # the new files are under hive dirs, and partition reads prune
+    assert txlog.read_table(spark, root, partitions={"p": 1}).count() == 30
+    new_files = txlog._read_manifest(root, 1).get("add", [])
+    assert new_files and all("p=" in f for f in new_files)
+    spark.catalog.dropTempView("ptv")
