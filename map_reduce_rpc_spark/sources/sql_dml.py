@@ -31,6 +31,7 @@ table path so it can never be confused with a keyword):
     RESTORE [TABLE] `<table root>` TO VERSION AS OF <n>
                                  | TO TIMESTAMP AS OF <unix | 'ISO'>
     DESCRIBE HISTORY `<table root>`
+    CLONE `<src root>` TO `<dst root>` [VERSION AS OF <n>]
 
 ``mode="cow"|"dv"`` applies to DELETE/UPDATE/MERGE exactly as on the
 library verbs. MERGE's ON clause accepts either a bare key-column
@@ -373,6 +374,26 @@ def _parse_restore(body: str) -> dict:
     return {"op": "restore", "path": path, "timestamp": _literal(val)}
 
 
+def _parse_clone(body: str) -> dict:
+    src, rest = _table_path(body)
+    t = _find_keyword(rest, "TO")
+    if t < 0 or rest[:t].strip():
+        raise ValueError(
+            "expected CLONE `<src root>` TO `<dst root>` "
+            "[VERSION AS OF <n>]"
+        )
+    dst, rest = _table_path(rest[t + len("TO") :])
+    out: dict = {"op": "clone", "path": src, "dst": dst}
+    if rest.strip():
+        m = re.fullmatch(r"(?is)\s*VERSION\s+AS\s+OF\s+(\d+)\s*", rest)
+        if not m:
+            raise ValueError(
+                f"unexpected tokens after CLONE target: {rest.strip()!r}"
+            )
+        out["version"] = int(m.group(1))
+    return out
+
+
 def parse(statement: str) -> dict:
     """Parse one DML statement into a dispatch dict (pure — no Spark,
     no filesystem — so the grammar is unit-testable in isolation)."""
@@ -397,6 +418,8 @@ def parse(statement: str) -> dict:
         return _parse_merge(s[i + len("INTO") :])
     if up.startswith("VACUUM"):
         return _parse_vacuum(s[len("VACUUM") :])
+    if up.startswith("CLONE"):
+        return _parse_clone(s[len("CLONE") :])
     if up.startswith("OPTIMIZE"):
         return _parse_optimize(s[len("OPTIMIZE") :])
     if up.startswith("RESTORE"):
@@ -412,7 +435,7 @@ def parse(statement: str) -> dict:
         return {"op": "history", "path": path}
     raise ValueError(
         f"unsupported statement (DELETE/UPDATE/MERGE/VACUUM/OPTIMIZE/"
-        f"RESTORE/DESCRIBE HISTORY only): {s[:40]!r}..."
+        f"RESTORE/DESCRIBE HISTORY/CLONE only): {s[:40]!r}..."
     )
 
 
@@ -468,6 +491,10 @@ def sql(
         return txlog.restore(spark, d["path"], v)
     if d["op"] == "history":
         return txlog.history(spark, d["path"])
+    if d["op"] == "clone":
+        return txlog.clone_table(
+            spark, d["path"], d["dst"], version=d.get("version")
+        )
     if d["op"] == "delete":
         return txlog.delete_where(
             spark, d["path"], d["predicate"], mode=mode

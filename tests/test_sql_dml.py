@@ -330,3 +330,33 @@ def test_sql_restore_timestamp_and_partition_scoped_optimize(
         f"RESTORE `{root}` TO TIMESTAMP AS OF {t_after_create}",
     )
     assert txlog.read_table(spark, root).count() == 40
+
+
+def test_parse_and_run_clone(spark, table, tmp_path):
+    assert sql_dml.parse("CLONE `/a` TO `/b`") == {
+        "op": "clone",
+        "path": "/a",
+        "dst": "/b",
+    }
+    assert sql_dml.parse("clone `/a` to `/b` version as of 2") == {
+        "op": "clone",
+        "path": "/a",
+        "dst": "/b",
+        "version": 2,
+    }
+    with pytest.raises(ValueError):
+        sql_dml.parse("CLONE `/a` `/b`")
+    with pytest.raises(ValueError):
+        sql_dml.parse("CLONE `/a` TO `/b` AT 2")
+    # end to end: the hard-link clone of the pre-delete snapshot
+    sql_dml.sql(spark, f"DELETE FROM `{table}` WHERE bucket = 0")
+    dst = str(tmp_path / "cl")
+    sql_dml.sql(
+        spark, f"CLONE `{table}` TO `{dst}` VERSION AS OF 0"
+    )
+    assert txlog.read_table(spark, dst).count() == 100  # pre-delete
+    assert txlog.read_table(spark, table).count() == 90
+    # the clone is its own table: mutating it leaves the source alone
+    sql_dml.sql(spark, f"DELETE FROM `{dst}` WHERE bucket = 1")
+    assert txlog.read_table(spark, dst).count() == 90
+    assert txlog.read_table(spark, table).count() == 90
