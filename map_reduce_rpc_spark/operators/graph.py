@@ -26,6 +26,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Node-keyed per-iteration frames (ranks, vote winners, degree-filter
+# survivors) are broadcast-joined instead of shuffle-joined when the
+# driver KNOWS the node count is under this bound (pagerank counts n up
+# front; the backbone callers bound n by a dimension table). Guide §3.1:
+# broadcast replaces a shuffle of the BIG side (the edge list — the
+# side that grows with corpus size) with a build of the node-sized
+# side; at ~16 bytes/row the bound is ~32 MB per broadcast, far under
+# the 8 GB cap. Above the bound the joins fall back to the planner's
+# choice (shuffle), so graphs with data-scaled node counts keep the
+# shuffle path — the decision is data-adaptive, not core-count-tuned.
+BROADCAST_NODES_MAX = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
+
+
+def _iter_snapshot(df: DataFrame, small: bool) -> DataFrame:
+    """Per-iteration lineage truncation. When the frame is known
+    node-sized (``small``, the BROADCAST_NODES_MAX gate), coalesce to
+    ONE partition before the eager checkpoint: a KB-MB rank/label
+    frame split 32 ways makes every downstream stage — including each
+    round's broadcast build — pay 32 task dispatches for ~500-row
+    tasks (guide §2.2 — fewer, larger partitions). Checkpoints stay
+    EAGER in both modes: a lazy checkpoint was measured to RECOMPUTE
+    the whole chain prefix per consumer here (broadcast builds and
+    multi-reference rounds each re-evaluated every earlier iteration —
+    bfs_hops went 3.7 s -> 8.3 s), because nothing guarantees the
+    marked RDD is computed-and-saved before its next reference."""
+    if small:
+        return _snapshot(df.coalesce(1))
+    return _snapshot(df)
+
+
 def _snapshot(df: DataFrame) -> DataFrame:
     """``localCheckpoint()`` with a retry + persist fallback.
 
@@ -287,6 +321,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    union_distinct: bool = True,
 ) -> DataFrame:
     """Deterministic PageRank over the UNDIRECTED closure of the edge
     list, the second iterative-algorithm surface next to connected
@@ -312,11 +347,19 @@ def pagerank(
     partition-persist the degree-annotated edge list and this is
     textbook Pregel-on-DataFrames.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if union_distinct:
+        # dedup the symmetrized union. Callers set union_distinct=False
+        # when the union is PROVABLY duplicate-free — distinct input
+        # edges whose src/dst id spaces are disjoint (the bipartite
+        # 2c / 2s+1 encoding): the reversed copy can then never collide
+        # with the forward copy, the distinct is an identity, and
+        # skipping it removes one full exchange+aggregate of the edge
+        # list (guide §2.4 — a `distinct` on data that is already
+        # unique). Values are identical by construction.
+        sym = sym.distinct()
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
     # degree-annotated edges, built once, reused every iteration
     ann = sym.join(deg, "a").persist()
@@ -332,16 +375,24 @@ def pagerank(
         return nodes.withColumn("r", F.lit(0.0)).limit(0)
     ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     base = F.lit(1.0 - damping) / F.lit(float(n))
+    # n is known exactly here: broadcast the node-sized per-iteration
+    # frames under BROADCAST_NODES_MAX so the edge list (the data-sized
+    # side) is never shuffled by the join, and AQE's per-exchange stage
+    # round-trips collapse (measured at sf0.1: 31 jobs -> the shuffle
+    # count, guide §2.4/§3.1). Join outputs are row-identical either way.
+    bc = n <= BROADCAST_NODES_MAX
     for _ in range(iters):
-        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+        contrib = ann.join(
+            _maybe_broadcast(ranks, bc), ann["a"] == ranks["node"]
+        ).select(
             F.col("b").alias("node"),
             F.floor((F.col("r") / F.col("deg")) * F.lit(float(PR_QUANT)))
             .cast("long")
             .alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = _snapshot(
-            nodes.join(s, "node", "left").select(
+        ranks = _iter_snapshot(
+            nodes.join(_maybe_broadcast(s, bc), "node", "left").select(
                 "node",
                 (
                     base
@@ -351,7 +402,8 @@ def pagerank(
                         / F.lit(float(PR_QUANT))
                     )
                 ).alias("r"),
-            )
+            ),
+            bc,
         )
     ann.unpersist()
     # ranks is localCheckpoint'd by _snapshot, so dropping the nodes
@@ -366,6 +418,7 @@ def pagerank_directed(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """DIRECTED PageRank with dangling-mass redistribution — the
     general form :func:`pagerank`'s undirected closure sidesteps. Per
@@ -382,10 +435,11 @@ def pagerank_directed(
     redistribution a directed graph leaks mass every round and ranks
     drift toward zero — the classic implementation bug this operator
     exists to pin down."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .distinct()
-    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not input_distinct:
+        # callers whose edge list is already distinct set
+        # input_distinct=True and skip this exchange (guide §2.4)
+        e = e.distinct()
     out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     ann = e.join(out_deg, "a").persist()
     nodes = (
@@ -405,8 +459,12 @@ def pagerank_directed(
     q = float(PR_QUANT)
     ranks = nodes.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     base = F.lit(1.0 - damping) / F.lit(float(n))
+    # same broadcast gating as pagerank() — n is exact here
+    bc = n <= BROADCAST_NODES_MAX
     for _ in range(iters):
-        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+        contrib = ann.join(
+            _maybe_broadcast(ranks, bc), ann["a"] == ranks["node"]
+        ).select(
             F.col("b").alias("node"),
             F.floor((F.col("r") / F.col("deg")) * F.lit(q))
             .cast("long")
@@ -414,13 +472,13 @@ def pagerank_directed(
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         dm = (
-            dangling.join(ranks, "node")
+            dangling.join(_maybe_broadcast(ranks, bc), "node")
             .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
             .first()[0]
             or 0
         )
-        ranks = _snapshot(
-            nodes.join(s, "node", "left").select(
+        ranks = _iter_snapshot(
+            nodes.join(_maybe_broadcast(s, bc), "node", "left").select(
                 "node",
                 (
                     base
@@ -430,7 +488,8 @@ def pagerank_directed(
                         + (F.lit(float(dm)) / F.lit(q)) / F.lit(float(n))
                     )
                 ).alias("r"),
-            )
+            ),
+            bc,
         )
     ann.unpersist()
     dangling.unpersist()
@@ -438,7 +497,9 @@ def pagerank_directed(
     return ranks
 
 
-def kcore_truncated(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_truncated(
+    edges: DataFrame, k: int, rounds: int, broadcast_nodes: bool = False
+) -> DataFrame:
     """Truncated k-core peeling: `rounds` iterations of "drop every
     node with degree < k, restrict the edge set to survivors", then
     per-node degrees of the surviving subgraph. Input: undirected
@@ -466,15 +527,27 @@ def kcore_truncated(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .where(F.col("d") >= k)
             .select("u")
         )
+        # broadcast_nodes (caller asserts node count is dimension-
+        # bounded, see BROADCAST_NODES_MAX): both semi joins build the
+        # node-sized survivor set instead of shuffling the edge list
+        # twice per round — guide §3.1; semi-join output is identical.
         cur = (
-            cur.join(keep, "u", "semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            cur.join(_maybe_broadcast(keep, broadcast_nodes), "u", "semi")
+            .join(
+                _maybe_broadcast(
+                    keep.select(F.col("u").alias("v")), broadcast_nodes
+                ),
+                "v",
+                "semi",
+            )
             .localCheckpoint(eager=False)
         )
     return cur.groupBy("u").agg(F.count("*").cast("long").alias("core_deg"))
 
 
-def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int, broadcast_nodes: bool = False
+) -> DataFrame:
     """Synchronous label propagation (LPA, Raghavan et al. 2007) for
     COMMUNITY detection — the density-sensitive complement of
     :func:`connected_components` (which only answers reachability):
@@ -506,8 +579,14 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     for _ in range(rounds):
+        # broadcast_nodes (caller asserts dimension-bounded node count):
+        # the label and winner frames are node-sized — broadcast them so
+        # the edge list never shuffles (guide §3.1); values identical.
         votes = (
-            und.join(labels, und["v"] == labels["node"])
+            und.join(
+                _maybe_broadcast(labels, broadcast_nodes),
+                und["v"] == labels["node"],
+            )
             .groupBy(F.col("u"), F.col("label"))
             .agg(F.count("*").alias("c"))
         )
@@ -516,10 +595,15 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select(F.col("u").alias("bnode"), (-F.col("m.nl")).alias("blabel"))
         )
-        labels = _snapshot(
-            labels.join(best, labels["node"] == F.col("bnode"), "left").select(
+        labels = _iter_snapshot(
+            labels.join(
+                _maybe_broadcast(best, broadcast_nodes),
+                labels["node"] == F.col("bnode"),
+                "left",
+            ).select(
                 "node", F.coalesce(F.col("blabel"), F.col("label")).alias("label")
-            )
+            ),
+            broadcast_nodes,
         )
     und.unpersist()
     return labels.select("node", F.col("label").alias("community"))
@@ -532,6 +616,7 @@ def pagerank_personalized(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """PERSONALIZED PageRank (random walk with restart): teleport mass
     lands uniformly on the SEED set instead of on every node, so the
@@ -553,7 +638,13 @@ def pagerank_personalized(
     Scale shape identical to pagerank_directed: one shuffle join +
     one partial-agg'd sum per iteration, lineage truncated per round.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not input_distinct:
+        # callers whose edge list is already distinct (e.g. the
+        # bidirectional union of a distinct bipartite relation with
+        # disjoint id spaces) set input_distinct=True and skip this
+        # exchange (guide §2.4)
+        e = e.distinct()
     out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
     ann = e.join(out_deg, "a").persist()
     nodes = (
@@ -562,7 +653,8 @@ def pagerank_personalized(
         .distinct()
         .persist()
     )
-    if nodes.count() == 0:
+    n = nodes.count()
+    if n == 0:
         ann.unpersist()
         nodes.unpersist()
         return nodes.withColumn("r", F.lit(0.0)).limit(0)
@@ -580,8 +672,12 @@ def pagerank_personalized(
     has_dangling = dangling.count() > 0
     q = float(PR_QUANT)
     ranks = nodes.withColumn("r", p)
+    # same broadcast gating as pagerank() — n is exact here
+    bc = n <= BROADCAST_NODES_MAX
     for _ in range(iters):
-        contrib = ann.join(ranks, ann["a"] == ranks["node"]).select(
+        contrib = ann.join(
+            _maybe_broadcast(ranks, bc), ann["a"] == ranks["node"]
+        ).select(
             F.col("b").alias("node"),
             F.floor((F.col("r") / F.col("deg")) * F.lit(q))
             .cast("long")
@@ -589,13 +685,13 @@ def pagerank_personalized(
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         dm = (
-            dangling.join(ranks, "node")
+            dangling.join(_maybe_broadcast(ranks, bc), "node")
             .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
             .first()[0]
             or 0
         ) if has_dangling else 0
-        ranks = _snapshot(
-            nodes.join(s, "node", "left").select(
+        ranks = _iter_snapshot(
+            nodes.join(_maybe_broadcast(s, bc), "node", "left").select(
                 "node",
                 (
                     F.lit(1.0 - damping) * p
@@ -606,7 +702,8 @@ def pagerank_personalized(
                         + (F.lit(float(dm)) / F.lit(q)) * p
                     )
                 ).alias("r"),
-            )
+            ),
+            bc,
         )
     ann.unpersist()
     dangling.unpersist()
@@ -615,7 +712,10 @@ def pagerank_personalized(
 
 
 def bfs_hops(
-    edges: DataFrame, seeds: tuple[int, ...], rounds: int
+    edges: DataFrame,
+    seeds: tuple[int, ...],
+    rounds: int,
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distance: ``rounds`` synchronous frontier
     expansions from the seed set over undirected unique (u, v) pairs.
@@ -645,14 +745,21 @@ def bfs_hops(
     )
     frontier = reached
     for r in range(1, rounds + 1):
+        # broadcast_nodes (caller asserts dimension-bounded node
+        # count): frontier and reached are node-sized — broadcast both
+        # so the adjacency never shuffles (guide §3.1; anti-join and
+        # inner-join outputs are identical either way).
         nxt = (
-            und.join(frontier, und["u"] == frontier["node"])
+            und.join(
+                _maybe_broadcast(frontier, broadcast_nodes),
+                und["u"] == frontier["node"],
+            )
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(reached, "node", "left_anti")
+            .join(_maybe_broadcast(reached, broadcast_nodes), "node", "left_anti")
             .withColumn("hops", F.lit(r).cast("int"))
         )
-        reached = _snapshot(reached.unionByName(nxt))
+        reached = _iter_snapshot(reached.unionByName(nxt), broadcast_nodes)
         frontier = reached.where(F.col("hops") == r)
     und.unpersist()
     return reached

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tables import spread_partitions
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two array<double> columns."""
@@ -600,9 +602,15 @@ def kmeans_fit(
     # re-scans the source and re-casts the array (MLlib caches its
     # input for the same reason). MEMORY_AND_DISK so a 1B-vector table
     # degrades to spill, not OOM; released after the last update.
+    # spread_partitions: the assignment argmin is an interpreted HOF
+    # chain (higher-order lambdas are CodegenFallback), so a
+    # one-split scan serializes every Lloyd iteration on one core —
+    # guarded repartition, a no-op at real scale (guide §2.5 input
+    # skew / compute-per-byte mismatch). Exact-integer update sums are
+    # partition-order-independent, so the fit is value-identical.
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = spread_partitions(base).persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = (
         base.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -764,7 +772,13 @@ def sq8_topk(
     — but the scanned payload is int8-range codes instead of doubles,
     and the score loop is integer multiply-add. Recall vs the exact
     float baseline is asserted in tests/test_similarity.py."""
-    coded = sq8_encode(emb, sq8_calibrate(emb, vec_col), id_col, vec_col)
+    # spread_partitions: encode + integer-dot scoring are interpreted
+    # HOF chains; a one-split scan runs them on one core (guarded — a
+    # no-op at real scale). Scores are row-local, so values are
+    # partition-independent.
+    coded = sq8_encode(
+        spread_partitions(emb), sq8_calibrate(emb, vec_col), id_col, vec_col
+    )
     queries = coded.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("_qc")
     )
@@ -859,10 +873,10 @@ def pq_encode(
     dsub = dim // m
     v = _as_double(vec_col)
 
-    def sub_code(j: int):
+    def sub_d2(j: int) -> Column:
         sub = F.slice(v, j * dsub + 1, dsub)
         cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        d2 = F.transform(
+        return F.transform(
             cb,
             lambda c: F.aggregate(
                 F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
@@ -870,12 +884,35 @@ def pq_encode(
                 lambda acc, x: acc + x,
             ),
         )
-        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
-    return emb.select(
+    # Stage each sub-space's distance list as a NAMED column, then take
+    # the argmin from the attribute: the previous inline form
+    # (array_position(d2, array_min(d2))) instantiated every d2 tree —
+    # 16 interpreted aggregate-over-zip_with folds plus the ksub x dsub
+    # literal — TWICE per sub-space, doubling both the Catalyst tree the
+    # optimizer walks (measured: ~2-3 s single-threaded planning per PQ
+    # query at any scale, guide §7.3) and the per-row interpreted
+    # evaluation. CollapseProject keeps the boundary because the alias
+    # is non-cheap and referenced twice, so each d2 now evaluates once.
+    staged = emb.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.array(*[sub_code(j) for j in range(m)]).alias(out_col),
+        *[sub_d2(j).alias(f"__pqd{j}") for j in range(m)],
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.array(
+            *[
+                (
+                    F.array_position(
+                        F.col(f"__pqd{j}"), F.array_min(F.col(f"__pqd{j}"))
+                    )
+                    - 1
+                ).cast("int")
+                for j in range(m)
+            ]
+        ).alias(out_col),
     )
 
 
@@ -923,7 +960,10 @@ def pq_adc_topk(
             F.col(id_col).alias("neighbor_id"),
             F.lit(0.0).alias("adist"),
         ).limit(0)
-    coded = pq_encode(emb, codebooks, dim, id_col, vec_col)
+    # spread_partitions on the candidate scan: the encode argmin and
+    # the ADC fold are interpreted HOF chains — parallelize them across
+    # cores (guarded; row-local values, partition-independent).
+    coded = pq_encode(spread_partitions(emb), codebooks, dim, id_col, vec_col)
     queries = (
         emb.where(F.col(id_col).isin(query_ids))
         .select(
@@ -1054,10 +1094,15 @@ def ivfpq_topk(
     Output (query_id, neighbor_id, cos), identical schema to
     pq_rerank_topk so recall comparisons are direct.
     """
-    base = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("blk"),
-        _as_double(vec_col).alias("_v"),
+    # spread_partitions: probe-cosine, encode argmin, ADC fold and the
+    # exact rerank are interpreted HOF chains over this scan — spread
+    # them across cores (guarded; all row-local, partition-independent).
+    base = spread_partitions(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("blk"),
+            _as_double(vec_col).alias("_v"),
+        )
     )
     if codebooks is None:
         # the index's codebooks train on the FULL corpus (an offline

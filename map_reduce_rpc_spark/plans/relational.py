@@ -597,6 +597,12 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi joins. Output: (suppkey, core_deg)."""
     from ..operators.graph import kcore_truncated
 
+    # broadcast_nodes stays False: measured within one session at
+    # sf0.1, the per-round broadcast builds cost more than AQE's
+    # reused shuffle exchanges save (kcore 0.70 s shuffle vs 0.78 s
+    # broadcast). The flag is the 100 TB lever for edge lists too
+    # large to shuffle per round while the survivor set stays
+    # dimension-bounded.
     return kcore_truncated(
         _supplier_backbone(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
     ).select(F.col("u").alias("suppkey"), "core_deg")
@@ -622,6 +628,11 @@ def bfs_hops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the reached set."""
     from ..operators.graph import bfs_hops
 
+    # broadcast_nodes stays False: measured within one session at
+    # sf0.1, broadcasting frontier/reached is 4.5x SLOWER than the
+    # reused shuffle exchanges (1.5 s vs 6.7 s) — the per-round
+    # broadcast builds serialize where AQE reuses. The flag remains
+    # the documented lever for adjacency lists too large to shuffle.
     return bfs_hops(
         _supplier_backbone(spark, sf_dir), seeds=BFS_SEED_SUPPS, rounds=BFS_ROUNDS
     ).select(F.col("node").alias("suppkey"), "hops")
@@ -658,6 +669,9 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-node-safety argument). Output: (suppkey, community)."""
     from ..operators.graph import label_propagation
 
+    # broadcast_nodes stays False: measured within one session at
+    # sf0.1 the broadcast builds cost slightly more than the reused
+    # shuffle exchanges (1.16 s vs 1.21 s); kept as the 100 TB lever.
     return label_propagation(
         _supplier_backbone(spark, sf_dir, top_t=LPA_TOP_NEIGHBORS),
         rounds=LPA_ROUNDS,
@@ -764,7 +778,13 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    # union_distinct=False: edges are distinct and the 2c / 2s+1 node
+    # encodings are disjoint, so the symmetrized union is provably
+    # duplicate-free — the operator's dedup exchange is an identity
+    # and is skipped (operators/graph.pagerank docstring)
+    ranks = pagerank(
+        edges, iters=PR_ITERS, damping=PR_DAMPING, union_distinct=False
+    )
     supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("r").alias("rank"),
@@ -856,7 +876,11 @@ def pagerank_directed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank_directed(edges, iters=PR_ITERS, damping=PR_DAMPING)
+    # input_distinct=True: the edge build above already dedups, so the
+    # operator's defensive distinct is an identity — skipped
+    ranks = pagerank_directed(
+        edges, iters=PR_ITERS, damping=PR_DAMPING, input_distinct=True
+    )
     supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("r").alias("rank"),
@@ -897,8 +921,12 @@ def ppr_supplier_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     seeds = tuple(2 * c for c in PPR_SEED_CUSTS)
+    # input_distinct=True: rel is distinct and the two directions use
+    # disjoint id spaces, so the bidirectional union is duplicate-free
+    # — the operator's defensive distinct is an identity, skipped
     ranks = pagerank_personalized(
-        edges, seeds=seeds, iters=PR_ITERS, damping=PR_DAMPING
+        edges, seeds=seeds, iters=PR_ITERS, damping=PR_DAMPING,
+        input_distinct=True,
     )
     supp_ranks = ranks.where(F.col("node") % 2 == 1).select(
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),

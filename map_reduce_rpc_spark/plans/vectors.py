@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
-from ..tables import load_table
+from ..tables import load_table, spread_partitions
 
 QUERY_IDS = list(range(8))
 TOP_K = 10
@@ -1092,8 +1092,12 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = F.transform(v, lambda x: F.floor(x * F.lit(float(GRAM_QUANT))).cast("long"))
     outer = F.flatten(F.transform(q, lambda qi: F.transform(q, lambda qj: qi * qj)))
+    # spread_partitions: the dim^2 outer product is an interpreted HOF
+    # map — a one-split scan runs it on one core (measured 2.5 s of a
+    # 3 s wall at sf0.1). Guarded no-op at real scale; the exact-integer
+    # cell sums are partition-order-independent, so values are identical.
     return (
-        load_table(spark, sf_dir, "embeddings")
+        spread_partitions(load_table(spark, sf_dir, "embeddings"))
         .select(F.posexplode(outer).alias("pos", "p"))
         .groupBy("pos")
         .agg(F.sum("p").alias("s"))
@@ -1135,8 +1139,10 @@ def pca_power_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = F.transform(v, lambda x: F.floor(x * F.lit(float(GRAM_QUANT))).cast("long"))
     outer = F.flatten(F.transform(q, lambda qi: F.transform(q, lambda qj: qi * qj)))
+    # spread_partitions: same single-core outer-product fix as
+    # embedding_gram (exact-integer sums, value-identical).
     cells = (
-        emb.select(F.posexplode(outer).alias("pos", "p"))
+        spread_partitions(emb).select(F.posexplode(outer).alias("pos", "p"))
         .groupBy("pos")
         .agg(F.sum("p").alias("s"))
     )
