@@ -104,6 +104,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the changed flag is computed IN the label update (least(old,
+        # nbr) != old <=> nbr < old) so convergence detection is a
+        # filter-count over the frame the round checkpoints anyway —
+        # the old-vs-new self-join that used to compute it was one
+        # extra join job per round (guide §1.2: don't compute things
+        # twice). Same labels, same convergence decision.
         new_labels = _snapshot(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
@@ -111,15 +117,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break

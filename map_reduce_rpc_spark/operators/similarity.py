@@ -1256,8 +1256,24 @@ def mmr_rerank(
     the shortlist and sims upstream. Determinism: ties broken by doc
     id; both engines order by the identical IEEE mmr expression, so a
     DuckDB oracle replays all k steps as an unrolled CTE chain."""
-    short = shortlist.select("query_id", "neighbor_id", "rel").localCheckpoint()
-    simsc = sims.select("query_id", "a", "b", "sim").localCheckpoint()
+    # These frames are O(queries x shortlist) rows BY CONTRACT (the
+    # serving shortlist, KBs at any corpus scale — the upstream ANN
+    # stages did the data-sized work): coalesce to one partition so
+    # the k greedy steps run single-task stages instead of paying
+    # 32 dispatches per ~10-row partition (guide §2.2).
+    # coalesce AFTER the checkpoint: coalesce(1) before it would fuse
+    # the upstream shortlist/sims computation (interpreted cosine
+    # scoring) into a single task — the classic coalesce pitfall. The
+    # checkpoint materializes in parallel; the post-checkpoint
+    # coalesce is a narrow merge of tiny cached blocks.
+    short = (
+        shortlist.select("query_id", "neighbor_id", "rel")
+        .localCheckpoint()
+        .coalesce(1)
+    )
+    simsc = (
+        sims.select("query_id", "a", "b", "sim").localCheckpoint().coalesce(1)
+    )
     selected = short.select(
         "query_id",
         F.col("neighbor_id").alias("doc"),
@@ -1306,5 +1322,5 @@ def mmr_rerank(
                 "mmr",
             )
         )
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = selected.unionByName(pick).localCheckpoint().coalesce(1)
     return selected

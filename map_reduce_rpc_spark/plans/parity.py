@@ -254,10 +254,18 @@ def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import derived_cache_dir
 
     def build(tmp: str) -> None:
-        ev = load_table(spark, sf_dir, "events")
+        # spread the mirror across containers: the python Avro decode
+        # is one task PER FILE, so a one-split source produced a
+        # single container and the whole read-back ran on one core
+        # (measured: ~2.2 s of the warm wall). Guarded repartition —
+        # at real scale the source already has many splits and this
+        # is a no-op. New cache name so pre-split mirrors rebuild.
+        from ..tables import spread_partitions
+
+        ev = spread_partitions(load_table(spark, sf_dir, "events"))
         avro_py.write_avro(ev, tmp, mode="overwrite", codec="deflate")
 
-    path = derived_cache_dir(sf_dir, "avro_events", ("events",), build)
+    path = derived_cache_dir(sf_dir, "avro_events_spread", ("events",), build)
     back = avro_py.read_avro(spark, path).drop(avro_py.CORRUPT_COL)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import NON_LETTER_RE, tokens
-from ..tables import load_table
+from ..tables import load_table, spread_partitions
 
 # train < 0xcc (204/256 = 79.7%), val < 0xe6 (26/256 = 10.2%), rest test.
 _TRAIN_HEX = "cc"
@@ -250,7 +250,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of ``orders`` (row count, nulls, exact
     distinct, min/max as strings) in ONE scan: all aggregates in a
     single agg, then ``stack`` unpivots to a row per column."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread: 6 countDistincts expand each input row 7x before the
+    # partial aggregate — compute-dense on a one-split scan (guarded
+    # repartition, no-op at scale; all aggregates exact and
+    # partition-order-independent)
+    o = spread_partitions(load_table(spark, sf_dir, "orders"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [

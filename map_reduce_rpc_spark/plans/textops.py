@@ -753,16 +753,26 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = cur.crossJoin(F.broadcast(best)).select(
             _bpe_apply_merge(F.col("t"), F.col("ma"), F.col("mb")).alias("t")
         )
-        toks_after = merged.agg(
-            F.sum(F.greatest(F.size("t"), F.lit(0))).cast("long").alias("tokens_after")
-        )
-        vocab_after = (
+        # ONE corpus pass for both post-merge stats (was two — a sum
+        # pass and a countDistinct pass, each its own broadcast):
+        # explode -> (w, c) partial-agg'd word counts, then
+        # tokens_after = sum(c) (explode drops empty arrays — each
+        # contributes 0, exactly like the old greatest(size,0) sum,
+        # and an all-empty corpus yields the same NULL a sum over zero
+        # rows did) and vocab_after = count(*) (0 on empty, exactly
+        # like countDistinct). Guide §2.3 "aggregate before you
+        # shuffle" / §1.2 fewer passes; values identical by the above.
+        stats = (
             merged.select(F.explode("t").alias("w"))
-            .agg(F.countDistinct("w").cast("long").alias("vocab_after"))
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum("c").cast("long").alias("tokens_after"),
+                F.count("*").cast("long").alias("vocab_after"),
+            )
         )
         row = (
-            best.crossJoin(F.broadcast(toks_after))
-            .crossJoin(F.broadcast(vocab_after))
+            best.crossJoin(F.broadcast(stats))
             .select(
                 F.lit(it).alias("iter"),
                 F.col("ma").alias("a"),
@@ -1426,14 +1436,23 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = (F.col("doc_id") % FUZZY_DECON_MOD) == 0
 
     def index(side: DataFrame) -> DataFrame:
+        # spread: tokenize+md5 shingling is compute-dense on a
+        # one-split scan (guarded, no-op at scale). localCheckpoint:
+        # each index is consumed TWICE below (band explode for
+        # candidates + shingle sets for the verify) and the 64-way
+        # min/collect_set aggregate re-executed per consumer —
+        # materializing the index once halves the signature work
+        # (guide §5 caching: reused AND expensive). Index rows are
+        # per-doc (KB-MB at any batch size — this is the persistable
+        # index minhash_index exists to produce).
         return dedup.minhash_index(
-            side,
+            spread_partitions(side),
             "doc_id",
             "text",
             n=NGRAM_N,
             num_perm=MINHASH_PERMS,
             bands=MINHASH_BANDS,
-        )
+        ).localCheckpoint()
 
     bench = index(docs.where(is_bench))
     corpus = index(docs.where(~is_bench))
