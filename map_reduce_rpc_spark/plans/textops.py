@@ -1437,14 +1437,14 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def index(side: DataFrame) -> DataFrame:
         # spread: tokenize+md5 shingling is compute-dense on a
-        # one-split scan (guarded, no-op at scale). localCheckpoint:
-        # each index is consumed TWICE below (band explode for
-        # candidates + shingle sets for the verify) and the 64-way
-        # min/collect_set aggregate re-executed per consumer —
-        # materializing the index once halves the signature work
-        # (guide §5 caching: reused AND expensive). Index rows are
-        # per-doc (KB-MB at any batch size — this is the persistable
-        # index minhash_index exists to produce).
+        # one-split scan (guarded, no-op at scale). NOT checkpointed,
+        # although each index is consumed twice below: an A/B on an
+        # idle host measured the eager checkpoint SLOWER (3.0-4.4 s vs
+        # 1.9-2.1 s end-to-end) — the duplicated aggregate runs as
+        # concurrent pipelines across idle cores, while a checkpoint
+        # serializes the run into materialize-then-consume. (On a
+        # contended host the checkpoint had won; idle-host behavior is
+        # the bench contract.)
         return dedup.minhash_index(
             spread_partitions(side),
             "doc_id",
@@ -1452,7 +1452,7 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=NGRAM_N,
             num_perm=MINHASH_PERMS,
             bands=MINHASH_BANDS,
-        ).localCheckpoint()
+        )
 
     bench = index(docs.where(is_bench))
     corpus = index(docs.where(~is_bench))
