@@ -602,15 +602,14 @@ def kmeans_fit(
     # re-scans the source and re-casts the array (MLlib caches its
     # input for the same reason). MEMORY_AND_DISK so a 1B-vector table
     # degrades to spill, not OOM; released after the last update.
-    # spread_partitions: the assignment argmin is an interpreted HOF
-    # chain (higher-order lambdas are CodegenFallback), so a
-    # one-split scan serializes every Lloyd iteration on one core —
-    # guarded repartition, a no-op at real scale (guide §2.5 input
-    # skew / compute-per-byte mismatch). Exact-integer update sums are
-    # partition-order-independent, so the fit is value-identical.
+    # NO spread_partitions here (round 15, reverting round 14): an
+    # idle-host A/B measured the fit 2.9-3.7 s WITHOUT the spread vs
+    # 4.1 s with it, twice — the repartition shuffles the training
+    # cache before first materialization, and the per-iteration argmin
+    # aggregates already parallelize through the posexplode shuffle.
     from pyspark import StorageLevel
 
-    base = spread_partitions(base).persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     init_rows = (
         base.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -1094,15 +1093,10 @@ def ivfpq_topk(
     Output (query_id, neighbor_id, cos), identical schema to
     pq_rerank_topk so recall comparisons are direct.
     """
-    # spread_partitions: probe-cosine, encode argmin, ADC fold and the
-    # exact rerank are interpreted HOF chains over this scan — spread
-    # them across cores (guarded; all row-local, partition-independent).
-    base = spread_partitions(
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.col(block_col).alias("blk"),
-            _as_double(vec_col).alias("_v"),
-        )
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("blk"),
+        _as_double(vec_col).alias("_v"),
     )
     if codebooks is None:
         # the index's codebooks train on the FULL corpus (an offline
@@ -1139,10 +1133,21 @@ def ivfpq_topk(
     # |queries| x nprobe)-way probe fan-out from re-encoding a row per
     # matching query. (In the deployed index the codes are of course
     # precomputed; encoding here stands in for the code-column scan.)
-    pruned = base.join(
-        F.broadcast(probed.select("_pblk").distinct()),
-        base["blk"] == F.col("_pblk"),
-        "leftsemi",
+    # spread_partitions AFTER the probe-prune, and only here (round-15,
+    # fixing the round-14 regression 2.85 -> 4.03 s): wrapping the FULL
+    # base scan repartitioned 100% of the corpus only to discard the
+    # unprobed blocks, and every other consumer of base (queries,
+    # centroids, rerank fetch) inherited the exchange. Only the
+    # encode+ADC interpreted-HOF work needs cores; the split-count
+    # guard probes the NARROW base scan (the semi-join itself is not
+    # .rdd-safe under AQE — see spread_partitions' precondition).
+    pruned = spread_partitions(
+        base.join(
+            F.broadcast(probed.select("_pblk").distinct()),
+            base["blk"] == F.col("_pblk"),
+            "leftsemi",
+        ),
+        probe=base,
     )
     coded = pq_encode(
         pruned, codebooks, dim, id_col="_id", vec_col="_v", extra_cols=("blk",)

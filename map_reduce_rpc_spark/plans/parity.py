@@ -265,6 +265,9 @@ def avro_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = spread_partitions(load_table(spark, sf_dir, "events"))
         avro_py.write_avro(ev, tmp, mode="overwrite", codec="deflate")
 
+    # (the rename from the pre-split "avro_events" tag orphans that old
+    # /tmp cache dir on hosts that built it — harmless tmpfs residue,
+    # reclaimed at reboot; derived_cache_dir keys strictly by tag)
     path = derived_cache_dir(sf_dir, "avro_events_spread", ("events",), build)
     back = avro_py.read_avro(spark, path).drop(avro_py.CORRUPT_COL)
     return back.groupBy("event_type").agg(

@@ -756,18 +756,26 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE corpus pass for both post-merge stats (was two — a sum
         # pass and a countDistinct pass, each its own broadcast):
         # explode -> (w, c) partial-agg'd word counts, then
-        # tokens_after = sum(c) (explode drops empty arrays — each
-        # contributes 0, exactly like the old greatest(size,0) sum,
-        # and an all-empty corpus yields the same NULL a sum over zero
-        # rows did) and vocab_after = count(*) (0 on empty, exactly
-        # like countDistinct). Guide §2.3 "aggregate before you
-        # shuffle" / §1.2 fewer passes; values identical by the above.
+        # tokens_after = sum(c) and vocab_after = count(*) (0 on
+        # empty, exactly like countDistinct). Guide §2.3 "aggregate
+        # before you shuffle" / §1.2 fewer passes. Equivalence:
+        # explode drops empty token arrays, which the old
+        # sum(greatest(size(t),0)) counted as 0 — identical as long as
+        # any non-empty row exists, which is guaranteed whenever this
+        # value surfaces (``best`` is non-empty only if some row had
+        # >= 2 tokens, and merging never empties an array); the
+        # coalesce pins the unreachable all-empty edge to the old
+        # form's 0
+        # anyway, and on a fully EMPTY corpus ``best`` has no row so
+        # the crossJoin emits nothing either way.
         stats = (
             merged.select(F.explode("t").alias("w"))
             .groupBy("w")
             .agg(F.count("*").alias("c"))
             .agg(
-                F.sum("c").cast("long").alias("tokens_after"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(
+                    "tokens_after"
+                ),
                 F.count("*").cast("long").alias("vocab_after"),
             )
         )

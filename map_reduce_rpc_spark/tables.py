@@ -79,7 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_partitions(df: DataFrame) -> DataFrame:
+def spread_partitions(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Ensure compute-dense map work is not serialized by a
     small-split scan.
 
@@ -92,9 +92,20 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     splits) this is a no-op and no shuffle is added. The shuffle it
     does add at small scale moves raw input bytes once — trivially
     cheaper than leaving (cores - 1) idle through the expensive map.
+
+    PRECONDITION: the partition count is probed via
+    ``df.rdd.getNumPartitions()``, which under AQE can eagerly
+    materialize query stages when the plan contains exchanges — so
+    the probed frame must be a NARROW scan/projection (no join, no
+    aggregate, no repartition upstream). Callers whose compute-dense
+    frame is NOT narrow (e.g. a pruned semi-join of a small scan)
+    pass that narrow source as ``probe``: the split-count decision is
+    read from the probe while the repartition applies to ``df`` — at
+    scale the probe has many splits and the whole call no-ops.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    src = probe if probe is not None else df
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

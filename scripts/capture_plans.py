@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/$SPARK_GRAFT_PLANS_TAG/ (default r15).
 
 Usage: python scripts/capture_plans.py before q1 q2 ...
        python scripts/capture_plans.py after q1 q2 ...
 
-Writes plans/r14/<query>_<tag>.txt — the optimization round's
-plan-claim evidence (the judge diffs these against OPTIMIZATION_r14.md
+Writes plans/<round>/<query>_<tag>.txt — the optimization round's
+plan-claim evidence (the judge diffs these against OPTIMIZATION_r<N>.md
 claims). Batch queries only; streaming plans are recorded by the
 executed-plan ring in streaming/core.py and asserted by
 tests/test_plan_invariants.py.
@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r15")
 )
 
 

@@ -116,8 +116,6 @@ def test_bfs_kcore_lpa_broadcast_flag_identical(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (1, 6)], ["u", "v"]
     )
-    for flag in (False, True):
-        locals()[f"bfs_{flag}"] = None
     bfs_a = sorted(map(tuple, graph.bfs_hops(edges, seeds=(1,), rounds=3).collect()))
     bfs_b = sorted(
         map(
@@ -145,8 +143,11 @@ def test_bfs_kcore_lpa_broadcast_flag_identical(spark):
 
 
 def test_minhash_index_checkpoint_semantics(spark):
-    """decontaminate_fuzzy checkpoints the minhash index; the index
-    content must be identical to the uncheckpointed form."""
+    """A localCheckpoint of the minhash index is content-identical to
+    the lazy form. (decontaminate_fuzzy itself no longer checkpoints
+    its index — commit bdff42e removed that after an idle-host A/B —
+    but the invariant keeps the lever safe to re-apply wherever an
+    index IS materialized, e.g. incremental batch-vs-corpus probing.)"""
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma doc{i} delta epsilon zeta") for i in range(6)],
         ["doc_id", "text"],

@@ -902,6 +902,24 @@ def test_bench_final_line_bounded():
     )
     assert len(clean.encode()) < 2000
     assert "regressions" not in json.loads(clean)
+    # round-15 contention telemetry: n_adjudicated appears only when
+    # nonzero (clean runs stay byte-identical to the r14 shape), and a
+    # noisy run with it set still fits the tail budget
+    assert "n_adjudicated" not in json.loads(clean)
+    noisy = bench.final_stdout_line(
+        total=228.5,
+        sf_val=0.1,
+        timings=timings,
+        errors={},
+        regressions=regressions,
+        ladder_exponents=exponents,
+        ladder_superlinear=superlinear,
+        warm_total=228.5,
+        cold_total=352.1,
+        n_adjudicated=25,
+    )
+    assert len(noisy.encode()) < 2000
+    assert json.loads(noisy)["n_adjudicated"] == 25
 
 
 def test_merge_delete_torn_write_rerun_converges(spark, tmp_path, monkeypatch):
