@@ -25,7 +25,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tables import spread_partitions
+from ..tables import scan_is_small, spread_partitions
+
+
+def _lit_d(x: float) -> str:
+    """SQL double literal with exact IEEE round-trip: repr() is the
+    shortest exact decimal form and the D suffix pins DOUBLE (a bare
+    decimal parses as DECIMAL in Spark SQL)."""
+    return repr(float(x)) + "D"
+
+
+def lit_matrix(m) -> Column:
+    """``array<array<double>>`` literal built as ONE parsed SQL string.
+
+    ``F.lit(nested_list)`` creates every scalar Literal through its own
+    py4j round trip — measured 0.93 s for an 8x(16x8) codebook set vs
+    0.011 s for the equivalent ``F.expr`` string (85x), and the PQ
+    query family was spending 2-8 s of its WALL in exactly this
+    driver-side construction chatter (guide §7.3: planning/driver time
+    is single-threaded and counts). Values are bit-identical: repr()
+    round-trips doubles exactly and the SQL parser builds the same
+    IEEE literal (asserted by the oracle hash checks and
+    tests/test_similarity.py)."""
+    body = ",".join(
+        "array(" + ",".join(_lit_d(x) for x in row) + ")" for row in m
+    )
+    return F.expr(f"array({body})")
+
+
+def lit_cube(c) -> Column:
+    """``array<array<array<double>>>`` literal via one SQL string —
+    the 3-level form of :func:`lit_matrix` (PQ codebook sets)."""
+    body = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_lit_d(x) for x in row) + ")" for row in m
+        )
+        + ")"
+        for m in c
+    )
+    return F.expr(f"array({body})")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -191,7 +230,22 @@ def blocked_near_dup_pairs(
             "broadcast" if est is not None and est <= broadcast_max_bytes else "shuffle"
         )
     if strategy == "broadcast":
-        a = base.repartition(F.col("id")).alias("a")
+        # Explicit-count repartition when the source scan is small
+        # (round 15): the keyless-count form `repartition(col)` is
+        # AQE-coalescible, and with a KB-sized input AQE folded the
+        # ENTIRE quadratic pair stage — the interpreted HOF cosine over
+        # every within-block pair — into ONE task (semantic_dedup_cells
+        # profiled 14 single-task stages, 3.5 s of exec on one core).
+        # An explicit numPartitions is honored by AQE verbatim, so the
+        # pair compute spreads across cores; at scale the guard sees a
+        # many-split scan and keeps the coalescible form. Values are
+        # row-local (cosine + threshold) — partition-independent.
+        target = base.sparkSession.sparkContext.defaultParallelism
+        a = (
+            base.repartition(target, F.col("id"))
+            if scan_is_small(base, target)
+            else base.repartition(F.col("id"))
+        ).alias("a")
         b = F.broadcast(base).alias("b")
     else:
         a = base.alias("a")
@@ -552,7 +606,7 @@ def assign_cells(
     the lowest cell index (array_position finds the first minimum) —
     deterministic.
     """
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    cent_arr = lit_matrix(centroids)
     v = _as_double(vec_col)
     d2 = F.transform(
         cent_arr,
@@ -874,7 +928,7 @@ def pq_encode(
 
     def sub_d2(j: int) -> Column:
         sub = F.slice(v, j * dsub + 1, dsub)
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        cb = lit_matrix(codebooks[j])
         return F.transform(
             cb,
             lambda c: F.aggregate(
@@ -969,9 +1023,7 @@ def pq_adc_topk(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
         )
     )
-    cb_lit = F.lit(
-        [[[float(x) for x in c] for c in book] for book in codebooks]
-    )
+    cb_lit = lit_cube(codebooks)
     # reconstruction: flatten(codebook[j][code_j]) in sub-space order
     recon = F.flatten(
         F.zip_with(
@@ -1152,7 +1204,7 @@ def ivfpq_topk(
     coded = pq_encode(
         pruned, codebooks, dim, id_col="_id", vec_col="_v", extra_cols=("blk",)
     )
-    cb_lit = F.lit([[[float(x) for x in c] for c in book] for book in codebooks])
+    cb_lit = lit_cube(codebooks)
     recon = F.flatten(
         F.zip_with(
             F.col("codes"),
