@@ -442,16 +442,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         docs.select(tokens("text").alias("t"))
         .where(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - F.lit(2)),
-                    lambda i: F.struct(
-                        F.get("t", i).alias("a"), F.get("t", i + 1).alias("b")
-                    ),
-                )
-            ).alias("p")
-        )
+        .select(F.expr(_BPE_PAIR_EXPLODE).alias("p"))
         .select("p.a", "p.b")
     )
     counts = pairs.groupBy("a", "b").agg(F.count("*").alias("n"))
@@ -663,7 +654,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ITERS = 3
 
 
-def _bpe_apply_merge(tcol: F.Column, ma: F.Column, mb: F.Column) -> F.Column:
+def _bpe_apply_merge(t: str = "t", ma: str = "ma", mb: str = "mb") -> F.Column:
     """Apply ONE BPE merge (ma, mb) -> ma||mb to a token array, exact
     greedy left-to-right semantics, entirely in-row (codegen transform
     + filter, no shuffle, no Python).
@@ -673,23 +664,40 @@ def _bpe_apply_merge(tcol: F.Column, ma: F.Column, mb: F.Column) -> F.Column:
     t[i+1]=mb, and t[i] is consumed iff t[i]=mb and t[i-1]=ma (the
     consumed predecessor is always a REAL merge: t[i-1]=mb would
     require ma=mb) — so the greedy scan reduces to an index-local map.
-    ``F.get`` returns NULL out of bounds, which the `when` chain
+    SQL ``get`` returns NULL out of bounds, which the CASE chain
     treats as no-match, handling both array ends without guards.
-    """
-    n = F.size(tcol)
-    mapped = F.transform(
-        F.sequence(F.lit(0), n - F.lit(1)),
-        lambda i: F.when(
-            (F.get(tcol, i) == ma) & (F.get(tcol, i + 1) == mb),
-            F.concat(ma, mb),
-        )
-        .when(
-            (F.get(tcol, i) == mb) & (F.get(tcol, i - 1) == ma),
-            F.lit(None).cast("string"),
-        )
-        .otherwise(F.get(tcol, i)),
+
+    Built as ONE parsed SQL string since round 15: the Column-operator
+    form cost ~0.4 s of py4j round trips per construction and the BPE
+    loops re-pay it every iteration (guide §7.3 — driver time is
+    single-threaded and bench/production drivers time construction).
+    Expression-identical to the old per-Column form (same functions,
+    same CASE order; `size(t)` inlined twice instead of bound once is
+    value-identical and collapses in codegen), so oracle hashes are
+    unchanged — pinned by tests/test_bpe.py."""
+    mapped = (
+        f"transform(sequence(0, size({t}) - 1), i -> "
+        f"CASE WHEN get({t}, i) = {ma} AND get({t}, i + 1) = {mb} "
+        f"THEN concat({ma}, {mb}) "
+        f"WHEN get({t}, i) = {mb} AND get({t}, i - 1) = {ma} "
+        f"THEN CAST(NULL AS STRING) "
+        f"ELSE get({t}, i) END)"
     )
-    return F.when(n >= 2, F.filter(mapped, lambda x: x.isNotNull())).otherwise(tcol)
+    return F.expr(
+        f"CASE WHEN size({t}) >= 2 "
+        f"THEN filter({mapped}, x -> x IS NOT NULL) ELSE {t} END"
+    )
+
+
+# The adjacent-pair explode over a token-array column named ``t`` —
+# the shared counting step of the BPE family (pair_counts, the two
+# merge loops). One parsed SQL string for the same §7.3 reason as
+# _bpe_apply_merge; named_struct('a',...,'b',...) is exactly what
+# F.struct(..alias('a'),..alias('b')) resolves to.
+_BPE_PAIR_EXPLODE = (
+    "explode(transform(sequence(0, size(t) - 2), "
+    "i -> named_struct('a', get(t, i), 'b', get(t, i + 1))))"
+)
 
 
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,16 +735,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it in range(1, BPE_ITERS + 1):
         counts = (
             cur.where(F.size("t") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - F.lit(2)),
-                        lambda i: F.struct(
-                            F.get("t", i).alias("a"), F.get("t", i + 1).alias("b")
-                        ),
-                    )
-                ).alias("p")
-            )
+            .select(F.expr(_BPE_PAIR_EXPLODE).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.count("*").alias("n"))
         )
@@ -751,7 +750,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         merged = cur.crossJoin(F.broadcast(best)).select(
-            _bpe_apply_merge(F.col("t"), F.col("ma"), F.col("mb")).alias("t")
+            _bpe_apply_merge().alias("t")
         )
         # ONE corpus pass for both post-merge stats (was two — a sum
         # pass and a countDistinct pass, each its own broadcast):
@@ -3606,17 +3605,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(BPE_ITERS):
         counts = (
             cur.where(F.size("t") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - F.lit(2)),
-                        lambda i: F.struct(
-                            F.get("t", i).alias("a"),
-                            F.get("t", i + 1).alias("b"),
-                        ),
-                    )
-                ).alias("p")
-            )
+            .select(F.expr(_BPE_PAIR_EXPLODE).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.count("*").alias("n"))
         )
@@ -3628,7 +3617,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
             "doc_id",
-            _bpe_apply_merge(F.col("t"), F.col("ma"), F.col("mb")).alias("t"),
+            _bpe_apply_merge().alias("t"),
         ).localCheckpoint(eager=False)
     raw = docs.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_raw")

@@ -44,7 +44,7 @@ def test_greedy_merge_application_rule(spark):
         r["i"]: r["m"]
         for r in df.select(
             "i",
-            textops._bpe_apply_merge(F.col("t"), F.lit("a"), F.lit("b")).alias("m"),
+            textops._bpe_apply_merge("t", "'a'", "'b'").alias("m"),
         ).collect()
     }
     for i, (_, want) in enumerate(cases):
