@@ -1152,7 +1152,14 @@ def _read_files(
     PHYSICAL names and aliases back to the logical ones (rename/drop
     are manifest-only; the files never change)."""
     if not rels:
-        return spark.createDataFrame([], schema)
+        # .limit(0) turns the python-RDD-backed empty frame into an
+        # empty LocalRelation (OptimizeLimitZero), which
+        # PropagateEmptyRelation can then DELETE from any Union/join
+        # it lands in — an ExistingRDD's cardinality is unknown to the
+        # optimizer, so without this every empty CDF side stays in the
+        # executed plan as a real scan branch (round 15; dv_cdf_orders
+        # carried three such branches).
+        return spark.createDataFrame([], schema).limit(0)
     return _read_raw(spark, root, rels, _phys_schema(schema, mapping)).select(
         _logical_select(schema, mapping)
     )
@@ -1282,7 +1289,8 @@ def _rows_at_positions(
     broadcast pair frame, O(positions))."""
     rels = [r for r in pos_map if pos_map[r]]
     if not rels:
-        return spark.createDataFrame([], schema)
+        # empty LocalRelation form — see _read_files' comment
+        return spark.createDataFrame([], schema).limit(0)
     raw = _read_raw(
         spark, root, rels, _phys_schema(schema, mapping)
     ).select(
@@ -2587,9 +2595,41 @@ def read_changes(
                 )
             )
         if (added or ins_pos) and (removed or del_pos):
-            # multiset cancellation: rows identical across the two
-            # sides net to zero (optimize commits cancel exactly)
-            ins, dels = a.exceptAll(r), r.exceptAll(a)
+            # Multiset cancellation: rows identical across the two
+            # sides net to zero (optimize commits cancel exactly).
+            # Both directions from ONE signed-count aggregate (round
+            # 15, guide §2.4/§1.2): `a.exceptAll(r)` + `r.exceptAll(a)`
+            # each lower to their own Union -> Aggregate-by-all-columns
+            # -> Generate subtree, i.e. TWO shuffles and TWO scans of
+            # every touched file per commit. Tagging each side +1/-1,
+            # aggregating once, and replicating |net| copies per sign
+            # is the same multiset difference (exceptAll's own rewrite
+            # is the one-sided form of exactly this computation —
+            # null-safe grouping and NaN/-0.0 normalization included,
+            # equality pinned by test_txlog_cdf_single_pass_diff), and
+            # the two branches read the SAME exchange, which AQE
+            # dedups via ReusedExchange: one shuffle, one scan set.
+            # sequence(1, n) materializes n elements per netted row —
+            # n is the multiplicity of a fully-identical row in one
+            # commit's touched files, bounded by rows-per-file in
+            # practice (exact dups of a whole row are what upstream
+            # dedup removes).
+            cols = [f.name for f in out_schema.fields]
+            _w, _n = "__cdf_w__", "__cdf_n__"
+            net = (
+                a.select(*cols, F.lit(1).alias(_w))
+                .unionByName(r.select(*cols, F.lit(-1).alias(_w)))
+                .groupBy(*cols)
+                .agg(F.sum(_w).alias(_n))
+            )
+            ins = net.where(F.col(_n) > 0).select(
+                *cols,
+                F.explode(F.sequence(F.lit(1), F.col(_n))).alias("__i__"),
+            ).drop("__i__")
+            dels = net.where(F.col(_n) < 0).select(
+                *cols,
+                F.explode(F.sequence(F.lit(1), -F.col(_n))).alias("__i__"),
+            ).drop("__i__")
         else:
             ins, dels = a, r
         chg = ins.withColumn(
