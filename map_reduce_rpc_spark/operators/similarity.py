@@ -1306,78 +1306,96 @@ def mmr_rerank(
     query's shortlist. Output: (query_id, pick, doc, rel, mmr), pick =
     1..k in selection order.
 
-    Greedy selection is inherently sequential in k, but each step is
-    one tiny grouped argmax over ALL queries at once (every frame here
-    is O(queries x shortlist) rows — KBs — localCheckpointed per step
-    so lineage stays O(1)); the heavy distributed work is producing
-    the shortlist and sims upstream. Determinism: ties broken by doc
-    id; both engines order by the identical IEEE mmr expression, so a
-    DuckDB oracle replays all k steps as an unrolled CTE chain."""
-    # These frames are O(queries x shortlist) rows BY CONTRACT (the
-    # serving shortlist, KBs at any corpus scale — the upstream ANN
-    # stages did the data-sized work): coalesce to one partition so
-    # the k greedy steps run single-task stages instead of paying
-    # 32 dispatches per ~10-row partition (guide §2.2).
-    # coalesce AFTER the checkpoint: coalesce(1) before it would fuse
-    # the upstream shortlist/sims computation (interpreted cosine
-    # scoring) into a single task — the classic coalesce pitfall. The
-    # checkpoint materializes in parallel; the post-checkpoint
-    # coalesce is a narrow merge of tiny cached blocks.
-    short = (
+    Greedy selection is inherently sequential in k, but every frame
+    here is O(queries x shortlist) rows BY CONTRACT (the serving
+    shortlist, KBs at any corpus scale — the upstream ANN stages did
+    the data-sized work), so all k steps run as ONE higher-order
+    aggregate fold per query inside a single lazy plan (round 15,
+    guide §1.2/§2.2: the previous per-step join + localCheckpoint loop
+    paid k+2 eager driver jobs — 7 jobs, ~2.0 s of the 2.5 s query
+    wall — to move KBs). Semantics are unchanged step for step:
+
+      - candidates are folded in neighbor_id-ascending order with a
+        strictly-greater replace, which is exactly row_number over
+        (mmr DESC, neighbor_id ASC) = 1 — ties keep the smallest doc
+        id, and Spark's NaN-is-greatest comparison matches the old
+        window sort;
+      - ms = array_max over the selected-set sims is the old
+        groupBy.max; a candidate with no sims row against the selected
+        set gets NULL -> coalesce 0.0, the old left-join behavior;
+      - the mmr expression is literal-for-literal the old one
+        (repr'd doubles round-trip IEEE-exactly).
+
+    Determinism: ties broken by doc id; both engines order by the
+    identical IEEE mmr expression, so a DuckDB oracle replays all k
+    steps as an unrolled CTE chain. Value identity vs the old loop is
+    pinned by tests/test_optimization_r15.py::test_mmr_hof_matches_join_loop."""
+    lam_s, one_m = f"{float(lam)!r}D", f"{(1.0 - float(lam))!r}D"
+
+    # Per-query fold: state `st` = the picks-so-far array (pick order =
+    # array position). Each step re-derives the unpicked candidates
+    # from the outer `cands` (neighbor_id-ascending), scores them, and
+    # appends the argmax. The seed's empty array is sliced from a
+    # transform of cands so the element type (incl. the caller's id
+    # type) is inferred, never hardcoded.
+    def _scored(rem: str) -> str:
+        return (
+            f"transform({rem}, c -> named_struct("
+            f"'doc', c.neighbor_id, 'rel', c.rel, "
+            f"'mmr', {lam_s} * c.rel - {one_m} * coalesce("
+            "array_max(transform("
+            "filter(sp, p -> p.a = c.neighbor_id"
+            " AND exists(st, s -> s.doc = p.b)),"
+            " p -> p.sim)), 0.0D)))"
+        )
+
+    rem = "filter(cands, c0 -> NOT exists(st, s0 -> s0.doc = c0.neighbor_id))"
+    scored = _scored(rem)
+    # element_at(scored, 1) as the fold seed: folding the first element
+    # against itself is a no-op under the strictly-greater replace, so
+    # ties keep the earliest (= smallest neighbor_id) element — exactly
+    # row_number over (mmr DESC, neighbor_id ASC) = 1.
+    best = (
+        f"aggregate({scored}, element_at({scored}, 1),"
+        " (b, s1) -> IF(s1.mmr > b.mmr, s1, b))"
+    )
+    seed = (
+        "slice(transform(cands, c -> named_struct("
+        "'doc', c.neighbor_id, 'rel', c.rel,"
+        " 'mmr', CAST(0.0 AS DOUBLE))), 1, 0)"
+    )
+    sel_expr = (
+        f"aggregate(sequence(1, {int(k)}), {seed},"
+        f" (st, t) -> IF(size({rem}) = 0, st,"
+        f" concat(st, array({best}))))"
+    )
+    shortg = (
         shortlist.select("query_id", "neighbor_id", "rel")
-        .localCheckpoint()
-        .coalesce(1)
-    )
-    simsc = (
-        sims.select("query_id", "a", "b", "sim").localCheckpoint().coalesce(1)
-    )
-    selected = short.select(
-        "query_id",
-        F.col("neighbor_id").alias("doc"),
-        F.lit(0).alias("pick"),
-        "rel",
-        F.lit(0.0).alias("mmr"),
-    ).limit(0)
-    for t in range(1, k + 1):
-        cand = short.join(
-            selected.select("query_id", F.col("doc").alias("neighbor_id")),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(neighbor_id, rel)))"
+            ).alias("cands")
         )
-        div = (
-            simsc.join(
-                selected.select("query_id", F.col("doc").alias("b")),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", "a")
-            .agg(F.max("sim").alias("ms"))
+    )
+    simsg = (
+        sims.select("query_id", "a", "b", "sim")
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("a", "b", "sim")).alias("sp"))
+    )
+    # left join: a query with no sims rows gets sp = NULL, which
+    # null-propagates through filter/transform/array_max to NULL ->
+    # coalesce 0.0 — byte-for-byte the old left-join ms semantics.
+    g = shortg.join(simsg, "query_id", "left")
+    return (
+        g.select(
+            "query_id", F.posexplode(F.expr(sel_expr)).alias("pos", "s")
         )
-        scored = cand.join(
-            div.select("query_id", F.col("a").alias("neighbor_id"), "ms"),
-            ["query_id", "neighbor_id"],
-            "left",
-        ).select(
+        .select(
             "query_id",
-            "neighbor_id",
-            "rel",
-            (
-                F.lit(lam) * F.col("rel")
-                - F.lit(1.0 - lam) * F.coalesce(F.col("ms"), F.lit(0.0))
-            ).alias("mmr"),
+            F.col("s.doc").alias("doc"),
+            (F.col("pos") + F.lit(1)).alias("pick"),
+            F.col("s.rel").alias("rel"),
+            F.col("s.mmr").alias("mmr"),
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("mmr").desc(), F.col("neighbor_id")
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.col("neighbor_id").alias("doc"),
-                F.lit(t).alias("pick"),
-                "rel",
-                "mmr",
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint().coalesce(1)
-    return selected
+    )

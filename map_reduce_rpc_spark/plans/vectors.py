@@ -1275,9 +1275,18 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Oracle unrolls all {MMR_K} selection steps as a CTE chain
     (the Lloyd/BPE replay pattern on a ranking loop)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    short = similarity.brute_force_topk(
-        emb, QUERY_IDS, k=MMR_SHORTLIST
-    ).select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+    # localCheckpoint: `short` feeds THREE branches of the (lazy) MMR
+    # plan — the candidate aggregate plus both sides of the pairs
+    # self-join — and the brute-force top-{MMR_SHORTLIST} window scan
+    # gets no ReusedExchange across them (verified round 15: 3 Window
+    # nodes, 8 parquet scans without it). One eager materialization of
+    # the O(queries x shortlist) rows replaces three scans of the
+    # vector table (guide §7 duplicated subtree).
+    short = (
+        similarity.brute_force_topk(emb, QUERY_IDS, k=MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+        .localCheckpoint()
+    )
     base = emb.select(
         F.col("vec_id"), similarity._as_double("embedding").alias("v")
     ).withColumn("n", similarity.l2_norm(F.col("v")))

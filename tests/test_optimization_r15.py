@@ -47,6 +47,108 @@ def test_txlog_cdf_single_pass_diff(spark):
     assert key(dels) == key(r.exceptAll(a))
 
 
+def test_mmr_hof_matches_join_loop(spark):
+    """mmr_rerank's single-pass HOF fold == the pre-round-15 per-step
+    join/window/localCheckpoint loop on the hard cases: mmr ties
+    (broken by smallest doc id), candidates with no sims row against
+    the selected set (ms -> 0.0), a query with NO sims rows at all,
+    and a query with fewer than k candidates (selection stalls)."""
+    from pyspark.sql import Window
+    from map_reduce_rpc_spark.operators.similarity import mmr_rerank
+
+    def old_loop(short, sims, lam, k):
+        short = (
+            short.select("query_id", "neighbor_id", "rel")
+            .localCheckpoint()
+            .coalesce(1)
+        )
+        simsc = (
+            sims.select("query_id", "a", "b", "sim")
+            .localCheckpoint()
+            .coalesce(1)
+        )
+        selected = short.select(
+            "query_id",
+            F.col("neighbor_id").alias("doc"),
+            F.lit(0).alias("pick"),
+            "rel",
+            F.lit(0.0).alias("mmr"),
+        ).limit(0)
+        for t in range(1, k + 1):
+            cand = short.join(
+                selected.select("query_id", F.col("doc").alias("neighbor_id")),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            div = (
+                simsc.join(
+                    selected.select("query_id", F.col("doc").alias("b")),
+                    ["query_id", "b"],
+                )
+                .groupBy("query_id", "a")
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = cand.join(
+                div.select("query_id", F.col("a").alias("neighbor_id"), "ms"),
+                ["query_id", "neighbor_id"],
+                "left",
+            ).select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.coalesce(F.col("ms"), F.lit(0.0))
+                ).alias("mmr"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("mmr").desc(), F.col("neighbor_id")
+            )
+            pick = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    "query_id",
+                    F.col("neighbor_id").alias("doc"),
+                    F.lit(t).alias("pick"),
+                    "rel",
+                    "mmr",
+                )
+            )
+            selected = selected.unionByName(pick).localCheckpoint().coalesce(1)
+        return selected
+
+    # q0: plain; q1: exact mmr tie between docs 11 and 12 at step 1
+    # (no sims -> mmr = lam*rel, equal rel) -> smallest id wins; q2:
+    # only 2 candidates with k=3 (stall); q3: no sims rows at all.
+    short_rows = [
+        (0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7), (0, 4, 0.65),
+        (1, 11, 0.5), (1, 12, 0.5), (1, 13, 0.4),
+        (2, 21, 0.9), (2, 22, 0.1),
+        (3, 31, 0.6), (3, 32, 0.55), (3, 33, 0.5),
+    ]
+    sims_rows = [
+        (0, 1, 2, 0.95), (0, 2, 1, 0.95), (0, 1, 3, 0.2),
+        (0, 3, 1, 0.2), (0, 2, 3, 0.1), (0, 3, 2, 0.1),
+        # 4 has no sims rows vs anyone -> ms always 0.0
+        (1, 11, 12, 0.99), (1, 12, 11, 0.99), (1, 11, 13, 0.0),
+        (1, 13, 11, 0.0), (1, 12, 13, 0.5), (1, 13, 12, 0.5),
+        (2, 21, 22, 0.3), (2, 22, 21, 0.3),
+    ]
+    short = spark.createDataFrame(
+        short_rows, "query_id long, neighbor_id long, rel double"
+    )
+    sims = spark.createDataFrame(
+        sims_rows, "query_id long, a long, b long, sim double"
+    )
+    for lam, k in ((0.7, 3), (0.5, 4)):
+        new = mmr_rerank(short, sims, lam=lam, k=k).collect()
+        old = old_loop(short, sims, lam=lam, k=k).collect()
+        def key(rows):
+            return sorted((r["query_id"], r["pick"], r["doc"], r["rel"], r["mmr"]) for r in rows)
+        assert key(new) == key(old), (lam, k)
+
+
 def test_bpe_apply_merge_expr_matches_column_form(spark):
     """The parsed-SQL _bpe_apply_merge equals the pre-round-15
     Column-operator construction on merge edge cases (adjacent
