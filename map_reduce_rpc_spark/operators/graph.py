@@ -524,7 +524,7 @@ def kcore_truncated(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     cur = und
-    for _ in range(rounds):
+    for rnd in range(1, rounds + 1):
         keep = (
             cur.groupBy("u")
             .agg(F.count("*").alias("d"))
@@ -535,17 +535,22 @@ def kcore_truncated(
         # bounded, see BROADCAST_NODES_MAX): both semi joins build the
         # node-sized survivor set instead of shuffling the edge list
         # twice per round — guide §3.1; semi-join output is identical.
-        cur = (
-            cur.join(_maybe_broadcast(keep, broadcast_nodes), "u", "semi")
-            .join(
-                _maybe_broadcast(
-                    keep.select(F.col("u").alias("v")), broadcast_nodes
-                ),
-                "v",
-                "semi",
-            )
-            .localCheckpoint(eager=False)
+        cur = cur.join(
+            _maybe_broadcast(keep, broadcast_nodes), "u", "semi"
+        ).join(
+            _maybe_broadcast(
+                keep.select(F.col("u").alias("v")), broadcast_nodes
+            ),
+            "v",
+            "semi",
         )
+        # checkpoint only where the round's survivors feed TWO
+        # consumers (next round's degree count + semi joins); the
+        # final round's `cur` is read once by the closing groupBy, so
+        # a checkpoint there is a pure copy + a dead Catalyst planning
+        # pass (queryExecution.toRdd) at construction (round 15).
+        if rnd < rounds:
+            cur = cur.localCheckpoint(eager=False)
     return cur.groupBy("u").agg(F.count("*").cast("long").alias("core_deg"))
 
 

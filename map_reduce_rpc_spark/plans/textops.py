@@ -794,7 +794,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage pattern): without it, iteration k's count, stats and
         # vocab each recompute tokenization + all previous merges from
         # the scan — O(k) redundant corpus passes per iteration.
-        cur = merged.localCheckpoint(eager=False)
+        # Skipped on the FINAL iteration: its `cur` has no consumer,
+        # and even a lazy localCheckpoint pays a full Catalyst
+        # planning pass (queryExecution.toRdd) at construction —
+        # ~0.5 s of dead driver time here (round 15, guide §7.3).
+        if it < BPE_ITERS:
+            cur = merged.localCheckpoint(eager=False)
     return out
 
 
@@ -3602,7 +3607,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 saved_ppm rather than dividing by zero."""
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select("doc_id", tokens("text").alias("t"))
-    for _ in range(BPE_ITERS):
+    for it in range(1, BPE_ITERS + 1):
         counts = (
             cur.where(F.size("t") >= 2)
             .select(F.expr(_BPE_PAIR_EXPLODE).alias("p"))
@@ -3618,7 +3623,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.crossJoin(F.broadcast(best)).select(
             "doc_id",
             _bpe_apply_merge().alias("t"),
-        ).localCheckpoint(eager=False)
+        )
+        # checkpoint only where the rewrite has TWO consumers (the
+        # next iteration's counts + rewrite); the final iteration's
+        # `cur` is read exactly once by `enc`, so a checkpoint there
+        # is a pure copy + a dead Catalyst planning pass at
+        # construction (round 15, guide §7.3).
+        if it < BPE_ITERS:
+            cur = cur.localCheckpoint(eager=False)
     raw = docs.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_raw")
     )
