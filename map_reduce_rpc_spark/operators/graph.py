@@ -429,8 +429,8 @@ def pagerank_directed(
     iteration each node sends r/out_deg along its OUT edges (quantized
     longs, exact sums, as in pagerank); the rank mass sitting on
     dangling nodes (out-degree 0) is summed EXACTLY (floor-quantized
-    longs, one driver scalar per iteration — the kmeans collect
-    contract) and redistributed uniformly:
+    longs, a one-row in-plan broadcast per iteration — no driver
+    round-trip) and redistributed uniformly:
 
         r' = (1-d)/n + d * (in_sum/Q + (dangling_q/Q)/n)
 
@@ -475,21 +475,34 @@ def pagerank_directed(
             .alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        dm = (
+        # The dangling mass stays IN-PLAN as a one-row broadcast
+        # (round 15): the old per-iteration .first() was its own
+        # eager job + a serial driver round-trip between every
+        # iteration's sum and snapshot. A global agg always returns
+        # exactly one row, so the crossJoin never duplicates or drops;
+        # coalesce(sum, 0) is the old `or 0`, and CAST(dm AS DOUBLE)
+        # is the same IEEE nearest-rounding float(dm) applied — the
+        # oracle still replays the identical expression chain.
+        dmf = (
             dangling.join(_maybe_broadcast(ranks, bc), "node")
-            .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
-            .first()[0]
-            or 0
+            .agg(
+                F.coalesce(
+                    F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")),
+                    F.lit(0),
+                ).alias("dm")
+            )
         )
         ranks = _iter_snapshot(
-            nodes.join(_maybe_broadcast(s, bc), "node", "left").select(
+            nodes.join(_maybe_broadcast(s, bc), "node", "left")
+            .crossJoin(F.broadcast(dmf))
+            .select(
                 "node",
                 (
                     base
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(q)
-                        + (F.lit(float(dm)) / F.lit(q)) / F.lit(float(n))
+                        + (F.col("dm").cast("double") / F.lit(q)) / F.lit(float(n))
                     )
                 ).alias("r"),
             ),
@@ -639,8 +652,8 @@ def pagerank_personalized(
         r' = (1-d)*p(v) + d * (in_sum/Q + (dangling_q/Q) * p(v))
 
     with p(v) = 1/|seeds| on seeds, 0 elsewhere, r0 = p. Same exact
-    quantized-long messages and per-iteration driver scalar as the
-    directed form, so the DuckDB oracle replays every iteration
+    quantized-long messages and one-row in-plan dangling broadcast as
+    the directed form, so the DuckDB oracle replays every iteration
     bit-for-bit (seed membership is a literal IN list in both
     engines). `seeds` is a tiny driver-side literal by contract —
     it parameterizes the query like a constant, it is not data.
@@ -676,8 +689,8 @@ def pagerank_personalized(
     ).persist()
     # One count up front: a graph with no dangling nodes (e.g. the
     # bidirectional bipartite walk) skips the per-iteration dangling
-    # scalar entirely — dm is identically 0, so result-identical, and
-    # it removes one driver round-trip + one join-agg per iteration.
+    # aggregate entirely — dm is identically 0, so result-identical,
+    # and it removes one join-agg subtree per iteration.
     has_dangling = dangling.count() > 0
     q = float(PR_QUANT)
     ranks = nodes.withColumn("r", p)
@@ -693,14 +706,29 @@ def pagerank_personalized(
             .alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        dm = (
-            dangling.join(_maybe_broadcast(ranks, bc), "node")
-            .agg(F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")))
-            .first()[0]
-            or 0
-        ) if has_dangling else 0
+        # dangling mass in-plan as a one-row broadcast — same
+        # transformation as pagerank_directed (round 15): no per-
+        # iteration .first() job; CAST(dm AS DOUBLE) == float(dm)
+        # IEEE-exactly and coalesce(sum, 0) == the old `or 0`. The
+        # has_dangling gate still skips the join-agg subtree entirely
+        # when the graph provably has no dangling nodes (dm == 0).
+        upd = nodes.join(_maybe_broadcast(s, bc), "node", "left")
+        if has_dangling:
+            dmf = (
+                dangling.join(_maybe_broadcast(ranks, bc), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.floor(F.col("r") * F.lit(q)).cast("long")),
+                        F.lit(0),
+                    ).alias("dm")
+                )
+            )
+            dm_term = F.col("dm").cast("double") / F.lit(q)
+            upd = upd.crossJoin(F.broadcast(dmf))
+        else:
+            dm_term = F.lit(0.0) / F.lit(q)
         ranks = _iter_snapshot(
-            nodes.join(_maybe_broadcast(s, bc), "node", "left").select(
+            upd.select(
                 "node",
                 (
                     F.lit(1.0 - damping) * p
@@ -708,7 +736,7 @@ def pagerank_personalized(
                     * (
                         F.coalesce(F.col("s"), F.lit(0)).cast("double")
                         / F.lit(q)
-                        + (F.lit(float(dm)) / F.lit(q)) * p
+                        + dm_term * p
                     )
                 ).alias("r"),
             ),
